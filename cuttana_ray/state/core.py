@@ -1,0 +1,233 @@
+"""Two-level Cuttana partitioning state + the FENNEL-style greedy scorer.
+
+Semantics mirror ``/root/reference/src/state.rs`` and
+``/root/reference/src/partition.rs``, re-expressed over dense int vertex ids
+and NumPy arrays (the engine dictionary-encodes node names to ``0..V-1``
+before partitioning, so per-vertex state is flat arrays, not hash maps):
+
+* Two-level hierarchy: ``k`` partitions × ``num_sub_partitions`` sub-partitions
+  each; global sub id = ``partition * num_sub + local`` (``state.rs:107-113``).
+* Phase-1 slack is widened to ``min(2*slack, slack + 0.5)`` (``state.rs:60-66``,
+  mirroring upstream ``ogpart_single_thread.cpp:167``).
+* ``update_metrics``: per adjacency row ``vertex_count += 1``,
+  ``edge_count += degree``; the sub level sees *effective* counts ``V // k``,
+  ``E // k`` (``state.rs:155-167``).
+* ``partition()``: panic→``CapacityError`` when no partition has room
+  (``partition.rs:29-32``); pick best global partition, assign, count newly
+  cut edges once per later-placed endpoint (``partition.rs:38-44``); pick best
+  sub-partition with the ``sub_gamma`` scorer, assign; record symmetric
+  sub↔sub intra-partition edge weights (``partition.rs:50-62``,
+  ``state.rs:124-135``).
+* FENNEL marginal score (``partition.rs:88-100``): candidate score for
+  partition ``p`` = ``|nbrs already in p| - alpha * gamma * size(p)^(gamma-1)``
+  with ``alpha = k^(gamma-1) * V / E^gamma`` over the *running* V, E; first
+  candidate is the globally smallest partition scored with no neighbors
+  (``partition.rs:110-112``); only partitions with room compete
+  (``partition.rs:128-134``).
+
+Divergences (documented in SURVEY.md §4):
+
+* Tie-breaks use a **seeded** RNG, uniform among max-score ties — the
+  reference reservoir-samples with an unseeded ``ThreadRng``
+  (``partition.rs:83-86,115-124``), which is non-deterministic run-to-run.
+* ``E == 0`` yields a zero balance penalty instead of the reference's
+  ``inf * 0 = NaN`` score arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cuttana_ray.config import CuttanaConfig
+
+
+class CapacityError(RuntimeError):
+    """Raised when every partition is at capacity (reference panics,
+    ``/root/reference/src/partition.rs:29-32``)."""
+
+
+def widened_slack(balance_slack: float) -> float:
+    """Phase-1 slack widening, ``/root/reference/src/state.rs:60-66``."""
+    return min(balance_slack * 2.0, balance_slack + 0.5)
+
+
+class CuttanaState:
+    """Flat-array state for ``num_vertices`` dense-int vertices."""
+
+    def __init__(self, num_vertices: int, num_partitions: int,
+                 config: CuttanaConfig) -> None:
+        if num_partitions <= 0:
+            raise ValueError("Number of partitions must be > 0")
+        k = num_partitions
+        ns = config.num_sub_partitions
+        self.num_partitions = k
+        self.num_sub = ns
+        self.total_subs = k * ns
+        self.slack = widened_slack(config.balance_slack)
+
+        # per-vertex streaming assignment (global partition, local sub id)
+        self.part_of = np.full(num_vertices, -1, dtype=np.int32)
+        self.sub_of = np.full(num_vertices, -1, dtype=np.int32)
+
+        # level sizes
+        self.partition_sizes = np.zeros(k, dtype=np.int64)
+        self.sub_sizes = np.zeros(self.total_subs, dtype=np.int64)  # by gsub
+
+        # refinement bookkeeping (``state.rs:10-46``)
+        self.sub_parent = (np.arange(self.total_subs, dtype=np.int64) // ns).astype(np.int32)
+        self.num_sub_in = np.full(k, ns, dtype=np.int64)
+        self.sub_edges: dict[int, dict[int, int]] = {}  # gsub -> {gsub: weight}
+
+        # running metrics (``assignment.rs:68-100``, ``state.rs:155-167``)
+        self.vertex_count = 0
+        self.edge_count = 0
+        self.cut_count = 0
+        self.v_eff = 0  # V // k, the sub level's effective vertex count
+        self.e_eff = 0
+
+    # -- metrics ----------------------------------------------------------
+    def update_metrics(self, degree: int) -> None:
+        self.vertex_count += 1
+        self.edge_count += degree
+        self.v_eff = self.vertex_count // self.num_partitions
+        self.e_eff = self.edge_count // self.num_partitions
+
+    def edge_cut_ratio(self) -> float:
+        return self.cut_count / self.edge_count if self.edge_count else 0.0
+
+    def communication_volume(self) -> float:
+        if self.vertex_count == 0:
+            return 0.0
+        return self.cut_count / (self.num_partitions * self.vertex_count)
+
+    # -- sub-partition coarse graph --------------------------------------
+    def gsub(self, partition: int, local_sub: int) -> int:
+        return partition * self.num_sub + local_sub
+
+    def add_sub_edge(self, gs_a: int, gs_b: int, weight: int = 1) -> None:
+        """Symmetric +weight both directions (``state.rs:124-135``)."""
+        self.sub_edges.setdefault(gs_a, {})[gs_b] = (
+            self.sub_edges.get(gs_a, {}).get(gs_b, 0) + weight)
+        self.sub_edges.setdefault(gs_b, {})[gs_a] = (
+            self.sub_edges.get(gs_b, {}).get(gs_a, 0) + weight)
+
+    # -- final projection --------------------------------------------------
+    def final_partition_of_assigned(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(vertices, final_partition, gsub) for all streamed vertices.
+
+        A vertex's partition after refinement is the current parent of the
+        sub-partition it was streamed into (refinement moves whole subs).
+        """
+        vs = np.nonzero(self.part_of >= 0)[0]
+        gsubs = self.part_of[vs].astype(np.int64) * self.num_sub + self.sub_of[vs]
+        return vs, self.sub_parent[gsubs], gsubs
+
+
+class FennelScorer:
+    """Greedy marginal-gain scorer shared by the global (``gamma=1.5``) and
+    sub (``sub_gamma=1.0``) levels; ``/root/reference/src/partition.rs:75-140``."""
+
+    def __init__(self, gamma: float, rng: np.random.Generator) -> None:
+        self.gamma = gamma
+        self.rng = rng
+
+    def _penalties(self, sizes: np.ndarray, num_partitions: int,
+                   vertex_count: int, edge_count: int,
+                   which: np.ndarray | None = None) -> np.ndarray:
+        """alpha * gamma * size^(gamma-1) for the given partitions."""
+        if edge_count == 0:
+            n = len(which) if which is not None else len(sizes)
+            return np.zeros(n, dtype=np.float64)
+        alpha = (num_partitions ** (self.gamma - 1.0)) * vertex_count / (
+            edge_count ** self.gamma)
+        s = sizes[which] if which is not None else sizes
+        return alpha * self.gamma * np.power(s.astype(np.float64), self.gamma - 1.0)
+
+    def find_best(self, nbr_partitions: np.ndarray, sizes: np.ndarray,
+                  num_partitions: int, vertex_count: int, edge_count: int,
+                  slack: float) -> int:
+        """Pick the partition maximizing ``count_in_p - penalty(p)``.
+
+        ``nbr_partitions``: this vertex's neighbors' current partitions at
+        this level (-1 = unplaced / other parent). Initial candidate is the
+        smallest partition with a no-neighbor score; neighbor-partition
+        candidates must have room. Ties: seeded uniform choice.
+        """
+        smallest = int(np.argmin(sizes))
+        best_scores = np.asarray(
+            [-self._penalties(sizes, num_partitions, vertex_count, edge_count,
+                              np.asarray([smallest]))[0]])
+        candidates = np.asarray([smallest])
+
+        placed = nbr_partitions[nbr_partitions >= 0]
+        if placed.size:
+            counts = np.bincount(placed, minlength=len(sizes))
+            cand = np.nonzero(counts)[0]
+            # room constraint: size < (1+slack) * V / k   (assignment.rs:38-41)
+            threshold = (1.0 + slack) * (vertex_count / num_partitions)
+            cand = cand[sizes[cand] < threshold]
+            if cand.size:
+                scores = counts[cand] - self._penalties(
+                    sizes, num_partitions, vertex_count, edge_count, cand)
+                candidates = np.concatenate([candidates, cand])
+                best_scores = np.concatenate([best_scores, scores])
+
+        top = best_scores.max()
+        ties = candidates[best_scores == top]
+        if len(ties) == 1:
+            return int(ties[0])
+        # dedupe (smallest partition may also appear as a neighbor candidate)
+        ties = np.unique(ties)
+        return int(ties[self.rng.integers(0, len(ties))])
+
+
+class Partitioner:
+    """One-vertex-at-a-time placement; ``/root/reference/src/partition.rs:23-63``."""
+
+    def __init__(self, config: CuttanaConfig, state: CuttanaState) -> None:
+        rng = np.random.default_rng(config.seed)
+        self.scorer = FennelScorer(config.gamma, rng)
+        self.sub_scorer = FennelScorer(config.sub_gamma, rng)
+        self.state = state
+
+    def partition(self, v: int, nbrs: np.ndarray) -> None:
+        st = self.state
+        k = st.num_partitions
+        threshold = (1.0 + st.slack) * (st.vertex_count / k)
+        if not np.any(st.partition_sizes < threshold):
+            raise CapacityError(
+                "Partition capacity exceeded. Increase balance_slack or "
+                "num_partitions.")
+
+        nbr_parts = st.part_of[nbrs] if nbrs.size else np.empty(0, dtype=np.int32)
+        best = self.scorer.find_best(
+            nbr_parts, st.partition_sizes, k, st.vertex_count, st.edge_count,
+            st.slack)
+        st.part_of[v] = best
+        st.partition_sizes[best] += 1
+
+        # newly cut edges: later-placed endpoint counts each once
+        # (partition.rs:38-44); v itself is placed now, so >= 0 includes v
+        # only if v in nbrs (self-loop) — the engine drops self-loops upstream.
+        if nbrs.size:
+            placed = nbr_parts[nbr_parts >= 0]
+            st.cut_count += int(np.count_nonzero(placed != best))
+
+        # sub level within `best`: neighbors' subs only count when the
+        # neighbor lives in the same parent partition (partition.rs:46-48).
+        sub_sizes_row = st.sub_sizes[best * st.num_sub:(best + 1) * st.num_sub]
+        same = nbrs[nbr_parts == best] if nbrs.size else nbrs
+        nbr_subs = st.sub_of[same] if same.size else np.empty(0, dtype=np.int32)
+        best_sub = self.sub_scorer.find_best(
+            nbr_subs, sub_sizes_row, st.num_sub, st.v_eff, st.e_eff, st.slack)
+        st.sub_of[v] = best_sub
+        g = st.gsub(best, best_sub)
+        st.sub_sizes[g] += 1
+
+        # intra-partition sub↔sub edge weights (partition.rs:50-62)
+        if nbr_subs.size:
+            other = nbr_subs[nbr_subs != best_sub]
+            if other.size:
+                uniq, cnt = np.unique(other, return_counts=True)
+                for s, c in zip(uniq.tolist(), cnt.tolist()):
+                    st.add_sub_edge(g, st.gsub(best, s), int(c))

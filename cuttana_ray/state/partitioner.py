@@ -1,0 +1,147 @@
+"""Single-process Cuttana streaming-partitioner core.
+
+This is the stream loop of ``/root/reference/src/cuttana.rs:10-59``, consumed
+batch-by-batch so a Ray actor/task can feed it pipelined Arrow batches
+(``cuttana_ray.stages.partition_stage``). Per adjacency row ``(v, nbrs)``:
+
+1. ``update_metrics`` (``cuttana.rs:31``).
+2. degree >= ``buffer_degree_threshold`` → place immediately and bump
+   buffered neighbors' scores (``cuttana.rs:33-35``); else buffer
+   (``cuttana.rs:36-38``).
+3. buffer at capacity → evict the max-score vertex and place it
+   (``cuttana.rs:40-45``).
+
+``finalize()`` drains the buffer (``cuttana.rs:48-51``) then runs
+``fix_balance -> refine -> fix_balance`` (``cuttana.rs:53-56``) and projects
+the result (``/root/reference/src/result.rs:15-24``).
+
+The core is deliberately sequential — every placement reads all previous
+placements — which is why the Ray stage wraps it in ONE actor/task fed by a
+stream, with all parallelism before (edge build) and after (metrics,
+iterative algorithms) it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cuttana_ray.config import CuttanaConfig
+from cuttana_ray.state.assignment import PartitionMetrics  # noqa: F401  (re-export)
+from cuttana_ray.state.buffer import BufferManager, CuttanaBufferScorer
+from cuttana_ray.state.core import CuttanaState, Partitioner
+from cuttana_ray.state.refine import Refiner
+
+
+@dataclass
+class PartitionResultData:
+    """Final output; mirrors ``/root/reference/src/result.rs:5-12`` plus the
+    sub-partition column the engine needs for per-partition lineage."""
+
+    vertices: np.ndarray          # int64 vertex ids (streamed vertices only)
+    partitions: np.ndarray        # int32 final partition per vertex
+    sub_partitions: np.ndarray    # int64 global sub-partition id per vertex
+    partition_sizes: np.ndarray   # int64, len k
+    vertex_count: int
+    edge_count: int               # directed endpoints, i.e. 2·|E_und| (state.rs:159)
+    edge_cut_ratio: float         # stream-time, cut/(2E) (assignment.rs:87-92)
+    communication_volume: float   # stream-time, cut/(k·V) (assignment.rs:94-99)
+    refine_moves: int
+
+    def assignments(self) -> dict[int, int]:
+        return dict(zip(self.vertices.tolist(), self.partitions.tolist()))
+
+
+class StreamingPartitioner:
+    """Batch-feedable wrapper around the sequential core."""
+
+    def __init__(self, num_vertices: int, num_partitions: int,
+                 config: CuttanaConfig | None = None) -> None:
+        if num_partitions <= 0:
+            raise ValueError("Number of partitions must be > 0")
+        self.config = config or CuttanaConfig()
+        self.state = CuttanaState(num_vertices, num_partitions, self.config)
+        self.partitioner = Partitioner(self.config, self.state)
+        self.buffer = BufferManager(
+            self.config.max_buffer_size,
+            CuttanaBufferScorer(self.config.theta,
+                                self.config.buffer_degree_threshold))
+        self._finalized = False
+
+    # -- streaming --------------------------------------------------------
+    def consume(self, v: int, nbrs: np.ndarray) -> None:
+        """One adjacency row; the ``cuttana.rs:30-46`` loop body."""
+        st = self.state
+        st.update_metrics(len(nbrs))
+
+        if len(nbrs) >= self.config.buffer_degree_threshold:
+            self.partitioner.partition(v, nbrs)
+            self.buffer.update_scores(nbrs)
+        else:
+            self.buffer.insert(v, nbrs, st.part_of)
+
+        if self.buffer.is_at_capacity():
+            ev = self.buffer.evict()
+            if ev is not None:
+                ev_v, ev_nbrs = ev
+                self.partitioner.partition(ev_v, ev_nbrs)
+                self.buffer.update_scores(ev_nbrs)
+
+    def consume_batch(self, vertices: np.ndarray, offsets: np.ndarray,
+                      flat_nbrs: np.ndarray) -> None:
+        """Adjacency batch in CSR-ish layout: row i's neighbors are
+        ``flat_nbrs[offsets[i]:offsets[i+1]]`` (zero-copy from an Arrow
+        ``list<int64>`` column's offsets/values buffers)."""
+        for i, v in enumerate(vertices.tolist()):
+            self.consume(v, flat_nbrs[offsets[i]:offsets[i + 1]])
+
+    # -- finalize ---------------------------------------------------------
+    def finalize(self) -> PartitionResultData:
+        if self._finalized:
+            raise RuntimeError("finalize() called twice")
+        self._finalized = True
+
+        while True:  # drain (cuttana.rs:48-51)
+            ev = self.buffer.evict()
+            if ev is None:
+                break
+            v, nbrs = ev
+            self.partitioner.partition(v, nbrs)
+            self.buffer.update_scores(nbrs)
+
+        st = self.state
+        refiner = Refiner(st, self.config.balance_slack,
+                          self.config.info_gain_threshold,
+                          self.config.max_refine_moves)
+        refiner.fix_balance(st)
+        refiner.refine(st)
+        refiner.fix_balance(st)
+
+        vs, parts, gsubs = st.final_partition_of_assigned()
+        sizes = np.bincount(parts, minlength=st.num_partitions).astype(np.int64)
+        return PartitionResultData(
+            vertices=vs.astype(np.int64),
+            partitions=parts.astype(np.int32),
+            sub_partitions=gsubs.astype(np.int64),
+            partition_sizes=sizes,
+            vertex_count=st.vertex_count,
+            edge_count=st.edge_count,
+            edge_cut_ratio=st.edge_cut_ratio(),
+            communication_volume=st.communication_volume(),
+            refine_moves=refiner.moves_applied,
+        )
+
+
+def cuttana_partition(adjacency: list[tuple[int, list[int]]],
+                      num_partitions: int,
+                      config: CuttanaConfig | None = None) -> PartitionResultData:
+    """In-memory convenience API mirroring ``cuttana_partition``
+    (``/root/reference/src/cuttana.rs:10-59``) for tests and small graphs."""
+    max_v = -1
+    for v, nbrs in adjacency:
+        max_v = max(max_v, v, max(nbrs, default=-1))
+    sp = StreamingPartitioner(max_v + 1, num_partitions, config)
+    for v, nbrs in adjacency:
+        sp.consume(int(v), np.asarray(nbrs, dtype=np.int64))
+    return sp.finalize()
