@@ -1,0 +1,28 @@
+from cuttana_ray.stages.edges import (
+    bipartite_edges,
+    build_adjacency,
+    consecutive_pairs,
+    dedup_weighted,
+    symmetrize,
+)
+from cuttana_ray.stages.metrics import assignment_array, partition_quality
+from cuttana_ray.stages.partition_stage import (
+    hash_partition_baseline,
+    run_cuttana_partition,
+)
+from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
+
+__all__ = [
+    "assignment_array",
+    "bipartite_edges",
+    "build_adjacency",
+    "build_vocab",
+    "consecutive_pairs",
+    "decode_column",
+    "dedup_weighted",
+    "encode_edges",
+    "hash_partition_baseline",
+    "partition_quality",
+    "run_cuttana_partition",
+    "symmetrize",
+]

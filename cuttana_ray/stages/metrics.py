@@ -1,0 +1,81 @@
+"""Partition quality metrics over the labeled edge table.
+
+Reproduces the reference's metric definitions exactly
+(``/root/reference/src/assignment.rs:87-99``; normalization analysis in
+SURVEY.md §1.1):
+
+* ``edge_cut_ratio = cut_count / edge_count`` where ``edge_count`` counts
+  directed endpoints (2·|E_undirected| for a symmetrized table,
+  ``/root/reference/src/state.rs:159``) and ``cut_count`` counts each cut
+  undirected edge ONCE — so over a doubled edge table,
+  ``cut_count = (#rows with part[src] != part[dst]) / 2``.
+* ``communication_volume = cut_count / (k · vertex_count)``.
+* balance factor = ``max_p size(p) / (V / k)`` (bounded by ``1+slack``,
+  ``/root/reference/src/assignment.rs:38-41``).
+
+Implementation: the assignment vector is broadcast once via ``ray.put`` as a
+dense int32 NumPy array; each edge batch contributes partial (cut, total)
+sums — no shuffle, one tiny final aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def assignment_array(assignments: "ray.data.Dataset",
+                     num_vertices: int) -> np.ndarray:
+    """Assignments Dataset → dense vertex→partition int32 array (-1 gaps)."""
+    arr = np.full(num_vertices, -1, dtype=np.int32)
+    for b in assignments.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
+        v = b["vertex"].to_numpy(zero_copy_only=False)
+        p = b["partition"].to_numpy(zero_copy_only=False)
+        arr[v] = p
+    return arr
+
+
+def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
+                      num_partitions: int,
+                      weighted: bool = False) -> dict:
+    """Cut metrics for a symmetrized int edge table + assignment vector."""
+    ref = ray.put(part_of)
+
+    class CutCounter:
+        def __init__(self):
+            self.part = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = batch["weight"].to_numpy(zero_copy_only=False) if weighted \
+                else np.ones(len(src), dtype=np.int64)
+            cut = self.part[src] != self.part[dst]
+            return pa.table({
+                "cut": pa.array([int(w[cut].sum())], pa.int64()),
+                "total": pa.array([int(w.sum())], pa.int64()),
+                "rows": pa.array([len(src)], pa.int64()),
+            })
+
+    partials = edges.map_batches(CutCounter, batch_format="pyarrow",
+                                 concurrency=4).to_pandas()
+    doubled_cut = int(partials["cut"].sum())
+    edge_count = int(partials["total"].sum())  # directed endpoints (2E)
+    cut_count = doubled_cut // 2               # each cut edge once
+    assigned = part_of[part_of >= 0]
+    vertex_count = int(len(assigned))
+    sizes = np.bincount(assigned, minlength=num_partitions)
+    mean = vertex_count / num_partitions if num_partitions else 0.0
+    return {
+        "vertex_count": vertex_count,
+        "edge_count": edge_count,
+        "cut_count": cut_count,
+        "edge_cut_ratio": (cut_count / edge_count) if edge_count else 0.0,
+        "communication_volume": (cut_count / (num_partitions * vertex_count))
+        if vertex_count else 0.0,
+        "balance_factor": (float(sizes.max()) / mean) if mean else 0.0,
+        "partition_sizes": sizes.tolist(),
+    }

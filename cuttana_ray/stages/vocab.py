@@ -1,0 +1,101 @@
+"""Node vocabulary: dictionary-encode string node names to dense int64 ids.
+
+The reference works on generic hashable vertex ids
+(``/root/reference/src/cuttana.rs:16``); the engine's graph nodes are strings
+("conv:…", "tool:…", "role:…"), dictionary-encoded once so every downstream
+stage (partitioner state, PageRank rank vectors, CSR blocks) can use flat
+NumPy arrays indexed by vertex id.
+
+Determinism: ids are assigned by sorted name order, so results are stable
+across runs, block layouts and cluster sizes (SURVEY.md §1.2).
+
+Scale notes: the vocab is a classic broadcast dimension table — built once
+via distinct+sort, shipped with ``ray.put`` once, and looked up with the
+vectorized Arrow kernel ``pc.index_in`` per batch (no shuffle join). The
+distinct itself is a shuffle over unique names only. For vocabularies too
+large for one node's memory (≈10^11 conv ids at the north-star scale) the
+documented alternative is hash-based 64-bit ids (collision-checked) with
+rank state sharded by id range; the broadcast path is used here because it
+is exact and matches the sandbox scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+NODE_SCHEMA = pa.schema([
+    ("node_id", pa.int64()), ("name", pa.string()), ("kind", pa.string()),
+])
+
+
+def build_vocab(edges: "ray.data.Dataset") -> pa.Table:
+    """Distinct sorted node names from a string edge table → nodes table
+    (``node_id, name, kind``); ``kind`` is the "prefix:" namespace."""
+    def names(batch: pa.Table) -> pa.Table:
+        u = pc.unique(pa.chunked_array([
+            pc.cast(batch["src"], pa.string()).combine_chunks(),
+            pc.cast(batch["dst"], pa.string()).combine_chunks(),
+        ]).combine_chunks())
+        return pa.table({"name": u})
+
+    distinct = edges.map_batches(names, batch_format="pyarrow") \
+        .groupby("name").count().sort("name")
+    # distinct node names are far fewer than edges; enumeration happens on
+    # the driver over the already-sorted stream.
+    parts = []
+    for b in distinct.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        parts.append(b["name"].combine_chunks() if isinstance(b["name"], pa.ChunkedArray) else b["name"])
+    name_arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) \
+        if parts else pa.array([], pa.string())
+    n = len(name_arr)
+    kind = pc.replace_substring_regex(name_arr, pattern=":.*$", replacement="")
+    return pa.table({
+        "node_id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": name_arr,
+        "kind": kind,
+    })
+
+
+def encode_edges(edges: "ray.data.Dataset", vocab: pa.Table) -> "ray.data.Dataset":
+    """String edge table → int64 edge table via a broadcast vocab and the
+    vectorized ``pc.index_in`` kernel (one ``ray.put`` for the whole job, not
+    one ship per batch)."""
+    vocab_ref = ray.put(vocab["name"].combine_chunks())
+
+    class Encode:
+        def __init__(self):
+            self.names = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            src = pc.index_in(pc.cast(batch["src"], pa.string()),
+                              value_set=self.names)
+            dst = pc.index_in(pc.cast(batch["dst"], pa.string()),
+                              value_set=self.names)
+            return pa.table({
+                "src": pc.cast(src, pa.int64()),
+                "dst": pc.cast(dst, pa.int64()),
+                "weight": batch["weight"],
+            })
+
+    return edges.map_batches(Encode, batch_format="pyarrow", concurrency=4)
+
+
+def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
+                  column: str, out: str | None = None) -> "ray.data.Dataset":
+    """Attach the string name for an int node-id column (broadcast lookup)."""
+    out = out or f"{column}_name"
+    vocab_ref = ray.put(vocab["name"].combine_chunks())
+
+    class Decode:
+        def __init__(self):
+            self.names = ray.get(vocab_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = pc.cast(batch[column], pa.int64())
+            return batch.append_column(out, pc.take(self.names, ids))
+
+    return ds.map_batches(Decode, batch_format="pyarrow", concurrency=4)
