@@ -1,0 +1,124 @@
+"""Graph build pipelines: raw tables → (nodes, symmetrized int edge table).
+
+Lifecycle (SURVEY.md §3 target lifecycle, steps 1-5): read → edge extraction
+(``map_batches`` / distributed lead) → weighted dedup (shuffle on (src,dst))
+→ vocab encode (broadcast dimension table) → symmetrize → checkpointed
+Parquet stages under ``workdir`` so a rerun skips finished work.
+
+Graph semantics match the reference's input contract: an undirected graph in
+doubled adjacency form — every undirected edge appears in both directions
+(``/root/reference/src/stream.rs:11``; fixture semantics
+``/root/reference/tests/partition_tests.rs:8-16``), self-loops dropped.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from cuttana_ray.pipelines import checkpoint as ckpt
+from cuttana_ray.stages.edges import (
+    bipartite_edges,
+    build_adjacency,
+    consecutive_pairs,
+    dedup_weighted,
+    symmetrize,
+)
+from cuttana_ray.stages.vocab import build_vocab, encode_edges
+
+
+@dataclass
+class Graph:
+    """Encoded link graph: ``edges`` is symmetrized (both directions present,
+    no self-loops), endpoints are dense int64 node ids into ``nodes``."""
+
+    edges: "ray.data.Dataset"      # src:int64, dst:int64, weight:int64
+    nodes: pa.Table                # node_id, name, kind
+    num_vertices: int
+    workdir: str | None = None
+
+    def out_weights(self) -> np.ndarray:
+        """Total outgoing edge weight per vertex (dense float64)."""
+        out = np.zeros(self.num_vertices, dtype=np.float64)
+        for b in self.edges.iter_batches(batch_size=1 << 20,
+                                         batch_format="pyarrow"):
+            src = b["src"].to_numpy(zero_copy_only=False)
+            w = b["weight"].to_numpy(zero_copy_only=False)
+            np.add.at(out, src, w.astype(np.float64))
+        return out
+
+    def degrees(self) -> np.ndarray:
+        """Unique-neighbor out-degree per vertex (= in-degree; symmetric)."""
+        deg = np.zeros(self.num_vertices, dtype=np.int64)
+        for b in self.edges.iter_batches(batch_size=1 << 20,
+                                         batch_format="pyarrow"):
+            src = b["src"].to_numpy(zero_copy_only=False)
+            np.add.at(deg, src, 1)
+        return deg
+
+
+def _build(edges_str: "ray.data.Dataset", workdir: str | None) -> Graph:
+    if workdir:
+        edges_dir = os.path.join(workdir, "edges")
+        nodes_dir = os.path.join(workdir, "nodes")
+        if ckpt.is_complete(edges_dir) and ckpt.is_complete(nodes_dir):
+            nodes = ckpt.read_table(nodes_dir)
+            edges = ray.data.read_parquet(edges_dir, file_extensions=["parquet"])
+            return Graph(edges, nodes, nodes.num_rows, workdir)
+
+    # string edges are consumed twice (vocab + encode): pin the deduped
+    # weighted table, which is far smaller than the raw input.
+    edges_str = dedup_weighted(edges_str).materialize()
+    nodes = build_vocab(edges_str)
+    enc = symmetrize(encode_edges(edges_str, nodes))
+    if workdir:
+        ckpt.write_table(nodes, os.path.join(workdir, "nodes"))
+        edges = ckpt.write_stage(enc, os.path.join(workdir, "edges"))
+    else:
+        edges = enc.materialize()
+    return Graph(edges, nodes, nodes.num_rows, workdir)
+
+
+def build_graph_from_transcripts(transcripts: "ray.data.Dataset",
+                                 workdir: str | None = None) -> Graph:
+    """Flagship edge extraction (BASELINE.json north_star):
+
+    * conv→tool edges: turns with non-null ``tool`` (hub-skewed: popular
+      tools collapse to weighted edges before any shuffle).
+    * role→role turn-adjacency edges: consecutive ``turn_idx`` within each
+      conversation (4-vertex hub core carrying large weights).
+    """
+    ct = bipartite_edges(transcripts.select_columns(["conv_id", "tool"]),
+                         "conv_id", "tool", "conv:", "tool:")
+    rr = consecutive_pairs(
+        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
+        "conv_id", ["turn_idx"], "role", "role:", "role:")
+    return _build(ct.union(rr), workdir)
+
+
+def build_graph_from_events(events: "ray.data.Dataset",
+                            workdir: str | None = None) -> Graph:
+    """Driver-oracle analog over the ``events`` table: user→event_type
+    bipartite links + event_type→next-event_type adjacency per user ordered
+    by (ts, event_id)."""
+    ue = bipartite_edges(events.select_columns(["user_id", "event_type"]),
+                         "user_id", "event_type", "user:", "event:")
+    ee = consecutive_pairs(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
+    return _build(ue.union(ee), workdir)
+
+
+def graph_adjacency(graph: Graph) -> "ray.data.Dataset":
+    """Adjacency rows for the partitioner feed, checkpointed when a workdir
+    is set (the natural restart point before the sequential stage)."""
+    if graph.workdir:
+        d = os.path.join(graph.workdir, "adjacency")
+        if ckpt.is_complete(d):
+            return ray.data.read_parquet(d, file_extensions=["parquet"])
+        return ckpt.write_stage(build_adjacency(graph.edges), d)
+    return build_adjacency(graph.edges)

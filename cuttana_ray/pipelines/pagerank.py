@@ -1,0 +1,121 @@
+"""PageRank over the encoded link graph (north-star algorithm #1).
+
+Two interchangeable executors with matching results (SURVEY.md §7 P4):
+
+* **shuffle mode** (this module): one iteration = broadcast the rank vector
+  (``ray.put`` once per iteration, zero-copy to every task) →
+  ``map_batches`` over the edge table computing per-batch partial
+  contribution sums per destination (pre-aggregated, so hub skew ships
+  weight not multiplicity) → ``groupby("dst").sum`` over the small partials
+  → dense new rank vector. Teleport + dangling mass via driver-side
+  aggregates over the dense vectors.
+* **CSR actor mode** (``cuttana_ray.pipelines.csr``): per-partition CSR
+  blocks in a stateful actor pool do the gather-scatter inner loop.
+
+Convergence: L1 delta ``sum(|r_new - r_old|) < tol`` (north star: per-vertex
+``allclose(1e-6)`` against the NumPy oracle at convergence). Each iteration
+can checkpoint its rank vector + lineage manifest; ``resume=True`` continues
+from the last complete iteration.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from cuttana_ray.pipelines import checkpoint as ckpt
+from cuttana_ray.pipelines.graph import Graph
+
+
+@dataclass
+class IterativeResult:
+    values: np.ndarray
+    iterations: int
+    converged: bool
+    deltas: list = field(default_factory=list)
+    seconds_per_iter: list = field(default_factory=list)
+
+    def table(self, value_name: str = "rank") -> pa.Table:
+        return pa.table({
+            "vertex": pa.array(np.arange(len(self.values), dtype=np.int64)),
+            value_name: pa.array(self.values),
+        })
+
+
+def _grouped_sum_to_dense(ds: "ray.data.Dataset", num_vertices: int,
+                          key: str = "dst", val: str = "partial") -> np.ndarray:
+    """groupby(key).sum(val) → dense float64 vector (small result: ≤V rows)."""
+    out = np.zeros(num_vertices, dtype=np.float64)
+    agg = ds.groupby(key).aggregate(Sum(val, alias_name="s"))
+    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        out[b[key].to_numpy(zero_copy_only=False)] = \
+            b["s"].to_numpy(zero_copy_only=False)
+    return out
+
+
+def _contrib_fn(ranks_ref, outw_ref):
+    def contrib(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        outw = ray.get(outw_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = ranks[src] * w / outw[src]
+        uniq, inv = np.unique(dst, return_inverse=True)
+        sums = np.bincount(inv, weights=c)
+        return pa.table({"dst": pa.array(uniq, pa.int64()),
+                         "partial": pa.array(sums, pa.float64())})
+    return contrib
+
+
+def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
+             max_iters: int = 100, workdir: str | None = None,
+             resume: bool = False) -> IterativeResult:
+    """Weighted PageRank: ``r(v) = (1-d)/V + d * (Σ_{u→v} r(u)·w/outw(u)
+    + dangling_mass/V)``; ranks sum to 1."""
+    V = graph.num_vertices
+    outw = graph.out_weights()
+    dangling = outw == 0.0
+    outw_safe = np.where(dangling, 1.0, outw)
+    outw_ref = ray.put(outw_safe)
+
+    start_iter = 0
+    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    if resume and workdir:
+        loaded = ckpt.load_latest_iteration(workdir, "pagerank")
+        if loaded is not None:
+            start_iter, ranks, _ = loaded
+            start_iter += 1
+
+    res = IterativeResult(ranks, 0, False)
+    for it in range(start_iter, max_iters):
+        t0 = time.perf_counter()
+        ranks_ref = ray.put(ranks)
+        contrib_ds = graph.edges.map_batches(
+            _contrib_fn(ranks_ref, outw_ref), batch_format="pyarrow")
+        gathered = _grouped_sum_to_dense(contrib_ds, V)
+        dangling_mass = float(ranks[dangling].sum())
+        new = (1.0 - damping) / V + damping * (gathered + dangling_mass / V)
+        delta = float(np.abs(new - ranks).sum())
+        ranks = new
+        dt = time.perf_counter() - t0
+        res.deltas.append(delta)
+        res.seconds_per_iter.append(dt)
+        if workdir:
+            ckpt.save_iteration(workdir, "pagerank", it, ranks,
+                                {"delta": delta, "seconds": dt,
+                                 "damping": damping, "tol": tol})
+        if delta < tol:
+            res.iterations = it + 1
+            res.converged = True
+            break
+    else:
+        res.iterations = max_iters
+    res.values = ranks
+    return res
