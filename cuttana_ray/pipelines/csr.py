@@ -1,0 +1,199 @@
+"""Per-partition CSR adjacency blocks in a stateful actor pool — the
+gather-scatter fast path for the iterative algorithms (SURVEY.md §2.3 T12,
+§7 P4b; north-star requirement).
+
+Each of the k Cuttana partitions gets one actor that builds, ONCE in its
+constructor, an in-edge CSR over the vertices it owns (owner = partition of
+``dst``). Every iteration is then k actor calls: the driver broadcasts the
+current vertex-state vector (``ray.put`` once per iteration — shared-memory
+read in every actor, not a per-batch ship), each actor runs a vectorized
+gather + ``reduceat`` segment-reduce over its CSR, and returns results for
+its owned vertices only. Cuttana's low edge-cut is what keeps the gather
+working-set (distinct remote srcs per actor) small — on a real multi-node
+cluster the rank vector would be exchanged per partition and cut edges are
+exactly the bytes on the wire.
+
+Results are bit-identical in label algorithms and allclose-1e-6 in PageRank
+vs shuffle mode (summation order differs).
+
+Setup cost note: each actor filters the shared edge blocks for its own rows
+(zero-copy reads from the local object store). On a multi-node cluster this
+becomes one hash ``repartition`` by owner so each node reads only its shard;
+the filter keeps the sandbox path shuffle-free.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.pipelines.labelprop import argmax_labels
+from cuttana_ray.pipelines.pagerank import IterativeResult
+
+
+@ray.remote
+class CSRShard:
+    """In-edge CSR over one partition's owned vertices."""
+
+    def __init__(self, block_refs: list, part, owner: int):
+        # `part` / state vectors arrive as top-level ObjectRef args, which Ray
+        # auto-resolves zero-copy from the local object store.
+        srcs, dsts, ws = [], [], []
+        for ref in block_refs:
+            t = ray.get(ref)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            keep = part[dst] == owner
+            if keep.any():
+                srcs.append(t["src"].to_numpy(zero_copy_only=False)[keep])
+                dsts.append(dst[keep])
+                ws.append(t["weight"].to_numpy(zero_copy_only=False)[keep])
+        if srcs:
+            src = np.concatenate(srcs)
+            dst = np.concatenate(dsts)
+            w = np.concatenate(ws).astype(np.float64)
+            order = np.lexsort((src, dst))
+            self.src = src[order]
+            self.w = w[order]
+            dst = dst[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(dst[1:] != dst[:-1])[0] + 1])
+            self.starts = starts
+            self.owned = dst[starts]  # unique dsts with in-edges, sorted
+        else:
+            self.src = np.empty(0, np.int64)
+            self.w = np.empty(0, np.float64)
+            self.starts = np.empty(0, np.int64)
+            self.owned = np.empty(0, np.int64)
+
+    def ready(self) -> int:
+        return len(self.owned)
+
+    def pagerank_iter(self, ranks, outw):
+        if not len(self.owned):
+            return self.owned, np.empty(0, np.float64)
+        contrib = ranks[self.src] * self.w / outw[self.src]
+        return self.owned, np.add.reduceat(contrib, self.starts)
+
+    def minlabel_iter(self, labels):
+        if not len(self.owned):
+            return self.owned, np.empty(0, np.int64)
+        return self.owned, np.minimum.reduceat(labels[self.src], self.starts)
+
+    def lpa_iter(self, labels):
+        """Per owned dst: incoming weight per label → (dst, label, weight)
+        rows, argmax'ed on the driver across shards (each dst is owned by
+        exactly one shard, so the argmax could equally run here; returning
+        the per-label sums keeps one shared code path with shuffle mode)."""
+        if not len(self.owned):
+            e = np.empty(0, np.int64)
+            return e, e, e
+        lab = labels[self.src]
+        dst = np.repeat(self.owned, np.diff(
+            np.concatenate([self.starts, [len(self.src)]])))
+        order = np.lexsort((lab, dst))
+        d_s, l_s, w_s = dst[order], lab[order], self.w[order].astype(np.int64)
+        change = np.nonzero((d_s[1:] != d_s[:-1]) | (l_s[1:] != l_s[:-1]))[0] + 1
+        starts = np.concatenate([[0], change])
+        return d_s[starts], l_s[starts], np.add.reduceat(w_s, starts)
+
+
+class CSRPool:
+    """k CSRShard actors keyed by a partition assignment vector."""
+
+    def __init__(self, graph: Graph, part_of: np.ndarray, num_partitions: int):
+        self.graph = graph
+        self.V = graph.num_vertices
+        block_refs = graph.edges.to_arrow_refs()
+        part_ref = ray.put(part_of.astype(np.int32))
+        self.shards = [
+            CSRShard.remote(block_refs, part_ref, p)
+            for p in range(num_partitions)
+        ]
+        ray.get([s.ready.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    # -- algorithms -------------------------------------------------------
+    def pagerank(self, damping: float = 0.85, tol: float = 1e-6,
+                 max_iters: int = 100) -> IterativeResult:
+        V = self.V
+        outw = self.graph.out_weights()
+        dangling = outw == 0.0
+        outw_ref = ray.put(np.where(dangling, 1.0, outw))
+        ranks = np.full(V, 1.0 / V)
+        res = IterativeResult(ranks, 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            ranks_ref = ray.put(ranks)
+            gathered = np.zeros(V)
+            for owned, vals in ray.get([
+                    s.pagerank_iter.remote(ranks_ref, outw_ref)
+                    for s in self.shards]):
+                gathered[owned] = vals
+            new = (1 - damping) / V + damping * (
+                gathered + ranks[dangling].sum() / V)
+            delta = float(np.abs(new - ranks).sum())
+            ranks = new
+            res.deltas.append(delta)
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if delta < tol:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        res.values = ranks
+        return res
+
+    def connected_components(self, max_iters: int = 200) -> IterativeResult:
+        labels = np.arange(self.V, dtype=np.int64)
+        res = IterativeResult(labels, 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            labels_ref = ray.put(labels)
+            new = labels.copy()
+            for owned, vals in ray.get([
+                    s.minlabel_iter.remote(labels_ref) for s in self.shards]):
+                np.minimum.at(new, owned, vals)
+            changed = int((new != labels).sum())
+            labels = new
+            res.deltas.append(float(changed))
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if changed == 0:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        res.values = labels
+        return res
+
+    def label_propagation(self, max_iters: int = 10) -> IterativeResult:
+        labels = np.arange(self.V, dtype=np.int64)
+        res = IterativeResult(labels, 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            labels_ref = ray.put(labels)
+            parts = ray.get([s.lpa_iter.remote(labels_ref)
+                             for s in self.shards])
+            d = np.concatenate([p[0] for p in parts])
+            l = np.concatenate([p[1] for p in parts])
+            w = np.concatenate([p[2] for p in parts])
+            new = argmax_labels(d, l, w, labels) if len(d) else labels.copy()
+            changed = int((new != labels).sum())
+            labels = new
+            res.deltas.append(float(changed))
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if changed == 0:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        res.values = labels
+        return res
