@@ -1,0 +1,171 @@
+"""Text analysis operators over a documents table.
+
+Actor-pool ``map_batches`` stages (regexes compiled once per actor in
+``__init__``), vectorized with pyarrow.compute / pandas string kernels:
+
+* ``token_stats`` — whitespace token count, BPE-ish regex token count,
+  char count (SQL-checkable).
+* ``quality_scores`` — length / punctuation ratio / stopword ratio / mean
+  word length + a composite [0,1] quality score.
+* ``lang_id`` — stopword-profile n-gram heuristic over a fixed set of
+  languages (en, de, fr, es, it, pt).
+* ``fingerprints`` — winnowing document fingerprint: rolling Rabin-Karp
+  k-gram hashes, minimum per sliding window, distinct-set XOR-folded to one
+  int64 per doc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "ich", "zu", "mit"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "du", "que"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "es", "una"},
+    "it": {"il", "di", "che", "la", "e", "un", "per", "una", "sono", "non"},
+    "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para"},
+}
+
+
+def token_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """``(doc_id, n_tokens, n_bpe_tokens, n_chars_computed)``; whitespace
+    tokens via a vectorized regex count (Arrow kernel, no Python rows)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch[text_col], pa.string())
+        n_ws = pc.count_substring_regex(text, pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(text, pattern=_BPE_PATTERN)
+        n_chars = pc.utf8_length(text)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pc.cast(n_ws, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
+            "n_chars_computed": pc.cast(n_chars, pa.int64()),
+        })
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+class _QualityScorer:
+    def __init__(self, text_col: str, id_col: str):
+        import re
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = _STOPWORDS["en"]
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        text = pd.Series(batch[self.text_col].to_pylist()).fillna("")
+        n_chars = text.str.len()
+        words = text.str.lower().str.findall(self.word)
+        n_words = words.map(len)
+        n_punct = text.str.count(self.punct)
+        stop_ratio = words.map(
+            lambda ws: sum(w in self.stop for w in ws) / max(1, len(ws)))
+        mean_wlen = words.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
+        punct_ratio = (n_punct / n_chars.clip(lower=1)).astype(float)
+        # composite: reward mid-length docs, stopword presence, low punct
+        length_score = np.clip(n_chars / 200.0, 0, 1)
+        score = (0.4 * length_score + 0.3 * np.clip(stop_ratio * 5, 0, 1)
+                 + 0.3 * (1 - np.clip(punct_ratio * 4, 0, 1)))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_chars": pa.array(n_chars.to_numpy(), pa.int64()),
+            "n_words": pa.array(n_words.to_numpy(), pa.int64()),
+            "punct_ratio": pa.array(punct_ratio.to_numpy(), pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio.to_numpy(), pa.float64()),
+            "mean_word_len": pa.array(mean_wlen.to_numpy(), pa.float64()),
+            "quality": pa.array(np.asarray(score, dtype=np.float64)),
+        })
+
+
+def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(_QualityScorer, batch_format="pyarrow",
+                          concurrency=4,
+                          fn_constructor_args=(text_col, id_col))
+
+
+class _LangId:
+    def __init__(self, text_col: str, id_col: str):
+        import re
+        self.tok = re.compile(r"[a-zà-ÿ]+")
+        self.profiles = {lang: sw for lang, sw in _STOPWORDS.items()}
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        scores = []
+        for text in batch[self.text_col].to_pylist():
+            toks = self.tok.findall((text or "").lower())
+            best, best_s = "und", 0.0
+            for lang, sw in self.profiles.items():
+                s = sum(t in sw for t in toks) / max(1, len(toks))
+                if s > best_s:
+                    best, best_s = lang, s
+            langs.append(best if best_s > 0 else "und")
+            scores.append(best_s)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "lang_pred": pa.array(langs, pa.string()),
+            "lang_score": pa.array(scores, pa.float64()),
+        })
+
+
+def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
+            id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(_LangId, batch_format="pyarrow", concurrency=4,
+                          fn_constructor_args=(text_col, id_col))
+
+
+class _Fingerprinter:
+    """Winnowing (Schleimer et al.): rolling k-gram hashes, min per window
+    of w, XOR-fold the distinct mins to a single int64."""
+
+    def __init__(self, k: int, w: int, text_col: str, id_col: str):
+        self.k, self.w = k, w
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def fingerprint(self, text: str) -> int:
+        b = np.frombuffer((text or "").encode(), dtype=np.uint8)
+        if len(b) < self.k:
+            b = np.pad(b, (0, self.k - len(b)))
+        win = np.lib.stride_tricks.sliding_window_view(b, self.k).astype(np.uint64)
+        weights = np.power(np.uint64(257), np.arange(self.k, dtype=np.uint64),
+                           dtype=np.uint64)
+        hashes = (win * weights).sum(axis=1, dtype=np.uint64)
+        if len(hashes) >= self.w:
+            mins = np.min(np.lib.stride_tricks.sliding_window_view(
+                hashes, self.w), axis=1)
+        else:
+            mins = np.asarray([hashes.min()], dtype=np.uint64)
+        acc = np.uint64(0)
+        for h in np.unique(mins):
+            acc ^= h
+        return int(acc.astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "fingerprint": pa.array(fps, pa.int64()),
+        })
+
+
+def fingerprints(ds: "ray.data.Dataset", k: int = 8, w: int = 4,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> "ray.data.Dataset":
+    return ds.map_batches(_Fingerprinter, batch_format="pyarrow",
+                          concurrency=4,
+                          fn_constructor_args=(k, w, text_col, id_col))

@@ -1,0 +1,145 @@
+"""Flagship end-to-end pipeline (the north-star lifecycle, SURVEY.md §3):
+
+transcripts → edge extraction → vocab encode → symmetrize → adjacency →
+Cuttana streaming partition → quality metrics (vs mod-k hash baseline) →
+CSR actor pool → PageRank + connected components + label propagation +
+triangle count → checkpointed Parquet outputs + lineage JSON.
+
+Every stage under ``workdir`` is resumable (manifest-gated); the per-turn
+``text`` byte-equality invariant is a separate pass-through
+(``transcript_passthrough``) with its own check helper.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from cuttana_ray.config import CuttanaConfig
+from cuttana_ray.pipelines import checkpoint as ckpt
+from cuttana_ray.pipelines.components import connected_components
+from cuttana_ray.pipelines.csr import CSRPool
+from cuttana_ray.pipelines.graph import (
+    Graph,
+    build_graph_from_transcripts,
+    graph_adjacency,
+)
+from cuttana_ray.pipelines.labelprop import label_propagation
+from cuttana_ray.pipelines.pagerank import pagerank
+from cuttana_ray.pipelines.triangles import triangle_count
+from cuttana_ray.stages.metrics import assignment_array, partition_quality
+from cuttana_ray.stages.partition_stage import (
+    hash_partition_baseline,
+    run_cuttana_partition,
+)
+
+
+def run_flagship(transcripts: "ray.data.Dataset", workdir: str,
+                 num_partitions: int = 16,
+                 config: CuttanaConfig | None = None,
+                 mode: str = "csr", pagerank_tol: float = 1e-6,
+                 lpa_iters: int = 10) -> dict:
+    """Returns a metrics/lineage dict; writes all tables under ``workdir``."""
+    config = config or CuttanaConfig()
+    os.makedirs(workdir, exist_ok=True)
+    t_start = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def clock(name: str, t0: float) -> float:
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    graph = build_graph_from_transcripts(transcripts, workdir)
+    t0 = clock("graph_build", t0)
+
+    adjacency = graph_adjacency(graph)
+    t0 = clock("adjacency", t0)
+
+    # Cuttana streaming partition (sequential stage) + hash baseline
+    assign_dir = os.path.join(workdir, "assignments")
+    if ckpt.is_complete(assign_dir):
+        assignments = ray.data.read_parquet(assign_dir,
+                                            file_extensions=["parquet"])
+        stream_info = ckpt.read_manifest(assign_dir)
+    else:
+        assignments, stream_info = run_cuttana_partition(
+            adjacency, graph.num_vertices, num_partitions, config)
+        assignments = ckpt.write_stage(assignments, assign_dir,
+                                       meta=stream_info)
+    part = assignment_array(assignments, graph.num_vertices)
+    part[part < 0] = 0  # isolated vertices (none in practice) → partition 0
+    t0 = clock("cuttana_partition", t0)
+
+    quality = partition_quality(graph.edges, part, num_partitions)
+    hash_part = assignment_array(
+        hash_partition_baseline(graph.num_vertices, num_partitions),
+        graph.num_vertices)
+    hash_quality = partition_quality(graph.edges, hash_part, num_partitions)
+    t0 = clock("quality_metrics", t0)
+
+    # iterative algorithms
+    if mode == "csr":
+        pool = CSRPool(graph, part, num_partitions)
+        pr = pool.pagerank(tol=pagerank_tol)
+        cc = pool.connected_components()
+        lp = pool.label_propagation(max_iters=lpa_iters)
+        pool.shutdown()
+    else:
+        pr = pagerank(graph, tol=pagerank_tol, workdir=workdir)
+        cc = connected_components(graph, workdir=workdir)
+        lp = label_propagation(graph, max_iters=lpa_iters, workdir=workdir)
+    t0 = clock("iterative_algorithms", t0)
+
+    tri = triangle_count(graph)
+    t0 = clock("triangles", t0)
+
+    # outputs
+    out = pa.table({
+        "vertex": pa.array(np.arange(graph.num_vertices, dtype=np.int64)),
+        "partition": pa.array(part.astype(np.int32)),
+        "rank": pa.array(pr.values),
+        "component": pa.array(cc.values),
+        "label": pa.array(lp.values),
+        "tri_count": pa.array(tri.per_vertex),
+    })
+    ckpt.write_table(out, os.path.join(workdir, "vertex_results"))
+
+    E = quality["edge_count"]
+    pr_iter_secs = float(np.mean(pr.seconds_per_iter)) if pr.seconds_per_iter else 0.0
+    lineage = {
+        "engine": "cuttana_ray",
+        "num_partitions": num_partitions,
+        "mode": mode,
+        "num_vertices": graph.num_vertices,
+        "edge_count": E,
+        "stream": {k: v for k, v in stream_info.items() if k != "config"},
+        "quality_cuttana": quality,
+        "quality_hash_baseline": hash_quality,
+        "pagerank": {"iterations": pr.iterations, "converged": pr.converged,
+                     "sec_per_iter": pr_iter_secs,
+                     "edges_per_sec_per_iter":
+                         (E / pr_iter_secs) if pr_iter_secs else None},
+        "components": {"iterations": cc.iterations,
+                       "n_components": int(len(np.unique(cc.values)))},
+        "labelprop": {"iterations": lp.iterations,
+                      "n_labels": int(len(np.unique(lp.values)))},
+        "triangles": {"total": tri.total},
+        "timings_sec": timings,
+        "total_sec": round(time.perf_counter() - t_start, 4),
+    }
+    with open(os.path.join(workdir, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=2, default=str)
+    return lineage
+
+
+def transcript_passthrough(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Stable-(conv_id, turn_idx)-ordered pass-through; per-turn ``text``
+    byte-equality end-to-end is the per-row invariant from
+    ``BASELINE.json`` ``input_hint``."""
+    return transcripts.sort(["conv_id", "turn_idx"])
