@@ -224,10 +224,22 @@ class Partitioner:
         g = st.gsub(best, best_sub)
         st.sub_sizes[g] += 1
 
-        # intra-partition sub↔sub edge weights (partition.rs:50-62)
-        if nbr_subs.size:
-            other = nbr_subs[nbr_subs != best_sub]
-            if other.size:
-                uniq, cnt = np.unique(other, return_counts=True)
-                for s, c in zip(uniq.tolist(), cnt.tolist()):
-                    st.add_sub_edge(g, st.gsub(best, s), int(c))
+        # sub↔sub coarse-graph edge weights for ALL placed neighbors.
+        # Divergence from the port: partition.rs:50-62 records only
+        # same-partition pairs, so its coarse graph never sees
+        # cross-partition adjacency and refinement gains computed on it do
+        # not track the true cut (unobservable there — scoring is stubbed).
+        # The paper's refinement objective needs the full coarsened graph:
+        # with every placed neighbor recorded, a sub-move's scored gain
+        # equals its true cut delta exactly.
+        if nbrs.size:
+            placed_mask = nbr_parts >= 0
+            pn = nbrs[placed_mask]
+            if pn.size:
+                gsubs = (st.part_of[pn].astype(np.int64) * st.num_sub
+                         + st.sub_of[pn])
+                gsubs = gsubs[gsubs != g]
+                if gsubs.size:
+                    uniq, cnt = np.unique(gsubs, return_counts=True)
+                    for s, c in zip(uniq.tolist(), cnt.tolist()):
+                        st.add_sub_edge(g, int(s), int(c))

@@ -81,10 +81,19 @@ class Refiner:
 
     # -- move application (refine.rs:184-237) -----------------------------
     def _move(self, state: CuttanaState, s: int, frm: int, to: int) -> None:
+        # When s moves into `to`, each neighbor gains weight-w co-location
+        # with partition `to` (its cut-if-in-`to` DROPS by w) and loses it
+        # with `frm` (cut-if-in-`frm` RISES by w). NOTE: the reference's
+        # incremental update has these signs inverted (refine.rs:199-204:
+        # ``edge_cuts[to] += w; edge_cuts[from] -= w``), contradicting its
+        # own definition at state.rs:169-189 — unobservable there because
+        # plan scoring is stubbed; with real scoring the inverted signs make
+        # the loop chase its own tail, so we use the definition-consistent
+        # signs.
         edges = state.sub_edges.get(s, {})
         for nbr, w in edges.items():
-            self.edge_cuts[nbr, to] += w
-            self.edge_cuts[nbr, frm] -= w
+            self.edge_cuts[nbr, to] -= w
+            self.edge_cuts[nbr, frm] += w
         sz = state.sub_sizes[s]
         state.partition_sizes[frm] -= sz
         state.partition_sizes[to] += sz
