@@ -27,6 +27,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from cuttana_ray.util import pool_size
+
 _MERSENNE = (1 << 61) - 1
 _HASH_SEED = 0x9E3779B97F4A7C15
 
@@ -130,7 +132,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     """Candidate near-duplicate pairs with signature-estimated Jaccard ≥
     threshold. Output: ``(doc_a, doc_b, est_jaccard)``, doc_a < doc_b."""
     sigs = ds.map_batches(
-        _MinHasher, batch_format="pyarrow", concurrency=4,
+        _MinHasher, batch_format="pyarrow", concurrency=pool_size(),
         fn_constructor_args=(num_perm, shingle_k, bands, text_col, id_col))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -253,7 +255,7 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                   max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``
     (guaranteed found when ≤ 3: pigeonhole over 4 bands)."""
-    sigs = ds.map_batches(_SimHasher, batch_format="pyarrow", concurrency=4,
+    sigs = ds.map_batches(_SimHasher, batch_format="pyarrow", concurrency=pool_size(),
                           fn_constructor_args=(text_col, id_col)).materialize()
 
     def band_pairs(group: pa.Table) -> pa.Table:

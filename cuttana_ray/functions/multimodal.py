@@ -21,6 +21,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from cuttana_ray.util import pool_size
+
 MEDIA_SCHEMA = pa.schema([
     ("item_id", pa.int64()),
     ("payload", pa.binary()),
@@ -93,12 +95,13 @@ class _FeatureExtractor:
 
 def extract_features(ds: "ray.data.Dataset", backend: str = "fake",
                      feature_dim: int = 64, batch_size: int = 64,
-                     concurrency: int = 4) -> "ray.data.Dataset":
+                     concurrency: int | None = None) -> "ray.data.Dataset":
     """Binary media rows → feature vectors. Small ``batch_size`` because
     payload rows are wide (batch bytes ≈ batch_size × payload size must fit
     the worker heap); actor pool so decoder setup happens once per actor."""
     return ds.map_batches(_FeatureExtractor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency,
+                          batch_size=batch_size,
+                          concurrency=concurrency or pool_size(),
                           fn_constructor_args=(backend, feature_dim))
 
 
@@ -131,5 +134,6 @@ class _FrameSampler:
 def sample_frames(ds: "ray.data.Dataset", frame_bytes: int = 1024,
                   stride: int = 2, batch_size: int = 32) -> "ray.data.Dataset":
     return ds.map_batches(_FrameSampler, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=2,
+                          batch_size=batch_size,
+                          concurrency=pool_size(cap=2),
                           fn_constructor_args=(frame_bytes, stride))

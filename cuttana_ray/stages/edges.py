@@ -58,14 +58,17 @@ def bipartite_edges(ds: "ray.data.Dataset", src_col: str, dst_col: str,
         if drop_null_dst:
             batch = batch.filter(pc.is_valid(batch[dst_col]))
         t = _partial_pair_counts(batch, src_col, dst_col)
-        cols = {
-            "src": pc.binary_join_element_wise(
-                pa.array([src_prefix] * len(t)), pc.cast(t["src"], pa.string()), ""),
-            "dst": pc.binary_join_element_wise(
-                pa.array([dst_prefix] * len(t)), pc.cast(t["dst"], pa.string()), ""),
-            "weight": t["weight"],
-        }
-        return pa.table(cols)
+        # prefixes force string node names; without prefixes the native
+        # column types pass through (int-keyed graphs stay int64)
+        src = t["src"]
+        dst = t["dst"]
+        if src_prefix:
+            src = pc.binary_join_element_wise(
+                pa.array([src_prefix] * len(t)), pc.cast(src, pa.string()), "")
+        if dst_prefix:
+            dst = pc.binary_join_element_wise(
+                pa.array([dst_prefix] * len(t)), pc.cast(dst, pa.string()), "")
+        return pa.table({"src": src, "dst": dst, "weight": t["weight"]})
 
     partial = ds.map_batches(extract, batch_format="pyarrow")
     return dedup_weighted(partial)

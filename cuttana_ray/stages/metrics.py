@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from cuttana_ray.util import pool_size
+
 
 def assignment_array(assignments: "ray.data.Dataset",
                      num_vertices: int) -> np.ndarray:
@@ -36,6 +38,30 @@ def assignment_array(assignments: "ray.data.Dataset",
         p = b["partition"].to_numpy(zero_copy_only=False)
         arr[v] = p
     return arr
+
+
+def cut_metrics_mod(edges: "ray.data.Dataset", num_partitions: int) -> dict:
+    """Cut metrics for a symmetrized INT-keyed edge table under the
+    SQL-reproducible assignment rule ``partition(node) = node mod k``
+    (used by the DuckDB oracle harness — no vocab needed)."""
+    def counter(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        cut = (src % num_partitions) != (dst % num_partitions)
+        return pa.table({
+            "cut": pa.array([int(cut.sum())], pa.int64()),
+            "total": pa.array([len(src)], pa.int64()),
+        })
+
+    partials = edges.map_batches(counter, batch_format="pyarrow").to_pandas()
+    doubled_cut = int(partials["cut"].sum())
+    edge_count = int(partials["total"].sum())
+    cut_count = doubled_cut // 2
+    return {
+        "edge_count": edge_count,
+        "cut_count": cut_count,
+        "edge_cut_ratio": (cut_count / edge_count) if edge_count else 0.0,
+    }
 
 
 def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
@@ -61,7 +87,7 @@ def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
             })
 
     partials = edges.map_batches(CutCounter, batch_format="pyarrow",
-                                 concurrency=4).to_pandas()
+                                 concurrency=pool_size()).to_pandas()
     doubled_cut = int(partials["cut"].sum())
     edge_count = int(partials["total"].sum())  # directed endpoints (2E)
     cut_count = doubled_cut // 2               # each cut edge once

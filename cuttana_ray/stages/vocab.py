@@ -27,6 +27,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from cuttana_ray.util import pool_size
+
 NODE_SCHEMA = pa.schema([
     ("node_id", pa.int64()), ("name", pa.string()), ("kind", pa.string()),
 ])
@@ -81,7 +83,8 @@ def encode_edges(edges: "ray.data.Dataset", vocab: pa.Table) -> "ray.data.Datase
                 "weight": batch["weight"],
             })
 
-    return edges.map_batches(Encode, batch_format="pyarrow", concurrency=4)
+    return edges.map_batches(Encode, batch_format="pyarrow",
+                             concurrency=pool_size())
 
 
 def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
@@ -98,4 +101,5 @@ def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
             ids = pc.cast(batch[column], pa.int64())
             return batch.append_column(out, pc.take(self.names, ids))
 
-    return ds.map_batches(Decode, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(Decode, batch_format="pyarrow",
+                         concurrency=pool_size())

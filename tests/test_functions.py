@@ -1,0 +1,174 @@
+"""Training-data function tests: dedup known answers, ANN recall, text
+stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cuttana_ray.functions.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cuttana_ray.functions.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media_table,
+)
+from cuttana_ray.functions.simsearch import knn_brute_force, knn_ivf
+from cuttana_ray.functions.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    base = [
+        "the quick brown fox jumps over the lazy dog in the morning sun",
+        "pack my box with five dozen liquor jugs and a dozen eggs today",
+        "der schnelle braune fuchs springt über den faulen hund im wald",
+        "le renard brun rapide saute par dessus le chien paresseux",
+    ]
+    texts, ids = [], []
+    for i in range(40):
+        t = base[i % 4] + f" variation {i // 4}"
+        texts.append(t)
+        ids.append(i)
+    # exact duplicates: 40..43 copy 0..3's text
+    for i in range(4):
+        texts.append(texts[i])
+        ids.append(40 + i)
+    # near duplicate of doc 0 (one word changed)
+    texts.append(texts[0].replace("morning", "evening"))
+    ids.append(44)
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts),
+    })).repartition(3)
+
+
+def test_exact_dedup_known_dups(docs):
+    out = exact_dedup(docs).to_pandas()
+    d = dict(zip(out["doc_id"], out["dup_count"]))
+    # docs 0..3 each have one exact copy (40..43), min id kept
+    for i in range(4):
+        assert d[i] == 2
+        assert 40 + i not in d
+    assert d[44] == 1
+    assert out["dup_count"].sum() == 45
+
+
+def test_minhash_and_jaccard_find_near_dup(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 40) in found                      # exact dup → jaccard 1
+    assert any(a == 0 and b == 44 or a == 44 and b == 0
+               or (a, b) == (0, 44) for a, b in found)  # near dup caught
+    exact = ngram_jaccard_pairs(docs, threshold=0.95).to_pandas()
+    ex = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert (0, 40) in ex
+    j = dict(zip(zip(exact["doc_a"], exact["doc_b"]), exact["jaccard"]))
+    assert j[(0, 40)] == pytest.approx(1.0)
+
+
+def test_simhash_pairs_find_exact_dups(docs):
+    pairs = simhash_pairs(docs, max_hamming=3).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for i in range(4):
+        assert (i, 40 + i) in found
+    h = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+    assert h[(0, 40)] == 0
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((120, 16)).astype(np.float32)
+    vecs[100] = vecs[0] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })).repartition(4), vecs
+
+
+def test_knn_brute_force_exact(embeddings):
+    ds, vecs = embeddings
+    q = vecs[:2]
+    out = knn_brute_force(ds, q, k=5).to_pandas()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = norm @ norm[qi]
+        exp = set(np.argsort(-sims)[:5].tolist())
+        got = set(out[out.query_id == qi]["vec_id"].tolist())
+        assert got == exp
+    # self is top hit
+    top0 = out[out.query_id == 0].iloc[0]
+    assert top0.vec_id == 0 and top0.cosine == pytest.approx(1.0)
+
+
+def test_knn_ivf_full_probe_matches_brute_force(embeddings):
+    ds, vecs = embeddings
+    q = vecs[:2]
+    bf = knn_brute_force(ds, q, k=5).to_pandas()
+    iv = knn_ivf(ds, q, k=5, nlist=6, nprobe=6).to_pandas()  # probe all
+    assert set(zip(iv.query_id, iv.vec_id)) == set(zip(bf.query_id, bf.vec_id))
+
+
+def test_embedding_cosine_near_dup(embeddings):
+    ds, _ = embeddings
+    pairs = embedding_cosine_pairs(ds, threshold=0.98).to_pandas()
+    assert (0, 100) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_token_stats_and_quality(docs):
+    ts = token_stats(docs).to_pandas().set_index("doc_id")
+    pdf = docs.to_pandas().set_index("doc_id")
+    exp = pdf["text"].str.split().map(len)
+    assert (ts["n_tokens"] == exp).all()
+    assert (ts["n_chars_computed"] == pdf["text"].str.len()).all()
+    q = quality_scores(docs).to_pandas()
+    assert ((q["quality"] >= 0) & (q["quality"] <= 1)).all()
+    assert (q.set_index("doc_id")["n_words"] > 0).all()
+
+
+def test_lang_id_heuristic(docs):
+    out = lang_id(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "fr"
+
+
+def test_fingerprints_deterministic_and_content_sensitive(docs):
+    fp1 = fingerprints(docs).to_pandas().set_index("doc_id")["fingerprint"]
+    fp2 = fingerprints(docs).to_pandas().set_index("doc_id")["fingerprint"]
+    assert (fp1 == fp2).all()
+    assert fp1[0] == fp1[40]         # identical text → identical fingerprint
+    assert fp1[0] != fp1[1]
+
+
+def test_multimodal_plumbing():
+    mt = synth_media_table(30, payload_bytes=2048)
+    ds = rd.from_arrow(mt).repartition(3)
+    feats = extract_features(ds, feature_dim=32).to_pandas()
+    assert len(feats) == 30
+    assert all(len(f) == 32 for f in feats["features"])
+    # deterministic: same payload → same features
+    f2 = extract_features(ds, feature_dim=32).to_pandas()
+    a = np.stack(feats.sort_values("item_id")["features"].map(np.asarray))
+    b = np.stack(f2.sort_values("item_id")["features"].map(np.asarray))
+    assert np.array_equal(a, b)
+    frames = sample_frames(ds, frame_bytes=512, stride=2).to_pandas()
+    assert (frames.groupby("item_id").size() == 2).all()  # 2048/512/2
+
+    from cuttana_ray.functions.multimodal import DecodeBackend
+    with pytest.raises(NotImplementedError):
+        DecodeBackend("pillow", 8)   # codec libs stubbed in this environment

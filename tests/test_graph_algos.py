@@ -1,0 +1,153 @@
+"""Graph-algorithm parity: distributed (shuffle + CSR actor modes) vs NumPy
+oracles; known-answer micro-graphs (FIXTURES.md §B.4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cuttana_ray import oracle
+from cuttana_ray.pipelines.components import connected_components
+from cuttana_ray.pipelines.csr import CSRPool
+from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.pipelines.labelprop import label_propagation
+from cuttana_ray.pipelines.pagerank import pagerank
+from cuttana_ray.pipelines.triangles import triangle_count
+
+
+def graph_from_edges(und_edges: list[tuple[int, int]], n: int,
+                     num_blocks: int = 3) -> Graph:
+    """Undirected edge list → symmetrized Graph (weight 1 each direction)."""
+    src = [a for a, b in und_edges] + [b for a, b in und_edges]
+    dst = [b for a, b in und_edges] + [a for a, b in und_edges]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array([1] * len(src), pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    return Graph(rd.from_arrow(t).repartition(num_blocks).materialize(),
+                 nodes, n)
+
+
+def arrays(g: Graph):
+    et = g.edges.to_pandas()
+    return (et["src"].to_numpy(), et["dst"].to_numpy(),
+            et["weight"].to_numpy())
+
+
+# -- known-answer micro-graphs ---------------------------------------------
+
+K3 = [(0, 1), (1, 2), (0, 2)]
+TWO_TRIANGLES = K3 + [(3, 4), (4, 5), (3, 5)]
+K4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+STAR10 = [(0, i) for i in range(1, 11)]
+
+
+@pytest.mark.parametrize("edges,n,total", [
+    (K3, 3, 1), (TWO_TRIANGLES, 6, 2), (K4, 4, 4), (STAR10, 11, 0)])
+def test_triangles_known_answers(edges, n, total):
+    g = graph_from_edges(edges, n)
+    res = triangle_count(g)
+    assert res.total == total
+    pv, tot = oracle.triangles_oracle(*arrays(g)[:2], n)
+    assert tot == total
+    assert (res.per_vertex == pv).all()
+
+
+def test_components_two_triangles():
+    g = graph_from_edges(TWO_TRIANGLES, 6)
+    res = connected_components(g)
+    assert res.converged
+    assert res.values.tolist() == [0, 0, 0, 3, 3, 3]
+
+
+def test_pagerank_star_closed_form():
+    """Star S10: closed-form stationary ranks (d=0.85)."""
+    n = 11
+    g = graph_from_edges(STAR10, n)
+    res = pagerank(g, tol=1e-12)
+    # center: r_c = (1-d)/n + 10·d·r_l, leaf: r_l = (1-d)/n + d·r_c/10
+    # → r_c = (1+10d)/(n(1+d))
+    d = 0.85
+    rc = (1 + 10 * d) / (n * (1 + d))
+    rl = (1 - d) / n + d * rc / 10
+    assert res.values[0] == pytest.approx(rc, abs=1e-7)
+    assert np.allclose(res.values[1:], rl, atol=1e-7)
+    assert res.values.sum() == pytest.approx(1.0)
+
+
+# -- random-graph parity: shuffle mode, oracle, CSR mode -------------------
+
+@pytest.fixture(scope="module")
+def er_graph():
+    rng = np.random.default_rng(7)
+    n = 200
+    pairs = set()
+    for _ in range(1000):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    return graph_from_edges(sorted(pairs), n), n
+
+
+def test_pagerank_er_vs_oracle(er_graph, tiny_graph, tiny_graph_pandas):
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    res = pagerank(g)
+    assert res.converged
+    assert np.allclose(res.values,
+                       oracle.pagerank_oracle(src, dst, w, n), atol=1e-6)
+    # transcript-derived graph too (skewed weights)
+    tsrc, tdst, tw = tiny_graph_pandas
+    tres = pagerank(tiny_graph)
+    assert np.allclose(
+        tres.values,
+        oracle.pagerank_oracle(tsrc, tdst, tw, tiny_graph.num_vertices),
+        atol=1e-6)
+
+
+def test_components_er_vs_oracle(er_graph):
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    res = connected_components(g)
+    assert (res.values == oracle.components_oracle(src, dst, n)).all()
+
+
+def test_lpa_er_vs_oracle(er_graph):
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    res = label_propagation(g, max_iters=6)
+    assert (res.values == oracle.lpa_oracle(src, dst, w, n, max_iters=6)).all()
+
+
+def test_csr_mode_matches_shuffle_mode(er_graph):
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    part = (np.arange(n) % 4).astype(np.int32)
+    pool = CSRPool(g, part, 4)
+    try:
+        pr = pool.pagerank()
+        assert np.allclose(pr.values,
+                           oracle.pagerank_oracle(src, dst, w, n), atol=1e-6)
+        cc = pool.connected_components()
+        assert (cc.values == oracle.components_oracle(src, dst, n)).all()
+        lp = pool.label_propagation(max_iters=6)
+        assert (lp.values
+                == oracle.lpa_oracle(src, dst, w, n, max_iters=6)).all()
+    finally:
+        pool.shutdown()
+
+
+def test_results_invariant_to_block_count(er_graph):
+    """Per-vertex results must not depend on data layout (FIXTURES.md §B.3)."""
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    g2 = graph_from_edges(
+        sorted({(min(a, b), max(a, b)) for a, b in zip(src, dst)}), n,
+        num_blocks=11)
+    assert np.allclose(pagerank(g).values, pagerank(g2).values, atol=1e-12)
+    assert (connected_components(g).values
+            == connected_components(g2).values).all()

@@ -1,0 +1,129 @@
+"""End-to-end: flagship pipeline, per-turn text invariant, checkpoint/resume,
+partition stage quality + determinism."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cuttana_ray import oracle
+from cuttana_ray.config import CuttanaConfig
+from cuttana_ray.pipelines import checkpoint as ckpt
+from cuttana_ray.pipelines.flagship import run_flagship, transcript_passthrough
+from cuttana_ray.pipelines.graph import build_graph_from_transcripts, graph_adjacency
+from cuttana_ray.pipelines.pagerank import pagerank
+from cuttana_ray.stages.metrics import assignment_array, partition_quality
+from cuttana_ray.stages.partition_stage import (
+    hash_partition_baseline,
+    run_cuttana_partition,
+)
+
+
+def test_text_byte_equality_passthrough(tiny_transcripts, tmp_path):
+    """Per-turn ``text`` byte-equality under stable (conv_id, turn_idx)
+    ordering, end-to-end through shuffle + parquet round-trip
+    (BASELINE.json input_hint)."""
+    ds = rd.from_arrow(tiny_transcripts).repartition(9)
+    out_dir = str(tmp_path / "passthrough")
+    transcript_passthrough(ds).write_parquet(out_dir)
+    back = rd.read_parquet(out_dir).sort(["conv_id", "turn_idx"]).to_pandas()
+    exp = tiny_transcripts.to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(back) == len(exp)
+    assert (back["text"].to_numpy() == exp["text"].to_numpy()).all()
+    assert (back["conv_id"].to_numpy() == exp["conv_id"].to_numpy()).all()
+    assert (back["turn_idx"].to_numpy() == exp["turn_idx"].to_numpy()).all()
+
+
+def test_cuttana_beats_hash_baseline_and_balances(tiny_graph):
+    g = tiny_graph
+    k = 8
+    cfg = CuttanaConfig(num_sub_partitions=64)
+    adj = graph_adjacency(g)
+    assign, info = run_cuttana_partition(adj, g.num_vertices, k, cfg)
+    part = assignment_array(assign, g.num_vertices)
+    assert (part >= 0).all()          # every vertex assigned exactly once
+    assert assign.count() == g.num_vertices
+    q = partition_quality(g.edges, part, k)
+    hq = partition_quality(
+        g.edges, assignment_array(hash_partition_baseline(g.num_vertices, k),
+                                  g.num_vertices), k)
+    assert q["edge_cut_ratio"] < hq["edge_cut_ratio"]
+    # post-refinement balance: max size ≤ max_parent = V/k·(1+slack)+1
+    assert max(q["partition_sizes"]) <= int(g.num_vertices / k * 1.05) + 1
+    # stream-time metric formulas (assignment.rs:87-99)
+    assert info["edge_cut_ratio_stream"] == pytest.approx(
+        info["vertex_count"] and
+        (info["edge_cut_ratio_stream"] * info["edge_count"])
+        / info["edge_count"])
+    # determinism across reruns
+    assign2, _ = run_cuttana_partition(adj, g.num_vertices, k, cfg)
+    assert (assignment_array(assign2, g.num_vertices) == part).all()
+
+
+def test_flagship_end_to_end(tiny_transcripts, tmp_path):
+    workdir = str(tmp_path / "flagship")
+    ds = rd.from_arrow(tiny_transcripts).repartition(5)
+    lineage = run_flagship(ds, workdir, num_partitions=4,
+                           config=CuttanaConfig(num_sub_partitions=32),
+                           lpa_iters=4)
+    # outputs + lineage written
+    assert os.path.exists(os.path.join(workdir, "lineage.json"))
+    assert ckpt.is_complete(os.path.join(workdir, "edges"))
+    assert ckpt.is_complete(os.path.join(workdir, "assignments"))
+    assert ckpt.is_complete(os.path.join(workdir, "vertex_results"))
+    res = ckpt.read_table(os.path.join(workdir, "vertex_results"))
+    assert res.num_rows == lineage["num_vertices"]
+    # CSR-mode results match oracles computed from the checkpointed edges
+    et = ckpt.read_table(os.path.join(workdir, "edges")).to_pandas()
+    src, dst, w = (et["src"].to_numpy(), et["dst"].to_numpy(),
+                   et["weight"].to_numpy())
+    V = lineage["num_vertices"]
+    assert np.allclose(res["rank"].to_numpy(),
+                       oracle.pagerank_oracle(src, dst, w, V), atol=1e-6)
+    assert (res["component"].to_numpy()
+            == oracle.components_oracle(src, dst, V)).all()
+    assert (res["tri_count"].to_numpy()
+            == oracle.triangles_oracle(src, dst, V)[0]).all()
+    assert lineage["quality_cuttana"]["edge_cut_ratio"] \
+        < lineage["quality_hash_baseline"]["edge_cut_ratio"]
+    # second run resumes from checkpoints (graph build + partition skipped)
+    lineage2 = run_flagship(ds, workdir, num_partitions=4,
+                            config=CuttanaConfig(num_sub_partitions=32),
+                            lpa_iters=4)
+    assert lineage2["num_vertices"] == lineage["num_vertices"]
+    assert lineage2["quality_cuttana"]["cut_count"] \
+        == lineage["quality_cuttana"]["cut_count"]
+
+
+def test_pagerank_checkpoint_resume_equals_uninterrupted(tiny_graph, tmp_path):
+    g = tiny_graph
+    # damping 0.5 converges in ~20 rounds; resume-equality is
+    # damping-independent, so keep the test cheap
+    full = pagerank(g, damping=0.5, workdir=str(tmp_path / "full"))
+    # interrupted: run only 3 iterations, then resume from checkpoint
+    inter_dir = str(tmp_path / "inter")
+    pagerank(g, damping=0.5, max_iters=3, workdir=inter_dir)
+    resumed = pagerank(g, damping=0.5, workdir=inter_dir, resume=True)
+    assert np.allclose(resumed.values, full.values, atol=1e-12)
+    # lineage manifests present per iteration
+    it0 = ckpt.iter_dir(inter_dir, "pagerank", 0)
+    assert ckpt.is_complete(it0)
+    m = ckpt.read_manifest(it0)
+    assert {"delta", "seconds", "iteration"} <= set(m)
+
+
+def test_stage_checkpoint_atomicity(tmp_path):
+    d = str(tmp_path / "stage")
+    t = pa.table({"a": [1, 2, 3]})
+    ckpt.write_table(t, d)
+    assert ckpt.is_complete(d)
+    # incomplete dir (no manifest) is not considered complete
+    d2 = str(tmp_path / "stage2")
+    os.makedirs(d2)
+    assert not ckpt.is_complete(d2)

@@ -1,0 +1,143 @@
+"""Stage tests: edge extraction vs pandas ground truth, consecutive_pairs
+block-boundary exactness, adjacency build, vocab determinism, sources."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cuttana_ray.sources.adjacency import (
+    adjacency_table,
+    csr_batch,
+    from_adjacency_list,
+    read_adjacency_text,
+)
+from cuttana_ray.stages.edges import (
+    bipartite_edges,
+    build_adjacency,
+    consecutive_pairs,
+    dedup_weighted,
+    symmetrize,
+)
+from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
+
+
+def test_bipartite_edges_vs_pandas(tiny_transcripts):
+    ds = rd.from_arrow(tiny_transcripts).repartition(7)
+    got = bipartite_edges(ds, "conv_id", "tool", "conv:", "tool:").to_pandas()
+    pdf = tiny_transcripts.to_pandas()
+    exp = pdf.dropna(subset=["tool"]).groupby(["conv_id", "tool"]).size()
+    exp = {("conv:" + c, "tool:" + t): n for (c, t), n in exp.items()}
+    assert {(r.src, r.dst): r.weight for r in got.itertuples()} == exp
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 17])
+def test_consecutive_pairs_exact_across_block_layouts(tiny_transcripts,
+                                                      num_blocks):
+    """lead() must be exact no matter how rows split into blocks."""
+    ds = rd.from_arrow(tiny_transcripts).repartition(num_blocks)
+    got = consecutive_pairs(ds, "conv_id", ["turn_idx"], "role").to_pandas()
+    pdf = tiny_transcripts.to_pandas().sort_values(["conv_id", "turn_idx"])
+    nxt = pdf.groupby("conv_id")["role"].shift(-1)
+    exp = pdf.assign(nxt=nxt).dropna(subset=["nxt"]) \
+        .groupby(["role", "nxt"]).size()
+    assert {(r.src, r.dst): r.weight for r in got.itertuples()} \
+        == {(a, b): n for (a, b), n in exp.items()}
+
+
+def test_symmetrize_doubles_and_drops_self_loops():
+    e = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "c"],
+        "dst": ["b", "a", "c", "a"],
+        "weight": [2, 3, 7, 1],
+    }))
+    got = symmetrize(e).to_pandas()
+    d = {(r.src, r.dst): r.weight for r in got.itertuples()}
+    # a-b merged to weight 5 both directions; self-loop c-c dropped
+    assert d == {("a", "b"): 5, ("b", "a"): 5, ("a", "c"): 1, ("c", "a"): 1}
+
+
+def test_dedup_weighted():
+    e = rd.from_arrow(pa.table({
+        "src": ["x", "x", "y"], "dst": ["y", "y", "x"],
+        "weight": [1, 4, 2]}))
+    got = dedup_weighted(e).to_pandas()
+    assert {(r.src, r.dst): r.weight for r in got.itertuples()} \
+        == {("x", "y"): 5, ("y", "x"): 2}
+
+
+def test_vocab_deterministic_and_encode_roundtrip():
+    e = rd.from_arrow(pa.table({
+        "src": ["role:b", "conv:a"], "dst": ["tool:z", "role:b"],
+        "weight": [1, 1]}))
+    vocab = build_vocab(e)
+    names = vocab["name"].to_pylist()
+    assert names == sorted(names)           # id = sorted-name order
+    assert vocab["kind"].to_pylist() == ["conv", "role", "tool"]
+    enc = encode_edges(e, vocab).to_pandas()
+    name_of = dict(zip(vocab["node_id"].to_pylist(), names))
+    dec = {(name_of[r.src], name_of[r.dst]) for r in enc.itertuples()}
+    assert dec == {("role:b", "tool:z"), ("conv:a", "role:b")}
+    # decode_column attaches names
+    back = decode_column(encode_edges(e, vocab), vocab, "src").to_pandas()
+    assert set(back["src_name"]) == {"role:b", "conv:a"}
+
+
+@pytest.mark.parametrize("num_blocks", [1, 5])
+def test_build_adjacency_matches_edges(num_blocks):
+    rng = np.random.default_rng(3)
+    n = 60
+    src = rng.integers(0, n, 500)
+    dst = rng.integers(0, n, 500)
+    keep = src != dst
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(src[keep], pa.int64()),
+        "dst": pa.array(dst[keep], pa.int64()),
+        "weight": pa.array(np.ones(keep.sum(), dtype=np.int64)),
+    })).repartition(num_blocks)
+    sym = symmetrize(e)
+    adj = build_adjacency(sym).to_pandas()
+    sym_pdf = sym.to_pandas()
+    exp = sym_pdf.groupby("src")["dst"].apply(lambda s: sorted(s))
+    got = {r.vertex: list(r.nbrs) for r in adj.itertuples()}
+    assert got == exp.to_dict()
+    # weights aligned with neighbors
+    w_exp = sym_pdf.sort_values(["src", "dst"]).groupby("src")["weight"] \
+        .apply(list).to_dict()
+    assert {r.vertex: list(r.nbr_weights) for r in adj.itertuples()} == w_exp
+    assert (adj["degree"] == adj["nbrs"].map(len)).all()
+
+
+def test_adjacency_text_source_roundtrip(tmp_path):
+    p = tmp_path / "g.txt"
+    p.write_text("0 1 2\n\n1 0\n2 0\n")
+    ds = read_adjacency_text(str(p))
+    rows = {r["vertex"]: list(r["nbrs"]) for r in ds.take_all()}
+    assert rows == {0: [1, 2], 1: [0], 2: [0]}
+    # comma delimiter
+    p2 = tmp_path / "g.csv"
+    p2.write_text("5, 6 ,7\n6,5\n7,5\n")
+    ds2 = read_adjacency_text(str(p2), delimiter="comma")
+    assert {r["vertex"]: list(r["nbrs"]) for r in ds2.take_all()} \
+        == {5: [6, 7], 6: [5], 7: [5]}
+
+
+def test_from_adjacency_list_roundtrip_and_empty():
+    # mirrors /root/reference/tests/stream_tests.rs:4-19
+    rows = [(0, [1, 2]), (1, [0]), (2, [0])]
+    ds = from_adjacency_list(rows)
+    got = [(r["vertex"], list(r["nbrs"])) for r in ds.take_all()]
+    assert got == rows
+    empty = from_adjacency_list([])
+    assert empty.count() == 0
+
+
+def test_csr_batch_zero_copy_layout():
+    t = adjacency_table([(4, [1, 2, 3]), (5, []), (6, [9])])
+    v, off, flat = csr_batch(t)
+    assert v.tolist() == [4, 5, 6]
+    assert off.tolist() == [0, 3, 3, 4]
+    assert flat.tolist() == [1, 2, 3, 9]
