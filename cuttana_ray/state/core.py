@@ -65,9 +65,10 @@ class CuttanaState:
         self.total_subs = k * ns
         self.slack = widened_slack(config.balance_slack)
 
-        # per-vertex streaming assignment (global partition, local sub id)
-        self.part_of = np.full(num_vertices, -1, dtype=np.int32)
-        self.sub_of = np.full(num_vertices, -1, dtype=np.int32)
+        # per-vertex streaming assignment (global partition, local sub id);
+        # int64 so gsub arithmetic needs no casts in the hot loop
+        self.part_of = np.full(num_vertices, -1, dtype=np.int64)
+        self.sub_of = np.full(num_vertices, -1, dtype=np.int64)
 
         # level sizes
         self.partition_sizes = np.zeros(k, dtype=np.int64)
@@ -131,53 +132,83 @@ class FennelScorer:
         self.gamma = gamma
         self.rng = rng
 
-    def _penalties(self, sizes: np.ndarray, num_partitions: int,
-                   vertex_count: int, edge_count: int,
-                   which: np.ndarray | None = None) -> np.ndarray:
-        """alpha * gamma * size^(gamma-1) for the given partitions."""
+    def _alpha(self, num_partitions: int, vertex_count: int,
+               edge_count: int) -> float:
         if edge_count == 0:
-            n = len(which) if which is not None else len(sizes)
-            return np.zeros(n, dtype=np.float64)
-        alpha = (num_partitions ** (self.gamma - 1.0)) * vertex_count / (
+            return 0.0
+        return (num_partitions ** (self.gamma - 1.0)) * vertex_count / (
             edge_count ** self.gamma)
-        s = sizes[which] if which is not None else sizes
-        return alpha * self.gamma * np.power(s.astype(np.float64), self.gamma - 1.0)
 
     def find_best(self, nbr_partitions: np.ndarray, sizes: np.ndarray,
                   num_partitions: int, vertex_count: int, edge_count: int,
                   slack: float) -> int:
-        """Pick the partition maximizing ``count_in_p - penalty(p)``.
+        """Pick the partition maximizing ``count_in_p - penalty(p)`` with
+        ``penalty(p) = alpha * gamma * size(p)^(gamma-1)``.
 
         ``nbr_partitions``: this vertex's neighbors' current partitions at
         this level (-1 = unplaced / other parent). Initial candidate is the
         smallest partition with a no-neighbor score; neighbor-partition
         candidates must have room. Ties: seeded uniform choice.
         """
-        smallest = int(np.argmin(sizes))
-        best_scores = np.asarray(
-            [-self._penalties(sizes, num_partitions, vertex_count, edge_count,
-                              np.asarray([smallest]))[0]])
-        candidates = np.asarray([smallest])
-
+        smallest = int(sizes.argmin())
         placed = nbr_partitions[nbr_partitions >= 0]
-        if placed.size:
+        if not placed.size:
+            return smallest
+        # room constraint: size < (1+slack) * V / k   (assignment.rs:38-41)
+        threshold = (1.0 + slack) * (vertex_count / num_partitions)
+        if placed.size <= 32:
+            # hot path for low-degree vertices: pure-dict counting, no
+            # k-length (or 4096-length sub-level) array allocations
+            counts_d: dict[int, int] = {}
+            for p in placed.tolist():
+                counts_d[p] = counts_d.get(p, 0) + 1
+            cand = np.asarray([p for p in counts_d
+                               if sizes[p] < threshold], dtype=np.int64)
+            if not cand.size:
+                return smallest
+            counts = None
+        else:
             counts = np.bincount(placed, minlength=len(sizes))
-            cand = np.nonzero(counts)[0]
-            # room constraint: size < (1+slack) * V / k   (assignment.rs:38-41)
-            threshold = (1.0 + slack) * (vertex_count / num_partitions)
+            cand = counts.nonzero()[0]
             cand = cand[sizes[cand] < threshold]
-            if cand.size:
-                scores = counts[cand] - self._penalties(
-                    sizes, num_partitions, vertex_count, edge_count, cand)
-                candidates = np.concatenate([candidates, cand])
-                best_scores = np.concatenate([best_scores, scores])
+            if not cand.size:
+                return smallest
+            counts_d = None
 
-        top = best_scores.max()
-        ties = candidates[best_scores == top]
+        def cand_counts() -> np.ndarray:
+            if counts is not None:
+                return counts[cand]
+            return np.asarray([counts_d[int(p)] for p in cand],
+                              dtype=np.int64)
+
+        if self.gamma == 1.0:
+            # penalty is constant across partitions: any candidate
+            # (count ≥ 1 - c) beats the smallest-partition score (0 - c);
+            # winner = max count, ties uniform.
+            if counts_d is not None and len(cand) == 1:
+                return int(cand[0])
+            scores = cand_counts()
+            top = scores.max()
+            ties = cand[scores == top]
+        else:
+            alpha_g = self._alpha(num_partitions, vertex_count,
+                                  edge_count) * self.gamma
+            exp = self.gamma - 1.0
+            if exp == 0.5:
+                pen = alpha_g * np.sqrt(sizes[cand])
+                pen_s = alpha_g * float(np.sqrt(sizes[smallest]))
+            else:
+                pen = alpha_g * np.power(sizes[cand].astype(np.float64), exp)
+                pen_s = alpha_g * float(sizes[smallest]) ** exp
+            scores = cand_counts() - pen
+            top = scores.max()
+            if -pen_s > top:
+                return smallest
+            ties = cand[scores == top]
+            if -pen_s == top and smallest not in ties:
+                ties = np.append(ties, smallest)
         if len(ties) == 1:
             return int(ties[0])
-        # dedupe (smallest partition may also appear as a neighbor candidate)
-        ties = np.unique(ties)
         return int(ties[self.rng.integers(0, len(ties))])
 
 
@@ -233,13 +264,12 @@ class Partitioner:
         # with every placed neighbor recorded, a sub-move's scored gain
         # equals its true cut delta exactly.
         if nbrs.size:
-            placed_mask = nbr_parts >= 0
-            pn = nbrs[placed_mask]
+            pn = nbrs[nbr_parts >= 0]
             if pn.size:
-                gsubs = (st.part_of[pn].astype(np.int64) * st.num_sub
-                         + st.sub_of[pn])
-                gsubs = gsubs[gsubs != g]
-                if gsubs.size:
-                    uniq, cnt = np.unique(gsubs, return_counts=True)
-                    for s, c in zip(uniq.tolist(), cnt.tolist()):
-                        st.add_sub_edge(g, int(s), int(c))
+                gsubs = st.part_of[pn] * st.num_sub + st.sub_of[pn]
+                counts: dict[int, int] = {}
+                for gs in gsubs.tolist():
+                    if gs != g:
+                        counts[gs] = counts.get(gs, 0) + 1
+                for s, c in counts.items():
+                    st.add_sub_edge(g, s, c)

@@ -139,26 +139,80 @@ class Refiner:
 
     # -- cut-reduction loop (refine.rs:67-76, 107-152) --------------------
     def refine(self, state: CuttanaState) -> None:
-        k = state.num_partitions
+        """Greedy best-move loop with incremental best tracking: a move
+        (s: frm→to) can change other subs' best moves only via (a) s's
+        coarse-graph neighbors' edge_cuts at columns frm/to, (b) capacity /
+        fit of frm and to, (c) s's own parent. So per move we fully rescore
+        just the dirty rows (neighbors + rows whose stored best pointed at
+        frm/to + s) and run a vectorized two-column challenge over the rest —
+        O(active·2 + dirty·k) instead of O(active·k)."""
         active = np.fromiter(state.sub_edges.keys(), dtype=np.int64,
                              count=len(state.sub_edges))
         active = active[state.sub_sizes[active] > 0]
         if not active.size:
             return
-        while self.moves_applied < self.max_moves:
-            par = state.sub_parent[active]
-            delta = (self.edge_cuts[active]
-                     - self.edge_cuts[active, par][:, None]).astype(np.float64)
-            # illegal targets: own partition; sub-count capacity; vertex fit
-            delta[np.arange(len(active)), par] = np.inf
-            full_subs = state.num_sub_in >= self.max_sub
-            if full_subs.any():
-                delta[:, full_subs] = np.inf
-            fits = (state.partition_sizes[None, :]
-                    + state.sub_sizes[active][:, None]) <= self.refine_capacity
-            delta[~fits] = np.inf
-            i, to = np.unravel_index(np.argmin(delta), delta.shape)
-            best_cost = delta[i, to]
-            if not np.isfinite(best_cost) or best_cost >= -self.gain_threshold:
+        n = len(active)
+        pos = {int(s): i for i, s in enumerate(active)}
+        sub_sz = state.sub_sizes[active]
+        sizes = state.partition_sizes          # live view
+        SENT = np.int64(1) << 60               # "illegal move" sentinel
+        best_to = np.zeros(n, dtype=np.int64)
+        best_cost = np.full(n, SENT, dtype=np.int64)
+
+        def rescore(rows: np.ndarray) -> None:
+            m = len(rows)
+            if not m:
                 return
-            self._move(state, int(active[i]), int(par[i]), int(to))
+            par = state.sub_parent[active[rows]]
+            cuts = self.edge_cuts[active[rows]]
+            r = np.arange(m)
+            delta = cuts - cuts[r, par][:, None]
+            delta[r, par] = SENT
+            full = state.num_sub_in >= self.max_sub
+            if full.any():
+                delta[:, full] = SENT
+            fits = (sizes[None, :] + sub_sz[rows][:, None]) \
+                <= self.refine_capacity
+            delta[~fits] = SENT
+            j = delta.argmin(axis=1)
+            best_to[rows] = j
+            best_cost[rows] = delta[r, j]
+
+        rescore(np.arange(n))
+        while self.moves_applied < self.max_moves:
+            i = int(best_cost.argmin())
+            c = int(best_cost[i])
+            if c >= -self.gain_threshold:
+                return
+            s = int(active[i])
+            frm = int(state.sub_parent[s])
+            to = int(best_to[i])
+            self._move(state, s, frm, to)
+
+            # dirty = rows whose stored best may now be wrong:
+            #  * s itself (parent changed) and s's coarse-graph neighbors
+            #    (their edge_cuts at frm/to changed);
+            #  * rows whose stored best pointed at `to` and `to` no longer
+            #    fits/has sub room (grew). Bests pointing at `frm` stay valid
+            #    (frm only shrank), with unchanged cost.
+            dirty = {i}
+            for g in state.sub_edges.get(s, {}):
+                r = pos.get(int(g))
+                if r is not None:
+                    dirty.add(r)
+            viol = (best_to == to) & (
+                (sizes[to] + sub_sz > self.refine_capacity)
+                | (state.num_sub_in[to] >= self.max_sub))
+            dirty.update(np.nonzero(viol)[0].tolist())
+            rescore(np.fromiter(dirty, dtype=np.int64, count=len(dirty)))
+            # one-column challenge: frm freed room → it may now beat stored
+            # bests (its cost to non-neighbors is unchanged, only fit eased)
+            if state.num_sub_in[frm] < self.max_sub:
+                par_all = state.sub_parent[active]
+                cost = (self.edge_cuts[active, frm]
+                        - self.edge_cuts[active, par_all])
+                ok = ((par_all != frm)
+                      & ((sizes[frm] + sub_sz) <= self.refine_capacity)
+                      & (cost < best_cost))
+                best_cost[ok] = cost[ok]
+                best_to[ok] = frm
