@@ -61,7 +61,8 @@ class Graph:
         return deg
 
 
-def _build(edges_str: "ray.data.Dataset", workdir: str | None) -> Graph:
+def _build(edges_str: "ray.data.Dataset", workdir: str | None,
+           deduped: bool = False) -> Graph:
     if workdir:
         edges_dir = os.path.join(workdir, "edges")
         nodes_dir = os.path.join(workdir, "nodes")
@@ -72,7 +73,9 @@ def _build(edges_str: "ray.data.Dataset", workdir: str | None) -> Graph:
 
     # string edges are consumed twice (vocab + encode): pin the deduped
     # weighted table, which is far smaller than the raw input.
-    edges_str = dedup_weighted(edges_str).materialize()
+    if not deduped:
+        edges_str = dedup_weighted(edges_str)
+    edges_str = edges_str.materialize()
     nodes = build_vocab(edges_str)
     enc = symmetrize(encode_edges(edges_str, nodes))
     if workdir:
@@ -92,12 +95,8 @@ def build_graph_from_transcripts(transcripts: "ray.data.Dataset",
     * role→role turn-adjacency edges: consecutive ``turn_idx`` within each
       conversation (4-vertex hub core carrying large weights).
     """
-    ct = bipartite_edges(transcripts.select_columns(["conv_id", "tool"]),
-                         "conv_id", "tool", "conv:", "tool:")
-    rr = consecutive_pairs(
-        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
-        "conv_id", ["turn_idx"], "role", "role:", "role:")
-    return _build(ct.union(rr), workdir)
+    from cuttana_ray.stages.edges import transcript_edges
+    return _build(transcript_edges(transcripts), workdir, deduped=True)
 
 
 def build_graph_from_events(events: "ray.data.Dataset",
@@ -110,7 +109,9 @@ def build_graph_from_events(events: "ray.data.Dataset",
     ee = consecutive_pairs(
         events.select_columns(["user_id", "ts", "event_id", "event_type"]),
         "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
-    return _build(ue.union(ee), workdir)
+    # ue and ee key spaces are disjoint (user:→event: vs event:→event:) and
+    # each extractor dedups internally — no outer dedup shuffle needed
+    return _build(ue.union(ee), workdir, deduped=True)
 
 
 def graph_adjacency(graph: Graph) -> "ray.data.Dataset":

@@ -214,6 +214,113 @@ def consecutive_pairs(ds: "ray.data.Dataset", key: str, order: list[str],
 
 
 # ---------------------------------------------------------------------------
+# combined single-pass transcript extraction
+# ---------------------------------------------------------------------------
+
+def transcript_edges(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Both flagship edge types in ONE pass over the sorted transcripts:
+
+    * conv→tool (``conv:<id> → tool:<name>`` for non-null ``tool``)
+    * role→role turn adjacency (consecutive ``turn_idx`` per conversation,
+      same boundary-marker fix-up as ``consecutive_pairs``)
+
+    One global sort on (conv_id, turn_idx), one block-level partial
+    aggregation, one weighted-dedup groupby for everything — minimizing
+    stage/shuffle count versus composing the two extractors separately.
+    """
+    cols = ["conv_id", "turn_idx", "role", "tool"]
+    sorted_ds = transcripts.select_columns(cols).sort(["conv_id", "turn_idx"])
+
+    def block_fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        schema = pa.schema([("kind", pa.string()), ("key", pa.string()),
+                            ("src", pa.string()), ("dst", pa.string()),
+                            ("weight", pa.int64()),
+                            ("__o_turn", pa.int32())])
+        if n == 0:
+            return schema.empty_table()
+        conv = batch["conv_id"].combine_chunks()
+        role = batch["role"].combine_chunks()
+        parts = []
+        # conv→tool partial counts
+        with_tool = batch.filter(pc.is_valid(batch["tool"]))
+        if len(with_tool):
+            ct = pa.table({
+                "src": pc.binary_join_element_wise(
+                    pa.array(["conv:"] * len(with_tool)),
+                    with_tool["conv_id"].combine_chunks(), ""),
+                "dst": pc.binary_join_element_wise(
+                    pa.array(["tool:"] * len(with_tool)),
+                    with_tool["tool"].combine_chunks(), ""),
+            }).group_by(["src", "dst"]).aggregate([([], "count_all")])
+            parts.append(pa.table({
+                "kind": pa.array(["pair"] * len(ct)),
+                "key": pa.array([""] * len(ct)),
+                "src": ct["src"], "dst": ct["dst"],
+                "weight": ct["count_all"],
+                "__o_turn": pa.nulls(len(ct), pa.int32()),
+            }))
+        # role→role pairs within the block
+        if n > 1:
+            same = pc.equal(conv.slice(0, n - 1), conv.slice(1, n))
+            rr = pa.table({
+                "src": pc.binary_join_element_wise(
+                    pa.array(["role:"] * (n - 1)), role.slice(0, n - 1), ""
+                ).filter(same),
+                "dst": pc.binary_join_element_wise(
+                    pa.array(["role:"] * (n - 1)), role.slice(1, n), ""
+                ).filter(same),
+            }).group_by(["src", "dst"]).aggregate([([], "count_all")])
+            parts.append(pa.table({
+                "kind": pa.array(["pair"] * len(rr)),
+                "key": pa.array([""] * len(rr)),
+                "src": rr["src"], "dst": rr["dst"],
+                "weight": rr["count_all"],
+                "__o_turn": pa.nulls(len(rr), pa.int32()),
+            }))
+        # boundary markers (first/last row of the block)
+        for kind, idx in (("first", 0), ("last", n - 1)):
+            parts.append(pa.table({
+                "kind": pa.array([kind]),
+                "key": pa.array([conv[idx].as_py()]),
+                "src": pa.array(["role:" + role[idx].as_py()]),
+                "dst": pa.array([""]),
+                "weight": pa.array([0], pa.int64()),
+                "__o_turn": batch["turn_idx"].slice(idx, 1).combine_chunks(),
+            }))
+        return pa.concat_tables([p.cast(schema) for p in parts])
+
+    mixed = sorted_ds.map_batches(block_fn, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+    pair_part = mixed.filter(expr="kind == 'pair'") \
+        .select_columns(["src", "dst", "weight"])
+    markers = mixed.filter(expr="kind != 'pair'").to_pandas()
+    extra: dict[tuple[str, str], int] = {}
+    if len(markers):
+        markers = markers.sort_values(
+            ["key", "__o_turn", "kind"],
+            key=lambda s: s.map({"first": 0, "last": 1})
+            if s.name == "kind" else s)
+        kinds = markers["kind"].to_numpy()
+        keys = markers["key"].to_numpy()
+        vals = markers["src"].to_numpy()
+        for i in range(len(markers) - 1):
+            if kinds[i] == "last" and kinds[i + 1] == "first" \
+                    and keys[i] == keys[i + 1]:
+                p = (vals[i], vals[i + 1])
+                extra[p] = extra.get(p, 0) + 1
+    parts = [pair_part]
+    if extra:
+        parts.append(ray.data.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in extra], pa.string()),
+            "dst": pa.array([p[1] for p in extra], pa.string()),
+            "weight": pa.array(list(extra.values()), pa.int64()),
+        })))
+    unioned = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return dedup_weighted(unioned)
+
+
+# ---------------------------------------------------------------------------
 # adjacency build: edges (int-encoded) → one row per vertex
 # ---------------------------------------------------------------------------
 

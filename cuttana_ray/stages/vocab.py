@@ -44,15 +44,15 @@ def build_vocab(edges: "ray.data.Dataset") -> pa.Table:
         ]).combine_chunks())
         return pa.table({"name": u})
 
-    distinct = edges.map_batches(names, batch_format="pyarrow") \
-        .groupby("name").count().sort("name")
-    # distinct node names are far fewer than edges; enumeration happens on
-    # the driver over the already-sorted stream.
-    parts = []
-    for b in distinct.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        parts.append(b["name"].combine_chunks() if isinstance(b["name"], pa.ChunkedArray) else b["name"])
-    name_arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]) \
-        if parts else pa.array([], pa.string())
+    # per-block distinct → driver-side set union + sort: the vocab is a
+    # dimension table (distinct names ≪ edges), so skipping the shuffle-based
+    # distinct+sort saves two whole stages; the driver never sees more than
+    # (blocks × per-block distinct) names.
+    seen: set[str] = set()
+    for b in edges.map_batches(names, batch_format="pyarrow") \
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        seen.update(b["name"].to_pylist())
+    name_arr = pa.array(sorted(seen), pa.string())
     n = len(name_arr)
     kind = pc.replace_substring_regex(name_arr, pattern=":.*$", replacement="")
     return pa.table({

@@ -92,9 +92,65 @@ class StreamingPartitioner:
                       flat_nbrs: np.ndarray) -> None:
         """Adjacency batch in CSR-ish layout: row i's neighbors are
         ``flat_nbrs[offsets[i]:offsets[i+1]]`` (zero-copy from an Arrow
-        ``list<int64>`` column's offsets/values buffers)."""
-        for i, v in enumerate(vertices.tolist()):
-            self.consume(v, flat_nbrs[offsets[i]:offsets[i + 1]])
+        ``list<int64>`` column's offsets/values buffers).
+
+        Runs of consecutive low-degree rows are bulk-inserted into the
+        buffer with vectorized scoring — exactly equivalent to the per-row
+        loop as long as the buffer stays under capacity for the whole run
+        (no eviction could have interleaved, and no placement happens that
+        could change scores mid-run); otherwise falls back to per-row
+        ``consume`` which preserves the reference's insert/evict
+        interleaving (``cuttana.rs:30-46``)."""
+        st = self.state
+        buf = self.buffer
+        thresh = self.config.buffer_degree_threshold
+        degrees = np.diff(offsets)
+        n = len(vertices)
+        i = 0
+        while i < n:
+            if degrees[i] >= thresh:
+                self.consume(int(vertices[i]),
+                             flat_nbrs[offsets[i]:offsets[i + 1]])
+                i += 1
+                continue
+            j = i
+            while j < n and degrees[j] < thresh:
+                j += 1
+            m = j - i
+            if len(buf) + m >= buf.capacity:
+                for r in range(i, j):
+                    self.consume(int(vertices[r]),
+                                 flat_nbrs[offsets[r]:offsets[r + 1]])
+                i = j
+                continue
+            # bulk path
+            seg_deg = degrees[i:j]
+            st.vertex_count += m
+            st.edge_count += int(seg_deg.sum())
+            st.v_eff = st.vertex_count // st.num_partitions
+            st.e_eff = st.edge_count // st.num_partitions
+            flat = flat_nbrs[offsets[i]:offsets[j]]
+            if flat.size:
+                cs = np.concatenate(
+                    [[0], np.cumsum(st.part_of[flat] >= 0)])
+                starts = (offsets[i:j] - offsets[i]).astype(np.int64)
+                ends = (offsets[i + 1:j + 1] - offsets[i]).astype(np.int64)
+                placed_counts = cs[ends] - cs[starts]
+            else:
+                placed_counts = np.zeros(m, dtype=np.int64)
+            safe_deg = np.maximum(seg_deg, 1)
+            scores = np.where(
+                seg_deg > 0,
+                buf.scorer.theta * placed_counts / safe_deg
+                + seg_deg / buf.scorer.degree_threshold,
+                0.0)
+            vs = vertices[i:j].tolist()
+            sc = scores.tolist()
+            buf._score.update(zip(vs, sc))
+            for r, v in enumerate(vs):
+                buf._nbrs[v] = flat_nbrs[offsets[i + r]:offsets[i + r + 1]]
+            buf._order.update(zip(sc, vs))
+            i = j
 
     # -- finalize ---------------------------------------------------------
     def finalize(self) -> PartitionResultData:
