@@ -40,8 +40,8 @@ def _minlabel_fn(labels_ref):
 
 
 def connected_components(graph: Graph, max_iters: int = 200,
-                         workdir: str | None = None,
-                         resume: bool = False) -> IterativeResult:
+                         workdir: str | None = None, resume: bool = False,
+                         combine: str = "driver") -> IterativeResult:
     V = graph.num_vertices
     labels = np.arange(V, dtype=np.int64)
     start_iter = 0
@@ -58,11 +58,14 @@ def connected_components(graph: Graph, max_iters: int = 200,
         labels_ref = ray.put(labels)
         partial = graph.edges.map_batches(_minlabel_fn(labels_ref),
                                           batch_format="pyarrow")
-        agg = partial.groupby("dst").aggregate(Min("partial", alias_name="m"))
+        if combine == "shuffle":
+            partial = partial.groupby("dst").aggregate(
+                Min("partial", alias_name="partial"))
         new = labels.copy()
-        for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for b in partial.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
             d = b["dst"].to_numpy(zero_copy_only=False)
-            m = b["m"].to_numpy(zero_copy_only=False)
+            m = b["partial"].to_numpy(zero_copy_only=False)
             np.minimum.at(new, d, m)
         changed = int((new != labels).sum())
         labels = new

@@ -62,8 +62,8 @@ def argmax_labels(dst: np.ndarray, label: np.ndarray, weight: np.ndarray,
 
 
 def label_propagation(graph: Graph, max_iters: int = 10,
-                      workdir: str | None = None,
-                      resume: bool = False) -> IterativeResult:
+                      workdir: str | None = None, resume: bool = False,
+                      combine: str = "driver") -> IterativeResult:
     V = graph.num_vertices
     labels = np.arange(V, dtype=np.int64)
     start_iter = 0
@@ -80,16 +80,26 @@ def label_propagation(graph: Graph, max_iters: int = 10,
         labels_ref = ray.put(labels)
         partial = graph.edges.map_batches(_label_weight_fn(labels_ref),
                                           batch_format="pyarrow")
-        agg = partial.groupby(["dst", "label"]).aggregate(
-            Sum("partial", alias_name="s"))
+        if combine == "shuffle":
+            partial = partial.groupby(["dst", "label"]).aggregate(
+                Sum("partial", alias_name="partial"))
         ds, ls, ws = [], [], []
-        for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        for b in partial.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
             ds.append(b["dst"].to_numpy(zero_copy_only=False))
             ls.append(b["label"].to_numpy(zero_copy_only=False))
-            ws.append(b["s"].to_numpy(zero_copy_only=False))
+            ws.append(b["partial"].to_numpy(zero_copy_only=False))
         if ds:
-            new = argmax_labels(np.concatenate(ds), np.concatenate(ls),
-                                np.concatenate(ws), labels)
+            d = np.concatenate(ds); l = np.concatenate(ls)
+            w = np.concatenate(ws)
+            # driver combine: merge per-batch partial (dst,label) sums first
+            order = np.lexsort((l, d))
+            d, l, w = d[order], l[order], w[order]
+            change = np.nonzero((d[1:] != d[:-1]) | (l[1:] != l[:-1]))[0] + 1
+            starts = np.concatenate([[0], change])
+            d2, l2 = d[starts], l[starts]
+            w2 = np.add.reduceat(w, starts)
+            new = argmax_labels(d2, l2, w2, labels)
         else:
             new = labels.copy()
         changed = int((new != labels).sum())

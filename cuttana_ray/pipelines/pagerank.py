@@ -49,13 +49,27 @@ class IterativeResult:
 
 
 def _grouped_sum_to_dense(ds: "ray.data.Dataset", num_vertices: int,
-                          key: str = "dst", val: str = "partial") -> np.ndarray:
-    """groupby(key).sum(val) → dense float64 vector (small result: ≤V rows)."""
+                          key: str = "dst", val: str = "partial",
+                          combine: str = "driver") -> np.ndarray:
+    """Per-batch partials → dense float64 vector.
+
+    ``combine="driver"`` (default): stream the already-per-batch-aggregated
+    partials to the driver and ``np.add.at`` them — one pipeline stage, no
+    shuffle; right whenever the vertex-state vector fits driver memory (the
+    same regime in which the broadcast of that vector is valid at all).
+    ``combine="shuffle"``: distributed ``groupby(key).sum`` — the 100-TB
+    path when per-batch partials are too numerous to stream to one node.
+    """
     out = np.zeros(num_vertices, dtype=np.float64)
-    agg = ds.groupby(key).aggregate(Sum(val, alias_name="s"))
-    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        out[b[key].to_numpy(zero_copy_only=False)] = \
-            b["s"].to_numpy(zero_copy_only=False)
+    if combine == "shuffle":
+        agg = ds.groupby(key).aggregate(Sum(val, alias_name="s"))
+        for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            out[b[key].to_numpy(zero_copy_only=False)] = \
+                b["s"].to_numpy(zero_copy_only=False)
+    else:
+        for b in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            np.add.at(out, b[key].to_numpy(zero_copy_only=False),
+                      b[val].to_numpy(zero_copy_only=False))
     return out
 
 
@@ -76,7 +90,7 @@ def _contrib_fn(ranks_ref, outw_ref):
 
 def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
              max_iters: int = 100, workdir: str | None = None,
-             resume: bool = False) -> IterativeResult:
+             resume: bool = False, combine: str = "driver") -> IterativeResult:
     """Weighted PageRank: ``r(v) = (1-d)/V + d * (Σ_{u→v} r(u)·w/outw(u)
     + dangling_mass/V)``; ranks sum to 1."""
     V = graph.num_vertices
@@ -99,7 +113,7 @@ def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
         ranks_ref = ray.put(ranks)
         contrib_ds = graph.edges.map_batches(
             _contrib_fn(ranks_ref, outw_ref), batch_format="pyarrow")
-        gathered = _grouped_sum_to_dense(contrib_ds, V)
+        gathered = _grouped_sum_to_dense(contrib_ds, V, combine=combine)
         dangling_mass = float(ranks[dangling].sum())
         new = (1.0 - damping) / V + damping * (gathered + dangling_mass / V)
         delta = float(np.abs(new - ranks).sum())

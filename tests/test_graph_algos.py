@@ -151,3 +151,15 @@ def test_results_invariant_to_block_count(er_graph):
     assert np.allclose(pagerank(g).values, pagerank(g2).values, atol=1e-12)
     assert (connected_components(g).values
             == connected_components(g2).values).all()
+
+
+def test_shuffle_combine_matches_driver_combine(er_graph):
+    """Both combine strategies must agree (the shuffle groupby is the
+    100-TB path, driver combine the small-V fast path)."""
+    g, n = er_graph
+    assert np.allclose(pagerank(g, combine="shuffle", max_iters=20).values,
+                       pagerank(g, max_iters=20).values, atol=1e-9)
+    assert (connected_components(g, combine="shuffle").values
+            == connected_components(g).values).all()
+    assert (label_propagation(g, combine="shuffle", max_iters=4).values
+            == label_propagation(g, max_iters=4).values).all()
