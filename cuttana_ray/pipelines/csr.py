@@ -73,10 +73,16 @@ class CSRShard:
     def ready(self) -> int:
         return len(self.owned)
 
-    def pagerank_iter(self, ranks, outw):
+    def prepare_pagerank(self, outw) -> bool:
+        # static per-edge coefficient w/outw[src]: computed once so each
+        # iteration does a single gather + multiply (bandwidth-bound kernel)
+        self.coef = self.w / outw[self.src] if len(self.src) else self.w
+        return True
+
+    def pagerank_iter(self, ranks):
         if not len(self.owned):
             return self.owned, np.empty(0, np.float64)
-        contrib = ranks[self.src] * self.w / outw[self.src]
+        contrib = ranks[self.src] * self.coef
         return self.owned, np.add.reduceat(contrib, self.starts)
 
     def minlabel_iter(self, labels):
@@ -105,13 +111,25 @@ class CSRShard:
 class CSRPool:
     """k CSRShard actors keyed by a partition assignment vector."""
 
-    def __init__(self, graph: Graph, part_of: np.ndarray, num_partitions: int):
+    def __init__(self, graph: Graph, part_of: np.ndarray, num_partitions: int,
+                 num_cpus_per_shard: float | None = None):
         self.graph = graph
         self.V = graph.num_vertices
         block_refs = graph.edges.to_arrow_refs()
         part_ref = ray.put(part_of.astype(np.int32))
+        if num_cpus_per_shard is None:
+            # reserve less than cpus/k so the pool always fits the cluster
+            # (k actors each demanding a full CPU would deadlock on a small
+            # cluster) while still expressing contention honestly
+            try:
+                total = int(ray.cluster_resources().get("CPU", num_partitions))
+            except Exception:
+                total = num_partitions
+            num_cpus_per_shard = max(0.05, min(1.0, total / num_partitions
+                                               / 1.5))
+        cls = CSRShard.options(num_cpus=num_cpus_per_shard)
         self.shards = [
-            CSRShard.remote(block_refs, part_ref, p)
+            cls.remote(block_refs, part_ref, p)
             for p in range(num_partitions)
         ]
         ray.get([s.ready.remote() for s in self.shards])
@@ -128,6 +146,7 @@ class CSRPool:
         outw = self.graph.out_weights()
         dangling = outw == 0.0
         outw_ref = ray.put(np.where(dangling, 1.0, outw))
+        ray.get([s.prepare_pagerank.remote(outw_ref) for s in self.shards])
         ranks = np.full(V, 1.0 / V)
         res = IterativeResult(ranks, 0, False)
         for it in range(max_iters):
@@ -135,7 +154,7 @@ class CSRPool:
             ranks_ref = ray.put(ranks)
             gathered = np.zeros(V)
             for owned, vals in ray.get([
-                    s.pagerank_iter.remote(ranks_ref, outw_ref)
+                    s.pagerank_iter.remote(ranks_ref)
                     for s in self.shards]):
                 gathered[owned] = vals
             new = (1 - damping) / V + damping * (

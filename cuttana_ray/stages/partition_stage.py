@@ -42,11 +42,16 @@ ASSIGNMENT_SCHEMA = pa.schema([
 @ray.remote
 def _consume_stream(split, num_vertices: int, num_partitions: int,
                     config: CuttanaConfig):
+    import time
+    t0 = time.perf_counter()
     sp = StreamingPartitioner(num_vertices, num_partitions, config)
     for batch in split.iter_batches(batch_format="pyarrow", batch_size=8192):
         vertices, offsets, flat = csr_batch(batch)
         sp.consume_batch(vertices, offsets, flat)
+    t_stream = time.perf_counter() - t0
+    t0 = time.perf_counter()
     res = sp.finalize()
+    t_finalize = time.perf_counter() - t0
     table = pa.table({
         "vertex": pa.array(res.vertices, pa.int64()),
         "partition": pa.array(res.partitions, pa.int32()),
@@ -59,6 +64,8 @@ def _consume_stream(split, num_vertices: int, num_partitions: int,
         "communication_volume_stream": res.communication_volume,
         "partition_sizes": res.partition_sizes.tolist(),
         "refine_moves": res.refine_moves,
+        "stream_seconds": round(t_stream, 3),
+        "finalize_seconds": round(t_finalize, 3),
         "num_partitions": num_partitions,
         "config": dataclasses.asdict(config),
     }
