@@ -202,6 +202,55 @@ def _q_top_customers_revenue(sf_dir: str):
     return top.map_batches(attach, batch_format="pyarrow")
 
 
+def _q_orders_customer_join(sf_dir: str):
+    """Distributed hash join (Ray ``Dataset.join``) — the both-sides-large
+    path (vs the broadcast join in ``top_customers_revenue``). Per-nation
+    order revenue through orders ⋈ customer."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    agg = joined.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+
+    def round_col(batch):
+        return batch.set_column(
+            batch.column_names.index("revenue"), "revenue",
+            pc.round(batch["revenue"], 2))
+    return agg.map_batches(round_col, batch_format="pyarrow")
+
+
+def _q_orders_by_month(sf_dir: str):
+    """Date scalar functions (pyarrow.compute year/month kernels) +
+    aggregate: per-month order counts and revenue."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_month": pc.cast(pc.month(batch["o_orderdate"]), pa.int64()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+
+    ds = _read(sf_dir, "orders").map_batches(add_month,
+                                             batch_format="pyarrow")
+    agg = ds.groupby(["o_year", "o_month"]).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue"))
+
+    def round_col(batch):
+        return batch.set_column(
+            batch.column_names.index("revenue"), "revenue",
+            pc.round(batch["revenue"], 2))
+    return agg.map_batches(round_col, batch_format="pyarrow")
+
+
 def _q_events_per_type(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -376,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
+        "orders_customer_join": _q_orders_customer_join,
+        "orders_by_month": _q_orders_by_month,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "knn_cosine_top5": _q_knn_cosine_top5,
@@ -468,6 +519,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "orders_customer_join": """
+            SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "orders_by_month": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS o_month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

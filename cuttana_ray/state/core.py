@@ -213,12 +213,20 @@ class FennelScorer:
 
 
 class Partitioner:
-    """One-vertex-at-a-time placement; ``/root/reference/src/partition.rs:23-63``."""
+    """One-vertex-at-a-time placement; ``/root/reference/src/partition.rs:23-63``.
 
-    def __init__(self, config: CuttanaConfig, state: CuttanaState) -> None:
+    Extension surface (↔ the reference's ``PartitionScorer`` trait,
+    ``partition.rs:66-73``): pass custom ``scorer`` / ``sub_scorer`` objects
+    implementing ``find_best(nbr_partitions, sizes, num_partitions,
+    vertex_count, edge_count, slack) -> int`` to replace the FENNEL greedy at
+    either level.
+    """
+
+    def __init__(self, config: CuttanaConfig, state: CuttanaState,
+                 scorer=None, sub_scorer=None) -> None:
         rng = np.random.default_rng(config.seed)
-        self.scorer = FennelScorer(config.gamma, rng)
-        self.sub_scorer = FennelScorer(config.sub_gamma, rng)
+        self.scorer = scorer or FennelScorer(config.gamma, rng)
+        self.sub_scorer = sub_scorer or FennelScorer(config.sub_gamma, rng)
         self.state = state
 
     def partition(self, v: int, nbrs: np.ndarray) -> None:

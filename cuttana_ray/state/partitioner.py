@@ -57,16 +57,22 @@ class StreamingPartitioner:
     """Batch-feedable wrapper around the sequential core."""
 
     def __init__(self, num_vertices: int, num_partitions: int,
-                 config: CuttanaConfig | None = None) -> None:
+                 config: CuttanaConfig | None = None,
+                 scorer=None, sub_scorer=None, buffer_scorer=None) -> None:
+        """``scorer`` / ``sub_scorer`` / ``buffer_scorer``: optional custom
+        scoring objects (↔ the reference's ``PartitionScorer`` /
+        ``BufferScorer`` traits, ``partition.rs:66-73`` /
+        ``buffer.rs:121-133``) — the engine's user-extension surface."""
         if num_partitions <= 0:
             raise ValueError("Number of partitions must be > 0")
         self.config = config or CuttanaConfig()
         self.state = CuttanaState(num_vertices, num_partitions, self.config)
-        self.partitioner = Partitioner(self.config, self.state)
+        self.partitioner = Partitioner(self.config, self.state,
+                                       scorer=scorer, sub_scorer=sub_scorer)
         self.buffer = BufferManager(
             self.config.max_buffer_size,
-            CuttanaBufferScorer(self.config.theta,
-                                self.config.buffer_degree_threshold))
+            buffer_scorer or CuttanaBufferScorer(
+                self.config.theta, self.config.buffer_degree_threshold))
         self._finalized = False
 
     # -- streaming --------------------------------------------------------

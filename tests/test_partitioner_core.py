@@ -299,3 +299,38 @@ def test_stream_cut_matches_recount_before_refinement():
     part[res.vertices] = res.partitions
     cut = sum(1 for v, s in adj.items() for u in s if part[v] != part[u]) // 2
     assert cut / res.edge_count == pytest.approx(res.edge_cut_ratio)
+
+
+def test_pluggable_scorers_extension_surface():
+    """Custom PartitionScorer/BufferScorer objects replace the defaults
+    (↔ reference traits partition.rs:66-73, buffer.rs:121-133)."""
+    from cuttana_ray.state.partitioner import StreamingPartitioner
+
+    class RoundRobinScorer:
+        def __init__(self):
+            self.i = -1
+
+        def find_best(self, nbr_partitions, sizes, num_partitions,
+                      vertex_count, edge_count, slack):
+            self.i = (self.i + 1) % num_partitions
+            return self.i
+
+    class ConstantBufferScorer:
+        theta = 0.0
+        degree_threshold = 1.0
+
+        def score(self, nbrs, part_of):
+            return float(len(nbrs))
+
+        def update_score(self, old, nbrs):
+            return old
+
+    sp = StreamingPartitioner(6, 3, CuttanaConfig(num_sub_partitions=4,
+                                                  max_refine_moves=0),
+                              scorer=RoundRobinScorer(),
+                              buffer_scorer=ConstantBufferScorer())
+    for v in range(6):
+        sp.consume(v, np.asarray([(v + 1) % 6]))
+    res = sp.finalize()
+    # round-robin global placement → perfectly balanced sizes
+    assert res.partition_sizes.tolist() == [2, 2, 2]
