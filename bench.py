@@ -303,8 +303,8 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--pr-scaling-worker" in sys.argv:
         ncpu = int(sys.argv[sys.argv.index("--pr-scaling-worker") + 1])
-        n_edges = int(os.environ.get("SCALING_EDGES", str(40_000_000)))
-        n_vertices = int(os.environ.get("SCALING_VERTICES", str(2_000_000)))
+        n_edges = int(os.environ.get("SCALING_EDGES", str(200_000_000)))
+        n_vertices = int(os.environ.get("SCALING_VERTICES", str(100_000)))
         print(json.dumps(run_pr_scaling_worker(ncpu, n_edges, n_vertices,
                                                iters=8)))
     elif "--scaling" in sys.argv:

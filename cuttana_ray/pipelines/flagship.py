@@ -25,7 +25,6 @@ from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.csr import CSRPool
 from cuttana_ray.pipelines.graph import (
-    Graph,
     build_graph_from_transcripts,
     graph_adjacency,
 )
