@@ -152,7 +152,7 @@ def _write_scaling_graph(n_edges: int, n_vertices: int, path: str) -> str:
         return path
     os.makedirs(path, exist_ok=True)
     rng = np.random.default_rng(42)
-    files = 64
+    files = 32
     per = n_edges // 2 // files
     for i in range(files):
         src = rng.integers(0, n_vertices, per)
@@ -189,7 +189,7 @@ def run_pr_scaling_worker(num_cpus: int, n_edges: int,
         from cuttana_ray.pipelines.pagerank import pagerank
 
         path = _write_scaling_graph(
-            n_edges, n_vertices, f"/tmp/cuttana_bench/scaling_{n_edges}")
+            n_edges, n_vertices, f"/tmp/cuttana_bench/scaling_{n_edges}_f32")
         edges = rd.read_parquet(path, file_extensions=["parquet"])
         n_rows = edges.count()  # warms the page cache
         nodes = pa.table({"node_id": np.arange(n_vertices, dtype=np.int64),
@@ -202,7 +202,7 @@ def run_pr_scaling_worker(num_cpus: int, n_edges: int,
         from cuttana_ray.pipelines.superstep import pagerank_files
         files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
         ss = pagerank_files(files, n_vertices, max_iters=iters, tol=0.0)
-        ss_spi = float(np.mean(ss.seconds_per_iter[1:]))
+        ss_spi = float(np.mean(ss.seconds_per_iter[2:]))  # 2 warm-up iters
         out = {"sec_per_iter": round(ss_spi, 4),
                "edge_rows": n_rows,
                "edges_per_sec_per_iter": round(n_rows / ss_spi),

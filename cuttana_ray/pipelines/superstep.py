@@ -28,7 +28,10 @@ from cuttana_ray.pipelines.pagerank import IterativeResult
 @ray.remote
 def _outw_task(path: str, num_vertices: int) -> np.ndarray:
     import pyarrow.parquet as pq
-    t = pq.read_table(path, columns=["src", "weight"])
+    # use_threads=False: a 1-CPU task must not fan out into Arrow's global
+    # thread pool (that would bleed parallelism across the scheduler's
+    # resource accounting)
+    t = pq.read_table(path, columns=["src", "weight"], use_threads=False)
     src = t["src"].to_numpy(zero_copy_only=False)
     w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
     return np.bincount(src, weights=w, minlength=num_vertices)
@@ -38,7 +41,8 @@ def _outw_task(path: str, num_vertices: int) -> np.ndarray:
 def _contrib_task(path: str, ranks, outw, num_vertices: int) -> np.ndarray:
     """One fragment's dense contribution vector (float64, length V)."""
     import pyarrow.parquet as pq
-    t = pq.read_table(path, columns=["src", "dst", "weight"])
+    t = pq.read_table(path, columns=["src", "dst", "weight"],
+                      use_threads=False)
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
