@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the partitioner core invariants
+(FIXTURES.md §B.3). Pure core — no Ray."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cuttana_ray.config import CuttanaConfig
+from cuttana_ray.state import BufferManager, CuttanaBufferScorer, cuttana_partition
+
+
+@st.composite
+def adjacency_lists(draw, max_n=40):
+    n = draw(st.integers(min_value=1, max_value=max_n))
+    edges = draw(st.sets(
+        st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)).map(
+            lambda p: (min(p), max(p))).filter(lambda p: p[0] != p[1]),
+        max_size=120))
+    adj: dict[int, set[int]] = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    return n, [(v, sorted(s)) for v, s in adj.items()]
+
+
+@given(adjacency_lists(), st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=40, deadline=None)
+def test_every_vertex_assigned_exactly_once_and_counts(data, k, buffer_cap):
+    n, rows = data
+    cfg = CuttanaConfig(num_sub_partitions=8, max_buffer_size=buffer_cap)
+    res = cuttana_partition(rows, k, cfg)
+    assert sorted(res.vertices.tolist()) == list(range(n))
+    assert res.vertex_count == n
+    assert res.edge_count == sum(len(nbrs) for _, nbrs in rows)
+    assert int(res.partition_sizes.sum()) == n
+    assert ((res.partitions >= 0) & (res.partitions < k)).all()
+    assert 0.0 <= res.edge_cut_ratio <= 1.0
+    # post-refinement balance: max size ≤ (V/k)(1+slack)+1  (refine.rs:46)
+    assert res.partition_sizes.max() <= int(n / k * 1.05) + 1
+    # determinism
+    res2 = cuttana_partition(rows, k, cfg)
+    assert (res.partitions == res2.partitions).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 99),
+                          st.lists(st.integers(0, 99), min_size=1,
+                                   max_size=5)),
+                min_size=1, max_size=30, unique_by=lambda t: t[0]))
+@settings(max_examples=40, deadline=None)
+def test_buffer_eviction_is_max_score_order(rows):
+    """Evictions come out in non-increasing (score, vertex) order when no
+    scores change in between (BTreeMap last_key_value semantics)."""
+    buf = BufferManager(10 ** 6, CuttanaBufferScorer(2.0, 100))
+    part_of = np.full(100, -1, dtype=np.int64)
+    for v, nbrs in rows:
+        buf.insert(v, np.asarray(nbrs, dtype=np.int64), part_of)
+    keys = []
+    while True:
+        ev = buf.evict()
+        if ev is None:
+            break
+        v, nbrs = ev
+        score = 2.0 * 0.0 + len(nbrs) / 100.0
+        keys.append((score, v))
+    assert keys == sorted(keys, reverse=True)
+    assert len(keys) == len(rows)
