@@ -366,7 +366,7 @@ def _q_ngram_jaccard_docs(sf_dir: str):
 
 def _q_embedding_neardup(sf_dir: str):
     from cuttana_ray.functions.dedup import embedding_cosine_pairs
-    return embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.6)
+    return embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
 
 
 def _q_knn_ivf_top5(sf_dir: str):
@@ -395,11 +395,28 @@ def _q_doc_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    import pyarrow.compute as _pc
     import ray.data as rd
     from cuttana_ray.functions.multimodal import (
         extract_features, synth_media_table)
     mt = synth_media_table(200)
-    return extract_features(rd.from_arrow(mt).repartition(4))
+    feats = extract_features(rd.from_arrow(mt).repartition(4))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        # scalar summary columns (list<float> columns are awkward for
+        # order-insensitive value-hash comparison harnesses)
+        mats = np.stack([np.asarray(v, np.float32)
+                         for v in batch["features"].to_pylist()])
+        return pa.table({
+            "item_id": batch["item_id"],
+            "media_type": batch["media_type"],
+            "feature_dim": pa.array([mats.shape[1]] * len(batch), pa.int64()),
+            "feature_l2": pa.array(
+                np.round(np.linalg.norm(mats, axis=1), 5).astype(np.float64)),
+            "feature_sum": pa.array(
+                np.round(mats.sum(axis=1), 5).astype(np.float64)),
+        })
+    return feats.map_batches(summarize, batch_format="pyarrow")
 
 
 def _q_transcript_passthrough(sf_dir: str):
