@@ -103,39 +103,61 @@ class Refiner:
         self.moves_applied += 1
 
     # -- balance repair (refine.rs:59-65, 78-105) -------------------------
+    def _drain_partition(self, state: CuttanaState, frm: int) -> bool:
+        """Move cheapest subs out of over-capacity ``frm`` until it fits or
+        no legal move exists. Incremental: the cost matrix for frm's subs is
+        built once; after each move only the moved row and the moved sub's
+        coarse-graph neighbors are rescored, with target-capacity masks
+        applied at pick time. Returns True if any move was applied."""
+        SENT = np.int64(1) << 60
+        subs = np.nonzero((state.sub_parent == frm)
+                          & (state.sub_sizes > 0))[0]
+        if not subs.size:
+            return False
+        pos = {int(s): i for i, s in enumerate(subs)}
+        sizes = state.partition_sizes
+        sub_sz = state.sub_sizes[subs]
+        cost = self.edge_cuts[subs] - self.edge_cuts[subs, frm][:, None]
+        cost = cost.astype(np.int64)
+        cost[:, frm] = SENT
+        alive = np.ones(len(subs), dtype=bool)
+        progress = False
+        while (sizes[frm] > self.max_parent
+               and self.moves_applied < self.max_moves):
+            valid_to = ((sizes < self.max_parent)
+                        & (state.num_sub_in < self.max_sub))
+            masked = np.where(
+                valid_to[None, :]
+                & ((sizes[None, :] + sub_sz[:, None]) <= self.max_parent),
+                cost, SENT)
+            i, to = np.unravel_index(masked.argmin(), masked.shape)
+            if masked[i, to] >= SENT:
+                return progress
+            s = int(subs[i])
+            self._move(state, s, frm, int(to))
+            progress = True
+            alive[i] = False
+            cost[i, :] = SENT  # row left the partition
+            for g in state.sub_edges.get(s, {}):
+                r = pos.get(int(g))
+                if r is not None and alive[r]:
+                    row = (self.edge_cuts[subs[r]]
+                           - self.edge_cuts[subs[r], frm]).astype(np.int64)
+                    row[frm] = SENT
+                    cost[r] = row
+        return progress
+
     def fix_balance(self, state: CuttanaState) -> None:
-        k = state.num_partitions
+        """Repeatedly drain over-capacity partitions (one at a time, an
+        equivalent reordering of the reference's global-best-move loop whose
+        scoring is stubbed there) until all fit or no legal move exists."""
         while self.moves_applied < self.max_moves:
             over = np.nonzero(state.partition_sizes > self.max_parent)[0]
             if not over.size:
                 return
-            best = None  # (cost, s, frm, to)
-            for frm in over.tolist():
-                subs = np.nonzero((state.sub_parent == frm)
-                                  & (state.sub_sizes > 0))[0]
-                if not subs.size:
-                    continue
-                ok_to = np.nonzero(
-                    (state.partition_sizes < self.max_parent)
-                    & (state.num_sub_in < self.max_sub))[0]
-                ok_to = ok_to[ok_to != frm]
-                if not ok_to.size:
-                    continue
-                # fit: to_size + sub_size <= max_parent (refine.rs:170-182)
-                fits = (state.partition_sizes[ok_to][None, :]
-                        + state.sub_sizes[subs][:, None]) <= self.max_parent
-                cost = (self.edge_cuts[np.ix_(subs, ok_to)]
-                        - self.edge_cuts[subs, state.sub_parent[subs]][:, None]
-                        ).astype(np.float64)
-                cost[~fits] = np.inf
-                i, j = np.unravel_index(np.argmin(cost), cost.shape)
-                if np.isfinite(cost[i, j]) and (
-                        best is None or cost[i, j] < best[0]):
-                    best = (cost[i, j], int(subs[i]), frm, int(ok_to[j]))
-            if best is None:
-                return  # no legal rebalancing move
-            _, s, frm, to = best
-            self._move(state, s, frm, to)
+            if not any(self._drain_partition(state, int(f))
+                       for f in over.tolist()):
+                return  # no legal rebalancing move anywhere
 
     # -- cut-reduction loop (refine.rs:67-76, 107-152) --------------------
     def refine(self, state: CuttanaState) -> None:
