@@ -127,3 +127,44 @@ def test_stage_checkpoint_atomicity(tmp_path):
     d2 = str(tmp_path / "stage2")
     os.makedirs(d2)
     assert not ckpt.is_complete(d2)
+
+
+def test_flagship_shuffle_mode(tiny_transcripts, tmp_path):
+    """mode="shuffle" flagship path (checkpointed iterations) matches the
+    CSR-mode results."""
+    ds = rd.from_arrow(tiny_transcripts).repartition(4)
+    l_csr = run_flagship(ds, str(tmp_path / "csr"), num_partitions=4,
+                         config=CuttanaConfig(num_sub_partitions=32),
+                         mode="csr", lpa_iters=3)
+    l_shf = run_flagship(ds, str(tmp_path / "shf"), num_partitions=4,
+                         config=CuttanaConfig(num_sub_partitions=32),
+                         mode="shuffle", lpa_iters=3)
+    r_csr = ckpt.read_table(os.path.join(str(tmp_path / "csr"),
+                                         "vertex_results"))
+    r_shf = ckpt.read_table(os.path.join(str(tmp_path / "shf"),
+                                         "vertex_results"))
+    assert np.allclose(r_csr["rank"].to_numpy(), r_shf["rank"].to_numpy(),
+                       atol=1e-6)
+    assert (r_csr["component"].to_numpy()
+            == r_shf["component"].to_numpy()).all()
+    assert (r_csr["label"].to_numpy() == r_shf["label"].to_numpy()).all()
+    assert l_csr["quality_cuttana"]["cut_count"] \
+        == l_shf["quality_cuttana"]["cut_count"]
+
+
+def test_components_and_lpa_resume(tiny_graph, tmp_path):
+    from cuttana_ray.pipelines.components import connected_components
+    from cuttana_ray.pipelines.labelprop import label_propagation
+    full = connected_components(tiny_graph, workdir=str(tmp_path / "ccf"))
+    connected_components(tiny_graph, max_iters=2,
+                         workdir=str(tmp_path / "cci"))
+    resumed = connected_components(tiny_graph, workdir=str(tmp_path / "cci"),
+                                   resume=True)
+    assert (resumed.values == full.values).all()
+
+    fl = label_propagation(tiny_graph, max_iters=5,
+                           workdir=str(tmp_path / "lpf"))
+    label_propagation(tiny_graph, max_iters=2, workdir=str(tmp_path / "lpi"))
+    rl = label_propagation(tiny_graph, max_iters=5,
+                           workdir=str(tmp_path / "lpi"), resume=True)
+    assert (rl.values == fl.values).all()
