@@ -265,6 +265,26 @@ def _q_events_per_type(sf_dir: str):
     return agg.map_batches(round_col, batch_format="pyarrow")
 
 
+def _q_events_hourly_windows(sf_dir: str):
+    from cuttana_ray.stages.windows import tumbling_window_agg
+    return tumbling_window_agg(_read(sf_dir, "events"), "user_id", "ts",
+                               "value", 3600)
+
+
+def _q_user_session_counts(sf_dir: str):
+    from cuttana_ray.stages.windows import session_counts
+    out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
+                         ["event_id"], gap_s=3600)
+    import pyarrow.compute as _pc
+
+    def cast_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": _pc.cast(batch["k"], pa.int64()),
+            "n_sessions": batch["n_sessions"],
+        })
+    return out.map_batches(cast_key, batch_format="pyarrow")
+
+
 def _q_dedup_exact_docs(sf_dir: str):
     from cuttana_ray.functions.dedup import exact_dedup
     return exact_dedup(_read(sf_dir, "documents"))
@@ -444,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_type": _q_events_per_type,
         "orders_customer_join": _q_orders_customer_join,
         "orders_by_month": _q_orders_by_month,
+        "events_hourly_windows": _q_events_hourly_windows,
+        "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "knn_cosine_top5": _q_knn_cosine_top5,
@@ -549,6 +571,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1, 2
+        """,
+        "events_hourly_windows": """
+            SELECT user_id,
+                   CAST(FLOOR(EXTRACT(epoch FROM ts) / 3600) * 3600
+                        AS BIGINT) AS window_start,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "user_session_counts": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT user_id,
+                   CAST(1 + SUM(CASE WHEN prev_ts IS NOT NULL
+                                AND EXTRACT(epoch FROM ts - prev_ts) > 3600
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM s GROUP BY 1
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count

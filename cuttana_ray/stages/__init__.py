@@ -11,6 +11,7 @@ from cuttana_ray.stages.partition_stage import (
     run_cuttana_partition,
 )
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
+from cuttana_ray.stages.windows import session_counts, tumbling_window_agg
 
 __all__ = [
     "assignment_array",
@@ -24,5 +25,7 @@ __all__ = [
     "hash_partition_baseline",
     "partition_quality",
     "run_cuttana_partition",
+    "session_counts",
     "symmetrize",
+    "tumbling_window_agg",
 ]

@@ -141,3 +141,38 @@ def test_csr_batch_zero_copy_layout():
     assert v.tolist() == [4, 5, 6]
     assert off.tolist() == [0, 3, 3, 4]
     assert flat.tolist() == [1, 2, 3, 9]
+
+
+@pytest.mark.parametrize("num_blocks", [1, 9])
+def test_session_counts_exact_across_layouts(num_blocks):
+    import ray.data as rd
+    from cuttana_ray.stages.windows import session_counts
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet") \
+        .repartition(num_blocks)
+    got = session_counts(ev, "user_id", "ts", ["event_id"],
+                         gap_s=3600).to_pandas()
+    pdf = rd.read_parquet("/root/testdata/sf0.001/events.parquet") \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"])
+    exp = pdf.groupby("user_id")["ts"].apply(
+        lambda s: 1 + (s.diff().dt.total_seconds() > 3600).sum())
+    assert dict(zip(got["k"].astype(int), got["n_sessions"])) \
+        == {int(k): int(v) for k, v in exp.items()}
+
+
+def test_tumbling_window_agg_matches_pandas():
+    import ray.data as rd
+    from cuttana_ray.stages.windows import tumbling_window_agg
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = tumbling_window_agg(ev, "user_id", "ts", "value", 3600) \
+        .to_pandas().sort_values(["user_id", "window_start"]) \
+        .reset_index(drop=True)
+    pdf = ev.to_pandas()
+    pdf["window_start"] = pdf["ts"].astype("int64") // 10 ** 6 // 3600 * 3600
+    exp = pdf.groupby(["user_id", "window_start"]) \
+        .agg(value_sum=("value", "sum"), n_events=("value", "size")) \
+        .reset_index().sort_values(["user_id", "window_start"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+    assert np.allclose(got["value_sum"], exp["value_sum"].round(2),
+                       atol=0.011)
