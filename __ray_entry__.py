@@ -512,7 +512,7 @@ def oracle_sql() -> dict[str, str]:
                        'event:' || event_type AS dst, COUNT(*) AS w
                 FROM events GROUP BY 1, 2),
             d AS (
-                SELECT node, SUM(w) AS wdegree FROM (
+                SELECT node, CAST(SUM(w) AS BIGINT) AS wdegree FROM (
                     SELECT src AS node, w FROM e
                     UNION ALL SELECT dst AS node, w FROM e)
                 GROUP BY 1)

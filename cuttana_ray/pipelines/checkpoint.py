@@ -56,6 +56,11 @@ def write_stage(ds: "ray.data.Dataset", dirpath: str, meta: dict | None = None,
         if not overwrite:
             return ray.data.read_parquet(dirpath, file_extensions=["parquet"])
         shutil.rmtree(dirpath)
+    elif os.path.isdir(dirpath):
+        # incomplete leftover from a crashed write: part files but no
+        # manifest. Ray's write_parquet uses unique filenames per run, so a
+        # rewrite on top would read back BOTH generations — clean first.
+        shutil.rmtree(dirpath)
     os.makedirs(dirpath, exist_ok=True)
     ds.write_parquet(dirpath)
     rows = ray.data.read_parquet(dirpath, file_extensions=["parquet"]).count()
@@ -67,6 +72,8 @@ def write_table(table: pa.Table, dirpath: str, meta: dict | None = None) -> None
     """Small driver-side table (vocab, metrics) → single-file stage."""
     if is_complete(dirpath):
         return
+    if os.path.isdir(dirpath):
+        shutil.rmtree(dirpath)  # incomplete leftover (crash mid-write)
     os.makedirs(dirpath, exist_ok=True)
     pq.write_table(table, os.path.join(dirpath, "part-00000.parquet"))
     _write_manifest(dirpath, {"rows": table.num_rows, **(meta or {})})

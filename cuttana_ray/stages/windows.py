@@ -7,9 +7,13 @@ window within keys).
   (``floor(epoch / width)``), pure groupby with per-batch pre-aggregation.
 * ``session_counts`` — gap-based sessionization: a new session starts when
   the gap to the previous event of the same key exceeds ``gap``. Exact
-  across block boundaries with the same marker fix-up technique as
-  ``consecutive_pairs`` (sort → per-block counts + 2 boundary rows → tiny
-  driver-side straddle pass).
+  across block boundaries: each block emits ONE "bound" row carrying both
+  its first and last (key, ts); blocks are re-ordered on the driver by
+  their (first, last) interval endpoints — a valid block order whenever one
+  is recoverable, and irrecoverable ties (identical point-intervals) are
+  join-count invariant because a tie means gap 0 ≤ gap_s. This replaces the
+  earlier interleaved first/last marker scan, which missed continuations
+  when the straddling rows shared a timestamp.
 """
 
 from __future__ import annotations
@@ -21,13 +25,27 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+def ts_to_us(arr: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray | pa.Array":
+    """Epoch microseconds as int64 from a timestamp column of ANY unit
+    (s/ms/us/ns); int64 input is passed through (assumed µs)."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[t.unit]
+        raw = pc.cast(arr, pa.int64())
+        if scale is None:  # ns → µs
+            return pc.divide(raw, 1_000)
+        if scale != 1:
+            return pc.multiply(raw, scale)
+        return raw
+    return pc.cast(arr, pa.int64())
+
+
 def tumbling_window_agg(ds: "ray.data.Dataset", key: str, ts: str,
                         value: str, width_s: int) -> "ray.data.Dataset":
     """Per (key, window) event counts and value sums; ``window_start`` is
     the epoch-second start of the window."""
     def bucket(batch: pa.Table) -> pa.Table:
-        epoch = pc.cast(pc.cast(batch[ts], pa.int64()), pa.float64())
-        # timestamps are µs since epoch
+        epoch = pc.cast(ts_to_us(batch[ts]), pa.float64())
         win = pc.multiply(
             pc.floor(pc.divide(epoch, float(width_s * 1_000_000))),
             float(width_s))
@@ -58,7 +76,8 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
     """Number of sessions per key (session break = gap > ``gap_s`` between
     consecutive events of the key, ordered by ``(ts, *order)``).
 
-    Output: ``(key, n_sessions)``. Exact for any block layout.
+    Output: ``(key, n_sessions)``. Exact for any block layout, including
+    blocks whose straddling rows share a timestamp (see module docstring).
     """
     order = order or []
     cols = [key, ts, *order]
@@ -68,11 +87,13 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
     def block_fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
         schema = pa.schema([("kind", pa.string()), ("k", pa.string()),
-                            ("breaks", pa.int64()), ("t_us", pa.int64())])
+                            ("breaks", pa.int64()), ("t_us", pa.int64()),
+                            ("k2", pa.string()), ("t2_us", pa.int64())])
         if n == 0:
             return schema.empty_table()
         k = pc.cast(batch[key], pa.string())
-        t_us = pc.cast(batch[ts], pa.int64()).combine_chunks() \
+        t_us = ts_to_us(batch[ts])
+        t_us = pc.cast(t_us, pa.int64()).combine_chunks() \
             .to_numpy(zero_copy_only=False)
         kn = k.combine_chunks().to_numpy(zero_copy_only=False)
         parts = []
@@ -86,6 +107,8 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
                     "k": pa.array(ks, pa.string()),
                     "breaks": pa.array(cnt.astype(np.int64)),
                     "t_us": pa.array(np.zeros(len(ks), np.int64)),
+                    "k2": pa.array([""] * len(ks), pa.string()),
+                    "t2_us": pa.array(np.zeros(len(ks), np.int64)),
                 }))
         # every distinct key present contributes one base session row
         ks = np.unique(kn)
@@ -94,14 +117,18 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
             "k": pa.array(ks, pa.string()),
             "breaks": pa.array(np.zeros(len(ks), np.int64)),
             "t_us": pa.array(np.zeros(len(ks), np.int64)),
+            "k2": pa.array([""] * len(ks), pa.string()),
+            "t2_us": pa.array(np.zeros(len(ks), np.int64)),
         }))
-        for kind, idx in (("first", 0), ("last", n - 1)):
-            parts.append(pa.table({
-                "kind": pa.array([kind]),
-                "k": pa.array([str(kn[idx])]),
-                "breaks": pa.array([0], pa.int64()),
-                "t_us": pa.array([int(t_us[idx])]),
-            }))
+        # ONE bound row per block: (first key, first ts, last key, last ts)
+        parts.append(pa.table({
+            "kind": pa.array(["bound"]),
+            "k": pa.array([str(kn[0])]),
+            "breaks": pa.array([0], pa.int64()),
+            "t_us": pa.array([int(t_us[0])]),
+            "k2": pa.array([str(kn[n - 1])]),
+            "t2_us": pa.array([int(t_us[n - 1])]),
+        }))
         return pa.concat_tables([p.cast(schema) for p in parts])
 
     mixed = sorted_ds.map_batches(block_fn, batch_format="pyarrow",
@@ -109,22 +136,22 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
     # sessions(k) = Σ_blocks-containing-k 1  (each block run starts a session)
     #             + Σ intra-block gap breaks
     #             − #block-boundary continuations (gap ≤ G merges the runs)
-    markers = mixed.filter(expr="kind == 'first' or kind == 'last'") \
-        .to_pandas()
+    bounds = mixed.filter(expr="kind == 'bound'").to_pandas()
     joins: dict[str, int] = {}
-    if len(markers):
-        markers = markers.sort_values(
-            ["k", "t_us", "kind"],
-            key=lambda s: s.map({"first": 0, "last": 1})
-            if s.name == "kind" else s)
-        kinds = markers["kind"].to_numpy()
-        keys = markers["k"].to_numpy()
-        tss = markers["t_us"].to_numpy()
-        for i in range(len(markers) - 1):
-            if kinds[i] == "last" and kinds[i + 1] == "first" \
-                    and keys[i] == keys[i + 1] \
-                    and tss[i + 1] - tss[i] <= gap_us:
-                joins[keys[i]] = joins.get(keys[i], 0) + 1
+    if len(bounds):
+        # recover block order: blocks partition a globally sorted stream, so
+        # sorting by (first key, first ts, last key, last ts) yields a valid
+        # block order; remaining ties are identical point-intervals whose
+        # boundary gap is 0 (always a join — order among them is irrelevant)
+        bounds = bounds.sort_values(["k", "t_us", "k2", "t2_us"],
+                                    kind="stable")
+        k1 = bounds["k"].to_numpy()
+        t1 = bounds["t_us"].to_numpy()
+        k2 = bounds["k2"].to_numpy()
+        t2 = bounds["t2_us"].to_numpy()
+        for i in range(len(bounds) - 1):
+            if k2[i] == k1[i + 1] and t1[i + 1] - t2[i] <= gap_us:
+                joins[k2[i]] = joins.get(k2[i], 0) + 1
 
     from ray.data.aggregate import Sum as _Sum
 

@@ -109,6 +109,14 @@ class StreamingPartitioner:
         interleaving (``cuttana.rs:30-46``)."""
         st = self.state
         buf = self.buffer
+        # the vectorized bulk-insert path hardcodes the CuttanaBufferScorer
+        # formula; a custom buffer_scorer (the documented extension surface)
+        # must take the exact per-row path instead
+        if type(buf.scorer) is not CuttanaBufferScorer:
+            for r in range(len(vertices)):
+                self.consume(int(vertices[r]),
+                             flat_nbrs[offsets[r]:offsets[r + 1]])
+            return
         thresh = self.config.buffer_degree_threshold
         degrees = np.diff(offsets)
         n = len(vertices)

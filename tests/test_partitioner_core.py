@@ -334,3 +334,41 @@ def test_pluggable_scorers_extension_surface():
     res = sp.finalize()
     # round-robin global placement → perfectly balanced sizes
     assert res.partition_sizes.tolist() == [2, 2, 2]
+
+
+def test_custom_buffer_scorer_honored_by_consume_batch():
+    """Regression: the vectorized bulk-insert path hardcodes the Cuttana
+    buffer formula; a custom buffer_scorer must route through per-row
+    consume() and produce identical results to the per-row feed."""
+    from cuttana_ray.sources.adjacency import adjacency_table, csr_batch
+    from cuttana_ray.state.partitioner import StreamingPartitioner
+
+    class InverseDegreeScorer:
+        """Prefers evicting LOW-degree vertices — opposite of the default."""
+
+        def score(self, nbrs, part_of):
+            return 1.0 / (1 + len(nbrs))
+
+        def update_score(self, old, nbrs):
+            return old
+
+    rng = np.random.default_rng(11)
+    rows = [(v, sorted(set(rng.integers(0, 40, rng.integers(1, 6)).tolist())
+                       - {v}))
+            for v in range(40)]
+    rows = [(v, n if n else [(v + 1) % 40]) for v, n in rows]
+    cfg = CuttanaConfig(num_sub_partitions=4, max_buffer_size=8)
+
+    sp_row = StreamingPartitioner(40, 3, cfg,
+                                  buffer_scorer=InverseDegreeScorer())
+    for v, nbrs in rows:
+        sp_row.consume(v, np.asarray(nbrs, dtype=np.int64))
+    res_row = sp_row.finalize()
+
+    sp_bat = StreamingPartitioner(40, 3, cfg,
+                                  buffer_scorer=InverseDegreeScorer())
+    t = adjacency_table(rows)
+    sp_bat.consume_batch(*csr_batch(t))
+    res_bat = sp_bat.finalize()
+
+    assert res_row.assignments() == res_bat.assignments()

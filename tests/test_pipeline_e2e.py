@@ -129,6 +129,20 @@ def test_stage_checkpoint_atomicity(tmp_path):
     assert not ckpt.is_complete(d2)
 
 
+def test_stage_checkpoint_crash_resume_no_duplicates(tmp_path):
+    """Regression: a crash mid-write (part files present, no manifest)
+    must not leave stale files that double the re-written stage."""
+    d = str(tmp_path / "stage")
+    ds = rd.range(100)
+    # simulate crash: data written, manifest never materialized
+    os.makedirs(d)
+    ds.write_parquet(d)
+    assert not ckpt.is_complete(d)
+    out = ckpt.write_stage(rd.range(100), d)
+    assert out.count() == 100
+    assert ckpt.read_manifest(d)["rows"] == 100
+
+
 def test_flagship_shuffle_mode(tiny_transcripts, tmp_path):
     """mode="shuffle" flagship path (checkpointed iterations) matches the
     CSR-mode results."""
