@@ -318,6 +318,19 @@ def _q_pagerank_events(sf_dir: str):
     return res.table("rank")
 
 
+def _q_pagerank_k5_events(sf_dir: str):
+    """Fixed-iteration PageRank (exactly 5 power steps, tol=0 disables the
+    early stop) — SQL-checkable via an unrolled CTE chain, giving the
+    flagship iterative algorithm a driver-side oracle; ranks rounded to 8
+    decimals on both sides (summation order differs at the last ulp)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g = _events_graph(sf_dir)
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5)
+    t = res.table("rank")
+    return pa.table({"vertex": t["vertex"], "rank": pc.round(t["rank"], 8)})
+
+
 def _q_components_events(sf_dir: str):
     from cuttana_ray.pipelines.components import connected_components
     g = _events_graph(sf_dir)
@@ -469,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "pagerank_k5_events": _q_pagerank_k5_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
         "components_events": _q_components_events,
@@ -489,8 +503,210 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# SQL oracles for the events link graph: the exact graph build of
+# ``build_graph_from_events`` (user→event bipartite + event→next-event
+# adjacency, symmetrized, self-loops dropped, vertex ids = sorted-name rank —
+# cuttana_ray/stages/vocab.py:55 assigns ids by sorted name, reproduced here
+# with ROW_NUMBER() OVER (ORDER BY name)).
+# ---------------------------------------------------------------------------
+
+_EVENTS_GRAPH_SQL = """
+    ue AS (
+        SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
+               'event:' || event_type AS dst, COUNT(*) AS w
+        FROM events GROUP BY 1, 2),
+    ee AS (
+        SELECT src, dst, COUNT(*) AS w FROM (
+            SELECT 'event:' || event_type AS src,
+                   'event:' || lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events)
+        WHERE dst IS NOT NULL GROUP BY 1, 2),
+    alle AS (SELECT * FROM ue UNION ALL SELECT * FROM ee),
+    nodes AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT)
+                   AS node_id, name
+        FROM (SELECT DISTINCT name FROM (
+            SELECT src AS name FROM alle
+            UNION ALL SELECT dst AS name FROM alle))),
+    syms AS (
+        SELECT src, dst, CAST(SUM(w) AS BIGINT) AS weight FROM (
+            SELECT src, dst, w FROM alle
+            UNION ALL SELECT dst AS src, src AS dst, w FROM alle)
+        WHERE src != dst GROUP BY 1, 2),
+    e AS MATERIALIZED (
+        SELECT ns.node_id AS src, nd.node_id AS dst, s.weight
+        FROM syms s JOIN nodes ns ON s.src = ns.name
+                    JOIN nodes nd ON s.dst = nd.name)
+"""
+
+
+def _pagerank_k5_sql(k: int = 5, damping: float = 0.85) -> str:
+    """Unrolled k-step weighted PageRank matching pagerank() exactly:
+    r' = (1-d)/V + d*(Σ_in r·w/outw + dangling_mass/V), r0 = 1/V."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    outw AS (SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS w
+             FROM e GROUP BY 1),
+    pr0 AS MATERIALIZED (SELECT node_id AS v, 1.0 / (SELECT v FROM vc) AS r FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS v, SUM(p.r * e.weight / ow.w) AS s
+             FROM e JOIN pr{i-1} p ON p.v = e.src
+                    JOIN outw ow ON ow.v = e.src
+             GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM pr{i-1} p
+             WHERE p.v NOT IN (SELECT v FROM outw)),
+    pr{i} AS MATERIALIZED (SELECT n.node_id AS v,
+                     (1.0 - {damping}) / (SELECT v FROM vc)
+                     + {damping} * (COALESCE(c.s, 0.0)
+                                    + (SELECT dm FROM d{i})
+                                      / (SELECT v FROM vc)) AS r
+              FROM nodes n LEFT JOIN c{i} c ON c.v = n.node_id)""")
+    parts.append(f"""
+    SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
+    return "WITH " + "".join(parts)
+
+
+def _labelprop_sql(k: int = 10) -> str:
+    """Unrolled k-round synchronous weighted LPA matching
+    label_propagation() exactly: adopt the incoming label with max total
+    edge weight, ties to the smallest label; int weights, so no float
+    tolerance is needed. Early convergence is a fixed point, so k rounds
+    equal the engine's early-stopped run."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    lp0 AS MATERIALIZED (SELECT node_id AS v, node_id AS lbl FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    agg{i} AS (SELECT e.dst AS v, p.lbl AS label,
+                      CAST(SUM(e.weight) AS BIGINT) AS ws
+               FROM e JOIN lp{i-1} p ON p.v = e.src GROUP BY 1, 2),
+    best{i} AS (SELECT v, label FROM (
+        SELECT v, label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY ws DESC, label ASC) AS rn
+        FROM agg{i}) WHERE rn = 1),
+    lp{i} AS MATERIALIZED (SELECT p.v, COALESCE(b.label, p.lbl) AS lbl
+              FROM lp{i-1} p LEFT JOIN best{i} b ON b.v = p.v)""")
+    parts.append(f"""
+    SELECT v AS vertex, CAST(lbl AS BIGINT) AS label FROM lp{k}""")
+    return "WITH " + "".join(parts)
+
+
+_TRIANGLES_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    o AS (SELECT e.src AS u, e.dst AS v FROM e
+          JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+          WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM o e1 JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pv AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+           UNION ALL SELECT c AS v FROM tri),
+    cnt AS (SELECT v, COUNT(*) AS c FROM pv GROUP BY 1)
+    SELECT n.node_id AS vertex, CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
+    FROM nodes n LEFT JOIN cnt c ON c.v = n.node_id
+"""
+
+_COMPONENTS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    reach(v, lbl) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.v
+    )
+    SELECT v AS vertex, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY 1
+"""
+
+
+_SW = {
+    "en": "'the','and','of','to','a','in','is','it','you','that'",
+    "de": "'der','die','und','das','ist','nicht','ein','ich','zu','mit'",
+    "fr": "'le','la','et','les','des','est','un','une','du','que'",
+    "es": "'el','la','de','que','y','en','un','los','es','una'",
+    "it": "'il','di','che','la','e','un','per','una','sono','non'",
+    "pt": "'o','a','de','que','e','do','da','em','um','para'",
+}
+
+# doc_quality: exact SQL mirror of functions/textstats.py::_QualityScorer —
+# same regexes, same max(1,·) guards, same clip/score arithmetic (identical
+# IEEE op sequence, so values are bit-identical on ASCII text).
+_DOC_QUALITY_SQL = f"""
+    WITH w AS (
+        SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    s AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               regexp_extract_all(lower(text), '[a-zA-Z]+') AS words,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+        FROM w),
+    r AS (
+        SELECT doc_id, n_chars, n_punct,
+               len(words) AS n_words,
+               len(list_filter(words, x -> x IN ({_SW["en"]}))) AS n_stop,
+               CASE WHEN len(words) > 0 THEN CAST(list_aggregate(
+                        list_transform(words, x -> length(x)), 'avg')
+                        AS DOUBLE)
+                    ELSE 0.0 END AS mean_word_len
+        FROM s)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) AS stopword_ratio,
+           mean_word_len,
+           0.4 * LEAST(GREATEST(n_chars / 200.0, 0), 1)
+           + 0.3 * LEAST(GREATEST(
+                 CAST(n_stop AS DOUBLE) / GREATEST(n_words, 1) * 5, 0), 1)
+           + 0.3 * (1 - LEAST(GREATEST(
+                 CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) * 4, 0), 1))
+               AS quality
+    FROM r
+"""
+
+# lang_id: the CASE cascade picks the FIRST language (en,de,fr,es,it,pt —
+# Python dict order in textstats._STOPWORDS) achieving the max score, which
+# is exactly the strictly-greater argmax loop in _LangId.__call__.
+_LANG_ID_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[a-zà-ÿ]+') AS toks
+        FROM documents),
+    c AS (
+        SELECT doc_id, GREATEST(len(toks), 1) AS n,
+               {", ".join(
+                   f"len(list_filter(toks, x -> x IN ({sw}))) AS c_{lang}"
+                   for lang, sw in _SW.items())}
+        FROM t),
+    r AS (
+        SELECT doc_id,
+               {", ".join(f"CAST(c_{lang} AS DOUBLE) / n AS s_{lang}"
+                          for lang in _SW)}
+        FROM c)
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                     AND s_en >= s_it AND s_en >= s_pt AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_it
+                     AND s_de >= s_pt AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr >= s_it AND s_fr >= s_pt
+                     AND s_fr > 0 THEN 'fr'
+                WHEN s_es >= s_it AND s_es >= s_pt AND s_es > 0 THEN 'es'
+                WHEN s_it >= s_pt AND s_it > 0 THEN 'it'
+                WHEN s_pt > 0 THEN 'pt'
+                ELSE 'und' END AS lang_pred,
+           GREATEST(s_en, s_de, s_fr, s_es, s_it, s_pt) AS lang_score
+    FROM r
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank_k5_events": _pagerank_k5_sql(),
+        "doc_quality": _DOC_QUALITY_SQL,
+        "lang_id_docs": _LANG_ID_SQL,
+        "labelprop_events": _labelprop_sql(),
+        "triangles_events": _TRIANGLES_SQL,
+        "components_events": _COMPONENTS_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,
