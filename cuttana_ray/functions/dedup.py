@@ -5,15 +5,29 @@ kernels; candidate generation always goes through a bucketing groupby so no
 stage ever compares all pairs:
 
 * ``exact_dedup`` — content-hash partition + per-group first (min id).
-* ``minhash_lsh_pairs`` — k-shingles → universal-hash MinHash signatures →
-  banded LSH bucketing → within-bucket candidate pairs → signature-estimated
-  Jaccard filter.
+* ``minhash_lsh_pairs`` — k-shingles → universal-hash MinHash signatures
+  (vectorized across the whole batch: one (a·x+b) mod p pass per
+  permutation over the concatenated shingle array, min per doc via
+  ``minimum.reduceat``) → two-round active-bucket LSH: slim (doc_id, band,
+  band_hash) rows find the ≥2-doc buckets, then signatures ship ONLY into
+  those buckets (never 16× per doc), where the estimate is computed
+  vectorized and filtered before anything re-enters a shuffle — a hot
+  bucket's n² candidates never leave it.
 * ``ngram_jaccard_pairs`` — the exact-verify tier on top of MinHash LSH:
-  recomputes true shingle-set Jaccard for candidate pairs.
-* ``simhash_pairs`` — 64-bit SimHash per doc, banded into 4×16-bit keys →
-  candidates → Hamming-distance filter.
+  candidate docs' shingle blobs (the dup-bearing subset, small by
+  construction) are broadcast once, and candidate pairs are verified
+  DISTRIBUTED with a fully vectorized per-batch set intersection
+  (compressed-hash keys + one sort) — no driver-side verification, no
+  per-pair Python loop, no per-pair blob shipping.
+* ``simhash_pairs`` — 64-bit SimHash per doc, melted to ONE (doc_id, band,
+  key) table → a single groupby shuffle over (band, key) → within-bucket
+  vectorized Hamming filter (popcount via byte-table lookup).
 * ``embedding_cosine_pairs`` — near-dup by embedding cosine ≥ threshold,
-  blockwise matmul against a broadcast normalized matrix.
+  exact block-pair matmul: normalized blocks stay in the object store and
+  every unordered block pair is compared in its own Ray task — no driver
+  materialization and no whole-matrix broadcast. O(N²) compute is inherent
+  to the exact low-threshold semantics; the IVF/LSH variants in
+  ``simsearch`` are the approximate scale path.
 
 Deterministic: hash seeds fixed; outputs sorted-normalized (a < b).
 """
@@ -73,7 +87,8 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Rolling 64-bit hashes of the k-byte shingles of ``text`` (NumPy
-    sliding window over the byte array)."""
+    sliding window over the byte array); always ≥ 1 hash (short text is
+    zero-padded to k)."""
     b = np.frombuffer(text.encode(), dtype=np.uint8)
     if len(b) < k:
         b = np.pad(b, (0, k - len(b)))
@@ -83,45 +98,210 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique((win * weights).sum(axis=1, dtype=np.uint64))
 
 
-class _MinHasher:
-    """Stateful per-actor: permutation coefficients generated once."""
+class _MinHashSig:
+    """Stateful per-actor signature stage: permutation coefficients
+    generated once; signatures computed VECTORIZED across the batch (one
+    universal-hash pass per permutation over all docs' concatenated
+    shingles, per-doc min via ``minimum.reduceat``). Output is one row per
+    doc: (doc_id, sig: binary blob of num_perm uint64)."""
 
-    def __init__(self, num_perm: int, shingle_k: int, bands: int,
-                 text_col: str, id_col: str):
+    def __init__(self, num_perm: int, shingle_k: int, text_col: str,
+                 id_col: str):
         rng = np.random.default_rng(42)
         self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
         self.text_col = text_col
         self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
-        # (a*x + b) mod p, min per permutation
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+    def signatures(self, texts: list) -> np.ndarray:
+        shs = [_shingle_hashes(t or "", self.k) for t in texts]
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for p in range(self.num_perm):
+            vals = (flat * self.a[p] + self.b[p]) % _MERSENNE
+            sig[:, p] = np.minimum.reduceat(vals, offsets)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
-        for doc_id, text in zip(batch[self.id_col].to_pylist(),
-                                batch[self.text_col].to_pylist()):
-            sig = self.signature(text or "")
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                ids.append(doc_id)
-                band_ids.append(b)
-                band_hashes.append(int(chunk.sum() % _MERSENNE))
-                sigs.append(sig.astype(np.int64))
+        texts = batch[self.text_col].to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        sig = self.signatures(texts)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "band": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
-            "sig": pa.array([s.tolist() for s in sigs],
-                            pa.list_(pa.int64())),
+            "doc_id": pa.array(batch[self.id_col].to_pylist(), pa.int64()),
+            "sig": pa.array([row.tobytes() for row in sig], pa.binary()),
         })
+
+
+def _sig_matrix(col: "pa.ChunkedArray | pa.Array", num_perm: int) -> np.ndarray:
+    """Packed binary signature column → (n, num_perm) uint64 matrix."""
+    blobs = col.to_pylist()
+    if not blobs:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint64) \
+        .reshape(len(blobs), num_perm)
+
+
+def _band_rows_fn(bands: int, rows_per_band: int, num_perm: int):
+    """(doc_id, sig) rows → slim (doc_id, band, band_hash) rows: the only
+    thing the LSH bucketing shuffle ships (16× lighter than shipping the
+    signature per band)."""
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int32()),
+                          "band_hash": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        sig = _sig_matrix(batch["sig"], num_perm)
+        # per-band hash: sum of the band's rows mod p (uint64 wraparound
+        # semantics identical to the per-doc loop this replaces)
+        bh = sig.reshape(n, bands, rows_per_band).sum(axis=2) % _MERSENNE
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+        })
+    return melt
+
+
+def _melt_active_fn(bands: int, rows_per_band: int, num_perm: int,
+                    active_ref):
+    """Second melt pass: emit (doc_id, band, band_hash, sig) rows ONLY for
+    bands landing in an active (≥2 docs) bucket — the signature blob ships
+    exclusively where duplicates can exist, not 16× per doc."""
+    def melt(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int32()),
+                          "band_hash": pa.array([], pa.int64()),
+                          "sig": pa.array([], pa.binary())})
+        n = len(batch)
+        if n == 0:
+            return empty
+        active = ray.get(active_ref)  # dict band -> sorted hash array
+        sig = _sig_matrix(batch["sig"], num_perm)
+        bh = (sig.reshape(n, bands, rows_per_band).sum(axis=2)
+              % _MERSENNE).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        blobs = batch["sig"].to_pylist()
+        out_id, out_band, out_hash, out_sig = [], [], [], []
+        for b in range(bands):
+            hs = active.get(b)
+            if hs is None or not len(hs):
+                continue
+            pos = np.searchsorted(hs, bh[:, b])
+            pos[pos == len(hs)] = len(hs) - 1
+            hit = hs[pos] == bh[:, b]
+            if not hit.any():
+                continue
+            idx = np.nonzero(hit)[0]
+            out_id.append(ids[idx])
+            out_band.append(np.full(len(idx), b, dtype=np.int32))
+            out_hash.append(bh[idx, b])
+            out_sig.extend(blobs[i] for i in idx)
+        if not out_id:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.int64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
+    return melt
+
+
+def _bucket_est_fn(num_perm: int, threshold: float):
+    """Within one active bucket: vectorized pairwise signature agreement,
+    est-filtered BEFORE anything leaves the bucket (a hot bucket's n²
+    candidates never hit a shuffle). Chunked over rows for memory."""
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "est_jaccard": pa.array([], pa.float64())})
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        keep_first = np.concatenate([[True], ids[1:] != ids[:-1]])
+        sig = _sig_matrix(group["sig"], num_perm)[order][keep_first]
+        ids = ids[keep_first]
+        n = len(ids)
+        if n < 2:
+            return out_empty
+        outs = []
+        for lo in range(0, n - 1, 256):
+            hi = min(lo + 256, n - 1)
+            rows = np.arange(lo, hi)
+            # est against all columns j > i (upper triangle, chunked)
+            eq = (sig[rows, None, :] == sig[None, lo + 1:, :]).mean(axis=2)
+            ii, jj = np.nonzero(eq >= threshold)
+            jj_abs = jj + lo + 1
+            valid = jj_abs > rows[ii]
+            if valid.any():
+                outs.append((ids[rows[ii][valid]], ids[jj_abs[valid]],
+                             eq[ii[valid], jj[valid]]))
+        if not outs:
+            return out_empty
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([o[0] for o in outs]),
+                              pa.int64()),
+            "doc_b": pa.array(np.concatenate([o[1] for o in outs]),
+                              pa.int64()),
+            "est_jaccard": pa.array(
+                np.concatenate([o[2] for o in outs]).astype(np.float64)),
+        })
+    return bucket_pairs
+
+
+def _lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                    num_perm: int, bands: int, shingle_k: int,
+                    threshold: float) -> "ray.data.Dataset | None":
+    """Est-filtered candidate pairs, possibly repeated across bands (the
+    callers dedup at whatever point is cheapest for them); None if no
+    active bucket exists.
+
+    Two-round active-bucket LSH: (1) slim (doc_id, band, band_hash) rows →
+    bucket-size groupby → the active (≥2 doc) bucket keys are broadcast
+    (12 bytes per active bucket — the dup-bearing subset, small by
+    construction); (2) signatures ship only into active buckets, where the
+    estimate is computed vectorized and filtered before any further
+    exchange. Hot buckets therefore never spill their n² candidates into a
+    shuffle, and signatures are never duplicated per band."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        _MinHashSig, batch_format="pyarrow", concurrency=pool_size(),
+        fn_constructor_args=(num_perm, shingle_k, text_col, id_col)) \
+        .materialize()  # consumed by both melt passes
+
+    band_rows = sigs.map_batches(
+        _band_rows_fn(bands, rows_per_band, num_perm),
+        batch_format="pyarrow")
+    sizes = band_rows.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="n"))
+    active: dict[int, np.ndarray] = {}
+    for b in sizes.filter(expr="n >= 2").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        bb = b["band"].to_numpy(zero_copy_only=False)
+        hh = b["band_hash"].to_numpy(zero_copy_only=False)
+        for band in np.unique(bb):
+            hs = hh[bb == band]
+            prev = active.get(int(band))
+            active[int(band)] = np.sort(np.concatenate([prev, hs])
+                                        if prev is not None else hs)
+    if not active:
+        return None
+    active_ref = ray.put(active)
+
+    active_rows = sigs.map_batches(
+        _melt_active_fn(bands, rows_per_band, num_perm, active_ref),
+        batch_format="pyarrow")
+    return active_rows.groupby(["band", "band_hash"]).map_groups(
+        _bucket_est_fn(num_perm, threshold), batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
@@ -129,35 +309,17 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                       bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.5) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with signature-estimated Jaccard ≥
-    threshold. Output: ``(doc_a, doc_b, est_jaccard)``, doc_a < doc_b."""
-    sigs = ds.map_batches(
-        _MinHasher, batch_format="pyarrow", concurrency=pool_size(),
-        fn_constructor_args=(num_perm, shingle_k, bands, text_col, id_col))
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = len(group)
-        a_out, b_out, est = [], [], []
-        if n > 1:
-            ids = group["doc_id"].to_numpy(zero_copy_only=False)
-            sig = np.stack([np.asarray(s) for s in group["sig"].to_pylist()])
-            order = np.argsort(ids)
-            ids, sig = ids[order], sig[order]
-            for i in range(n):
-                for j in range(i + 1, n):
-                    if ids[i] == ids[j]:
-                        continue
-                    e = float((sig[i] == sig[j]).mean())
-                    if e >= threshold:
-                        a_out.append(int(ids[i]))
-                        b_out.append(int(ids[j]))
-                        est.append(e)
-        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                         "doc_b": pa.array(b_out, pa.int64()),
-                         "est_jaccard": pa.array(est, pa.float64())})
-
-    pairs = sigs.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-    # a pair can surface from several bands → keep one row (max estimate)
+    threshold. Output: ``(doc_a, doc_b, est_jaccard)``, doc_a < doc_b.
+    See ``_lsh_candidates`` for the two-round active-bucket design."""
+    pairs = _lsh_candidates(ds, text_col, id_col, num_perm, bands,
+                            shingle_k, threshold)
+    if pairs is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64())}))
+    # a pair can surface from several bands → keep one row (max estimate);
+    # est-filtering already happened in-bucket so this groupby is small
     from ray.data.aggregate import Max
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Max("est_jaccard", alias_name="est_jaccard"))
@@ -169,18 +331,33 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         threshold: float = 0.5) -> "ray.data.Dataset":
     """Exact shingle-set Jaccard for MinHash-LSH candidate pairs.
 
-    The candidate texts are joined back by broadcasting the (small) candidate
-    id set and re-shingling only those docs. Output:
+    The candidate id set (small side) is broadcast so only candidate docs
+    are re-shingled; the verify is a distributed join of shingle blobs onto
+    the pairs, intersected vectorized per batch. Output:
     ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
     """
-    cand = minhash_lsh_pairs(ds, text_col, id_col, num_perm, bands,
-                             shingle_k, threshold * 0.5).to_pandas()
-    if not len(cand):
-        return ray.data.from_arrow(pa.table({
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64())}))
-    need = set(cand["doc_a"]) | set(cand["doc_b"])
+    empty = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+    cand = _lsh_candidates(ds, text_col, id_col, num_perm, bands,
+                           shingle_k, threshold * 0.5)
+    if cand is None:
+        return empty
+    # raw candidates (repeated across bands) — exact-verify doesn't need
+    # the est, and deduping ~600k near-unique keys costs more than the few
+    # percent of repeated verifications it would save
+    cand = cand.select_columns(["doc_a", "doc_b"]).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return empty
+
+    # candidate id set: bounded by the (already LSH-pruned) pair count —
+    # the legitimate broadcast-small-side case
+    need: set[int] = set()
+    for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
+        need.update(b["doc_a"].to_pylist())
+        need.update(b["doc_b"].to_pylist())
     need_ref = ray.put(need)
 
     def shingles_of(batch: pa.Table) -> pa.Table:
@@ -190,34 +367,76 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                                 batch[text_col].to_pylist()):
             if doc_id in wanted:
                 ids.append(doc_id)
-                shs.append(_shingle_hashes(text or "", shingle_k)
-                           .astype(np.int64).tolist())
+                shs.append(_shingle_hashes(text or "", shingle_k).tobytes())
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(shs, pa.list_(pa.int64()))})
+                         "sh": pa.array(shs, pa.binary())})
 
-    sh_map = {}
+    # shingle blobs for candidate docs only, broadcast ONCE as one object
+    # (size = candidate docs × shingles — the dup-bearing subset; a pair-
+    # wise join would ship each blob once per pair instead). At a scale
+    # where even the candidate-doc table outgrows one object, partition the
+    # pairs by id range and broadcast per-range slices.
+    sh_map: dict[int, np.ndarray] = {}
     for b in ds.map_batches(shingles_of, batch_format="pyarrow") \
-            .iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        for doc_id, sh in zip(b["doc_id"].to_pylist(), b["sh"].to_pylist()):
-            sh_map[doc_id] = np.asarray(sh, dtype=np.int64)
-    rows = {"doc_a": [], "doc_b": [], "jaccard": []}
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh_map.get(int(a)), sh_map.get(int(b))
-        if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        j = inter / (len(sa) + len(sb) - inter)
-        if j >= threshold:
-            rows["doc_a"].append(int(a))
-            rows["doc_b"].append(int(b))
-            rows["jaccard"].append(j)
-    return ray.data.from_arrow(pa.table({
-        "doc_a": pa.array(rows["doc_a"], pa.int64()),
-        "doc_b": pa.array(rows["doc_b"], pa.int64()),
-        "jaccard": pa.array(rows["jaccard"], pa.float64())}))
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for doc_id, blob in zip(b["doc_id"].to_pylist(),
+                                b["sh"].to_pylist()):
+            sh_map[doc_id] = np.frombuffer(blob, dtype=np.uint64)
+    sh_ref = ray.put(sh_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "jaccard": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return out_empty
+        sh = ray.get(sh_ref)
+        da = batch["doc_a"].to_numpy(zero_copy_only=False)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False)
+        sets_a = [sh[i] for i in da.tolist()]
+        sets_b = [sh[i] for i in db.tolist()]
+        len_a = np.array([len(x) for x in sets_a], dtype=np.int64)
+        len_b = np.array([len(x) for x in sets_b], dtype=np.int64)
+        ha = np.concatenate(sets_a) if sets_a else np.empty(0, np.uint64)
+        hb = np.concatenate(sets_b) if sets_b else np.empty(0, np.uint64)
+        # vectorized per-pair set intersection: compress hashes to local
+        # ids, tag with the pair index, count duplicated (pair, id) keys
+        all_h = np.concatenate([ha, hb])
+        uniq, inv = np.unique(all_h, return_inverse=True)
+        U = len(uniq)
+        pair_a = np.repeat(np.arange(len(batch), dtype=np.int64), len_a)
+        pair_b = np.repeat(np.arange(len(batch), dtype=np.int64), len_b)
+        keys = np.concatenate([pair_a, pair_b]) * U + inv
+        keys.sort(kind="stable")
+        dup = keys[1:] == keys[:-1]
+        inter = np.bincount(keys[1:][dup] // U, minlength=len(batch))
+        union = len_a + len_b - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(da[keep], pa.int64()),
+            "doc_b": pa.array(db[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep].astype(np.float64)),
+        })
+
+    out = cand.map_batches(verify, batch_format="pyarrow", batch_size=2048)
+    # drop cross-band candidate repeats (jaccard identical per repeat);
+    # only verified pairs reach this groupby, so it is small
+    from ray.data.aggregate import Max
+    return out.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard"))
 
 
 # -- SimHash ----------------------------------------------------------------
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (byte-table lookup)."""
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
+
 
 class _SimHasher:
     def __init__(self, text_col: str, id_col: str):
@@ -237,85 +456,129 @@ class _SimHasher:
                           << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        """Melted output: 4 rows per doc — ONE (band, key) shuffle replaces
+        four per-band groupbys."""
+        if len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64())})
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         sh = np.array([self.simhash(t)
                        for t in batch[self.text_col].to_pylist()],
                       dtype=np.uint64)
-        out = {"doc_id": pa.array(ids, pa.int64()),
-               "simhash": pa.array(sh.astype(np.int64))}
-        for b in range(4):  # 4 bands × 16 bits for Hamming ≤ 3 candidates
-            out[f"band{b}"] = pa.array(
-                ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
-        return pa.table(out)
+        n = len(ids)
+        keys = np.stack([((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF))
+                         for b in range(4)], axis=1)  # (n, 4)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+            "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1).astype(np.int64)),
+            "simhash": pa.array(np.repeat(sh, 4).astype(np.int64)),
+        })
 
 
 def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                   id_col: str = "doc_id",
                   max_hamming: int = 3) -> "ray.data.Dataset":
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``
-    (guaranteed found when ≤ 3: pigeonhole over 4 bands)."""
-    sigs = ds.map_batches(_SimHasher, batch_format="pyarrow", concurrency=pool_size(),
-                          fn_constructor_args=(text_col, id_col)).materialize()
+    (guaranteed found when ≤ 3: pigeonhole over 4 bands). One melted
+    (band, key) shuffle; within-bucket pairs + popcount fully vectorized."""
+    melted = ds.map_batches(_SimHasher, batch_format="pyarrow",
+                            concurrency=pool_size(),
+                            fn_constructor_args=(text_col, id_col))
 
     def band_pairs(group: pa.Table) -> pa.Table:
+        out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                              "doc_b": pa.array([], pa.int64()),
+                              "hamming": pa.array([], pa.int64())})
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = int(bin(int(sh[i]) ^ int(sh[j])).count("1"))
-                if d <= max_hamming:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    d_out.append(d)
-        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                         "doc_b": pa.array(b_out, pa.int64()),
-                         "hamming": pa.array(d_out, pa.int64())})
+        ids, first = np.unique(ids, return_index=True)
+        sh = sh[first]
+        n = len(ids)
+        if n < 2:
+            return out_empty
+        ii, jj = np.triu_indices(n, k=1)
+        d = _popcount64(sh[ii] ^ sh[jj])
+        keep = d <= max_hamming
+        return pa.table({"doc_a": pa.array(ids[ii][keep], pa.int64()),
+                         "doc_b": pa.array(ids[jj][keep], pa.int64()),
+                         "hamming": pa.array(d[keep], pa.int64())})
 
-    parts = []
-    for b in range(4):
-        parts.append(sigs.groupby(f"band{b}").map_groups(
-            band_pairs, batch_format="pyarrow"))
-    allp = parts[0].union(*parts[1:])
+    allp = melted.groupby(["band", "key"]).map_groups(
+        band_pairs, batch_format="pyarrow")
     return allp.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
 
 # -- embedding cosine -------------------------------------------------------
 
+@ray.remote
+def _block_pair_cosine(ta: pa.Table, tb: pa.Table, threshold: float,
+                       dim: int) -> pa.Table:
+    """Cosine pairs between two normalized blocks (object-store resident;
+    the driver only ever sees the resulting pair rows)."""
+    ia = ta["vec_id"].to_numpy(zero_copy_only=False)
+    ib = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = np.frombuffer(b"".join(ta["vec"].to_pylist()),
+                       dtype=np.float32).reshape(len(ia), dim)
+    mb = np.frombuffer(b"".join(tb["vec"].to_pylist()),
+                       dtype=np.float32).reshape(len(ib), dim)
+    sims = ma @ mb.T
+    ii, jj = np.nonzero(sims >= threshold)
+    keep = ia[ii] < ib[jj]  # normalize orientation + drop self
+    return pa.table({
+        "id_a": pa.array(ia[ii][keep], pa.int64()),
+        "id_b": pa.array(ib[jj][keep], pa.int64()),
+        "cosine": pa.array(sims[ii, jj][keep].astype(np.float64)),
+    })
+
+
 def embedding_cosine_pairs(ds: "ray.data.Dataset", vec_col: str = "embedding",
                            id_col: str = "vec_id",
                            threshold: float = 0.95) -> "ray.data.Dataset":
-    """Near-dup pairs by cosine ≥ threshold: each batch matmuls against the
-    broadcast normalized matrix (brute force; the IVF variant in
-    ``simsearch`` is the scale path). Output: ``(id_a, id_b, cosine)``."""
-    mats, ids = [], []
-    for b in ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-        ids.append(b[id_col].to_numpy(zero_copy_only=False))
-        mats.append(np.stack(
-            [np.asarray(v, dtype=np.float32) for v in b[vec_col].to_pylist()]))
-    all_ids = np.concatenate(ids)
-    mat = np.concatenate(mats)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((all_ids, mat))
+    """Near-dup pairs by cosine ≥ threshold, exact: normalized blocks stay
+    in the object store; every unordered block pair is matmul'ed in its own
+    Ray task. Output: ``(id_a, id_b, cosine)``, id_a < id_b."""
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ref_ids, ref_mat = ray.get(mat_ref)
-        bids = batch[id_col].to_numpy(zero_copy_only=False)
-        bm = np.stack([np.asarray(v, dtype=np.float32)
-                       for v in batch[vec_col].to_pylist()])
-        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
-        sims = bm @ ref_mat.T
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = bids[ii] < ref_ids[jj]  # normalize + drop self
+    def normalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "vec": pa.array([], pa.binary()),
+                             "dim": pa.array([], pa.int32())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        m = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in batch[vec_col].to_pylist()])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pa.table({
-            "id_a": pa.array(bids[ii][keep], pa.int64()),
-            "id_b": pa.array(ref_ids[jj][keep], pa.int64()),
-            "cosine": pa.array(sims[ii, jj][keep].astype(np.float64)),
+            "vec_id": pa.array(ids, pa.int64()),
+            "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+            "dim": pa.array([m.shape[1]] * len(ids), pa.int32()),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+    norm = ds.map_batches(normalize, batch_format="pyarrow").materialize()
+    refs = [r for r in norm.to_arrow_refs()]
+    tabs_meta = ray.get([_table_len.remote(r) for r in refs])
+    live = [(r, ln, dim) for r, (ln, dim) in zip(refs, tabs_meta) if ln]
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if not live:
+        return ray.data.from_arrow(empty)
+    dim = live[0][2]
+    futures = []
+    for i in range(len(live)):
+        for j in range(i, len(live)):
+            futures.append(_block_pair_cosine.remote(
+                live[i][0], live[j][0], threshold, dim))
+    tables = [t for t in ray.get(futures) if len(t)]
+    if not tables:
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow(pa.concat_tables(tables))
+
+
+@ray.remote
+def _table_len(t: pa.Table) -> tuple[int, int]:
+    dim = int(t["dim"][0].as_py()) if len(t) else 0
+    return len(t), dim

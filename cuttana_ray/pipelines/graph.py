@@ -41,24 +41,38 @@ class Graph:
     num_vertices: int
     workdir: str | None = None
 
+    def _per_src_sum(self, weighted: bool) -> np.ndarray:
+        """Per-vertex sum over outgoing edges, computed distributed: each
+        block emits per-batch (src, partial) rows (≤ distinct-src rows, not
+        raw edges), the driver combines the small partials. The dense O(V)
+        driver array is the documented small-V regime (see
+        stages/vocab.py scale notes); the raw edge table never streams to
+        the driver."""
+        def partial(batch: pa.Table) -> pa.Table:
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(src, return_inverse=True)
+            if weighted:
+                w = batch["weight"].to_numpy(zero_copy_only=False)
+                sums = np.bincount(inv, weights=w.astype(np.float64))
+            else:
+                sums = np.bincount(inv).astype(np.float64)
+            return pa.table({"v": pa.array(uniq, pa.int64()),
+                             "s": pa.array(sums, pa.float64())})
+
+        out = np.zeros(self.num_vertices, dtype=np.float64)
+        parts = self.edges.map_batches(partial, batch_format="pyarrow")
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            np.add.at(out, b["v"].to_numpy(zero_copy_only=False),
+                      b["s"].to_numpy(zero_copy_only=False))
+        return out
+
     def out_weights(self) -> np.ndarray:
         """Total outgoing edge weight per vertex (dense float64)."""
-        out = np.zeros(self.num_vertices, dtype=np.float64)
-        for b in self.edges.iter_batches(batch_size=1 << 20,
-                                         batch_format="pyarrow"):
-            src = b["src"].to_numpy(zero_copy_only=False)
-            w = b["weight"].to_numpy(zero_copy_only=False)
-            np.add.at(out, src, w.astype(np.float64))
-        return out
+        return self._per_src_sum(weighted=True)
 
     def degrees(self) -> np.ndarray:
         """Unique-neighbor out-degree per vertex (= in-degree; symmetric)."""
-        deg = np.zeros(self.num_vertices, dtype=np.int64)
-        for b in self.edges.iter_batches(batch_size=1 << 20,
-                                         batch_format="pyarrow"):
-            src = b["src"].to_numpy(zero_copy_only=False)
-            np.add.at(deg, src, 1)
-        return deg
+        return self._per_src_sum(weighted=False).astype(np.int64)
 
 
 def _build(edges_str: "ray.data.Dataset", workdir: str | None,

@@ -1,21 +1,26 @@
 """Triangle counting (north-star algorithm #4; exact).
 
-Edge-iterator algorithm with degree orientation: orient every undirected
-edge from the endpoint with smaller ``(degree, id)`` to the larger; each
-triangle then has exactly one "pivot" edge (u→v) whose oriented
-out-neighborhoods intersect in its third vertex, so
+Degree orientation: orient every undirected edge from the endpoint with
+smaller ``(degree, id)`` to the larger; each triangle then has exactly one
+orientation ``u→v, u→w, v→w``, so counting closing edges over wedges counts
+each triangle once, and the orientation bounds every out-neighborhood by
+O(sqrt(E)) on skewed graphs (the hub-taming trick).
 
-    triangles = Σ_{oriented edges (u,v)} |N+(u) ∩ N+(v)|
+Two execution paths behind one ``triangle_count`` (mode="auto" gates on the
+oriented edge count, ``BROADCAST_MAX_EDGES``):
 
-counts each triangle exactly once, and the orientation bounds every
-out-neighborhood by O(sqrt(E)) on skewed graphs (the hub-taming trick).
+* **broadcast** (small/medium graphs): the oriented CSR (≈|E_und| int64
+  entries) is built once and shipped via ``ray.put``; a ``map_batches``
+  stage intersects per-edge neighbor slices FULLY VECTORIZED — neighbor
+  runs are tagged with their edge index and intersected with one
+  ``searchsorted`` membership pass per batch (no per-edge Python loop).
+* **join** (beyond the broadcast gate): wedges and closing edges are
+  distributed hash joins (``Dataset.join``) — no driver materialization of
+  the edge table, no whole-graph broadcast; wedge volume is bounded by
+  E^1.5 via the orientation. This is the 100-TB shape.
 
-Distribution: the oriented CSR (≈|E_und| int64 entries) is broadcast once
-via ``ray.put``; a ``map_batches`` stage over the oriented edge list
-intersects sorted neighbor slices per edge (vectorized searchsorted) and
-emits per-batch partial per-vertex triangle counts. At 100-TB scale the
-broadcast CSR is replaced by a bucketed self-join on (u, v) key ranges —
-documented, not needed at sandbox scale.
+Both paths share the distributed orientation stage (per-batch filter with a
+broadcast O(V) degree vector computed from per-batch partials).
 """
 
 from __future__ import annotations
@@ -26,9 +31,13 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.util import pool_size
+
+# 32M oriented edges ≈ 512 MB of (indptr, indices) — comfortable as one
+# broadcast object; beyond this the join path avoids any driver/global copy
+BROADCAST_MAX_EDGES = 32_000_000
 
 
 @dataclass
@@ -37,77 +46,161 @@ class TriangleResult:
     total: int
 
 
-def oriented_csr(graph: Graph) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(indptr, indices, degrees): oriented adjacency, neighbor lists sorted.
-
-    Built from the symmetrized edge table by keeping only edges where
-    ``(deg[src], src) < (deg[dst], dst)``.
-    """
+def oriented_edges(graph: Graph) -> "ray.data.Dataset":
+    """Each undirected edge once, oriented by ``(degree, id)``: keeps
+    symmetrized rows where ``(deg[src], src) < (deg[dst], dst)``."""
     deg = graph.degrees()
-    srcs, dsts = [], []
-    for b in graph.edges.iter_batches(batch_size=1 << 20,
-                                      batch_format="pyarrow"):
-        s = b["src"].to_numpy(zero_copy_only=False)
-        d = b["dst"].to_numpy(zero_copy_only=False)
-        keep = (deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d))
-        srcs.append(s[keep])
-        dsts.append(d[keep])
-    src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
-    dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
+    deg_ref = ray.put(deg)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        d = ray.get(deg_ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        t = batch["dst"].to_numpy(zero_copy_only=False)
+        keep = (d[s] < d[t]) | ((d[s] == d[t]) & (s < t))
+        return pa.table({"u": pa.array(s[keep], pa.int64()),
+                         "v": pa.array(t[keep], pa.int64())})
+
+    return graph.edges.map_batches(orient, batch_format="pyarrow")
+
+
+def _intersect_counts(ip: np.ndarray, ix: np.ndarray, src: np.ndarray,
+                      dst: np.ndarray, V: int) -> np.ndarray:
+    """Vectorized per-edge oriented-neighborhood intersection.
+
+    Neighbor runs of both endpoints are tagged with their edge index
+    (key = i·V + neighbor, sorted by construction since runs are sorted),
+    so ONE searchsorted membership pass intersects every edge's pair of
+    runs at once. Returns dense per-vertex partial triangle counts."""
+    local = np.zeros(V, dtype=np.int64)
+    if len(src) == 0:
+        return local
+    nu = (ip[src + 1] - ip[src]).astype(np.int64)
+    nv = (ip[dst + 1] - ip[dst]).astype(np.int64)
+    eidx_u = np.repeat(np.arange(len(src), dtype=np.int64), nu)
+    eidx_v = np.repeat(np.arange(len(src), dtype=np.int64), nv)
+    # gather neighbor runs: ranges ip[u]..ip[u+1] flattened
+    gather_u = np.repeat(ip[src], nu) + _run_offsets(nu)
+    gather_v = np.repeat(ip[dst], nv) + _run_offsets(nv)
+    keys_u = eidx_u * V + ix[gather_u]
+    keys_v = eidx_v * V + ix[gather_v]
+    if len(keys_u) == 0 or len(keys_v) == 0:
+        return local
+    pos = np.searchsorted(keys_u, keys_v)
+    pos[pos == len(keys_u)] = len(keys_u) - 1
+    member = keys_u[pos] == keys_v
+    hits = keys_v[member]
+    if len(hits) == 0:
+        return local
+    w = hits % V                      # the closing third vertex
+    i = hits // V                     # which (u,v) edge produced it
+    per_edge = np.bincount(i, minlength=len(src)).astype(np.int64)
+    np.add.at(local, w, 1)
+    np.add.at(local, src, per_edge)
+    np.add.at(local, dst, per_edge)
+    return local
+
+
+def _run_offsets(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated (vectorized ranges):
+    global index minus its run's start."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+
+
+def _triangles_broadcast(o: "ray.data.Dataset", V: int) -> np.ndarray:
+    """Oriented CSR shipped once via ray.put; vectorized intersection per
+    batch. The driver-side CSR build is explicitly gated by
+    BROADCAST_MAX_EDGES (callers beyond it take the join path)."""
+    tabs = [t for t in ray.get(o.to_arrow_refs()) if len(t)]
+    src = np.concatenate([t["u"].to_numpy(zero_copy_only=False)
+                          for t in tabs])
+    dst = np.concatenate([t["v"].to_numpy(zero_copy_only=False)
+                          for t in tabs])
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
-    indptr = np.zeros(graph.num_vertices + 1, dtype=np.int64)
+    indptr = np.zeros(V + 1, dtype=np.int64)
     np.add.at(indptr, src + 1, 1)
     np.cumsum(indptr, out=indptr)
-    return indptr, dst, deg
+    csr_ref = ray.put((indptr, dst))
 
-
-def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Elements of sorted-unique ``b`` also present in sorted-unique ``a``."""
-    if len(a) == 0 or len(b) == 0:
-        return b[:0]
-    idx = np.searchsorted(a, b)
-    idx[idx == len(a)] = len(a) - 1
-    return b[a[idx] == b]
-
-
-def triangle_count(graph: Graph) -> TriangleResult:
-    indptr, indices, _ = oriented_csr(graph)
-    V = graph.num_vertices
-    csr_ref = ray.put((indptr, indices))
-
-    oriented = pa.table({
-        "src": pa.array(np.repeat(np.arange(V, dtype=np.int64),
-                                  np.diff(indptr))),
-        "dst": pa.array(indices),
-    })
-    ds = ray.data.from_arrow(oriented)
-    if ds.count() == 0:
-        return TriangleResult(np.zeros(V, dtype=np.int64), 0)
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
 
     def count_batch(batch: pa.Table) -> pa.Table:
         ip, ix = ray.get(csr_ref)
-        src = batch["src"].to_numpy(zero_copy_only=False)
-        dst = batch["dst"].to_numpy(zero_copy_only=False)
-        local = np.zeros(len(ip) - 1, dtype=np.int64)
-        for u, v in zip(src.tolist(), dst.tolist()):
-            nu = ix[ip[u]:ip[u + 1]]
-            nv = ix[ip[v]:ip[v + 1]]
-            ws = _intersect_sorted(nu, nv)
-            if len(ws):
-                local[u] += len(ws)
-                local[v] += len(ws)
-                np.add.at(local, ws, 1)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        local = _intersect_counts(ip, ix, s, d, V)
         nz = np.nonzero(local)[0]
         return pa.table({"vertex": pa.array(nz, pa.int64()),
                          "partial": pa.array(local[nz], pa.int64())})
 
-    partial = ds.map_batches(count_batch, batch_format="pyarrow",
-                             batch_size=16384)
-    agg = partial.groupby("vertex").aggregate(Sum("partial", alias_name="s"))
     per_vertex = np.zeros(V, dtype=np.int64)
-    for b in agg.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        per_vertex[b["vertex"].to_numpy(zero_copy_only=False)] = \
-            b["s"].to_numpy(zero_copy_only=False)
+    part = ds.map_batches(count_batch, batch_format="pyarrow",
+                          batch_size=65536)
+    for b in part.iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.add.at(per_vertex, b["vertex"].to_numpy(zero_copy_only=False),
+                  b["partial"].to_numpy(zero_copy_only=False))
+    return per_vertex
+
+
+def _triangles_join(o: "ray.data.Dataset", V: int,
+                    n_edges: int) -> np.ndarray:
+    per_vertex = np.zeros(V, dtype=np.int64)
+    # empty hash-join partitions come back schemaless and crash the next
+    # join (Ray Data 2.49); keep partitions ≥~64k rows so none is empty
+    npart = max(1, min(pool_size(), n_edges // 65536 + 1))
+    # wedges u→v→w: (u,v) ⋈_{v} (v,w); materialized because a zero-row join
+    # result yields schemaless empty blocks the next join can't key on
+    wedges = o.join(o.rename_columns({"u": "v2", "v": "w"}),
+                    join_type="inner", num_partitions=npart,
+                    on=("v",), right_on=("v2",)).materialize()
+    if wedges.count() == 0:
+        return per_vertex
+    # close the triangle: wedge (u,v,w) survives iff u→w is an edge
+    tri = wedges.join(o.rename_columns({"u": "cu", "v": "cv"}),
+                      join_type="inner", num_partitions=npart,
+                      on=("u", "w"), right_on=("cu", "cv"))
+
+    def per_vertex_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"vertex": pa.array([], pa.int64()),
+                          "partial": pa.array([], pa.int64())})
+        if len(batch) == 0 or "u" not in batch.column_names:
+            return empty  # schemaless empty join partition
+        ids = np.concatenate([
+            batch["u"].to_numpy(zero_copy_only=False),
+            batch["v"].to_numpy(zero_copy_only=False),
+            batch["w"].to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"vertex": pa.array(uniq, pa.int64()),
+                         "partial": pa.array(cnt.astype(np.int64))})
+
+    # driver-combine of per-batch-aggregated partials (≤V rows each) — no
+    # extra shuffle; the dense O(V) array is the documented small-V regime
+    partial = tri.map_batches(per_vertex_partial, batch_format="pyarrow")
+    for b in partial.iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.add.at(per_vertex, b["vertex"].to_numpy(zero_copy_only=False),
+                  b["partial"].to_numpy(zero_copy_only=False))
+    return per_vertex
+
+
+def triangle_count(graph: Graph, mode: str = "auto") -> TriangleResult:
+    """``mode``: "auto" (gate on oriented edge count), "broadcast", "join"."""
+    V = graph.num_vertices
+    o = oriented_edges(graph).materialize()  # consumed by both paths twice
+    n_edges = o.count()
+    if n_edges == 0:
+        return TriangleResult(np.zeros(V, dtype=np.int64), 0)
+    if mode == "auto":
+        mode = "broadcast" if n_edges <= BROADCAST_MAX_EDGES else "join"
+    if mode == "broadcast":
+        per_vertex = _triangles_broadcast(o, V)
+    elif mode == "join":
+        per_vertex = _triangles_join(o, V, n_edges)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     total = int(per_vertex.sum()) // 3
     return TriangleResult(per_vertex, total)

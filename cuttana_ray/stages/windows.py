@@ -8,12 +8,14 @@ window within keys).
 * ``session_counts`` — gap-based sessionization: a new session starts when
   the gap to the previous event of the same key exceeds ``gap``. Exact
   across block boundaries: each block emits ONE "bound" row carrying both
-  its first and last (key, ts); blocks are re-ordered on the driver by
-  their (first, last) interval endpoints — a valid block order whenever one
-  is recoverable, and irrecoverable ties (identical point-intervals) are
-  join-count invariant because a tie means gap 0 ≤ gap_s. This replaces the
-  earlier interleaved first/last marker scan, which missed continuations
-  when the straddling rows shared a timestamp.
+  its first and last (key, ts); block adjacency is recovered PER KEY on
+  the driver (head / interior / tail decomposition, interiors ordered by
+  their int timestamp intervals — ties are point-intervals whose boundary
+  gap is 0, so the join count is invariant to their order). This replaces
+  the earlier interleaved first/last marker scan, which missed
+  continuations when the straddling rows shared a timestamp, and never
+  compares stringified keys across keys (numeric keys sort differently as
+  strings).
 """
 
 from __future__ import annotations
@@ -139,19 +141,35 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
     bounds = mixed.filter(expr="kind == 'bound'").to_pandas()
     joins: dict[str, int] = {}
     if len(bounds):
-        # recover block order: blocks partition a globally sorted stream, so
-        # sorting by (first key, first ts, last key, last ts) yields a valid
-        # block order; remaining ties are identical point-intervals whose
-        # boundary gap is 0 (always a join — order among them is irrelevant)
-        bounds = bounds.sort_values(["k", "t_us", "k2", "t2_us"],
-                                    kind="stable")
-        k1 = bounds["k"].to_numpy()
-        t1 = bounds["t_us"].to_numpy()
-        k2 = bounds["k2"].to_numpy()
-        t2 = bounds["t2_us"].to_numpy()
-        for i in range(len(bounds) - 1):
-            if k2[i] == k1[i + 1] and t1[i + 1] - t2[i] <= gap_us:
-                joins[k2[i]] = joins.get(k2[i], 0) + 1
+        # Recover block adjacency PER KEY (marker keys are stringified, so
+        # a global sort would misorder numeric keys — "12" < "2"): for key
+        # K, its run of blocks is contiguous, consisting of ≤1 head (block
+        # ending with K, started on an earlier key), interiors (start AND
+        # end with K, ordered by their int (t1, t2) interval — ties are
+        # point-intervals with boundary gap 0, join-count invariant), and
+        # ≤1 tail (block starting with K, ending on a later key). Only
+        # int timestamps are compared, never key strings.
+        from collections import defaultdict
+        heads: dict[str, int] = {}
+        tails: dict[str, int] = {}
+        interiors: dict[str, list] = defaultdict(list)
+        for k1, t1, k2, t2 in zip(bounds["k"], bounds["t_us"],
+                                  bounds["k2"], bounds["t2_us"]):
+            if k1 == k2:
+                interiors[k1].append((int(t1), int(t2)))
+            else:
+                tails[k1] = int(t1)   # this block is key k1's tail
+                heads[k2] = int(t2)   # and key k2's head
+        for key in set(heads) | set(tails) | set(interiors):
+            seq: list[tuple[int, int]] = []  # (start_ts, end_ts) per block
+            if key in heads:
+                seq.append((None, heads[key]))
+            seq.extend(sorted(interiors.get(key, ())))
+            if key in tails:
+                seq.append((tails[key], None))
+            for prev, nxt in zip(seq, seq[1:]):
+                if nxt[0] - prev[1] <= gap_us:
+                    joins[key] = joins.get(key, 0) + 1
 
     from ray.data.aggregate import Sum as _Sum
 

@@ -57,6 +57,18 @@ def test_triangles_known_answers(edges, n, total):
     assert (res.per_vertex == pv).all()
 
 
+@pytest.mark.parametrize("edges,n", [
+    (K3, 3), (TWO_TRIANGLES, 6), (K4, 4), (STAR10, 11)])
+def test_triangles_join_mode_matches_broadcast(edges, n):
+    """The distributed-join path (the 100-TB shape) and the vectorized
+    broadcast-CSR path must agree exactly."""
+    g = graph_from_edges(edges, n)
+    rb = triangle_count(g, mode="broadcast")
+    rj = triangle_count(g, mode="join")
+    assert rb.total == rj.total
+    assert (rb.per_vertex == rj.per_vertex).all()
+
+
 def test_components_two_triangles():
     g = graph_from_edges(TWO_TRIANGLES, 6)
     res = connected_components(g)

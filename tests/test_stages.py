@@ -189,6 +189,34 @@ def test_session_counts_equal_ts_across_blocks():
         == {7: 1, 9: 2}
 
 
+@pytest.mark.parametrize("num_blocks", [3, 7, 13])
+def test_session_counts_numeric_keys_string_order_trap(num_blocks):
+    """Regression: marker keys are stringified and "12" < "2" as strings —
+    block pairing must never rely on cross-key string order. Keys 2 and 12
+    with boundary-spanning runs and equal timestamps."""
+    import ray.data as rd
+    from cuttana_ray.stages.windows import session_counts
+    base = 1_700_000_000_000_000
+    rows = []
+    # key 2: 40 events in two sessions; key 12: 40 events in one session
+    for i in range(20):
+        rows.append((2, base + i))
+    for i in range(20):
+        rows.append((2, base + 10**13 + i))
+    for i in range(40):
+        rows.append((12, base + i))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+    })
+    got = session_counts(rd.from_arrow(t).repartition(num_blocks),
+                         "user_id", "ts", ["event_id"],
+                         gap_s=3600).to_pandas()
+    assert dict(zip(got["k"].astype(int), got["n_sessions"])) \
+        == {2: 2, 12: 1}
+
+
 def test_window_ops_handle_any_timestamp_unit():
     """Regression: timestamp[s]/[ms]/[ns] inputs must give the same windows
     and sessions as timestamp[us] (previously silently off by 1000x)."""
