@@ -23,7 +23,9 @@ import pyarrow as pa
 
 def _read(sf_dir: str, name: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from cuttana_ray.util import strip_schema_metadata
+    return strip_schema_metadata(
+        rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from ray.data.aggregate import Min
 
 from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.util import resolve_combine
 from cuttana_ray.pipelines.pagerank import IterativeResult
 
 
@@ -41,8 +42,9 @@ def _minlabel_fn(labels_ref):
 
 def connected_components(graph: Graph, max_iters: int = 200,
                          workdir: str | None = None, resume: bool = False,
-                         combine: str = "driver") -> IterativeResult:
+                         combine: str = "auto") -> IterativeResult:
     V = graph.num_vertices
+    combine = resolve_combine(combine, V)
     labels = np.arange(V, dtype=np.int64)
     start_iter = 0
     if resume and workdir:

@@ -27,6 +27,7 @@ from ray.data.aggregate import Sum
 
 from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.util import resolve_combine
 from cuttana_ray.pipelines.pagerank import IterativeResult
 
 
@@ -63,8 +64,9 @@ def argmax_labels(dst: np.ndarray, label: np.ndarray, weight: np.ndarray,
 
 def label_propagation(graph: Graph, max_iters: int = 10,
                       workdir: str | None = None, resume: bool = False,
-                      combine: str = "driver") -> IterativeResult:
+                      combine: str = "auto") -> IterativeResult:
     V = graph.num_vertices
+    combine = resolve_combine(combine, V)
     labels = np.arange(V, dtype=np.int64)
     start_iter = 0
     if resume and workdir:

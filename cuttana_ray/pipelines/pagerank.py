@@ -31,6 +31,7 @@ from ray.data.aggregate import Sum
 
 from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.util import resolve_combine
 
 
 @dataclass
@@ -50,7 +51,7 @@ class IterativeResult:
 
 def _grouped_sum_to_dense(ds: "ray.data.Dataset", num_vertices: int,
                           key: str = "dst", val: str = "partial",
-                          combine: str = "driver") -> np.ndarray:
+                          combine: str = "auto") -> np.ndarray:
     """Per-batch partials → dense float64 vector.
 
     ``combine="driver"`` (default): stream the already-per-batch-aggregated
@@ -110,11 +111,12 @@ def _contrib_fn(ranks_ref, outw_ref, num_vertices: int):
 
 def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
              max_iters: int = 100, workdir: str | None = None,
-             resume: bool = False, combine: str = "driver",
+             resume: bool = False, combine: str = "auto",
              tree_combine: int | None = None) -> IterativeResult:
     """Weighted PageRank: ``r(v) = (1-d)/V + d * (Σ_{u→v} r(u)·w/outw(u)
     + dangling_mass/V)``; ranks sum to 1."""
     V = graph.num_vertices
+    combine = resolve_combine(combine, V)
     outw = graph.out_weights()
     dangling = outw == 0.0
     outw_safe = np.where(dangling, 1.0, outw)

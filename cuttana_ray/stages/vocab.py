@@ -34,9 +34,29 @@ NODE_SCHEMA = pa.schema([
 ])
 
 
-def build_vocab(edges: "ray.data.Dataset") -> pa.Table:
-    """Distinct sorted node names from a string edge table → nodes table
-    (``node_id, name, kind``); ``kind`` is the "prefix:" namespace."""
+@ray.remote
+def _ids_for_block(t: pa.Table, offset: int) -> pa.Table:
+    name = t["name"].combine_chunks()
+    kind = pc.replace_substring_regex(name, pattern=":.*$", replacement="")
+    return pa.table({
+        "node_id": pa.array(np.arange(offset, offset + len(t),
+                                      dtype=np.int64)),
+        "name": name,
+        "kind": kind,
+    })
+
+
+@ray.remote
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+def build_vocab_dataset(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distributed vocab build: per-block distinct → one distinct shuffle
+    over unique names only → global sort → ids assigned per block from the
+    cumulative block row counts (the driver sees only O(#blocks) counts,
+    never the names). Ids equal the rank in sorted-name order — identical
+    to the collected form, at any vocabulary size."""
     def names(batch: pa.Table) -> pa.Table:
         u = pc.unique(pa.chunked_array([
             pc.cast(batch["src"], pa.string()).combine_chunks(),
@@ -44,22 +64,30 @@ def build_vocab(edges: "ray.data.Dataset") -> pa.Table:
         ]).combine_chunks())
         return pa.table({"name": u})
 
-    # per-block distinct → driver-side set union + sort: the vocab is a
-    # dimension table (distinct names ≪ edges), so skipping the shuffle-based
-    # distinct+sort saves two whole stages; the driver never sees more than
-    # (blocks × per-block distinct) names.
-    seen: set[str] = set()
-    for b in edges.map_batches(names, batch_format="pyarrow") \
-            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        seen.update(b["name"].to_pylist())
-    name_arr = pa.array(sorted(seen), pa.string())
-    n = len(name_arr)
-    kind = pc.replace_substring_regex(name_arr, pattern=":.*$", replacement="")
-    return pa.table({
-        "node_id": pa.array(np.arange(n, dtype=np.int64)),
-        "name": name_arr,
-        "kind": kind,
-    })
+    from ray.data.aggregate import Count
+    distinct = edges.map_batches(names, batch_format="pyarrow") \
+        .groupby("name").aggregate(Count(alias_name="_n")) \
+        .select_columns(["name"]).sort("name").materialize()
+    refs = distinct.to_arrow_refs()
+    lens = ray.get([_num_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    out_refs = [_ids_for_block.remote(r, int(o))
+                for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def build_vocab(edges: "ray.data.Dataset") -> pa.Table:
+    """Distinct sorted node names from a string edge table → nodes table
+    (``node_id, name, kind``); ``kind`` is the "prefix:" namespace.
+
+    The distinct + sort + id assignment run distributed
+    (``build_vocab_dataset``); only the finished dimension table is
+    collected here, because every current consumer broadcasts it
+    (``encode_edges``). A vocabulary too large to collect should use
+    ``build_vocab_dataset`` + a distributed join to encode instead."""
+    t = pa.concat_tables(
+        ray.get(build_vocab_dataset(edges).to_arrow_refs()))
+    return t.combine_chunks()
 
 
 def encode_edges(edges: "ray.data.Dataset", vocab: pa.Table) -> "ray.data.Dataset":

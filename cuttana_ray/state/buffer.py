@@ -4,11 +4,17 @@ Semantics mirror ``/root/reference/src/buffer.rs``:
 
 * Ordered structure keyed by ``(score, vertex)`` with max-eviction —
   the reference uses a ``BTreeMap<BufferKey, nbrs>`` and evicts
-  ``last_key_value`` (``buffer.rs:46-61``); we use a
-  ``sortedcontainers.SortedList`` of ``(score, vertex)`` tuples (same total
-  order: score first, vertex id breaks ties, ``buffer.rs:113-118``).
+  ``last_key_value`` (``buffer.rs:46-61``). We use a LAZY-DELETION HEAP:
+  a ``heapq`` of ``(-score, -vertex)`` entries plus an authoritative
+  ``vertex -> score`` dict; rescoring pushes a new entry and eviction
+  pops until the entry matches the authoritative score. Total order is
+  identical to the reference's BTreeMap (score first, vertex id breaks
+  ties, ``buffer.rs:113-118``) — max score, then max vertex — so the
+  eviction sequence is bit-for-bit the same as the previous
+  ``SortedList`` implementation, at O(log n) pushes with C-implemented
+  heap ops instead of O(n) list deletions.
 * ``is_at_capacity``: ``len >= capacity`` (``buffer.rs:32-34``).
-* ``update_score``: remove old key, rescore, reinsert (``buffer.rs:63-89``).
+* ``update_score``: rescore dict + lazy push (``buffer.rs:63-89``).
 
 Scoring (``CuttanaBufferScorer``, ``buffer.rs:135-169``):
 
@@ -22,7 +28,7 @@ we score it ``0.0`` so ordering stays total. Vertices are dense ints.
 
 from __future__ import annotations
 
-from sortedcontainers import SortedList
+import heapq
 
 import numpy as np
 
@@ -52,12 +58,12 @@ class CuttanaBufferScorer:
 class BufferManager:
     """Bounded max-priority buffer (``/root/reference/src/buffer.rs:7-90``)."""
 
-    __slots__ = ("_order", "_score", "_nbrs", "capacity", "scorer")
+    __slots__ = ("_heap", "_score", "_nbrs", "capacity", "scorer")
 
     def __init__(self, capacity: int, scorer: CuttanaBufferScorer) -> None:
-        self._order: SortedList = SortedList()   # (score, vertex) tuples
-        self._score: dict[int, float] = {}       # vertex -> score
-        self._nbrs: dict[int, np.ndarray] = {}   # vertex -> neighbor ids
+        self._heap: list[tuple[float, int]] = []  # (-score, -vertex), lazy
+        self._score: dict[int, float] = {}        # vertex -> current score
+        self._nbrs: dict[int, np.ndarray] = {}    # vertex -> neighbor ids
         self.capacity = capacity
         self.scorer = scorer
 
@@ -71,25 +77,47 @@ class BufferManager:
         score = self.scorer.score(nbrs, part_of)
         self._score[v] = score
         self._nbrs[v] = nbrs
-        self._order.add((score, v))
+        heapq.heappush(self._heap, (-score, -v))
+
+    def bulk_insert(self, vertices: list[int], scores: list[float]) -> None:
+        """Heap entries for pre-scored vertices (the vectorized stream
+        path); callers fill ``_score``/``_nbrs`` themselves."""
+        self._heap.extend(zip((-s for s in scores), (-v for v in vertices)))
+        heapq.heapify(self._heap)
 
     def evict(self) -> tuple[int, np.ndarray] | None:
-        """Pop the max-(score, vertex) entry, like BTreeMap ``last_key_value``."""
-        if not self._order:
-            return None
-        score, v = self._order.pop(-1)
-        del self._score[v]
-        return v, self._nbrs.pop(v)
+        """Pop the max-(score, vertex) entry, like BTreeMap ``last_key_value``.
+
+        Lazy deletion: entries whose score no longer matches the
+        authoritative dict (rescored or already evicted) are skipped."""
+        heap = self._heap
+        score = self._score
+        while heap:
+            negs, negv = heapq.heappop(heap)
+            v = -negv
+            cur = score.get(v)
+            if cur is not None and cur == -negs:
+                del score[v]
+                return v, self._nbrs.pop(v)
+        return None
 
     def update_scores(self, nbrs: np.ndarray) -> None:
-        for n in nbrs:
-            self.update_score(int(n))
+        score = self._score
+        scorer = self.scorer
+        nbrs_map = self._nbrs
+        heap = self._heap
+        for n in nbrs.tolist():
+            old = score.get(n)
+            if old is None:
+                continue
+            new = scorer.update_score(old, nbrs_map[n])
+            score[n] = new
+            heapq.heappush(heap, (-new, -n))
 
     def update_score(self, v: int) -> None:
         old = self._score.get(v)
         if old is None:
             return
-        self._order.remove((old, v))
         new = self.scorer.update_score(old, self._nbrs[v])
-        self._order.add((new, v))
         self._score[v] = new
+        heapq.heappush(self._heap, (-new, -v))

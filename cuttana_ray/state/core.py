@@ -150,66 +150,78 @@ class FennelScorer:
         smallest partition with a no-neighbor score; neighbor-partition
         candidates must have room. Ties: seeded uniform choice.
         """
+        import math
+        nbr_list = nbr_partitions.tolist() \
+            if isinstance(nbr_partitions, np.ndarray) else nbr_partitions
+        n_placed = 0
+        counts_d: dict[int, int] = {}
+        for p in nbr_list:
+            if p >= 0:
+                n_placed += 1
+                counts_d[p] = counts_d.get(p, 0) + 1
         smallest = int(sizes.argmin())
-        placed = nbr_partitions[nbr_partitions >= 0]
-        if not placed.size:
+        if not n_placed:
             return smallest
+        if num_partitions <= 64:
+            # python-list size lookups: one tolist beats repeated numpy
+            # scalar indexing at small k (the global level, k ~ 8..64)
+            sizes = sizes.tolist()
         # room constraint: size < (1+slack) * V / k   (assignment.rs:38-41)
         threshold = (1.0 + slack) * (vertex_count / num_partitions)
-        if placed.size <= 32:
-            # hot path for low-degree vertices: pure-dict counting, no
-            # k-length (or 4096-length sub-level) array allocations
-            counts_d: dict[int, int] = {}
-            for p in placed.tolist():
-                counts_d[p] = counts_d.get(p, 0) + 1
-            cand = np.asarray([p for p in counts_d
-                               if sizes[p] < threshold], dtype=np.int64)
-            if not cand.size:
-                return smallest
-            counts = None
+        # candidate iteration order: first-occurrence order for the dict
+        # path (n_placed <= 32), ascending partition id beyond — preserved
+        # exactly from the previous array implementation so the seeded
+        # tie-break sequence (and therefore every assignment) is unchanged
+        if n_placed <= 32:
+            cand_iter = [p for p in counts_d if sizes[p] < threshold]
         else:
-            counts = np.bincount(placed, minlength=len(sizes))
-            cand = counts.nonzero()[0]
-            cand = cand[sizes[cand] < threshold]
-            if not cand.size:
-                return smallest
-            counts_d = None
-
-        def cand_counts() -> np.ndarray:
-            if counts is not None:
-                return counts[cand]
-            return np.asarray([counts_d[int(p)] for p in cand],
-                              dtype=np.int64)
+            cand_iter = sorted(p for p in counts_d if sizes[p] < threshold)
+        if not cand_iter:
+            return smallest
 
         if self.gamma == 1.0:
             # penalty is constant across partitions: any candidate
             # (count ≥ 1 - c) beats the smallest-partition score (0 - c);
             # winner = max count, ties uniform.
-            if counts_d is not None and len(cand) == 1:
-                return int(cand[0])
-            scores = cand_counts()
-            top = scores.max()
-            ties = cand[scores == top]
+            if len(cand_iter) == 1:
+                return cand_iter[0]
+            top = -1
+            ties: list[int] = []
+            for p in cand_iter:
+                c = counts_d[p]
+                if c > top:
+                    top = c
+                    ties = [p]
+                elif c == top:
+                    ties.append(p)
         else:
             alpha_g = self._alpha(num_partitions, vertex_count,
                                   edge_count) * self.gamma
             exp = self.gamma - 1.0
-            if exp == 0.5:
-                pen = alpha_g * np.sqrt(sizes[cand])
-                pen_s = alpha_g * float(np.sqrt(sizes[smallest]))
-            else:
-                pen = alpha_g * np.power(sizes[cand].astype(np.float64), exp)
-                pen_s = alpha_g * float(sizes[smallest]) ** exp
-            scores = cand_counts() - pen
-            top = scores.max()
+            sqrt = math.sqrt
+            is_sqrt = exp == 0.5
+            top = None
+            ties = []
+            for p in cand_iter:
+                sz = sizes[p]
+                pen = alpha_g * sqrt(sz) if is_sqrt \
+                    else alpha_g * float(sz) ** exp
+                s = counts_d[p] - pen
+                if top is None or s > top:
+                    top = s
+                    ties = [p]
+                elif s == top:
+                    ties.append(p)
+            sz_s = sizes[smallest]
+            pen_s = alpha_g * sqrt(sz_s) if is_sqrt \
+                else alpha_g * float(sz_s) ** exp
             if -pen_s > top:
                 return smallest
-            ties = cand[scores == top]
             if -pen_s == top and smallest not in ties:
-                ties = np.append(ties, smallest)
+                ties.append(smallest)
         if len(ties) == 1:
-            return int(ties[0])
-        return int(ties[self.rng.integers(0, len(ties))])
+            return ties[0]
+        return ties[self.rng.integers(0, len(ties))]
 
 
 class Partitioner:
@@ -232,35 +244,49 @@ class Partitioner:
     def partition(self, v: int, nbrs: np.ndarray) -> None:
         st = self.state
         k = st.num_partitions
+        num_sub = st.num_sub
         threshold = (1.0 + st.slack) * (st.vertex_count / k)
         if not np.any(st.partition_sizes < threshold):
             raise CapacityError(
                 "Partition capacity exceeded. Increase balance_slack or "
                 "num_partitions.")
 
-        nbr_parts = st.part_of[nbrs] if nbrs.size else np.empty(0, dtype=np.int32)
+        n = len(nbrs)
+        if n:
+            nbr_parts = st.part_of[nbrs]
+            nbr_parts_l = nbr_parts.tolist()
+        else:
+            nbr_parts = np.empty(0, dtype=np.int64)
+            nbr_parts_l = []
         best = self.scorer.find_best(
-            nbr_parts, st.partition_sizes, k, st.vertex_count, st.edge_count,
-            st.slack)
+            nbr_parts_l, st.partition_sizes, k, st.vertex_count,
+            st.edge_count, st.slack)
         st.part_of[v] = best
         st.partition_sizes[best] += 1
 
         # newly cut edges: later-placed endpoint counts each once
         # (partition.rs:38-44); v itself is placed now, so >= 0 includes v
         # only if v in nbrs (self-loop) — the engine drops self-loops upstream.
-        if nbrs.size:
-            placed = nbr_parts[nbr_parts >= 0]
-            st.cut_count += int(np.count_nonzero(placed != best))
-
-        # sub level within `best`: neighbors' subs only count when the
+        # Sub level within `best`: neighbors' subs only count when the
         # neighbor lives in the same parent partition (partition.rs:46-48).
-        sub_sizes_row = st.sub_sizes[best * st.num_sub:(best + 1) * st.num_sub]
-        same = nbrs[nbr_parts == best] if nbrs.size else nbrs
-        nbr_subs = st.sub_of[same] if same.size else np.empty(0, dtype=np.int32)
+        # One fancy-index per vertex; all masks in plain Python (degrees
+        # are small for the vast majority of vertices).
+        nbr_subs_l: list[int] = []
+        if n:
+            nbr_subs_all = st.sub_of[nbrs].tolist()
+            cut = 0
+            for p in nbr_parts_l:
+                if p >= 0 and p != best:
+                    cut += 1
+            st.cut_count += cut
+            for p, s in zip(nbr_parts_l, nbr_subs_all):
+                if p == best:
+                    nbr_subs_l.append(s)
+        sub_sizes_row = st.sub_sizes[best * num_sub:(best + 1) * num_sub]
         best_sub = self.sub_scorer.find_best(
-            nbr_subs, sub_sizes_row, st.num_sub, st.v_eff, st.e_eff, st.slack)
+            nbr_subs_l, sub_sizes_row, num_sub, st.v_eff, st.e_eff, st.slack)
         st.sub_of[v] = best_sub
-        g = st.gsub(best, best_sub)
+        g = best * num_sub + best_sub
         st.sub_sizes[g] += 1
 
         # sub↔sub coarse-graph edge weights for ALL placed neighbors.
@@ -271,13 +297,23 @@ class Partitioner:
         # The paper's refinement objective needs the full coarsened graph:
         # with every placed neighbor recorded, a sub-move's scored gain
         # equals its true cut delta exactly.
-        if nbrs.size:
-            pn = nbrs[nbr_parts >= 0]
-            if pn.size:
-                gsubs = st.part_of[pn] * st.num_sub + st.sub_of[pn]
-                counts: dict[int, int] = {}
-                for gs in gsubs.tolist():
+        if n:
+            counts: dict[int, int] = {}
+            for p, s in zip(nbr_parts_l, nbr_subs_all):
+                if p >= 0:
+                    gs = p * num_sub + s
                     if gs != g:
                         counts[gs] = counts.get(gs, 0) + 1
+            if counts:
+                # symmetric +weight both directions (state.rs:124-135),
+                # inlined: one row-dict fetch for g, one per neighbor
+                edges = st.sub_edges
+                row_g = edges.get(g)
+                if row_g is None:
+                    row_g = edges[g] = {}
                 for s, c in counts.items():
-                    st.add_sub_edge(g, s, c)
+                    row_g[s] = row_g.get(s, 0) + c
+                    row_s = edges.get(s)
+                    if row_s is None:
+                        row_s = edges[s] = {}
+                    row_s[g] = row_s.get(g, 0) + c

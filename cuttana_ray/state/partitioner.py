@@ -163,7 +163,7 @@ class StreamingPartitioner:
             buf._score.update(zip(vs, sc))
             for r, v in enumerate(vs):
                 buf._nbrs[v] = flat_nbrs[offsets[i + r]:offsets[i + r + 1]]
-            buf._order.update(zip(sc, vs))
+            buf.bulk_insert(vs, sc)
             i = j
 
     # -- finalize ---------------------------------------------------------

@@ -2,6 +2,32 @@
 
 from __future__ import annotations
 
+import os
+
+# Above this vertex count the iterative algorithms stop using driver-side
+# dense combines and switch to distributed shuffle combines (override with
+# the env var, e.g. in tests, to force the sharded path on small graphs).
+DEFAULT_MAX_DRIVER_STATE = 200_000_000
+
+
+def resolve_combine(combine: str, num_vertices: int) -> str:
+    """``combine="auto"`` → "driver" while the dense O(V) vector is cheap
+    on one node, "shuffle" beyond ``CUTTANA_MAX_DRIVER_STATE`` vertices."""
+    if combine != "auto":
+        return combine
+    cap = int(os.environ.get("CUTTANA_MAX_DRIVER_STATE",
+                             DEFAULT_MAX_DRIVER_STATE))
+    return "driver" if num_vertices <= cap else "shuffle"
+
+
+def strip_schema_metadata(ds):
+    """Drop schema-level metadata (pandas round-trip blobs on parquet
+    inputs): Ray's reduce tasks try to hash block schemas for deduplication
+    and log 'Failed to hash the schemas' on every reduce when metadata is
+    attached; stripping is zero-copy and fuses into the next map stage."""
+    return ds.map_batches(lambda b: b.replace_schema_metadata(None),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
 
 def pool_size(cap: int = 8) -> int:
     """Actor-pool concurrency that leaves CPU headroom for the read/shuffle

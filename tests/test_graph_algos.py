@@ -175,3 +175,17 @@ def test_shuffle_combine_matches_driver_combine(er_graph):
             == connected_components(g).values).all()
     assert (label_propagation(g, combine="shuffle", max_iters=4).values
             == label_propagation(g, max_iters=4).values).all()
+
+
+def test_auto_combine_respects_driver_state_cap(er_graph, monkeypatch):
+    """combine="auto" must switch to the sharded shuffle path when V
+    exceeds CUTTANA_MAX_DRIVER_STATE, with identical results."""
+    from cuttana_ray.util import resolve_combine
+    g, n = er_graph
+    default = pagerank(g, max_iters=15).values
+    cc_default = connected_components(g).values
+    monkeypatch.setenv("CUTTANA_MAX_DRIVER_STATE", "1")
+    assert resolve_combine("auto", n) == "shuffle"
+    capped = pagerank(g, max_iters=15).values
+    assert np.allclose(capped, default, atol=1e-12)
+    assert (connected_components(g).values == cc_default).all()
