@@ -400,8 +400,16 @@ def _q_ngram_jaccard_docs(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    import pyarrow.compute as pc
     from cuttana_ray.functions.dedup import embedding_cosine_pairs
-    return embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
+    out = embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.45)
+
+    def round_cos(batch: pa.Table) -> pa.Table:
+        # 3 decimals: the engine computes in float32 (the scale-appropriate
+        # dtype), the DuckDB oracle in float64 — they agree to ~1e-7
+        return batch.set_column(batch.column_names.index("cosine"),
+                                "cosine", pc.round(batch["cosine"], 3))
+    return out.map_batches(round_cos, batch_format="pyarrow")
 
 
 def _q_knn_ivf_top5(sf_dir: str):
@@ -701,11 +709,206 @@ _LANG_ID_SQL = f"""
 """
 
 
+# doc_fingerprints: exact SQL mirror of textstats._Fingerprinter (k=8, w=4):
+# rolling 257-base k-gram hashes mod 2^64 (HUGEINT arithmetic — sums wrap
+# identically to NumPy's uint64), windowed MIN over 4 consecutive hashes
+# (full windows only; short docs fall back to the global min via the last
+# row, whose 3-PRECEDING window spans all <4 rows), distinct mins XOR-folded
+# through int64 two's complement (bitwise-identical to uint64 XOR).
+_POW257 = [257 ** i for i in range(8)]
+_DOC_FINGERPRINTS_SQL = f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    pos AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(
+                   1, CAST(GREATEST(length(text) - 7, 1) AS BIGINT))) AS p
+        FROM d),
+    hashes AS (
+        SELECT doc_id, p,
+               COUNT(*) OVER (PARTITION BY doc_id) AS nh,
+               CAST(({" + ".join(
+                   f"CASE WHEN p+{i} <= n THEN ord(substr(text, p+{i}, 1)) "
+                   f"ELSE 0 END * {_POW257[i]}::HUGEINT"
+                   for i in range(8))})
+                    % 18446744073709551616::HUGEINT AS HUGEINT) AS h
+        FROM pos),
+    mins AS (
+        SELECT doc_id, p, nh,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m
+        FROM hashes),
+    winmins AS (
+        SELECT DISTINCT doc_id, m FROM mins
+        WHERE p >= 4 OR (nh < 4 AND p = nh))
+    SELECT doc_id,
+           bit_xor(CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                        THEN m - 18446744073709551616::HUGEINT
+                        ELSE m END AS BIGINT)) AS fingerprint
+    FROM winmins GROUP BY doc_id
+"""
+
+
+# MinHash LSH + ngram-Jaccard oracles: exact SQL mirrors of
+# functions/dedup.py — 5-byte rolling shingle hashes (same 257-base scheme
+# as the fingerprints, distinct per doc), the 64 seeded permutation
+# constants embedded as literals (they are part of the operator's spec),
+# (h·a + b) mod 2^64 mod p minima per permutation via one cross join,
+# banded bucketing (sum of 4 signature rows mod p), candidate pairs =
+# bucket mates with estimated Jaccard ≥ the cut, and for the ngram tier an
+# exact shingle-set Jaccard via a hash-equality join.
+
+_U64 = "18446744073709551616::HUGEINT"
+_MERS = "2305843009213693951::HUGEINT"
+
+
+def _shingle_sql(k: int) -> str:
+    pw = [257 ** i for i in range(k)]
+    terms = " + ".join(
+        f"CASE WHEN p+{i} <= n THEN ord(substr(text, p+{i}, 1)) "
+        f"ELSE 0 END * {pw[i]}::HUGEINT" for i in range(k))
+    return f"""
+    d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    pos AS (
+        SELECT doc_id, text, length(text) AS n,
+               unnest(generate_series(
+                   1, CAST(GREATEST(length(text) - {k - 1}, 1) AS BIGINT)))
+                   AS p
+        FROM d),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               CAST(({terms}) % {_U64} AS HUGEINT) AS h
+        FROM pos)"""
+
+
+def _minhash_prelude_sql(est_cut: float) -> str:
+    rng = np.random.default_rng(42)
+    m = (1 << 61) - 1
+    a = rng.integers(1, m, 64, dtype=np.uint64)
+    b = rng.integers(0, m, 64, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(64))
+    return _shingle_sql(5) + f""",
+    perms(perm, pa, pb) AS (VALUES {perm_rows}),
+    sig AS MATERIALIZED (
+        SELECT doc_id, perm,
+               MIN((((sh.h * perms.pa) % {_U64} + perms.pb) % {_U64})
+                   % {_MERS}) AS s
+        FROM sh CROSS JOIN perms GROUP BY 1, 2),
+    bands AS MATERIALIZED (
+        SELECT doc_id, perm // 4 AS band,
+               SUM(s) % {_MERS} AS band_hash
+        FROM sig GROUP BY 1, 2),
+    bucket_pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id),
+    est AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0
+                   AS est_jaccard
+        FROM bucket_pairs c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+        GROUP BY 1, 2),
+    cand AS (SELECT * FROM est WHERE est_jaccard >= {est_cut})"""
+
+
+def _minhash_pairs_sql() -> str:
+    return ("WITH " + _minhash_prelude_sql(0.5)
+            + "\n    SELECT doc_a, doc_b, est_jaccard FROM cand")
+
+
+def _ngram_jaccard_sql() -> str:
+    return ("WITH " + _minhash_prelude_sql(0.25) + f""",
+    cnt AS (SELECT doc_id, COUNT(*) AS nh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ci
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           i.ci / (ca.nh + cb.nh - i.ci) AS jaccard
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                 JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.ci / (ca.nh + cb.nh - i.ci) >= 0.5""")
+
+
+# simhash_pairs: exact SQL mirror of functions/dedup.py::_SimHasher —
+# FNV-1a per token occurrence via list_reduce over the token's characters
+# (HUGEINT mod-2^64 fold), per-bit majority vote (strictly positive sum →
+# bit set), 4×16-bit band bucketing, Hamming ≤ 3 via bit_count(xor).
+_SIMHASH_SQL = f"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+        FROM d),
+    th AS MATERIALIZED (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(string_split(t, ''),
+                                      c -> ord(c)::HUGEINT)),
+                   (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                             % {_U64}) AS h
+        FROM tok),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (h >> j) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(generate_series(0, 63)) AS j)
+        GROUP BY 1, 2),
+    sim AS MATERIALIZED (
+        SELECT d.doc_id,
+               COALESCE((SELECT SUM(1::HUGEINT << b.j)
+                         FROM bits b
+                         WHERE b.doc_id = d.doc_id AND b.v > 0),
+                        0::HUGEINT) AS sh
+        FROM d),
+    bands AS (
+        SELECT doc_id, b AS band,
+               CAST((sh >> (16 * b)) % 65536
+                    AS BIGINT) AS key,
+               sh
+        FROM sim, (SELECT unnest(generate_series(0, 3)) AS b)),
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.sh AS sha, y.sh AS shb
+        FROM bands x JOIN bands y
+            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(CAST(CASE WHEN sha >= 9223372036854775808::HUGEINT
+                                   THEN sha - {_U64} ELSE sha END AS BIGINT),
+                              CAST(CASE WHEN shb >= 9223372036854775808::HUGEINT
+                                   THEN shb - {_U64} ELSE shb END AS BIGINT)))
+                AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(CAST(CASE WHEN sha >= 9223372036854775808::HUGEINT
+                             THEN sha - {_U64} ELSE sha END AS BIGINT),
+                        CAST(CASE WHEN shb >= 9223372036854775808::HUGEINT
+                             THEN shb - {_U64} ELSE shb END AS BIGINT))) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
+        "minhash_pairs_docs": _minhash_pairs_sql(),
+        "ngram_jaccard_docs": _ngram_jaccard_sql(),
+        "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_id_docs": _LANG_ID_SQL,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 3) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
         "labelprop_events": _labelprop_sql(),
         "triangles_events": _TRIANGLES_SQL,
         "components_events": _COMPONENTS_SQL,
