@@ -43,6 +43,8 @@ class CSRShard:
     def __init__(self, block_refs: list, part, owner: int):
         # `part` / state vectors arrive as top-level ObjectRef args, which Ray
         # auto-resolves zero-copy from the local object store.
+        self.owner = owner
+        self.part = part
         srcs, dsts, ws = [], [], []
         for ref in block_refs:
             t = ray.get(ref)
@@ -89,6 +91,76 @@ class CSRShard:
         if not len(self.owned):
             return self.owned, np.empty(0, np.int64)
         return self.owned, np.minimum.reduceat(labels[self.src], self.starts)
+
+    # -- sharded BSP PageRank (rank state lives IN the shards) ------------
+    #
+    # The broadcast mode above ships the full O(V) rank vector every
+    # iteration; at the north-star scale that vector doesn't fit one node.
+    # In sharded mode each shard owns its partition's rank slice and each
+    # iteration exchanges ONLY the values its neighbors' gathers reference
+    # — i.e. Cuttana's cut edges are literally the bytes on the wire. The
+    # driver handles scalars (teleport, dangling mass, delta) and message
+    # refs; it never materializes a vertex vector until the final result.
+
+    def sharded_prepare1(self, outw, damping: float, V: int):
+        """Report the remote vertices this shard's gather needs, by owner."""
+        part = self.part
+        self.V = V
+        self.damping = damping
+        self.owned_all = np.nonzero(part == self.owner)[0].astype(np.int64)
+        # compact local value index over every vertex this shard references
+        self.refs_sorted = np.unique(np.concatenate(
+            [self.owned_all, self.src])) if len(self.src) or \
+            len(self.owned_all) else np.empty(0, np.int64)
+        self.pos_src = np.searchsorted(self.refs_sorted, self.src)
+        self.pos_owned = np.searchsorted(self.refs_sorted, self.owned_all)
+        self.pos_inedge = np.searchsorted(self.owned_all, self.owned)
+        outw_safe = np.where(outw == 0.0, 1.0, outw)
+        self.coef = self.w / outw_safe[self.src] if len(self.src) else self.w
+        self.dangling_owned = outw[self.owned_all] == 0.0
+        self.vals = np.full(len(self.refs_sorted), 1.0 / V)
+        remote = self.refs_sorted[part[self.refs_sorted] != self.owner] \
+            if len(self.refs_sorted) else np.empty(0, np.int64)
+        owners = part[remote]
+        self.pos_need = {}
+        need: dict[int, np.ndarray] = {}
+        for q in np.unique(owners).tolist():
+            ids = remote[owners == q]
+            need[int(q)] = ids
+            self.pos_need[int(q)] = np.searchsorted(self.refs_sorted, ids)
+        return need
+
+    def sharded_prepare2(self, requests: dict):
+        """Store, per requesting shard, the indices (into owned_all) of the
+        values it needs each round."""
+        self.out_idx = {
+            int(p): np.searchsorted(self.owned_all, ids)
+            for p, ids in requests.items()}
+        return True
+
+    def sharded_iter(self, dm_over_v: float, incoming: list):
+        """One BSP round: apply incoming remote values, gather+scatter over
+        the local CSR, return (local delta, local dangling mass, message
+        refs keyed by destination shard)."""
+        for q, ref in incoming:
+            self.vals[self.pos_need[q]] = ray.get(ref)
+        d = self.damping
+        base = (1.0 - d) / self.V + d * dm_over_v
+        new = np.full(len(self.owned_all), base)
+        if len(self.src):
+            contrib = self.vals[self.pos_src] * self.coef
+            gathered = np.add.reduceat(contrib, self.starts) \
+                if len(self.starts) else np.empty(0, np.float64)
+            new[self.pos_inedge] += d * gathered
+        old = self.vals[self.pos_owned]
+        delta = float(np.abs(new - old).sum())
+        dangling_mass = float(new[self.dangling_owned].sum())
+        self.vals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return delta, dangling_mass, out
+
+    def sharded_result(self):
+        return self.owned_all, self.vals[self.pos_owned]
 
     def lpa_iter(self, labels):
         """Per owned dst: incoming weight per label → (dst, label, weight)
@@ -168,6 +240,55 @@ class CSRPool:
                 break
         else:
             res.iterations = max_iters
+        res.values = ranks
+        return res
+
+    def pagerank_sharded(self, damping: float = 0.85, tol: float = 1e-6,
+                         max_iters: int = 100) -> IterativeResult:
+        """BSP PageRank with shard-resident rank state: per-iteration
+        traffic is the cut-edge values plus three scalars per shard — the
+        driver never holds a vertex vector inside the loop. Same results as
+        the broadcast mode (gathers are identical; only the scalar
+        reductions sum in a different order)."""
+        V = self.V
+        outw = self.graph.out_weights()  # one-time setup pass
+        n_dangling = int((outw == 0.0).sum())
+        outw_ref = ray.put(outw)
+        needs = ray.get([s.sharded_prepare1.remote(outw_ref, damping, V)
+                         for s in self.shards])
+        k = len(self.shards)
+        requests: list[dict] = [{} for _ in range(k)]
+        for p, need in enumerate(needs):
+            for q, ids in need.items():
+                requests[q][p] = ids
+        ray.get([s.sharded_prepare2.remote(requests[q])
+                 for q, s in enumerate(self.shards)])
+
+        dangling_mass = n_dangling / V      # ranks start uniform at 1/V
+        incoming: list[list] = [[] for _ in range(k)]
+        res = IterativeResult(np.empty(0), 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            outs = ray.get([
+                s.sharded_iter.remote(dangling_mass / V, incoming[p])
+                for p, s in enumerate(self.shards)])
+            delta = float(sum(o[0] for o in outs))
+            dangling_mass = float(sum(o[1] for o in outs))
+            incoming = [[] for _ in range(k)]
+            for q, (_, _, msgs) in enumerate(outs):
+                for p, ref in msgs.items():
+                    incoming[p].append((q, ref))
+            res.deltas.append(delta)
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if delta < tol:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        ranks = np.zeros(V)
+        for owned, vals in ray.get(
+                [s.sharded_result.remote() for s in self.shards]):
+            ranks[owned] = vals
         res.values = ranks
         return res
 

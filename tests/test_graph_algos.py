@@ -153,6 +153,36 @@ def test_csr_mode_matches_shuffle_mode(er_graph):
         pool.shutdown()
 
 
+def test_sharded_pagerank_matches_broadcast_and_oracle(er_graph):
+    """BSP mode (rank state resident in shards, cut-edge-only exchange)
+    must match the broadcast CSR mode and the NumPy oracle; vertices with
+    no in-edges and multi-partition layouts included."""
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    part = (np.arange(n) % 4).astype(np.int32)
+    pool = CSRPool(g, part, 4)
+    try:
+        shard = pool.pagerank_sharded()
+        bcast = pool.pagerank()
+        assert shard.converged
+        assert np.allclose(shard.values, bcast.values, atol=1e-12)
+        assert np.allclose(shard.values,
+                           oracle.pagerank_oracle(src, dst, w, n), atol=1e-6)
+        assert shard.values.sum() == pytest.approx(1.0, abs=1e-9)
+    finally:
+        pool.shutdown()
+    # skewed ownership: one partition owns almost everything
+    part2 = np.zeros(n, dtype=np.int32)
+    part2[: n // 8] = 1
+    pool2 = CSRPool(g, part2, 2)
+    try:
+        shard2 = pool2.pagerank_sharded()
+        assert np.allclose(shard2.values,
+                           oracle.pagerank_oracle(src, dst, w, n), atol=1e-6)
+    finally:
+        pool2.shutdown()
+
+
 def test_results_invariant_to_block_count(er_graph):
     """Per-vertex results must not depend on data layout (FIXTURES.md §B.3)."""
     g, n = er_graph
