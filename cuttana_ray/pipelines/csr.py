@@ -162,6 +162,29 @@ class CSRShard:
     def sharded_result(self):
         return self.owned_all, self.vals[self.pos_owned]
 
+    def sharded_labels_init(self) -> bool:
+        """Min-label state over the same topology (labels start as ids)."""
+        self.lvals = self.refs_sorted.copy()
+        return True
+
+    def sharded_minlabel_iter(self, incoming: list):
+        """One BSP min-label round; messages carry updated owned labels."""
+        for q, ref in incoming:
+            self.lvals[self.pos_need[q]] = ray.get(ref)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            gathered = np.minimum.reduceat(self.lvals[self.pos_src],
+                                           self.starts)
+            np.minimum.at(new, self.pos_inedge, gathered)
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return changed, out
+
+    def sharded_labels_result(self):
+        return self.owned_all, self.lvals[self.pos_owned]
+
     def lpa_iter(self, labels):
         """Per owned dst: incoming weight per label → (dst, label, weight)
         rows, argmax'ed on the driver across shards (each dst is owned by
@@ -251,19 +274,9 @@ class CSRPool:
         the broadcast mode (gathers are identical; only the scalar
         reductions sum in a different order)."""
         V = self.V
-        outw = self.graph.out_weights()  # one-time setup pass
+        outw = self._sharded_prepare(damping)
         n_dangling = int((outw == 0.0).sum())
-        outw_ref = ray.put(outw)
-        needs = ray.get([s.sharded_prepare1.remote(outw_ref, damping, V)
-                         for s in self.shards])
         k = len(self.shards)
-        requests: list[dict] = [{} for _ in range(k)]
-        for p, need in enumerate(needs):
-            for q, ids in need.items():
-                requests[q][p] = ids
-        ray.get([s.sharded_prepare2.remote(requests[q])
-                 for q, s in enumerate(self.shards)])
-
         dangling_mass = n_dangling / V      # ranks start uniform at 1/V
         incoming: list[list] = [[] for _ in range(k)]
         res = IterativeResult(np.empty(0), 0, False)
@@ -311,6 +324,52 @@ class CSRPool:
                 break
         else:
             res.iterations = max_iters
+        res.values = labels
+        return res
+
+    def _sharded_prepare(self, damping: float = 0.85) -> np.ndarray:
+        outw = self.graph.out_weights()  # one-time setup pass
+        outw_ref = ray.put(outw)
+        needs = ray.get([
+            s.sharded_prepare1.remote(outw_ref, damping, self.V)
+            for s in self.shards])
+        requests: list[dict] = [{} for _ in self.shards]
+        for p, need in enumerate(needs):
+            for q, ids in need.items():
+                requests[q][p] = ids
+        ray.get([s.sharded_prepare2.remote(requests[q])
+                 for q, s in enumerate(self.shards)])
+        return outw
+
+    def connected_components_sharded(self,
+                                     max_iters: int = 200) -> IterativeResult:
+        """BSP min-label propagation with shard-resident label state;
+        bit-identical to the broadcast mode (integer minima)."""
+        self._sharded_prepare()
+        ray.get([s.sharded_labels_init.remote() for s in self.shards])
+        k = len(self.shards)
+        incoming: list[list] = [[] for _ in range(k)]
+        res = IterativeResult(np.empty(0), 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            outs = ray.get([s.sharded_minlabel_iter.remote(incoming[p])
+                            for p, s in enumerate(self.shards)])
+            changed = int(sum(o[0] for o in outs))
+            incoming = [[] for _ in range(k)]
+            for q, (_, msgs) in enumerate(outs):
+                for p, ref in msgs.items():
+                    incoming[p].append((q, ref))
+            res.deltas.append(float(changed))
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if changed == 0:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        labels = np.zeros(self.V, dtype=np.int64)
+        for owned, vals in ray.get(
+                [s.sharded_labels_result.remote() for s in self.shards]):
+            labels[owned] = vals
         res.values = labels
         return res
 

@@ -89,6 +89,14 @@ def run_flagship(transcripts: "ray.data.Dataset", workdir: str,
         cc = pool.connected_components()
         lp = pool.label_propagation(max_iters=lpa_iters)
         pool.shutdown()
+    elif mode == "sharded":
+        # BSP: vertex state lives in the shards, per-iteration exchange is
+        # the cut-edge working set (the multi-node regime)
+        pool = CSRPool(graph, part, num_partitions)
+        pr = pool.pagerank_sharded(tol=pagerank_tol)
+        cc = pool.connected_components_sharded()
+        lp = pool.label_propagation(max_iters=lpa_iters)
+        pool.shutdown()
     else:
         pr = pagerank(graph, tol=pagerank_tol, workdir=workdir)
         cc = connected_components(graph, workdir=workdir)

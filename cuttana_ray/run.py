@@ -23,7 +23,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--workdir", required=True,
                     help="output/checkpoint directory (resumable)")
     ap.add_argument("--num-partitions", type=int, default=16)
-    ap.add_argument("--mode", choices=["csr", "shuffle"], default="csr")
+    ap.add_argument("--mode", choices=["csr", "sharded", "shuffle"], default="csr")
     ap.add_argument("--pagerank-tol", type=float, default=1e-6)
     ap.add_argument("--lpa-iters", type=int, default=10)
     ap.add_argument("--num-cpus", type=int, default=None,

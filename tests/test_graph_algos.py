@@ -183,6 +183,21 @@ def test_sharded_pagerank_matches_broadcast_and_oracle(er_graph):
         pool2.shutdown()
 
 
+def test_sharded_components_matches_broadcast(er_graph):
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    part = (np.arange(n) % 4).astype(np.int32)
+    pool = CSRPool(g, part, 4)
+    try:
+        sh = pool.connected_components_sharded()
+        bc = pool.connected_components()
+        assert sh.converged
+        assert (sh.values == bc.values).all()
+        assert (sh.values == oracle.components_oracle(src, dst, n)).all()
+    finally:
+        pool.shutdown()
+
+
 def test_results_invariant_to_block_count(er_graph):
     """Per-vertex results must not depend on data layout (FIXTURES.md §B.3)."""
     g, n = er_graph
