@@ -81,61 +81,114 @@ def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 8,
     return cent
 
 
+class IVFIndex:
+    """Persisted IVF index over an embedding Dataset.
+
+    * Centroid training sample is an UNBIASED deterministic hash-stride
+      over the whole dataset (Knuth multiplicative hash of the id column),
+      not the first blocks — layout- and order-independent.
+    * Bucket assignment runs ONCE at build time; the bucketed table
+      (bucket, id, normalized vec blob) is materialized in the object
+      store and reused by every subsequent ``query`` call, instead of
+      re-assigning the full dataset per query batch.
+    """
+
+    def __init__(self, ds: "ray.data.Dataset", nlist: int = 16,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 sample_size: int = 10_000, seed: int = 42):
+        self.id_col = id_col
+        n = ds.count()
+        keep_mod = max(1, n // sample_size)
+
+        def sample_fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+                % np.uint64(keep_mod)
+            keep = h == 0
+            if not keep.any():
+                return pa.table({"vec": pa.array([], pa.binary())})
+            m = _batch_matrix(batch, vec_col)[keep]
+            return pa.table({"vec": pa.array(
+                [row.tobytes() for row in m], pa.binary())})
+
+        blobs = []
+        dim = None
+        for b in ds.map_batches(sample_fn, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            blobs.extend(b["vec"].to_pylist())
+        sample = np.frombuffer(b"".join(blobs), dtype=np.float32) \
+            .reshape(len(blobs), -1)
+        self.centroids = kmeans_lite(sample, nlist, seed=seed)
+        cent_ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            m = _normalize(_batch_matrix(batch, vec_col))
+            bucket = np.argmax(m @ c.T, axis=1).astype(np.int32)
+            return pa.table({
+                "bucket": pa.array(bucket),
+                id_col: pa.array(ids, pa.int64()),
+                "vec": pa.array([row.tobytes() for row in m], pa.binary()),
+            })
+
+        self.buckets = ds.map_batches(assign, batch_format="pyarrow") \
+            .materialize()
+
+    def query(self, queries: np.ndarray, k: int = 10,
+              nprobe: int = 4) -> pa.Table:
+        id_col = self.id_col
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        nprobe = min(nprobe, len(self.centroids))
+        probe = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        probe_ref = ray.put(probe)
+        q_ref = ray.put(q)
+
+        def bucket_topk(batch: pa.Table) -> pa.Table:
+            qm = ray.get(q_ref)
+            pr = ray.get(probe_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+            wanted = np.unique(pr)
+            keep = np.isin(bucket, wanted)
+            if not keep.any():
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            ids, bucket = ids[keep], bucket[keep]
+            blobs = [batch["vec"][int(i)].as_py()
+                     for i in np.nonzero(keep)[0]]
+            m = np.frombuffer(b"".join(blobs), dtype=np.float32) \
+                .reshape(len(ids), -1)
+            sims = qm @ m.T
+            mask = np.zeros_like(sims, dtype=bool)
+            for qi in range(len(qm)):
+                mask[qi] = np.isin(bucket, pr[qi])
+            sims = np.where(mask, sims, -2.0)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qm)), kk)
+            cols = idx.ravel()
+            ok = sims[rows, cols] > -2.0
+            return pa.table({
+                "query_id": pa.array(rows[ok], pa.int64()),
+                id_col: pa.array(ids[cols[ok]], pa.int64()),
+                "cosine": pa.array(sims[rows, cols][ok].astype(np.float64)),
+            })
+
+        cand = self.buckets.map_batches(bucket_topk, batch_format="pyarrow",
+                                        batch_size=4096).to_pandas()
+        cand = cand.sort_values(["query_id", "cosine", id_col],
+                                ascending=[True, False, True])
+        top = cand.groupby("query_id", sort=True).head(k) \
+            .reset_index(drop=True)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+
 def knn_ivf(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
             nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding",
             id_col: str = "vec_id", sample_size: int = 10_000) -> pa.Table:
-    """IVF approximate top-k: bucket by nearest centroid, probe the
-    ``nprobe`` closest buckets per query. Same output schema as brute force."""
-    sample = []
-    got = 0
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        sample.append(_batch_matrix(b, vec_col))
-        got += len(sample[-1])
-        if got >= sample_size:
-            break
-    cent = kmeans_lite(np.concatenate(sample), nlist)
-    cent_ref = ray.put(cent)
-    q = _normalize(np.asarray(queries, dtype=np.float32))
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]     # (nq, nprobe)
-    probed_buckets = np.unique(probe)
-    probed_ref = ray.put(set(probed_buckets.tolist()))
-    q_ref = ray.put(q)
-    probe_ref = ray.put(probe)
-
-    def bucket_topk(batch: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
-        wanted = ray.get(probed_ref)
-        qm = ray.get(q_ref)
-        pr = ray.get(probe_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_batch_matrix(batch, vec_col))
-        bucket = np.argmax(m @ c.T, axis=1)
-        keep = np.isin(bucket, list(wanted))
-        if not keep.any():
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        ids, m, bucket = ids[keep], m[keep], bucket[keep]
-        sims = qm @ m.T
-        # mask out vectors whose bucket is not probed by that query
-        mask = np.zeros_like(sims, dtype=bool)
-        for qi in range(len(qm)):
-            mask[qi] = np.isin(bucket, pr[qi])
-        sims = np.where(mask, sims, -2.0)
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(np.arange(len(qm)), kk)
-        cols = idx.ravel()
-        ok = sims[rows, cols] > -2.0
-        return pa.table({
-            "query_id": pa.array(rows[ok], pa.int64()),
-            id_col: pa.array(ids[cols[ok]], pa.int64()),
-            "cosine": pa.array(sims[rows, cols][ok].astype(np.float64)),
-        })
-
-    cand = ds.map_batches(bucket_topk, batch_format="pyarrow",
-                          batch_size=4096).to_pandas()
-    cand = cand.sort_values(["query_id", "cosine", id_col],
-                            ascending=[True, False, True])
-    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    """IVF approximate top-k: one-shot convenience over ``IVFIndex`` (build
+    once + single query batch). Same output schema as brute force."""
+    index = IVFIndex(ds, nlist, vec_col, id_col, sample_size)
+    return index.query(queries, k, nprobe)
