@@ -185,6 +185,39 @@ class CSRShard:
     def sharded_labels_result(self):
         return self.owned_all, self.lvals[self.pos_owned]
 
+    def sharded_lpa_iter(self, incoming: list):
+        """One BSP synchronous-LPA round. Every in-edge of an owned vertex
+        lives in this shard (owner = partition of dst), so the per-dst
+        (weight desc, label asc) argmax is fully local — bit-identical to
+        the broadcast mode's globally combined argmax."""
+        for q, ref in incoming:
+            self.lvals[self.pos_need[q]] = ray.get(ref)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            lab = self.lvals[self.pos_src]
+            dst_pos = np.repeat(self.pos_inedge, np.diff(
+                np.concatenate([self.starts, [len(self.src)]])))
+            w = self.w.astype(np.int64)
+            # combine per-(dst,label) sums first, then argmax — matching
+            # label_propagation(): sort by (dst, label), reduce, then pick
+            order2 = np.lexsort((lab, dst_pos))
+            d2, l2, w2 = dst_pos[order2], lab[order2], w[order2]
+            change = np.nonzero((d2[1:] != d2[:-1])
+                                | (l2[1:] != l2[:-1]))[0] + 1
+            starts2 = np.concatenate([[0], change])
+            dd, ll = d2[starts2], l2[starts2]
+            ww = np.add.reduceat(w2, starts2)
+            order3 = np.lexsort((ll, -ww, dd))
+            d3 = dd[order3]
+            first3 = np.concatenate(
+                [[0], np.nonzero(d3[1:] != d3[:-1])[0] + 1])
+            new[d3[first3]] = ll[order3][first3]
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return changed, out
+
     def lpa_iter(self, labels):
         """Per owned dst: incoming weight per label → (dst, label, weight)
         rows, argmax'ed on the driver across shards (each dst is owned by
@@ -353,6 +386,39 @@ class CSRPool:
         for it in range(max_iters):
             t0 = time.perf_counter()
             outs = ray.get([s.sharded_minlabel_iter.remote(incoming[p])
+                            for p, s in enumerate(self.shards)])
+            changed = int(sum(o[0] for o in outs))
+            incoming = [[] for _ in range(k)]
+            for q, (_, msgs) in enumerate(outs):
+                for p, ref in msgs.items():
+                    incoming[p].append((q, ref))
+            res.deltas.append(float(changed))
+            res.seconds_per_iter.append(time.perf_counter() - t0)
+            if changed == 0:
+                res.iterations, res.converged = it + 1, True
+                break
+        else:
+            res.iterations = max_iters
+        labels = np.zeros(self.V, dtype=np.int64)
+        for owned, vals in ray.get(
+                [s.sharded_labels_result.remote() for s in self.shards]):
+            labels[owned] = vals
+        res.values = labels
+        return res
+
+    def label_propagation_sharded(self,
+                                  max_iters: int = 10) -> IterativeResult:
+        """BSP synchronous LPA with shard-resident label state; bit-
+        identical to the broadcast mode (each dst's full in-edge set lives
+        in its owner shard, so local argmax == global argmax)."""
+        self._sharded_prepare()
+        ray.get([s.sharded_labels_init.remote() for s in self.shards])
+        k = len(self.shards)
+        incoming: list[list] = [[] for _ in range(k)]
+        res = IterativeResult(np.empty(0), 0, False)
+        for it in range(max_iters):
+            t0 = time.perf_counter()
+            outs = ray.get([s.sharded_lpa_iter.remote(incoming[p])
                             for p, s in enumerate(self.shards)])
             changed = int(sum(o[0] for o in outs))
             incoming = [[] for _ in range(k)]

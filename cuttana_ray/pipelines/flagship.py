@@ -95,7 +95,7 @@ def run_flagship(transcripts: "ray.data.Dataset", workdir: str,
         pool = CSRPool(graph, part, num_partitions)
         pr = pool.pagerank_sharded(tol=pagerank_tol)
         cc = pool.connected_components_sharded()
-        lp = pool.label_propagation(max_iters=lpa_iters)
+        lp = pool.label_propagation_sharded(max_iters=lpa_iters)
         pool.shutdown()
     else:
         pr = pagerank(graph, tol=pagerank_tol, workdir=workdir)

@@ -183,9 +183,9 @@ def test_sharded_pagerank_matches_broadcast_and_oracle(er_graph):
         pool2.shutdown()
 
 
-def test_sharded_components_matches_broadcast(er_graph):
+def test_sharded_components_and_lpa_match_broadcast(er_graph):
     g, n = er_graph
-    src, dst, _ = arrays(g)
+    src, dst, w = arrays(g)
     part = (np.arange(n) % 4).astype(np.int32)
     pool = CSRPool(g, part, 4)
     try:
@@ -194,6 +194,11 @@ def test_sharded_components_matches_broadcast(er_graph):
         assert sh.converged
         assert (sh.values == bc.values).all()
         assert (sh.values == oracle.components_oracle(src, dst, n)).all()
+        lp_sh = pool.label_propagation_sharded(max_iters=6)
+        lp_bc = pool.label_propagation(max_iters=6)
+        assert (lp_sh.values == lp_bc.values).all()
+        assert (lp_sh.values
+                == oracle.lpa_oracle(src, dst, w, n, max_iters=6)).all()
     finally:
         pool.shutdown()
 
