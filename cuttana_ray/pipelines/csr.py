@@ -48,6 +48,8 @@ class CSRShard:
         srcs, dsts, ws = [], [], []
         for ref in block_refs:
             t = ray.get(ref)
+            if len(t) == 0 or "dst" not in t.column_names:
+                continue  # empty shuffle-output blocks are schemaless
             dst = t["dst"].to_numpy(zero_copy_only=False)
             keep = part[dst] == owner
             if keep.any():

@@ -70,9 +70,15 @@ def build_vocab_dataset(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         .select_columns(["name"]).sort("name").materialize()
     refs = distinct.to_arrow_refs()
     lens = ray.get([_num_rows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    # empty sort output blocks are schemaless (no "name" column) — drop
+    # them before id assignment; offsets skip them naturally (len 0)
+    live = [(r, ln) for r, ln in zip(refs, lens) if ln]
+    if not live:
+        return ray.data.from_arrow(NODE_SCHEMA.empty_table())
+    offsets = np.concatenate(
+        [[0], np.cumsum([ln for _, ln in live])[:-1]]).astype(np.int64)
     out_refs = [_ids_for_block.remote(r, int(o))
-                for r, o in zip(refs, offsets)]
+                for (r, _), o in zip(live, offsets)]
     return ray.data.from_arrow_refs(out_refs)
 
 
