@@ -76,9 +76,72 @@ def bipartite_edges(ds: "ray.data.Dataset", src_col: str, dst_col: str,
 
 def dedup_weighted(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     """Collapse parallel edges to one weighted edge (SURVEY.md §2.4 set-ops
-    row): shuffle keyed on (src, dst)."""
-    out = edges.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
-    return out
+    row).
+
+    Sort-based: Ray's range-partitioned sort is ~30× faster than its hash
+    groupby when most (src, dst) keys are distinct (measured: 0.2 s vs
+    7 s on 527k rows), so the exchange is a sort on (src, dst) followed by
+    a vectorized run combine per whole block; the ≤2 boundary runs per
+    block are merged in a driver-side fix-up bounded by the block count,
+    exactly like ``build_adjacency``."""
+    sorted_edges = edges.sort(["src", "dst"])
+
+    def combine(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if "src" not in batch.column_names:
+            return pa.table({})  # schemaless empty sort partition
+        if n == 0:
+            # dtype-preserving empty (src/dst may be string OR int64)
+            return batch.select(["src", "dst", "weight"]).append_column(
+                "partial", pa.array([], pa.bool_()))
+        src = batch["src"].combine_chunks()
+        dst = batch["dst"].combine_chunks()
+        w = batch["weight"].combine_chunks().to_numpy(zero_copy_only=False)
+        if n > 1:
+            same = pc.and_(pc.equal(src.slice(1, n), src.slice(0, n - 1)),
+                           pc.equal(dst.slice(1, n), dst.slice(0, n - 1))) \
+                .to_numpy(zero_copy_only=False)
+            starts = np.concatenate([[0], np.nonzero(~same)[0] + 1]) \
+                .astype(np.int64)
+        else:
+            starts = np.zeros(1, dtype=np.int64)
+        sums = np.add.reduceat(w, starts)
+        m = len(starts)
+        partial = np.zeros(m, dtype=bool)
+        partial[0] = True
+        partial[-1] = True
+        idx = pa.array(starts)
+        return pa.table({
+            "src": src.take(idx),
+            "dst": dst.take(idx),
+            "weight": pa.array(sums.astype(np.int64)),
+            "partial": pa.array(partial),
+        })
+
+    combined = sorted_edges.map_batches(
+        combine, batch_format="pyarrow", batch_size=None).materialize()
+
+    def keep_complete(b: pa.Table) -> pa.Table:
+        if "partial" not in b.column_names:
+            return b  # schemaless empty passthrough
+        return b.filter(pc.equal(b["partial"], False)) \
+            .select(["src", "dst", "weight"])
+
+    complete = combined.map_batches(keep_complete, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    # boundary runs (≤2 per block) merged driver-side
+    import ray as _ray
+    ptabs = [t.filter(pc.equal(t["partial"], True))
+             for t in _ray.get(combined.to_arrow_refs())
+             if len(t) and "partial" in t.column_names]
+    ptabs = [t for t in ptabs if len(t)]
+    if not ptabs:
+        return complete
+    pt = pa.concat_tables([t.select(["src", "dst", "weight"])
+                           for t in ptabs])
+    fix = pt.group_by(["src", "dst"]).aggregate([("weight", "sum")]) \
+        .rename_columns(["src", "dst", "weight"])
+    return complete.union(ray.data.from_arrow(fix))
 
 
 def symmetrize(edges: "ray.data.Dataset",
