@@ -52,7 +52,13 @@ class CuttanaBufferScorer:
         return self.theta * (num_placed / degree) + degree / self.degree_threshold
 
     def update_score(self, old_score: float, nbrs: np.ndarray) -> float:
-        return old_score + self.theta / len(nbrs)
+        # degree 0 (possible only with asymmetric adjacency input): keep the
+        # 0.0 score rather than the reference's theta/0 = inf, consistent
+        # with the NaN-avoidance divergence documented in the module header
+        degree = len(nbrs)
+        if degree == 0:
+            return old_score
+        return old_score + self.theta / degree
 
 
 class BufferManager:

@@ -124,11 +124,44 @@ class CuttanaState:
         return vs, self.sub_parent[gsubs], gsubs
 
 
+_MASK64 = (1 << 64) - 1
+
+
+class TieRng:
+    """Seeded splitmix64 stream for scorer tie-breaks.
+
+    Replaces the numpy ``Generator`` used through round 1 so the native C
+    core (``_native.c``) and this Python reference path draw the *same*
+    sequence from the same seed — splitmix64 is trivially portable, a numpy
+    PCG64 bounded draw is not. Semantics are unchanged: uniform choice among
+    max-score ties, seeded (the reference uses an unseeded ``ThreadRng``,
+    ``/root/reference/src/partition.rs:83-86,115-124``; determinism is a
+    documented engine divergence, ``cuttana_ray/config.py``)."""
+
+    __slots__ = ("state",)
+
+    def __init__(self, seed: int) -> None:
+        self.state = seed & _MASK64
+
+    def integers(self, low: int, high: int) -> int:
+        """Drop-in for ``Generator.integers(0, n)``: uniform in [low, high)."""
+        s = (self.state + 0x9E3779B97F4A7C15) & _MASK64
+        self.state = s
+        z = s
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+        z ^= z >> 31
+        return low + z % (high - low)
+
+
 class FennelScorer:
     """Greedy marginal-gain scorer shared by the global (``gamma=1.5``) and
     sub (``sub_gamma=1.0``) levels; ``/root/reference/src/partition.rs:75-140``."""
 
-    def __init__(self, gamma: float, rng: np.random.Generator) -> None:
+    def __init__(self, gamma: float, rng) -> None:
+        """``rng``: any object with ``integers(low, high) -> int`` —
+        ``TieRng`` (the default; shared with the native core) or a numpy
+        ``Generator``."""
         self.gamma = gamma
         self.rng = rng
 
@@ -236,7 +269,7 @@ class Partitioner:
 
     def __init__(self, config: CuttanaConfig, state: CuttanaState,
                  scorer=None, sub_scorer=None) -> None:
-        rng = np.random.default_rng(config.seed)
+        rng = TieRng(config.seed)
         self.scorer = scorer or FennelScorer(config.gamma, rng)
         self.sub_scorer = sub_scorer or FennelScorer(config.sub_gamma, rng)
         self.state = state

@@ -168,8 +168,10 @@ class Refiner:
         just the dirty rows (neighbors + rows whose stored best pointed at
         frm/to + s) and run a vectorized two-column challenge over the rest —
         O(active·2 + dirty·k) instead of O(active·k)."""
-        active = np.fromiter(state.sub_edges.keys(), dtype=np.int64,
-                             count=len(state.sub_edges))
+        # ascending sub id: a deterministic row order shared with the native
+        # C core so argmin tie-breaks (first-min) pick the same move there
+        active = np.sort(np.fromiter(state.sub_edges.keys(), dtype=np.int64,
+                                     count=len(state.sub_edges)))
         active = active[state.sub_sizes[active] > 0]
         if not active.size:
             return
