@@ -38,8 +38,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import numpy as np
     import ray
 
+    # log_to_driver=False: workers' cosmetic Ray-internal warnings (e.g.
+    # "Failed to hash the schemas (for deduplication)" from sort-reduce
+    # schema dedup) otherwise swamp the one-line JSON this script exists to
+    # print; real failures still propagate as raised exceptions via ray.get
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level=logging.ERROR)
+             ignore_reinit_error=True, logging_level=logging.ERROR,
+             log_to_driver=False)
     try:
         import ray.data as rd
         from ray.data import DataContext
@@ -177,8 +182,13 @@ def run_pr_scaling_worker(num_cpus: int, n_edges: int,
     import numpy as np
     import ray
 
+    # log_to_driver=False: workers' cosmetic Ray-internal warnings (e.g.
+    # "Failed to hash the schemas (for deduplication)" from sort-reduce
+    # schema dedup) otherwise swamp the one-line JSON this script exists to
+    # print; real failures still propagate as raised exceptions via ray.get
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             ignore_reinit_error=True, logging_level=logging.ERROR)
+             ignore_reinit_error=True, logging_level=logging.ERROR,
+             log_to_driver=False)
     try:
         import ray.data as rd
         from ray.data import DataContext
