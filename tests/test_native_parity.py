@@ -72,6 +72,28 @@ def test_native_matches_python_random_graphs(seed, V, k, ns, buf, dt, sym):
     _assert_equal(_run(V, rows, k, cfg, False), _run(V, rows, k, cfg, True))
 
 
+def test_native_matches_python_flagship_shaped():
+    # flagship-scale shape: k=16, num_sub_partitions=4096 (the default),
+    # power-law-ish degrees, all-buffered stream with drain at finalize —
+    # the exact regime bench.py runs the native core in
+    rng = np.random.default_rng(20)
+    V = 1500
+    deg = np.minimum(rng.zipf(2.0, V) + 1, 60)
+    rows = []
+    for v in range(V):
+        nb = np.unique(rng.integers(0, V, deg[v]))
+        rows.append((v, nb[nb != v].tolist()))
+    # symmetrize so the stream matches the engine's doubled adjacency form
+    adj = [set(nb) for _, nb in rows]
+    for v, nb in rows:
+        for u in nb:
+            adj[u].add(v)
+    rows = [(v, sorted(adj[v])) for v in range(V)]
+    cfg = CuttanaConfig()
+    _assert_equal(_run(V, rows, 16, cfg, False, batch=256),
+                  _run(V, rows, 16, cfg, True, batch=256))
+
+
 def test_native_matches_python_batched_feed():
     # same stream through consume() vs consume_batch() vs native, mixed
     # batch sizes — layout invariance of all three paths
