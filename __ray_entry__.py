@@ -981,7 +981,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "orders_customer_join": """
-            SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n_orders,
+            -- CAST: customer.parquet stores c_nationkey as int32; the Ray
+            -- join+groupby emits int64, and the driver's value hash is
+            -- dtype-sensitive (same class of fix as degree_topk in r1)
+            SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+                   COUNT(*) AS n_orders,
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
