@@ -298,6 +298,16 @@ def _q_doc_token_stats(sf_dir: str):
         .select_columns(["doc_id", "n_tokens", "n_chars_computed"])
 
 
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact p50/p90/p95/p99 of document token counts via the shuffle-free
+    histogram-quantile operator (per-batch value counts → tiny driver merge;
+    no global sort — scale-safe for bounded-cardinality columns)."""
+    from cuttana_ray.functions.textstats import int_quantiles, token_stats
+    toks = token_stats(_read(sf_dir, "documents")) \
+        .select_columns(["doc_id", "n_tokens"])
+    return int_quantiles(toks, "n_tokens")
+
+
 def _q_knn_cosine_top5(sf_dir: str):
     import pyarrow.parquet as pq
     from cuttana_ray.functions.simsearch import knn_brute_force
@@ -491,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
         # rows-only
@@ -1027,6 +1038,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                    length(text) AS n_chars_computed
             FROM documents
+        """,
+        "doc_length_quantiles": """
+            WITH t AS (
+                SELECT array_length(string_split_regex(trim(text), '\\s+'))
+                           AS n
+                FROM documents
+            )
+            SELECT 0.50 AS q, CAST(quantile_disc(n, 0.50) AS BIGINT) AS value FROM t
+            UNION ALL
+            SELECT 0.90, CAST(quantile_disc(n, 0.90) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 0.95, CAST(quantile_disc(n, 0.95) AS BIGINT) FROM t
+            UNION ALL
+            SELECT 0.99, CAST(quantile_disc(n, 0.99) AS BIGINT) FROM t
         """,
         "knn_cosine_top5": """
             WITH q AS (

@@ -171,3 +171,52 @@ def fingerprints(ds: "ray.data.Dataset", k: int = 8, w: int = 4,
     return ds.map_batches(_Fingerprinter, batch_format="pyarrow",
                           concurrency=pool_size(),
                           fn_constructor_args=(k, w, text_col, id_col))
+
+
+def int_quantiles(ds: "ray.data.Dataset", col: str,
+                  qs: tuple = (0.5, 0.9, 0.95, 0.99)) -> pa.Table:
+    """Exact discrete quantiles of an integer column WITHOUT a global sort.
+
+    Each batch emits (value, count) partials — bounded by the batch's
+    distinct-value count, not its row count — and the driver merges the tiny
+    histograms. Scale-safe whenever the column's value cardinality is small
+    relative to the data (document lengths, token counts, status codes …):
+    at 100 TB the shuffle-free histogram is thousands of rows while a
+    sort-based quantile would move every block. For unbounded-cardinality
+    columns, pre-bucket (e.g. ``value // width``) for approximate quantiles
+    with a chosen resolution.
+
+    Quantile definition matches DuckDB ``quantile_disc``: the element at
+    sorted position ``max(ceil(q*n), 1) - 1``, verified against DuckDB in
+    the driver contract (``doc_length_quantiles``). Returns a pyarrow table
+    ``(q: float64, value: int64)``, one row per requested quantile.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    vs, cs = [], []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        vs.append(b["v"].to_numpy(zero_copy_only=False))
+        cs.append(b["c"].to_numpy(zero_copy_only=False))
+    if not vs or not sum(len(a) for a in vs):
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
+    allv = np.concatenate(vs)
+    allc = np.concatenate(cs)
+    uniq, inv = np.unique(allv, return_inverse=True)
+    counts = np.bincount(inv, weights=allc).astype(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        target = max(math.ceil(q * n), 1)
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out.append(int(uniq[idx]))
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(out, pa.int64())})

@@ -172,3 +172,29 @@ def test_multimodal_plumbing():
     from cuttana_ray.functions.multimodal import DecodeBackend
     with pytest.raises(NotImplementedError):
         DecodeBackend("pillow", 8)   # codec libs stubbed in this environment
+
+
+def test_int_quantiles_matches_sorted_definition():
+    # exact discrete quantile = element at sorted position max(ceil(q*n),1)-1
+    # (DuckDB quantile_disc definition; driver-checked via
+    # doc_length_quantiles) — verified here against a brute-force sort,
+    # through uneven block splits
+    import math
+
+    from cuttana_ray.functions.textstats import int_quantiles
+
+    rng = np.random.default_rng(3)
+    for n, hi in ((1, 5), (37, 4), (1000, 7), (5000, 100000)):
+        v = rng.integers(0, hi, n)
+        ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.int64())})) \
+            .repartition(5)
+        got = int_quantiles(ds, "x").to_pydict()
+        sv = np.sort(v)
+        for q, val in zip(got["q"], got["value"]):
+            assert val == int(sv[max(math.ceil(q * n), 1) - 1])
+
+
+def test_int_quantiles_empty():
+    from cuttana_ray.functions.textstats import int_quantiles
+    ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert len(int_quantiles(ds, "x")) == 0
