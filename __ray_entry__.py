@@ -308,6 +308,15 @@ def _q_doc_length_quantiles(sf_dir: str):
     return int_quantiles(toks, "n_tokens")
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) over events (p=14,
+    ±~0.8%). Rows-only by nature: the estimate is deliberately approximate,
+    so there is no exact SQL hash to match; accuracy vs the exact count is
+    asserted by ``tests/test_functions.py::test_hll_approx_distinct``."""
+    from cuttana_ray.functions.sketches import approx_distinct
+    return approx_distinct(_read(sf_dir, "events"), "user_id")
+
+
 def _q_knn_cosine_top5(sf_dir: str):
     import pyarrow.parquet as pq
     from cuttana_ray.functions.simsearch import knn_brute_force
@@ -514,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "approx_distinct_users": _q_approx_distinct_users,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "lang_id_docs": _q_lang_id_docs,

@@ -198,3 +198,34 @@ def test_int_quantiles_empty():
     from cuttana_ray.functions.textstats import int_quantiles
     ds = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
     assert len(int_quantiles(ds, "x")) == 0
+
+
+def test_hll_approx_distinct():
+    from cuttana_ray.functions.sketches import (
+        approx_distinct,
+        hll_registers,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 20000, 100000)
+    exact = len(np.unique(vals))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())})) \
+        .repartition(9)
+    t = approx_distinct(ds, "x")
+    est = t["approx_distinct"][0].as_py()
+    assert abs(est - exact) / exact < 0.03  # p=14 → ~0.8% stderr
+
+    # mergeability: registers of the whole == element-wise max of splits —
+    # the property that makes the sketch distribution-safe
+    h = rng.integers(0, 2 ** 63, 50000, dtype=np.uint64)
+    full = hll_registers(h, 12)
+    parts = np.maximum.reduce([hll_registers(h[i::4], 12) for i in range(4)])
+    assert np.array_equal(full, parts)
+
+
+def test_hll_string_column_and_small_range():
+    from cuttana_ray.functions.sketches import approx_distinct
+    names = [f"user_{i % 37}" for i in range(2000)]
+    ds = rd.from_arrow(pa.table({"u": pa.array(names)})).repartition(3)
+    est = approx_distinct(ds, "u")["approx_distinct"][0].as_py()
+    assert est == 37  # linear-counting regime is exact this small
