@@ -76,7 +76,10 @@ class Graph:
 
 
 def _build(edges_str: "ray.data.Dataset", workdir: str | None,
-           deduped: bool = False) -> Graph:
+           deduped: bool = False, canonical: bool = False) -> Graph:
+    """``canonical=True``: ``edges_str`` carries one row per unordered pair
+    (extractors ran ``canonicalize_undirected`` before their dedup), so
+    symmetrization is a flat map — one fewer all-to-all exchange."""
     if workdir:
         edges_dir = os.path.join(workdir, "edges")
         nodes_dir = os.path.join(workdir, "nodes")
@@ -91,7 +94,8 @@ def _build(edges_str: "ray.data.Dataset", workdir: str | None,
         edges_str = dedup_weighted(edges_str)
     edges_str = edges_str.materialize()
     nodes = build_vocab(edges_str)
-    enc = symmetrize(encode_edges(edges_str, nodes))
+    enc = symmetrize(encode_edges(edges_str, nodes),
+                     assume_canonical=canonical)
     if workdir:
         ckpt.write_table(nodes, os.path.join(workdir, "nodes"))
         edges = ckpt.write_stage(enc, os.path.join(workdir, "edges"))
@@ -110,7 +114,8 @@ def build_graph_from_transcripts(transcripts: "ray.data.Dataset",
       conversation (4-vertex hub core carrying large weights).
     """
     from cuttana_ray.stages.edges import transcript_edges
-    return _build(transcript_edges(transcripts), workdir, deduped=True)
+    return _build(transcript_edges(transcripts), workdir, deduped=True,
+                  canonical=True)
 
 
 def build_graph_from_events(events: "ray.data.Dataset",
@@ -118,14 +123,18 @@ def build_graph_from_events(events: "ray.data.Dataset",
     """Driver-oracle analog over the ``events`` table: user→event_type
     bipartite links + event_type→next-event_type adjacency per user ordered
     by (ts, event_id)."""
+    from cuttana_ray.stages.edges import canonicalize_undirected
     ue = bipartite_edges(events.select_columns(["user_id", "event_type"]),
                          "user_id", "event_type", "user:", "event:")
     ee = consecutive_pairs(
         events.select_columns(["user_id", "ts", "event_id", "event_type"]),
         "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
-    # ue and ee key spaces are disjoint (user:→event: vs event:→event:) and
-    # each extractor dedups internally — no outer dedup shuffle needed
-    return _build(ue.union(ee), workdir, deduped=True)
+    # extractors dedup directionally; canonicalizing then re-deduping the
+    # (small, already-collapsed) union merges (a,b)/(b,a) weight splits in
+    # one exchange over N rows, so symmetrize is a flat map — cheaper than
+    # the old no-outer-dedup + sort-over-2N symmetrize
+    return _build(canonicalize_undirected(ue.union(ee)), workdir,
+                  deduped=False, canonical=True)
 
 
 def graph_adjacency(graph: Graph) -> "ray.data.Dataset":
