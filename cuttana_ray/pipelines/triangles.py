@@ -152,7 +152,7 @@ def _triangles_join(o: "ray.data.Dataset", V: int,
     per_vertex = np.zeros(V, dtype=np.int64)
     # empty hash-join partitions come back schemaless and crash the next
     # join (Ray Data 2.49); keep partitions ≥~64k rows so none is empty
-    npart = max(1, min(pool_size(), n_edges // 65536 + 1))
+    npart = max(1, min(pool_size()[1], n_edges // 65536 + 1))
     # wedges u→v→w: (u,v) ⋈_{v} (v,w); materialized because a zero-row join
     # result yields schemaless empty blocks the next join can't key on
     wedges = o.join(o.rename_columns({"u": "v2", "v": "w"}),

@@ -29,13 +29,16 @@ def strip_schema_metadata(ds):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
-def pool_size(cap: int = 8) -> int:
-    """Actor-pool concurrency that leaves CPU headroom for the read/shuffle
-    stages around it: half the cluster CPUs, at least 1, at most ``cap``.
+def pool_size(cap: int = 8) -> tuple[int, int]:
+    """Actor-pool ``concurrency`` range ``(1, max)`` that leaves CPU headroom
+    for the read/shuffle stages around it: max = half the cluster CPUs, at
+    least 1, at most ``cap``.
 
     A pool that reserves every CPU starves its upstream/downstream operators
     and can stall the streaming executor indefinitely (observed with
-    concurrency=4 on a 4-CPU test cluster).
+    concurrency=4 on a 4-CPU test cluster). The min=1 end lets Ray launch
+    fewer actors than max when the input has fewer blocks (a fixed int there
+    warns and idles actors on small inputs).
     """
     try:
         import ray
@@ -43,4 +46,4 @@ def pool_size(cap: int = 8) -> int:
             ray.is_initialized() else 4
     except Exception:
         cpus = 4
-    return max(1, min(cap, cpus // 2))
+    return (1, max(1, min(cap, cpus // 2)))
