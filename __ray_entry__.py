@@ -418,6 +418,14 @@ def _q_ngram_jaccard_docs(sf_dir: str):
     return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components over the exact-Jaccard
+    verified LSH pair graph via join+groupby(Min) label propagation —
+    the "keep one representative per near-dup group" primitive."""
+    from cuttana_ray.functions.dedup import neardup_clusters
+    return neardup_clusters(_read(sf_dir, "documents"), threshold=0.5)
+
+
 def _q_embedding_neardup(sf_dir: str):
     import pyarrow.compute as pc
     from cuttana_ray.functions.dedup import embedding_cosine_pairs
@@ -523,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "neardup_clusters_docs": _q_neardup_clusters,
         "approx_distinct_users": _q_approx_distinct_users,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
@@ -841,6 +850,36 @@ def _minhash_pairs_sql() -> str:
             + "\n    SELECT doc_a, doc_b, est_jaccard FROM cand")
 
 
+def _neardup_clusters_sql() -> str:
+    """Connected components (min-label recursive CTE, same shape as
+    _COMPONENTS_SQL) over the exact-Jaccard verified pair graph of
+    _ngram_jaccard_sql."""
+    return ("WITH RECURSIVE " + _minhash_prelude_sql(0.25) + """,
+    cnt AS (SELECT doc_id, COUNT(*) AS nh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ci
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2),
+    vp AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                     JOIN cnt cb ON cb.doc_id = i.doc_b
+        WHERE i.ci / (ca.nh + cb.nh - i.ci) >= 0.5),
+    eg(u, v) AS (SELECT doc_a, doc_b FROM vp
+                 UNION SELECT doc_b, doc_a FROM vp),
+    nd AS (SELECT DISTINCT u FROM eg),
+    reach(v, lbl) AS (
+        SELECT u, u FROM nd
+        UNION
+        SELECT eg.v, r.lbl FROM reach r JOIN eg ON eg.u = r.v
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id,
+           CAST(MIN(lbl) AS BIGINT) AS cluster_rep
+    FROM reach GROUP BY 1""")
+
+
 def _ngram_jaccard_sql() -> str:
     return ("WITH " + _minhash_prelude_sql(0.25) + f""",
     cnt AS (SELECT doc_id, COUNT(*) AS nh FROM sh GROUP BY 1),
@@ -919,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "minhash_pairs_docs": _minhash_pairs_sql(),
         "ngram_jaccard_docs": _ngram_jaccard_sql(),
+        "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,

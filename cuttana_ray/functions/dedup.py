@@ -582,3 +582,97 @@ def embedding_cosine_pairs(ds: "ray.data.Dataset", vec_col: str = "embedding",
 def _table_len(t: pa.Table) -> tuple[int, int]:
     dim = int(t["dim"][0].as_py()) if len(t) else 0
     return len(t), dim
+
+
+# -- near-dup clustering ----------------------------------------------------
+
+def pair_components(pairs: "ray.data.Dataset", a_col: str = "doc_a",
+                    b_col: str = "doc_b",
+                    max_iters: int = 50) -> "ray.data.Dataset":
+    """Connected components over a pair table with PURE Dataset ops.
+
+    Min-label propagation: every node starts labeled with the smallest id it
+    touches, then each round joins labels onto the (symmetrized) pair table
+    and takes a per-node min — ``join + groupby(Min)`` shuffles only, so ids
+    stay arbitrary int64 (no dense O(V) vertex array anywhere; contrast the
+    graph pipelines, which densify because they iterate many rounds over
+    huge E). Rounds needed = label-propagation diameter of the largest
+    cluster — near-dup clusters are near-cliques, so 2-3 in practice.
+    Output: ``(doc_id, cluster_rep)`` for every id in ≥1 pair.
+    """
+    import pyarrow.compute as _pc
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_rep": pa.array([], pa.int64())}))
+
+    def sym(t: pa.Table) -> pa.Table:
+        if a_col not in t.column_names or len(t) == 0:
+            return pa.table({"u": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        fwd = pa.table({"u": _pc.cast(t[a_col], pa.int64()),
+                        "v": _pc.cast(t[b_col], pa.int64())})
+        rev = pa.table({"u": _pc.cast(t[b_col], pa.int64()),
+                        "v": _pc.cast(t[a_col], pa.int64())})
+        return pa.concat_tables([fwd, rev])
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return empty
+    # pair tables are the dup-bearing subset: small → few join partitions so
+    # no hash partition comes back empty/schemaless (Ray Data 2.49 quirk)
+    npart = max(1, min(4, edges.count() // 65536 + 1))
+
+    lab = edges.groupby("u").aggregate(Min("v", alias_name="lbl"))
+    lab = lab.map_batches(
+        lambda t: pa.table({"u": t["u"],
+                            "lbl": _pc.min_element_wise(
+                                _pc.cast(t["u"], pa.int64()),
+                                _pc.cast(t["lbl"], pa.int64()))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # candidate labels flow across each edge: (u,v) ⋈_u labels → (v, lbl)
+        prop = edges.join(lab, join_type="inner", num_partitions=npart,
+                          on=("u",)) \
+            .map_batches(lambda t: pa.table({
+                "u": _pc.cast(t["v"], pa.int64()),
+                "lbl": _pc.cast(t["lbl"], pa.int64())}),
+                batch_format="pyarrow")
+        new = lab.union(prop).groupby("u").aggregate(
+            Min("lbl", alias_name="lbl")).materialize()
+        # converged when no node's label shrank
+        chk = new.join(lab.map_batches(
+            lambda t: pa.table({"u2": _pc.cast(t["u"], pa.int64()),
+                                "old": _pc.cast(t["lbl"], pa.int64())}),
+            batch_format="pyarrow"), join_type="inner",
+            num_partitions=npart, on=("u",), right_on=("u2",))
+        changed = chk.map_batches(
+            lambda t: pa.table({"c": pa.array(
+                [int(_pc.sum(_pc.cast(_pc.not_equal(t["lbl"], t["old"]),
+                                      pa.int64())).as_py() or 0)],
+                pa.int64())}), batch_format="pyarrow") \
+            .sum("c")
+        lab = new
+        if not changed:
+            break
+    return lab.map_batches(
+        lambda t: pa.table({"doc_id": _pc.cast(t["u"], pa.int64()),
+                            "cluster_rep": _pc.cast(t["lbl"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def neardup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id", shingle_k: int = 5,
+                     num_perm: int = 64, bands: int = 16,
+                     threshold: float = 0.5) -> "ray.data.Dataset":
+    """Near-duplicate CLUSTERS: exact-Jaccard-verified LSH pairs
+    (``ngram_jaccard_verify``) grouped into connected components, one
+    representative (min doc_id) per cluster — the "keep one copy per
+    near-dup group" primitive of a training-data pipeline. Output:
+    ``(doc_id, cluster_rep)`` for every document in ≥1 verified pair
+    (singletons are their own implicit clusters and are omitted)."""
+    pairs = ngram_jaccard_pairs(ds, text_col, id_col, shingle_k, num_perm,
+                                bands, threshold) \
+        .select_columns(["doc_a", "doc_b"])
+    return pair_components(pairs)

@@ -229,3 +229,48 @@ def test_hll_string_column_and_small_range():
     ds = rd.from_arrow(pa.table({"u": pa.array(names)})).repartition(3)
     est = approx_distinct(ds, "u")["approx_distinct"][0].as_py()
     assert est == 37  # linear-counting regime is exact this small
+
+
+def test_pair_components_matches_union_find():
+    from cuttana_ray.functions.dedup import pair_components
+
+    def uf(pairs):
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    rng = np.random.default_rng(9)
+    ids = rng.integers(0, 10 ** 9, (150, 2))
+    ids = ids[ids[:, 0] != ids[:, 1]]
+    ds = rd.from_arrow(pa.table({"doc_a": pa.array(ids[:, 0], pa.int64()),
+                                 "doc_b": pa.array(ids[:, 1], pa.int64())})) \
+        .repartition(3)
+    got = pair_components(ds).to_pandas() \
+        .set_index("doc_id")["cluster_rep"].to_dict()
+    assert got == uf(ids.tolist())
+
+    # chain = worst-case label-propagation diameter
+    chain = rd.from_arrow(pa.table({
+        "doc_a": pa.array(list(range(20)), pa.int64()),
+        "doc_b": pa.array(list(range(1, 21)), pa.int64())}))
+    out = pair_components(chain).to_pandas()
+    assert (out["cluster_rep"] == 0).all() and len(out) == 21
+
+
+def test_neardup_clusters_on_duplicated_docs(docs):
+    from cuttana_ray.functions.dedup import neardup_clusters
+    out = neardup_clusters(docs, threshold=0.5).to_pandas()
+    # every clustered doc's rep is the min id of its cluster
+    assert (out.groupby("cluster_rep")["doc_id"].min()
+            == out.groupby("cluster_rep")["doc_id"].apply(
+                lambda s: s.min())).all()
+    if len(out):
+        assert (out["cluster_rep"] <= out["doc_id"]).all()
