@@ -273,6 +273,14 @@ def _q_events_hourly_windows(sf_dir: str):
                                "value", 3600)
 
 
+def _q_events_hopping_windows(sf_dir: str):
+    """1-hour windows hopping every 15 minutes (4 overlapping windows per
+    event, expanded vectorized + partially aggregated before the shuffle)."""
+    from cuttana_ray.stages.windows import hopping_window_agg
+    return hopping_window_agg(_read(sf_dir, "events"), "user_id", "ts",
+                              "value", width_s=3600, hop_s=900)
+
+
 def _q_user_session_counts(sf_dir: str):
     from cuttana_ray.stages.windows import session_counts
     out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
@@ -515,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
+        "events_hopping_windows": _q_events_hopping_windows,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
@@ -1065,6 +1074,25 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS value_sum,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_windows": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS t, value FROM events),
+            b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM ev),
+            js AS (
+                SELECT unnest(generate_series(
+                    (SELECT (mn - 3600000000::BIGINT) // 900000000::BIGINT
+                     FROM b),
+                    (SELECT mx // 900000000::BIGINT FROM b))) AS j)
+            SELECT e.user_id,
+                   CAST(js.j * 900 AS BIGINT) AS window_start,
+                   ROUND(SUM(e.value), 2) AS value_sum,
+                   COUNT(*) AS n_events
+            FROM ev e JOIN js
+              ON js.j BETWEEN (e.t - 3600000000::BIGINT)
+                                  // 900000000::BIGINT + 1
+                          AND e.t // 900000000::BIGINT
+            GROUP BY 1, 2
         """,
         "user_session_counts": """
             WITH s AS (

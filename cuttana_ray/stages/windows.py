@@ -189,3 +189,58 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
         "k": pa.array(pdf["k"], pa.string()),
         "n_sessions": pa.array(pdf["n_sessions"].to_numpy(), pa.int64()),
     }))
+
+
+def hopping_window_agg(ds: "ray.data.Dataset", key: str, ts: str,
+                       value: str, width_s: int,
+                       hop_s: int) -> "ray.data.Dataset":
+    """Hopping (sliding) windows: per (key, window) counts and value sums
+    for windows of ``width_s`` seconds starting every ``hop_s`` seconds.
+
+    Each event expands to the ``ceil(width/hop)`` windows containing it —
+    vectorized repeat, no Python rows — and is partially aggregated per
+    batch BEFORE the (key, window_start) shuffle, so the exchange carries
+    at most distinct-(key, window) rows per block, not raw expanded events.
+    ``window_start`` is the epoch-second window start (a multiple of
+    ``hop_s``); tumbling is the ``hop_s == width_s`` special case."""
+    width_us = int(width_s) * 1_000_000
+    hop_us = int(hop_s) * 1_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out_schema = pa.schema([
+            (key, batch.schema.field(key).type if n or key in
+             batch.column_names else pa.int64()),
+            ("window_start", pa.int64()),
+            ("value_sum", pa.float64()), ("n", pa.int64())])
+        if n == 0:
+            return out_schema.empty_table()
+        t = np.asarray(ts_to_us(batch[ts]))
+        # windows j*hop with j in (t-width, t] / hop (floor division)
+        j_max = t // hop_us
+        j_min = (t - width_us) // hop_us + 1
+        counts = (j_max - j_min + 1).astype(np.int64)
+        total = int(counts.sum())
+        row = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        j = j_min[row] + offs
+        expanded = pa.table({
+            key: batch[key].take(pa.array(row)),
+            "window_start": pa.array(j * hop_s, pa.int64()),
+            value: batch[value].take(pa.array(row)),
+        })
+        g = expanded.group_by([key, "window_start"]).aggregate(
+            [(value, "sum"), ([], "count_all")])
+        return g.rename_columns([key, "window_start", "value_sum", "n"])
+
+    partial = ds.map_batches(expand, batch_format="pyarrow")
+    agg = partial.groupby([key, "window_start"]).aggregate(
+        Sum("value_sum", alias_name="value_sum"),
+        Sum("n", alias_name="n_events"))
+
+    def round_col(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("value_sum"), "value_sum",
+            pc.round(batch["value_sum"], 2))
+    return agg.map_batches(round_col, batch_format="pyarrow")

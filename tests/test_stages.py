@@ -273,3 +273,49 @@ def test_tumbling_window_agg_matches_pandas():
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
     assert np.allclose(got["value_sum"], exp["value_sum"].round(2),
                        atol=0.011)
+
+
+def test_hopping_window_agg_matches_pandas():
+    # oracle: explicit per-event window expansion in pandas
+    import pandas as pd
+
+    from cuttana_ray.stages.windows import hopping_window_agg
+
+    rng = np.random.default_rng(6)
+    n = 3000
+    base = 1_700_000_000_000_000  # epoch µs
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": base + rng.integers(0, 6 * 3600 * 1_000_000, n),
+        "v": rng.random(n).round(3),
+    })
+    width, hop = 3600, 900
+    rows = []
+    for _, r in df.iterrows():
+        t = int(r["ts"])
+        j_max = t // (hop * 1_000_000)
+        j_min = (t - width * 1_000_000) // (hop * 1_000_000) + 1
+        for j in range(j_min, j_max + 1):
+            rows.append((r["k"], j * hop, r["v"]))
+    exp = pd.DataFrame(rows, columns=["k", "window_start", "v"]) \
+        .groupby(["k", "window_start"]) \
+        .agg(value_sum=("v", "sum"), n_events=("v", "size")).reset_index()
+    exp["value_sum"] = exp["value_sum"].round(2)
+
+    t = pa.table({"k": pa.array(df["k"], pa.int64()),
+                  "ts": pa.array(df["ts"], pa.int64()),
+                  "v": pa.array(df["v"], pa.float64())})
+    got = hopping_window_agg(rd.from_arrow(t).repartition(4),
+                             "k", "ts", "v", width, hop).to_pandas()
+    key = ["k", "window_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True).astype(
+        {"k": "int64", "window_start": "int64", "n_events": "int64"})
+    assert got[key].values.tolist() == exp[key].values.tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    # value_sum: partial-per-batch summation order can flip a value sitting
+    # exactly on the x.xx5 rounding boundary by one cent vs the single-pass
+    # pandas sum — allow that half-ulp-of-rounding difference
+    assert np.allclose(got["value_sum"], exp["value_sum"], atol=0.011)
+    # every event lands in exactly width/hop windows
+    assert got["n_events"].sum() == n * (width // hop)
