@@ -2,7 +2,9 @@ from cuttana_ray.functions.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
+    pair_components,
     simhash_pairs,
 )
 from cuttana_ray.functions.multimodal import (
@@ -11,14 +13,17 @@ from cuttana_ray.functions.multimodal import (
     synth_media_table,
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
+from cuttana_ray.functions.sketches import approx_distinct
 from cuttana_ray.functions.textstats import (
     fingerprints,
+    int_quantiles,
     lang_id,
     quality_scores,
     token_stats,
 )
 
 __all__ = [
+    "approx_distinct",
     "embedding_cosine_pairs",
     "exact_dedup",
     "extract_features",
@@ -27,8 +32,11 @@ __all__ = [
     "knn_brute_force",
     "knn_ivf",
     "lang_id",
+    "int_quantiles",
     "minhash_lsh_pairs",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
+    "pair_components",
     "quality_scores",
     "sample_frames",
     "simhash_pairs",

@@ -11,7 +11,11 @@ from cuttana_ray.stages.partition_stage import (
     run_cuttana_partition,
 )
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
-from cuttana_ray.stages.windows import session_counts, tumbling_window_agg
+from cuttana_ray.stages.windows import (
+    hopping_window_agg,
+    session_counts,
+    tumbling_window_agg,
+)
 
 __all__ = [
     "assignment_array",
@@ -23,6 +27,7 @@ __all__ = [
     "dedup_weighted",
     "encode_edges",
     "hash_partition_baseline",
+    "hopping_window_agg",
     "partition_quality",
     "run_cuttana_partition",
     "session_counts",
