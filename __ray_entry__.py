@@ -281,6 +281,33 @@ def _q_events_hopping_windows(sf_dir: str):
                               "value", width_s=3600, hop_s=900)
 
 
+def _q_events_asof_value(sf_dir: str):
+    """As-of join: each non-purchase event picks up the user's most recent
+    purchase value at-or-before its timestamp (sort-once + per-block
+    forward-fill with O(#blocks) carry chain — stages/joins.py)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Max
+    from cuttana_ray.stages.joins import asof_join
+    ev = _read(sf_dir, "events")
+    left = ev.filter(expr="event_type != 'purchase'") \
+        .select_columns(["user_id", "ts", "event_id"])
+    # right must be unique per (user, ts): max value on ties
+    right = ev.filter(expr="event_type == 'purchase'") \
+        .select_columns(["user_id", "ts", "value"]) \
+        .groupby(["user_id", "ts"]).aggregate(Max("value", alias_name="value"))
+    out = asof_join(left, right, "user_id", "ts", ["value"],
+                    left_cols=["user_id", "ts", "event_id"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "purchase_value": _pc.round(
+                _pc.cast(batch["r_value"], pa.float64()), 4),
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_user_session_counts(sf_dir: str):
     from cuttana_ray.stages.windows import session_counts
     out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
@@ -524,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
+        "events_asof_value": _q_events_asof_value,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
@@ -1074,6 +1102,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS value_sum,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_asof_value": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type != 'purchase'),
+            r AS (SELECT user_id, ts, MAX(value) AS value FROM events
+                  WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT l.event_id, l.user_id,
+                   ROUND(r.value, 4) AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "events_hopping_windows": """
             WITH ev AS (

@@ -1,3 +1,4 @@
+from cuttana_ray.stages.joins import asof_join
 from cuttana_ray.stages.edges import (
     bipartite_edges,
     build_adjacency,
@@ -18,6 +19,7 @@ from cuttana_ray.stages.windows import (
 )
 
 __all__ = [
+    "asof_join",
     "assignment_array",
     "bipartite_edges",
     "build_adjacency",

@@ -319,3 +319,55 @@ def test_hopping_window_agg_matches_pandas():
     assert np.allclose(got["value_sum"], exp["value_sum"], atol=0.011)
     # every event lands in exactly width/hop windows
     assert got["n_events"].sum() == n * (width // hop)
+
+
+def test_asof_join_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from cuttana_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(13)
+    nL, nR = 3000, 900
+    L = pd.DataFrame({"k": rng.integers(0, 25, nL),
+                      "ts": rng.integers(0, 10 ** 6, nL) * 1_000_000,
+                      "lid": np.arange(nL, dtype=np.int64)})
+    R = pd.DataFrame({"k": rng.integers(0, 25, nR),
+                      "ts": rng.integers(0, 10 ** 6, nR) * 1_000_000,
+                      "rv": rng.random(nR).round(4)}) \
+        .drop_duplicates(["k", "ts"])
+    lt = rd.from_arrow(pa.table({c: pa.array(L[c], pa.int64() if c != "rv"
+                                             else pa.float64())
+                                 for c in L})).repartition(6)
+    rt = rd.from_arrow(pa.table({"k": pa.array(R.k, pa.int64()),
+                                 "ts": pa.array(R.ts, pa.int64()),
+                                 "rv": pa.array(R.rv, pa.float64())})) \
+        .repartition(4)
+    got = asof_join(lt, rt, "k", "ts", ["rv"],
+                    left_cols=["k", "ts", "lid"]).to_pandas()
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    exp = con.execute("""
+        SELECT l.k, l.ts, l.lid, r.rv AS r_rv
+        FROM L l ASOF LEFT JOIN R r ON l.k = r.k AND l.ts >= r.ts
+    """).df()
+    got = got.sort_values("lid").reset_index(drop=True)[sorted(got.columns)]
+    exp = exp.sort_values("lid").reset_index(drop=True)[sorted(exp.columns)]
+    pd.testing.assert_frame_equal(got.astype({"ts": "int64"}),
+                                  exp.astype({"ts": "int64"}))
+
+
+def test_asof_join_empty_right_all_null():
+    import pandas as pd  # noqa: F401
+
+    from cuttana_ray.stages.joins import asof_join
+
+    lt = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                                 "ts": pa.array([10, 20, 30], pa.int64()),
+                                 "lid": pa.array([0, 1, 2], pa.int64())}))
+    rt = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "ts": pa.array([], pa.int64()),
+                                 "rv": pa.array([], pa.float64())}))
+    out = asof_join(lt, rt, "k", "ts", ["rv"]).to_pandas()
+    assert len(out) == 3 and out["r_rv"].isna().all()
