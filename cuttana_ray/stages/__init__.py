@@ -1,4 +1,3 @@
-from cuttana_ray.stages.joins import asof_join
 from cuttana_ray.stages.edges import (
     bipartite_edges,
     build_adjacency,
@@ -6,6 +5,7 @@ from cuttana_ray.stages.edges import (
     dedup_weighted,
     symmetrize,
 )
+from cuttana_ray.stages.joins import asof_join
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
