@@ -308,6 +308,103 @@ def _q_events_asof_value(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_top_orders_per_priority(sf_dir: str):
+    """Grouped top-k with a total ordering: the 3 most expensive orders per
+    priority class. Per-block combiner keeps ≤k rows per key before the one
+    groupby exchange (stages/relational.py grouped_topk)."""
+    from cuttana_ray.stages.relational import grouped_topk
+    ds = _read(sf_dir, "orders") \
+        .select_columns(["o_orderpriority", "o_totalprice", "o_orderkey"])
+    return grouped_topk(ds, ["o_orderpriority"],
+                        [("o_totalprice", "descending"),
+                         ("o_orderkey", "ascending")], 3)
+
+
+def _q_orders_rollup(sf_dir: str):
+    """ROLLUP(year, month) revenue: multi-level aggregate in ONE shuffle —
+    rows expand into their prefix levels with a per-batch partial
+    aggregation collapsing the expansion first (stages/relational.py
+    rollup_agg)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import rollup_agg
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_month": pc.cast(pc.month(batch["o_orderdate"]), pa.int64()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+    ds = _read(sf_dir, "orders").map_batches(add_month,
+                                             batch_format="pyarrow")
+    out = rollup_agg(ds, ["o_year", "o_month"], "o_totalprice")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": batch["o_year"],
+            "o_month": batch["o_month"],
+            "revenue": pc.round(batch["value_sum"], 2),
+            "n_orders": batch["n"],
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no completed ('F') order. Tagged-union
+    cogroup (stages/relational.py anti_join) — one shuffle, no driver-side
+    key set, holds at any right-side cardinality."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import anti_join
+    cust = _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders") \
+        .filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    out = anti_join(cust, orders, "c_custkey", "o_custkey")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_events_range_join(sf_dir: str):
+    """Range (interval containment) join: events land in overlapping
+    'promotion windows' derived deterministically from the nation table —
+    interval j covers [t0 + j*step, t0 + j*step + 2*step] over the event
+    time span, so most events match exactly two intervals. One
+    bucket-partitioned shuffle, vectorized containment (stages/joins.py
+    range_join)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+    from cuttana_ray.stages.joins import range_join
+    from cuttana_ray.stages.windows import ts_to_us
+    ev = _read(sf_dir, "events")
+
+    def add_t(t: pa.Table) -> pa.Table:
+        return t.append_column("t", pc.cast(ts_to_us(t["ts"]), pa.int64()))
+    evt = ev.select_columns(["event_id", "ts"]) \
+        .map_batches(add_t, batch_format="pyarrow")
+    bounds = evt.aggregate(Min("t", alias_name="t0"),
+                           Max("t", alias_name="t1"))
+    t0, t1 = int(bounds["t0"]), int(bounds["t1"])
+    step = (t1 - t0) // 32
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        j = pc.cast(t["n_nationkey"], pa.int64())
+        s = pc.add(pc.multiply(j, step), t0)
+        return pa.table({"iv_id": j, "s": s,
+                         "e": pc.add(s, 2 * step)})
+    iv = _read(sf_dir, "nation").map_batches(to_iv, batch_format="pyarrow")
+    out = range_join(evt, iv, left_t="t", right_start="s", right_end="e",
+                     left_cols=["event_id"], right_cols=["iv_id"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["event_id", "iv_id"])
+    return out.map_batches(rename, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_user_session_counts(sf_dir: str):
     from cuttana_ray.stages.windows import session_counts
     out = session_counts(_read(sf_dir, "events"), "user_id", "ts",
@@ -552,6 +649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
         "events_asof_value": _q_events_asof_value,
+        "events_range_join": _q_events_range_join,
+        "top_orders_per_priority": _q_top_orders_per_priority,
+        "orders_rollup": _q_orders_rollup,
+        "customers_without_orders": _q_customers_without_orders,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
@@ -1112,6 +1213,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.value, 4) AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, o_totalprice, o_orderkey
+            FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "orders_rollup": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                       AS o_month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP(1, 2)
+        """,
+        "customers_without_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderstatus = 'F')
+        """,
+        "events_range_join": """
+            WITH b AS (SELECT MIN(epoch_us(ts)) AS t0,
+                              MAX(epoch_us(ts)) AS t1 FROM events),
+            iv AS (SELECT CAST(n_nationkey AS BIGINT) AS iv_id,
+                          t0 + CAST(n_nationkey AS BIGINT)
+                               * ((t1 - t0) // 32) AS s,
+                          t0 + CAST(n_nationkey AS BIGINT)
+                               * ((t1 - t0) // 32)
+                             + 2 * ((t1 - t0) // 32) AS e
+                   FROM nation CROSS JOIN b)
+            SELECT ev.event_id, iv.iv_id
+            FROM events ev JOIN iv
+              ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) <= iv.e
         """,
         "events_hopping_windows": """
             WITH ev AS (

@@ -5,7 +5,7 @@ from cuttana_ray.stages.edges import (
     dedup_weighted,
     symmetrize,
 )
-from cuttana_ray.stages.joins import asof_join
+from cuttana_ray.stages.joins import asof_join, range_join
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
@@ -20,6 +20,7 @@ from cuttana_ray.stages.windows import (
 
 __all__ = [
     "asof_join",
+    "range_join",
     "assignment_array",
     "bipartite_edges",
     "build_adjacency",

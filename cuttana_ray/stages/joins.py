@@ -189,3 +189,155 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return out.map_batches(strip_prefix, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join
+
+
+def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
+               left_t: str, right_start: str, right_end: str,
+               key: str | None = None,
+               left_cols: list[str] | None = None,
+               right_cols: list[str] | None = None,
+               bucket_width: int | None = None) -> "ray.data.Dataset":
+    """Interval containment join: every (left, right) pair with
+    ``right.start <= left.t <= right.end`` (and equal ``key`` if given).
+
+    Ray-Data-first plan (SURVEY.md §2.4 custom-operator rule (a):
+    composition of map_batches + groupby().map_groups):
+
+    1. Pick a bucket width ``W >= max(end - start)`` (computed with one
+       small aggregate over the right side when not supplied). Each right
+       interval is replicated into every W-bucket it overlaps — at most 2
+       by construction — with a vectorized ``np.repeat`` expansion; each
+       left point lands in exactly ONE bucket, so no output dedup is ever
+       needed.
+    2. One ``groupby(bucket[, key]).map_groups`` shuffle co-locates every
+       candidate pair; within a group the containment test is a dense
+       vectorized mask (no Python rows).
+
+    Partitioning assumption (documented per the §2.4 rule): intervals per
+    (bucket, key) group stay bounded — true whenever interval length is
+    bounded by W and interval density per key is bounded. Heavily skewed
+    interval sets should pre-split hot keys (same salting discipline as the
+    hopping-window expansion in stages/windows.py).
+
+    Timestamps of any unit are normalised to epoch-µs int64 (``ts_to_us``);
+    plain int columns join on their raw values. Output: ``left_cols``
+    (default all) plus ``r_<col>`` for each of ``right_cols`` (default all
+    non-bound right columns). Inner join: unmatched left rows are dropped.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    left_cols = left_cols or list(lschema.names)
+    right_cols = right_cols or [c for c in rschema.names
+                                if c not in (right_start, right_end)]
+    ltypes = {c: lschema.types[lschema.names.index(c)] for c in left_cols}
+    rtypes = {c: rschema.types[rschema.names.index(c)] for c in right_cols}
+    ktype = (lschema.types[lschema.names.index(key)] if key else None)
+
+    if bucket_width is None:
+        from ray.data.aggregate import Max
+
+        def span(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"span": pa.array([], pa.int64())})
+            s = pc.cast(ts_to_us(t[right_start]), pa.int64())
+            e = pc.cast(ts_to_us(t[right_end]), pa.int64())
+            return pa.table({"span": pc.subtract(e, s)})
+        agg = right.map_batches(span, batch_format="pyarrow") \
+            .aggregate(Max("span", alias_name="mx"))
+        bucket_width = max(int(agg["mx"] or 1), 1)
+    w = int(bucket_width)
+
+    fields = [("b", pa.int64()), ("side", pa.int8()), ("t", pa.int64()),
+              ("s", pa.int64()), ("e", pa.int64())] + \
+        ([("k", ktype)] if key else []) + \
+        [(f"l_{c}", ltypes[c]) for c in left_cols] + \
+        [(f"r_{c}", rtypes[c]) for c in right_cols]
+    tag_schema = pa.schema(fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or left_t not in t.column_names:
+            return tag_schema.empty_table()
+        n = len(t)
+        tv = pc.cast(ts_to_us(t[left_t]), pa.int64())
+        cols = {"b": pa.array(tv.to_numpy(zero_copy_only=False) // w),
+                "side": pa.array(np.full(n, 1, np.int8)),
+                "t": tv,
+                "s": pa.nulls(n, pa.int64()),
+                "e": pa.nulls(n, pa.int64())}
+        if key:
+            cols["k"] = t[key]
+        for c in left_cols:
+            cols[f"l_{c}"] = t[c]
+        for c in right_cols:
+            cols[f"r_{c}"] = pa.nulls(n, rtypes[c])
+        return pa.table(cols).cast(tag_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        """Replicate each interval into every bucket it overlaps
+        (vectorized expansion, ≤ ceil(span/W)+1 ≤ 2 copies by the W
+        choice)."""
+        if len(t) == 0 or right_start not in t.column_names:
+            return tag_schema.empty_table()
+        s = pc.cast(ts_to_us(t[right_start]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = pc.cast(ts_to_us(t[right_end]), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b0 = s // w
+        nb = (e // w) - b0 + 1
+        nb = np.maximum(nb, 1)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), nb)
+        # within-row offset 0..nb-1 via cumulative trick
+        off = np.arange(len(idx), dtype=np.int64) - \
+            np.repeat(np.cumsum(nb) - nb, nb)
+        take = pa.array(idx)
+        m = len(idx)
+        cols = {"b": pa.array(b0[idx] + off),
+                "side": pa.array(np.zeros(m, np.int8)),
+                "t": pa.nulls(m, pa.int64()),
+                "s": pa.array(s[idx]),
+                "e": pa.array(e[idx])}
+        if key:
+            cols["k"] = t[key].take(take)
+        for c in left_cols:
+            cols[f"l_{c}"] = pa.nulls(m, ltypes[c])
+        for c in right_cols:
+            cols[f"r_{c}"] = t[c].take(take)
+        return pa.table(cols).cast(tag_schema)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    out_fields = [(c, ltypes[c]) for c in left_cols] + \
+        [(f"r_{c}", rtypes[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+
+    def match_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lpos = np.nonzero(side == 1)[0]
+        rpos = np.nonzero(side == 0)[0]
+        if len(lpos) == 0 or len(rpos) == 0:
+            return out_schema.empty_table()
+        tv = t["t"].to_numpy(zero_copy_only=False)[lpos]
+        s = t["s"].to_numpy(zero_copy_only=False)[rpos]
+        e = t["e"].to_numpy(zero_copy_only=False)[rpos]
+        mask = (tv[:, None] >= s[None, :]) & (tv[:, None] <= e[None, :])
+        li, ri = np.nonzero(mask)
+        ltake = pa.array(lpos[li])
+        rtake = pa.array(rpos[ri])
+        cols = {}
+        for c in left_cols:
+            cols[c] = t[f"l_{c}"].take(ltake)
+        for c in right_cols:
+            cols[f"r_{c}"] = t[f"r_{c}"].take(rtake)
+        return pa.table(cols).cast(out_schema)
+
+    gkeys = ["b"] + (["k"] if key else [])
+    return both.groupby(gkeys).map_groups(match_group,
+                                          batch_format="pyarrow")

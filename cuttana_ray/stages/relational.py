@@ -1,0 +1,181 @@
+"""Relational operators Ray Data lacks natively: grouped top-k, ROLLUP
+aggregates, and anti-join — each a shuffle-minimal composition per the
+SURVEY.md §2.4 custom-operator rule (a).
+
+All three follow the same scale discipline as the graph-build stages
+(stages/edges.py): a vectorized per-batch combiner bounds what enters the
+single all-to-all exchange, and no stage materializes the dataset on the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def _topk_in_table(t: pa.Table, keys: list[str],
+                   order_by: list[tuple[str, str]], k: int) -> pa.Table:
+    """Vectorized top-k rows per key group inside one table: one lexsort,
+    then a run-length rank filter — no Python per-group loops."""
+    if len(t) == 0:
+        return t
+    sort_keys = [(c, "ascending") for c in keys] + list(order_by)
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    t = t.take(idx)
+    # rank within each key run
+    arrs = [t[c].to_numpy(zero_copy_only=False) for c in keys]
+    n = len(t)
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for a in arrs:
+        new_run[1:] |= a[1:] != a[:-1]
+    run_id = np.cumsum(new_run) - 1
+    pos = np.arange(n, dtype=np.int64)
+    run_start = np.zeros(n, dtype=np.int64)
+    starts = np.nonzero(new_run)[0]
+    run_start[starts] = starts
+    np.maximum.accumulate(run_start, out=run_start)
+    rank = pos - run_start
+    del run_id
+    return t.filter(pa.array(rank < k))
+
+
+def grouped_topk(ds: "ray.data.Dataset", keys: list[str],
+                 order_by: list[tuple[str, str]], k: int
+                 ) -> "ray.data.Dataset":
+    """Top-``k`` rows per key group under the ``order_by`` spec (list of
+    ``(column, "ascending"|"descending")``). Make the ordering total —
+    e.g. end with a unique id column — for a deterministic result.
+
+    Combiner discipline: each input block first reduces to ≤k rows per key
+    it contains (vectorized lexsort + run-rank filter), so the single
+    groupby exchange moves at most ``k × #blocks`` rows per key no matter
+    how many rows a hot key has.
+    """
+    partial = ds.map_batches(
+        lambda t: _topk_in_table(t, keys, order_by, k),
+        batch_format="pyarrow")
+    return partial.groupby(keys).map_groups(
+        lambda t: _topk_in_table(t, keys, order_by, k),
+        batch_format="pyarrow")
+
+
+def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+               sentinel: int = -(2 ** 62)) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys...)`` with SUM(value)/COUNT(*): aggregate at
+    every prefix level of ``keys`` (grand total included), nulled-out
+    suffix columns marking the level — DuckDB ROLLUP semantics.
+
+    Plan: each row expands vectorized into ``len(keys)+1`` copies whose key
+    suffix is replaced by ``sentinel`` (group keys must stay non-null for
+    the hash exchange), a per-batch partial aggregation collapses the
+    expansion before the ONE groupby shuffle, and a final projection turns
+    sentinels back into nulls. Shuffle volume is therefore bounded by the
+    number of distinct (level, key-prefix) groups per block, not by
+    ``(len(keys)+1) × rows``.
+
+    Key columns must be integer-typed (cast dates/strings to codes first);
+    ``sentinel`` must not collide with real values.
+    """
+    kn = len(keys)
+
+    def expand_partial(t: pa.Table) -> pa.Table:
+        fields = [(c, pa.int64()) for c in keys] + \
+            [("lvl", pa.int64()), ("value_sum", pa.float64()),
+             ("n", pa.int64())]
+        schema = pa.schema(fields)
+        if len(t) == 0:
+            return schema.empty_table()
+        import pandas as pd
+        n = len(t)
+        karrs = [pc.cast(t[c], pa.int64()).to_numpy(zero_copy_only=False)
+                 for c in keys]
+        vals = pc.cast(t[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        frames = []
+        for lvl in range(kn + 1):  # lvl = number of live key columns
+            cols = {}
+            for j, c in enumerate(keys):
+                cols[c] = karrs[j] if j < lvl else \
+                    np.full(n, sentinel, np.int64)
+            cols["lvl"] = np.full(n, lvl, np.int64)
+            cols["value_sum"] = vals
+            frames.append(pd.DataFrame(cols))
+        df = pd.concat(frames, ignore_index=True)
+        agg = df.groupby(keys + ["lvl"], as_index=False, sort=False).agg(
+            value_sum=("value_sum", "sum"), n=("value_sum", "size"))
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(schema)
+
+    from ray.data.aggregate import Count, Sum
+    partial = ds.map_batches(expand_partial, batch_format="pyarrow")
+    final = partial.groupby(keys + ["lvl"]).aggregate(
+        Sum("value_sum", alias_name="value_sum"),
+        Sum("n", alias_name="n"))
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in keys:
+            a = t[c]
+            cols[c] = pc.if_else(pc.equal(a, sentinel),
+                                 pa.nulls(len(t), pa.int64()),
+                                 pc.cast(a, pa.int64()))
+        cols["value_sum"] = t["value_sum"]
+        cols["n"] = t["n"]
+        return pa.table(cols)
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
+def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str) -> "ray.data.Dataset":
+    """Rows of ``left`` whose key never appears in ``right`` (NOT IN /
+    ANTI JOIN). One tagged-union groupby shuffle, no driver-side key set:
+    right reduces to distinct keys per block first, and each key group
+    emits its left rows only when no right marker is present — the same
+    cogroup-by-union shape as ``range_join`` (stages/joins.py), so it holds
+    at any right-side cardinality (a broadcast NOT-IN would not).
+    """
+    lschema = left.schema()
+    ltypes = {c: lschema.types[lschema.names.index(c)]
+              for c in lschema.names}
+    lcols = list(lschema.names)
+    fields = [("k", ltypes[left_key]), ("side", pa.int8())] + \
+        [(f"l_{c}", ltypes[c]) for c in lcols]
+    tag_schema = pa.schema(fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or left_key not in t.column_names:
+            return tag_schema.empty_table()
+        cols = {"k": t[left_key],
+                "side": pa.array(np.ones(len(t), np.int8))}
+        for c in lcols:
+            cols[f"l_{c}"] = t[c]
+        return pa.table(cols).cast(tag_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or right_key not in t.column_names:
+            return tag_schema.empty_table()
+        ks = pc.unique(pc.cast(t[right_key], ltypes[left_key]))
+        m = len(ks)
+        cols = {"k": ks, "side": pa.array(np.zeros(m, np.int8))}
+        for c in lcols:
+            cols[f"l_{c}"] = pa.nulls(m, ltypes[c])
+        return pa.table(cols).cast(tag_schema)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    out_schema = pa.schema([(c, ltypes[c]) for c in lcols])
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        if (side == 0).any():
+            return out_schema.empty_table()
+        return pa.table({c: t[f"l_{c}"] for c in lcols}).cast(out_schema)
+
+    return lt.union(rt).groupby("k").map_groups(keep_unmatched,
+                                                batch_format="pyarrow")

@@ -371,3 +371,55 @@ def test_asof_join_empty_right_all_null():
                                  "rv": pa.array([], pa.float64())}))
     out = asof_join(lt, rt, "k", "ts", ["rv"]).to_pandas()
     assert len(out) == 3 and out["r_rv"].isna().all()
+
+
+def test_range_join_matches_brute_force():
+    from cuttana_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 5000, 300
+    lt = pa.table({"id": np.arange(n_l),
+                   "t": rng.integers(0, 100_000, n_l),
+                   "k": rng.integers(0, 5, n_l)})
+    s = rng.integers(0, 100_000, n_r)
+    span = rng.integers(0, 5_000, n_r)
+    rt = pa.table({"iv": np.arange(n_r), "s": s, "e": s + span,
+                   "k": rng.integers(0, 5, n_r)})
+    t = lt["t"].to_numpy()
+    k = lt["k"].to_numpy()
+    S, E, K = rt["s"].to_numpy(), rt["e"].to_numpy(), rt["k"].to_numpy()
+
+    # keyed
+    mask = (t[:, None] >= S[None, :]) & (t[:, None] <= E[None, :]) \
+        & (k[:, None] == K[None, :])
+    li, ri = np.nonzero(mask)
+    out = range_join(rd.from_arrow(lt).repartition(6),
+                     rd.from_arrow(rt).repartition(3),
+                     left_t="t", right_start="s", right_end="e", key="k",
+                     left_cols=["id"], right_cols=["iv"]).to_pandas()
+    got = sorted(zip(out["id"].tolist(), out["r_iv"].tolist()))
+    assert got == sorted(zip(li.tolist(), ri.tolist()))
+
+    # unkeyed, and intervals spanning many buckets via a small forced width
+    mask2 = (t[:, None] >= S[None, :]) & (t[:, None] <= E[None, :])
+    li2, ri2 = np.nonzero(mask2)
+    out2 = range_join(rd.from_arrow(lt).repartition(4), rd.from_arrow(rt),
+                      left_t="t", right_start="s", right_end="e",
+                      left_cols=["id"], right_cols=["iv"],
+                      bucket_width=700).to_pandas()
+    got2 = sorted(zip(out2["id"].tolist(), out2["r_iv"].tolist()))
+    assert got2 == sorted(zip(li2.tolist(), ri2.tolist()))
+
+
+def test_range_join_empty_sides():
+    from cuttana_ray.stages.joins import range_join
+
+    lt = rd.from_arrow(pa.table({"id": pa.array([1, 2], pa.int64()),
+                                 "t": pa.array([5, 15], pa.int64())}))
+    rt_empty = rd.from_arrow(pa.table({"iv": pa.array([], pa.int64()),
+                                       "s": pa.array([], pa.int64()),
+                                       "e": pa.array([], pa.int64())}))
+    out = range_join(lt, rt_empty, left_t="t", right_start="s",
+                     right_end="e", left_cols=["id"],
+                     right_cols=["iv"]).to_pandas()
+    assert len(out) == 0
