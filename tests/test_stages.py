@@ -423,3 +423,55 @@ def test_range_join_empty_sides():
                      right_end="e", left_cols=["id"],
                      right_cols=["iv"]).to_pandas()
     assert len(out) == 0
+
+
+def test_grouped_topk_and_anti_join_match_brute_force():
+    import pandas as pd
+
+    from cuttana_ray.stages.relational import anti_join, grouped_topk
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    df = pd.DataFrame({"g": rng.integers(0, 30, n),
+                       "v": rng.integers(0, 200, n).astype(float),
+                       "id": np.arange(n, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(7)
+
+    got = grouped_topk(ds, ["g"], [("v", "descending"), ("id", "ascending")],
+                       3).to_pandas()
+    exp = df.sort_values(["g", "v", "id"],
+                         ascending=[True, False, True]) \
+        .groupby("g").head(3)
+    key = lambda d: sorted(map(tuple, d[["g", "v", "id"]].values.tolist()))
+    assert key(got) == key(exp)
+
+    right = pd.DataFrame({"rk": np.arange(0, 30, 2, dtype=np.int64)})
+    got2 = anti_join(ds, rd.from_pandas(right).repartition(3),
+                     "g", "rk").to_pandas()
+    exp2 = df[~df.g.isin(right.rk)]
+    assert key(got2) == key(exp2)
+
+
+def test_rollup_agg_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    from cuttana_ray.stages.relational import rollup_agg
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    df = pd.DataFrame({"a": rng.integers(0, 4, n),
+                       "b": rng.integers(0, 9, n),
+                       "v": rng.random(n)})
+    got = rollup_agg(rd.from_pandas(df).repartition(5), ["a", "b"], "v") \
+        .to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.sql("""SELECT a, b, SUM(v) AS value_sum, COUNT(*) AS n
+                     FROM t GROUP BY ROLLUP(a, b)""").df()
+    g = got.sort_values(["a", "b"]).reset_index(drop=True)[
+        ["a", "b", "value_sum", "n"]]
+    e = exp.sort_values(["a", "b"]).reset_index(drop=True)[
+        ["a", "b", "value_sum", "n"]]
+    assert len(g) == len(e)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
