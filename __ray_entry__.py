@@ -368,6 +368,45 @@ def _q_customers_without_orders(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_orders_sample(sf_dir: str):
+    """Deterministic 5% sample by Lehmer-LCG hash of the order key — the
+    reproducible-sampling primitive (functions/sampling.py): same key
+    always samples the same way across runs, layouts, and cluster sizes;
+    zero shuffles. Exact-arithmetic SQL oracle."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sampling import hash_sample
+    ds = _read(sf_dir, "orders") \
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+    out = hash_sample(ds, "o_orderkey", permille=50)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_totalprice": pc.round(batch["o_totalprice"], 2),
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_events_pivot_by_type(sf_dir: str):
+    """Pivot: per-user SUM(value) columns per event type, discovered
+    dynamically (stages/relational.py pivot_agg) — per-batch conditional
+    partial aggregation, ONE groupby exchange."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import pivot_agg
+    ev = _read(sf_dir, "events") \
+        .select_columns(["user_id", "event_type", "value"])
+    out = pivot_agg(ev, "user_id", "event_type", "value")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"]}
+        for c in batch.column_names:
+            if c != "user_id":
+                cols[c] = pc.round(batch[c], 2)
+        return pa.table(cols)
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_events_range_join(sf_dir: str):
     """Range (interval containment) join: events land in overlapping
     'promotion windows' derived deterministically from the nation table —
@@ -653,6 +692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
         "customers_without_orders": _q_customers_without_orders,
+        "orders_sample": _q_orders_sample,
+        "events_pivot_by_type": _q_events_pivot_by_type,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
@@ -1230,6 +1271,26 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(1, 2)
+        """,
+        "orders_sample": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE ((o_orderkey * 48271) % 2147483647) % 1000 < 50
+        """,
+        "events_pivot_by_type": """
+            SELECT user_id,
+                   ROUND(SUM(CASE WHEN event_type = 'click' THEN value
+                             ELSE 0 END), 2) AS value_click,
+                   ROUND(SUM(CASE WHEN event_type = 'error' THEN value
+                             ELSE 0 END), 2) AS value_error,
+                   ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value
+                             ELSE 0 END), 2) AS value_purchase,
+                   ROUND(SUM(CASE WHEN event_type = 'signup' THEN value
+                             ELSE 0 END), 2) AS value_signup,
+                   ROUND(SUM(CASE WHEN event_type = 'view' THEN value
+                             ELSE 0 END), 2) AS value_view
+            FROM events GROUP BY user_id
         """,
         "customers_without_orders": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

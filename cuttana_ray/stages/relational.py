@@ -32,14 +32,12 @@ def _topk_in_table(t: pa.Table, keys: list[str],
     new_run[0] = True
     for a in arrs:
         new_run[1:] |= a[1:] != a[:-1]
-    run_id = np.cumsum(new_run) - 1
     pos = np.arange(n, dtype=np.int64)
     run_start = np.zeros(n, dtype=np.int64)
     starts = np.nonzero(new_run)[0]
     run_start[starts] = starts
     np.maximum.accumulate(run_start, out=run_start)
     rank = pos - run_start
-    del run_id
     return t.filter(pa.array(rank < k))
 
 
@@ -109,7 +107,7 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
             value_sum=("value_sum", "sum"), n=("value_sum", "size"))
         return pa.Table.from_pandas(agg, preserve_index=False).cast(schema)
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
     partial = ds.map_batches(expand_partial, batch_format="pyarrow")
     final = partial.groupby(keys + ["lvl"]).aggregate(
         Sum("value_sum", alias_name="value_sum"),
@@ -179,3 +177,46 @@ def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return lt.union(rt).groupby("k").map_groups(keep_unmatched,
                                                 batch_format="pyarrow")
+
+
+def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,
+              values: list[str] | None = None) -> "ray.data.Dataset":
+    """Pivot ``col``'s values into SUM(``val``) columns per ``key`` row
+    (``SUM(CASE WHEN col = v THEN val ELSE 0 END)`` per value ``v``).
+
+    When ``values`` is not given, the pivot columns are discovered with a
+    small distinct aggregate first (the only extra pass; its result is a
+    driver-side list of column NAMES, never row data). The pivot itself is
+    a per-batch conditional projection — already partially aggregated per
+    (block, key) — followed by ONE groupby(key) exchange, so shuffle volume
+    is #distinct-keys × #values regardless of input rows.
+    """
+    from ray.data.aggregate import Sum
+
+    if values is None:
+        from ray.data.aggregate import Count
+        distinct = ds.groupby(col).aggregate(Count(alias_name="_n"))
+        values = sorted(r[col] for r in distinct.take_all())
+
+    colnames = [f"{val}_{v}" for v in values]
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        fields = [(key, pa.int64())] + \
+            [(c, pa.float64()) for c in colnames]
+        schema = pa.schema(fields)
+        if len(t) == 0:
+            return schema.empty_table()
+        cats = t[col].to_pandas().to_numpy()
+        v = pc.cast(t[val], pa.float64()).to_numpy(zero_copy_only=False)
+        cols = {key: pc.cast(t[key], pa.int64())
+                .to_numpy(zero_copy_only=False)}
+        for value, name in zip(values, colnames):
+            cols[name] = np.where(cats == value, v, 0.0)
+        df = pd.DataFrame(cols).groupby(key, as_index=False,
+                                        sort=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(*[Sum(c, alias_name=c) for c in colnames])
+    return agg

@@ -274,3 +274,38 @@ def test_neardup_clusters_on_duplicated_docs(docs):
                 lambda s: s.min())).all()
     if len(out):
         assert (out["cluster_rep"] <= out["doc_id"]).all()
+
+
+def test_hash_sample_deterministic_across_layouts():
+    import pandas as pd
+
+    from cuttana_ray.functions.sampling import hash_sample
+
+    df = pd.DataFrame({"k": np.arange(20000, dtype=np.int64),
+                       "v": np.arange(20000) * 0.5})
+    a = hash_sample(rd.from_pandas(df).repartition(3), "k", 100).to_pandas()
+    b = hash_sample(rd.from_pandas(df).repartition(17), "k", 100).to_pandas()
+    assert sorted(a.k) == sorted(b.k)
+    # rate lands near 10%
+    assert 0.08 < len(a) / len(df) < 0.12
+    # exact membership formula
+    expect = df[((df.k * 48271) % 2147483647) % 1000 < 100]
+    assert sorted(a.k) == sorted(expect.k)
+
+
+def test_stratified_sample_rates():
+    import pandas as pd
+
+    from cuttana_ray.functions.sampling import stratified_sample
+
+    n = 30000
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "tier": rng.choice(["hi", "mid", "lo"], n)})
+    out = stratified_sample(rd.from_pandas(df).repartition(5), "k", "tier",
+                            {"hi": 1000, "mid": 200}, default_permille=0) \
+        .to_pandas()
+    frac = out.groupby("tier").size() / df.groupby("tier").size()
+    assert frac.get("hi", 0) == 1.0
+    assert 0.15 < frac.get("mid", 0) < 0.25
+    assert "lo" not in set(out.tier)
