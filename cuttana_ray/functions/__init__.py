@@ -12,6 +12,7 @@ from cuttana_ray.functions.multimodal import (
     sample_frames,
     synth_media_table,
 )
+from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
 from cuttana_ray.functions.sketches import approx_distinct
 from cuttana_ray.functions.textstats import (
@@ -28,6 +29,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "fingerprints",
+    "hash_sample",
     "kmeans_lite",
     "knn_brute_force",
     "knn_ivf",
@@ -40,6 +42,7 @@ __all__ = [
     "quality_scores",
     "sample_frames",
     "simhash_pairs",
+    "stratified_sample",
     "synth_media_table",
     "token_stats",
 ]

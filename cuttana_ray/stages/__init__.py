@@ -6,6 +6,12 @@ from cuttana_ray.stages.edges import (
     symmetrize,
 )
 from cuttana_ray.stages.joins import asof_join, range_join
+from cuttana_ray.stages.relational import (
+    anti_join,
+    grouped_topk,
+    pivot_agg,
+    rollup_agg,
+)
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
@@ -19,9 +25,13 @@ from cuttana_ray.stages.windows import (
 )
 
 __all__ = [
+    "anti_join",
     "asof_join",
     "range_join",
     "assignment_array",
+    "grouped_topk",
+    "pivot_agg",
+    "rollup_agg",
     "bipartite_edges",
     "build_adjacency",
     "build_vocab",
