@@ -368,6 +368,24 @@ def _q_customers_without_orders(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_heavy_customers(sf_dir: str):
+    """Count-Min-pruned heavy hitters with EXACT output: customers holding
+    ≥15 orders. The merged sketch (fixed d×w bytes per block) prunes the
+    final exact groupby to the survivors, so the full-cardinality exchange
+    never happens (functions/sketches.py heavy_hitters)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import heavy_hitters
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+    out = heavy_hitters(orders, "o_custkey", min_count=15)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(batch["key"], pa.int64()),
+            "n_orders": batch["cnt"],
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_orders_sample(sf_dir: str):
     """Deterministic 5% sample by Lehmer-LCG hash of the order key — the
     reproducible-sampling primitive (functions/sampling.py): same key
@@ -693,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "customers_without_orders": _q_customers_without_orders,
         "orders_sample": _q_orders_sample,
+        "heavy_customers_orders": _q_heavy_customers,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1271,6 +1290,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(1, 2)
+        """,
+        "heavy_customers_orders": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1 HAVING COUNT(*) >= 15
         """,
         "orders_sample": """
             SELECT o_orderkey, o_custkey,

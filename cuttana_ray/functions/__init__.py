@@ -14,7 +14,7 @@ from cuttana_ray.functions.multimodal import (
 )
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
-from cuttana_ray.functions.sketches import approx_distinct
+from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
 from cuttana_ray.functions.textstats import (
     fingerprints,
     int_quantiles,
@@ -30,6 +30,7 @@ __all__ = [
     "extract_features",
     "fingerprints",
     "hash_sample",
+    "heavy_hitters",
     "kmeans_lite",
     "knn_brute_force",
     "knn_ivf",

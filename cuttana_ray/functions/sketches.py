@@ -99,3 +99,92 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14,
                                     pa.int64()),
         "precision_p": pa.array([p], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch + exact-verified heavy hitters
+
+
+def cms_add(regs: np.ndarray, hashes_by_row: list[np.ndarray],
+            counts: np.ndarray) -> None:
+    """Accumulate weighted keys into a (d, w) int64 Count-Min array."""
+    d, w = regs.shape
+    for j in range(d):
+        np.add.at(regs[j], (hashes_by_row[j] % np.uint64(w)).astype(np.int64),
+                  counts)
+
+
+def heavy_hitters(ds: "ray.data.Dataset", col: str, min_count: int,
+                  w: int = 8192, d: int = 4,
+                  seed: int = 7) -> "ray.data.Dataset":
+    """All values of ``col`` occurring ≥ ``min_count`` times, with their
+    EXACT counts (``GROUP BY col HAVING COUNT(*) >= min_count`` — the
+    output is exact; the sketch only prunes).
+
+    Scale plan: (1) per-block partial counts (the usual combiner);
+    (2) each partial-count block reduces to a (d, w) Count-Min array —
+    fixed ``d*w*8`` bytes per block regardless of rows — merged by
+    summation on the driver, same discipline as the HLL register merge
+    above; (3) the merged sketch (a few hundred KiB) is broadcast into a
+    filter over the partial counts: Count-Min never under-counts, so every
+    true heavy hitter survives, and only the pruned survivors reach the
+    final exact groupby. The full-cardinality exchange a plain
+    GROUP-BY-HAVING needs (one row per distinct key) never happens — at
+    web scale (say 10^11 distinct URLs, 10^3 heavy ones) that is the
+    difference between shuffling the whole vocabulary and shuffling
+    ~collision-bounded thousands of rows.
+    """
+    from ray.data.aggregate import Sum
+
+    key_field = "key"
+    dschema = ds.schema()
+    ktype = dschema.types[dschema.names.index(col)]
+    if not isinstance(ktype, pa.DataType):  # pandas-block datasets report
+        try:                                # numpy dtypes here
+            ktype = pa.from_numpy_dtype(np.dtype(ktype))
+        except (pa.ArrowNotImplementedError, TypeError):
+            ktype = pa.string()             # object dtype ⇒ strings
+    pschema = pa.schema([(key_field, ktype), ("cnt", pa.int64())])
+
+    def per_batch_counts(t: pa.Table) -> pa.Table:
+        import polars as pl
+        schema = pschema
+        if len(t) == 0:
+            return schema.empty_table()
+        vc = pl.from_arrow(t[col].combine_chunks()).rename(key_field) \
+            .value_counts()
+        out = vc.to_arrow()
+        cnt = out["count" if "count" in out.column_names else "counts"]
+        return pa.table({key_field: out[key_field],
+                         "cnt": pa.array(cnt.to_numpy(zero_copy_only=False)
+                                         .astype(np.int64))}).cast(schema)
+
+    partial = ds.map_batches(per_batch_counts,
+                             batch_format="pyarrow").materialize()
+
+    def cms_of_block(t: pa.Table) -> pa.Table:
+        regs = np.zeros((d, w), dtype=np.int64)
+        if len(t):
+            hs = [_hash_column(t, key_field, seed + j) for j in range(d)]
+            cms_add(regs, hs, t["cnt"].to_numpy(zero_copy_only=False))
+        return pa.table({"cms": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros((d, w), dtype=np.int64)
+    for b in partial.map_batches(cms_of_block, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in b["cms"].to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(d, w)
+
+    def survives(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        est = np.full(len(t), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(d):
+            h = (_hash_column(t, key_field, seed + j) % np.uint64(w)) \
+                .astype(np.int64)
+            np.minimum(est, merged[j][h], out=est)
+        return t.filter(pa.array(est >= min_count))
+
+    exact = partial.map_batches(survives, batch_format="pyarrow") \
+        .groupby(key_field).aggregate(Sum("cnt", alias_name="cnt"))
+    return exact.filter(expr=f"cnt >= {int(min_count)}")

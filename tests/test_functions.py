@@ -309,3 +309,25 @@ def test_stratified_sample_rates():
     assert frac.get("hi", 0) == 1.0
     assert 0.15 < frac.get("mid", 0) < 0.25
     assert "lo" not in set(out.tier)
+
+
+def test_heavy_hitters_exact_even_when_spread_thin():
+    import pandas as pd
+
+    from cuttana_ray.functions.sketches import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # zipf tail + one adversarial key spread evenly across all blocks so no
+    # single block sees it as heavy (per-block count ~25 of 400 total)
+    keys = rng.zipf(1.5, 60_000)
+    keys = keys[keys < 3000].astype(np.int64)
+    spread = np.full(400, 99_999, np.int64)
+    df = pd.DataFrame({"k": rng.permutation(np.concatenate([keys, spread]))})
+    out = heavy_hitters(rd.from_pandas(df).repartition(16),
+                        "k", min_count=150).to_pandas()
+    exp = df.value_counts().reset_index()
+    exp.columns = ["key", "cnt"]
+    exp = exp[exp.cnt >= 150]
+    assert sorted(map(tuple, out[["key", "cnt"]].values.tolist())) == \
+        sorted(map(tuple, exp.values.tolist()))
+    assert 99_999 in set(out["key"])
