@@ -368,6 +368,27 @@ def _q_customers_without_orders(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_customers_with_big_p_orders(sf_dir: str):
+    """Semi-join: customers holding at least one pending order over 250k
+    (left rows never duplicated by right multiplicity). Same tagged-union
+    cogroup as the anti-join (stages/relational.py semi_join)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import semi_join
+    cust = _read(sf_dir, "customer") \
+        .select_columns(["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders") \
+        .filter(expr="o_orderstatus == 'P' and o_totalprice > 250000.0") \
+        .select_columns(["o_custkey"])
+    out = semi_join(cust, orders, "c_custkey", "o_custkey")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch["c_custkey"], pa.int64()),
+            "c_nationkey": pc.cast(batch["c_nationkey"], pa.int64()),
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_heavy_customers(sf_dir: str):
     """Count-Min-pruned heavy hitters with EXACT output: customers holding
     ≥15 orders. The merged sketch (fixed d×w bytes per block) prunes the
@@ -712,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "orders_sample": _q_orders_sample,
         "heavy_customers_orders": _q_heavy_customers,
+        "customers_with_big_p_orders": _q_customers_with_big_p_orders,
         "events_pivot_by_type": _q_events_pivot_by_type,
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -1290,6 +1312,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(1, 2)
+        """,
+        "customers_with_big_p_orders": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CAST(c_nationkey AS BIGINT) AS c_nationkey
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'P'
+                                  AND o_totalprice > 250000)
         """,
         "heavy_customers_orders": """
             SELECT CAST(o_custkey AS BIGINT) AS o_custkey,

@@ -11,6 +11,7 @@ from cuttana_ray.stages.relational import (
     grouped_topk,
     pivot_agg,
     rollup_agg,
+    semi_join,
 )
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.partition_stage import (
@@ -32,6 +33,7 @@ __all__ = [
     "grouped_topk",
     "pivot_agg",
     "rollup_agg",
+    "semi_join",
     "bipartite_edges",
     "build_adjacency",
     "build_vocab",

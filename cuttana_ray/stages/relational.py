@@ -127,15 +127,16 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
     return final.map_batches(project, batch_format="pyarrow")
 
 
-def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
-              left_key: str, right_key: str) -> "ray.data.Dataset":
-    """Rows of ``left`` whose key never appears in ``right`` (NOT IN /
-    ANTI JOIN). One tagged-union groupby shuffle, no driver-side key set:
-    right reduces to distinct keys per block first, and each key group
-    emits its left rows only when no right marker is present — the same
-    cogroup-by-union shape as ``range_join`` (stages/joins.py), so it holds
-    at any right-side cardinality (a broadcast NOT-IN would not).
-    """
+def _membership_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     left_key: str, right_key: str,
+                     keep_present: bool) -> "ray.data.Dataset":
+    """Shared cogroup core of ``anti_join`` / ``semi_join``: one
+    tagged-union groupby shuffle, no driver-side key set — right reduces
+    to distinct keys per block first, and each key group emits its left
+    rows based on whether a right marker is present. The same
+    cogroup-by-union shape as ``range_join`` (stages/joins.py), so it
+    holds at any right-side cardinality (a broadcast IN/NOT-IN would
+    not)."""
     lschema = left.schema()
     ltypes = {c: lschema.types[lschema.names.index(c)]
               for c in lschema.names}
@@ -167,16 +168,35 @@ def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rt = right.map_batches(tag_right, batch_format="pyarrow")
     out_schema = pa.schema([(c, ltypes[c]) for c in lcols])
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
+    def emit(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "side" not in t.column_names:
             return out_schema.empty_table()
         side = t["side"].to_numpy(zero_copy_only=False)
-        if (side == 0).any():
+        if bool((side == 0).any()) != keep_present:
             return out_schema.empty_table()
-        return pa.table({c: t[f"l_{c}"] for c in lcols}).cast(out_schema)
+        keep = pa.array(side == 1)
+        return pa.table({c: t[f"l_{c}"].filter(keep)
+                         for c in lcols}).cast(out_schema)
 
-    return lt.union(rt).groupby("k").map_groups(keep_unmatched,
+    return lt.union(rt).groupby("k").map_groups(emit,
                                                 batch_format="pyarrow")
+
+
+def anti_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str) -> "ray.data.Dataset":
+    """Rows of ``left`` whose key never appears in ``right`` (NOT IN /
+    ANTI JOIN); see ``_membership_join`` for the plan."""
+    return _membership_join(left, right, left_key, right_key,
+                            keep_present=False)
+
+
+def semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str) -> "ray.data.Dataset":
+    """Rows of ``left`` whose key appears at least once in ``right``
+    (IN / SEMI JOIN — left rows never duplicated by right multiplicity);
+    see ``_membership_join`` for the plan."""
+    return _membership_join(left, right, left_key, right_key,
+                            keep_present=True)
 
 
 def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,

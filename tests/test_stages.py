@@ -451,6 +451,12 @@ def test_grouped_topk_and_anti_join_match_brute_force():
     exp2 = df[~df.g.isin(right.rk)]
     assert key(got2) == key(exp2)
 
+    from cuttana_ray.stages.relational import semi_join
+    got3 = semi_join(ds, rd.from_pandas(right).repartition(3),
+                     "g", "rk").to_pandas()
+    exp3 = df[df.g.isin(right.rk)]
+    assert key(got3) == key(exp3)
+
 
 def test_rollup_agg_matches_duckdb():
     import duckdb
