@@ -348,6 +348,32 @@ def _q_orders_rollup(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_orders_cube(sf_dir: str):
+    """CUBE(year, month) revenue: all four key subsets in ONE shuffle via
+    grouping-sets expansion (stages/relational.py cube_agg)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import cube_agg
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": pc.cast(pc.year(batch["o_orderdate"]), pa.int64()),
+            "o_month": pc.cast(pc.month(batch["o_orderdate"]), pa.int64()),
+            "o_totalprice": batch["o_totalprice"],
+        })
+    ds = _read(sf_dir, "orders").map_batches(add_month,
+                                             batch_format="pyarrow")
+    out = cube_agg(ds, ["o_year", "o_month"], "o_totalprice")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": batch["o_year"],
+            "o_month": batch["o_month"],
+            "revenue": pc.round(batch["value_sum"], 2),
+            "n_orders": batch["n"],
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_customers_without_orders(sf_dir: str):
     """Anti-join: customers with no completed ('F') order. Tagged-union
     cogroup (stages/relational.py anti_join) — one shuffle, no driver-side
@@ -730,6 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
         "customers_without_orders": _q_customers_without_orders,
         "orders_sample": _q_orders_sample,
         "heavy_customers_orders": _q_heavy_customers,
@@ -1312,6 +1339,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_orders
             FROM orders
             GROUP BY ROLLUP(1, 2)
+        """,
+        "orders_cube": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                       AS o_month,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CUBE(1, 2)
         """,
         "customers_with_big_p_orders": """
             SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -8,7 +8,9 @@ from cuttana_ray.stages.edges import (
 from cuttana_ray.stages.joins import asof_join, range_join
 from cuttana_ray.stages.relational import (
     anti_join,
+    cube_agg,
     grouped_topk,
+    grouping_sets_agg,
     pivot_agg,
     rollup_agg,
     semi_join,
@@ -33,6 +35,8 @@ __all__ = [
     "grouped_topk",
     "pivot_agg",
     "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
     "semi_join",
     "bipartite_edges",
     "build_adjacency",

@@ -61,24 +61,26 @@ def grouped_topk(ds: "ray.data.Dataset", keys: list[str],
         batch_format="pyarrow")
 
 
-def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
-               sentinel: int = -(2 ** 62)) -> "ray.data.Dataset":
-    """``GROUP BY ROLLUP(keys...)`` with SUM(value)/COUNT(*): aggregate at
-    every prefix level of ``keys`` (grand total included), nulled-out
-    suffix columns marking the level — DuckDB ROLLUP semantics.
+def grouping_sets_agg(ds: "ray.data.Dataset", keys: list[str],
+                      value_col: str, sets: list[tuple[int, ...]],
+                      sentinel: int = -(2 ** 62)) -> "ray.data.Dataset":
+    """``GROUP BY GROUPING SETS`` with SUM(value)/COUNT(*): one aggregate
+    per key subset in ``sets`` (each a tuple of indices into ``keys``),
+    nulled-out dead key columns marking the set — DuckDB semantics.
+    ``rollup_agg`` (prefix sets) and ``cube_agg`` (all subsets) are the
+    two standard instantiations.
 
-    Plan: each row expands vectorized into ``len(keys)+1`` copies whose key
-    suffix is replaced by ``sentinel`` (group keys must stay non-null for
+    Plan: each row expands vectorized into ``len(sets)`` copies whose dead
+    keys are replaced by ``sentinel`` (group keys must stay non-null for
     the hash exchange), a per-batch partial aggregation collapses the
     expansion before the ONE groupby shuffle, and a final projection turns
     sentinels back into nulls. Shuffle volume is therefore bounded by the
-    number of distinct (level, key-prefix) groups per block, not by
-    ``(len(keys)+1) × rows``.
+    number of distinct (set, live-key) groups per block, not by
+    ``len(sets) × rows``.
 
     Key columns must be integer-typed (cast dates/strings to codes first);
     ``sentinel`` must not collide with real values.
     """
-    kn = len(keys)
 
     def expand_partial(t: pa.Table) -> pa.Table:
         fields = [(c, pa.int64()) for c in keys] + \
@@ -94,10 +96,10 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
         vals = pc.cast(t[value_col], pa.float64()) \
             .to_numpy(zero_copy_only=False)
         frames = []
-        for lvl in range(kn + 1):  # lvl = number of live key columns
+        for lvl, live in enumerate(sets):
             cols = {}
             for j, c in enumerate(keys):
-                cols[c] = karrs[j] if j < lvl else \
+                cols[c] = karrs[j] if j in live else \
                     np.full(n, sentinel, np.int64)
             cols["lvl"] = np.full(n, lvl, np.int64)
             cols["value_sum"] = vals
@@ -125,6 +127,24 @@ def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
         return pa.table(cols)
 
     return final.map_batches(project, batch_format="pyarrow")
+
+
+def rollup_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+               sentinel: int = -(2 ** 62)) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(keys...)``: every prefix level of ``keys``, grand
+    total included (see ``grouping_sets_agg``)."""
+    sets = [tuple(range(lvl)) for lvl in range(len(keys) + 1)]
+    return grouping_sets_agg(ds, keys, value_col, sets, sentinel)
+
+
+def cube_agg(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+             sentinel: int = -(2 ** 62)) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(keys...)``: all ``2^len(keys)`` key subsets (see
+    ``grouping_sets_agg``)."""
+    from itertools import combinations
+    sets = [tuple(c) for r in range(len(keys) + 1)
+            for c in combinations(range(len(keys)), r)]
+    return grouping_sets_agg(ds, keys, value_col, sets, sentinel)
 
 
 def _membership_join(left: "ray.data.Dataset", right: "ray.data.Dataset",

@@ -481,3 +481,15 @@ def test_rollup_agg_matches_duckdb():
         ["a", "b", "value_sum", "n"]]
     assert len(g) == len(e)
     pd.testing.assert_frame_equal(g, e, check_dtype=False, atol=1e-9)
+
+    from cuttana_ray.stages.relational import cube_agg
+    got_c = cube_agg(rd.from_pandas(df).repartition(5), ["a", "b"], "v") \
+        .to_pandas()
+    exp_c = con.sql("""SELECT a, b, SUM(v) AS value_sum, COUNT(*) AS n
+                       FROM t GROUP BY CUBE(a, b)""").df()
+    gc = got_c.sort_values(["a", "b"]).reset_index(drop=True)[
+        ["a", "b", "value_sum", "n"]]
+    ec = exp_c.sort_values(["a", "b"]).reset_index(drop=True)[
+        ["a", "b", "value_sum", "n"]]
+    assert len(gc) == len(ec)
+    pd.testing.assert_frame_equal(gc, ec, check_dtype=False, atol=1e-9)
