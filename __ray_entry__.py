@@ -566,6 +566,25 @@ def _q_knn_cosine_top5(sf_dir: str):
         preserve_index=False)
 
 
+def _q_knn_ivf_fullprobe_top5(sf_dir: str):
+    """IVF with nprobe=nlist probes every bucket, so the result is exact by
+    construction — same oracle as brute force. This gives the IVF machinery
+    (sampling, k-means, bucket shuffle, probe-masked top-k, merge) a
+    driver-side hash check; the approximate nprobe<nlist path stays
+    rows-only with recall tests."""
+    import pyarrow.parquet as pq
+    from cuttana_ray.functions.simsearch import knn_ivf
+    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    order = np.argsort(et["vec_id"].to_numpy())
+    q = np.stack([np.asarray(et["embedding"][int(i)].as_py(), np.float32)
+                  for i in order[:2]])
+    out = knn_ivf(_read(sf_dir, "embeddings"), q, k=5,
+                  nlist=16, nprobe=16).to_pandas()
+    return pa.Table.from_pandas(
+        out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]),
+        preserve_index=False)
+
+
 # -- rows-only (non-SQL-expressible; verified vs NumPy oracles in pytest) --
 
 def _q_pagerank_events(sf_dir: str):
@@ -767,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "knn_cosine_top5": _q_knn_cosine_top5,
+        "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
@@ -1460,6 +1480,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.99, CAST(quantile_disc(n, 0.99) AS BIGINT) FROM t
         """,
         "knn_cosine_top5": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 2),
+            s AS (
+                SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding)
+                           AS cosine
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                           AS rn
+                FROM s)
+            SELECT query_id, vec_id FROM r WHERE rn <= 5
+            ORDER BY query_id, vec_id
+        """,
+        # nprobe == nlist probes every bucket, so IVF is exact and shares the
+        # brute-force oracle (same top-5 per query by construction).
+        "knn_ivf_fullprobe_top5": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding
                 FROM embeddings WHERE vec_id < 2),
