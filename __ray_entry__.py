@@ -281,6 +281,25 @@ def _q_events_hopping_windows(sf_dir: str):
                               "value", width_s=3600, hop_s=900)
 
 
+def _q_events_running_total(sf_dir: str):
+    """Per-user running total and row number ordered by (ts, event_id) —
+    SUM() OVER / ROW_NUMBER() OVER re-expressed as one global sort + exact
+    per-block prefix scan with an O(#blocks) carry chain
+    (stages/running.py). Values accumulate in exact int64 cents
+    (floor(value*100)), so the result is bit-identical to the SQL oracle
+    with no float-summation-order hazard."""
+    import pyarrow.compute as _pc
+    from cuttana_ray.stages.running import running_agg
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _pc.cast(
+            _pc.floor(_pc.multiply(t["value"], 100.0)), pa.int64()))
+
+    ds = _read(sf_dir, "events").map_batches(cents, batch_format="pyarrow")
+    return running_agg(ds, "user_id", ["ts", "event_id"], "cents",
+                       keep=["user_id", "event_id"])
+
+
 def _q_events_asof_value(sf_dir: str):
     """As-of join: each non-purchase event picks up the user's most recent
     purchase value at-or-before its timestamp (sort-once + per-block
@@ -771,6 +790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
+        "events_running_total": _q_events_running_total,
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
         "top_orders_per_priority": _q_top_orders_per_priority,
@@ -1422,6 +1442,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT ev.event_id, iv.iv_id
             FROM events ev JOIN iv
               ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) <= iv.e
+        """,
+        # windowed SUM over BIGINT returns HUGEINT in DuckDB — cast back
+        # (the degree_topk dtype lesson).
+        "events_running_total": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_sum,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS BIGINT) AS rn
+            FROM events
         """,
         "events_hopping_windows": """
             WITH ev AS (

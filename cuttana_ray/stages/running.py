@@ -1,0 +1,151 @@
+"""Running (cumulative) per-key window aggregates — ``SUM(...) OVER
+(PARTITION BY key ORDER BY ...)`` re-expressed Ray-Data-first.
+
+SURVEY.md §2.4 "windows" family. Ray Data has no analytic window functions;
+the classic shape is one global range sort followed by an order-dependent
+scan. The scan is made exact across block boundaries with the same bounded
+carry-chain discipline as ``stages/joins.py::asof_join``: each sorted block
+emits ONE O(1) summary (first key, last key, trailing-run totals); the
+driver chain-scans #blocks summaries into per-block carry-in states; a
+second pass over the same materialized blocks patches only each block's
+leading key run. Driver state is per-BLOCK, never per-row, so the operator
+holds at any row count; the single sort is the only all-to-all exchange.
+
+Numeric determinism: the running value is accumulated in exact int64 units
+(callers pre-scale doubles, e.g. ``floor(value*100)`` cents), so the result
+is bit-identical across block layouts, cluster sizes, and vs a SQL oracle —
+no float-summation-order hazard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def _run_starts(k: np.ndarray) -> np.ndarray:
+    """Index of the start of each row's key run (k sorted by key)."""
+    n = len(k)
+    run_start = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        changes = np.nonzero(k[1:] != k[:-1])[0] + 1
+        run_start[changes] = changes
+        np.maximum.accumulate(run_start, out=run_start)
+    return run_start
+
+
+@ray.remote
+def _summary_task(t: pa.Table) -> dict:
+    """O(1) carry info: first/last key plus the trailing key run's
+    (sum, count) of the int64 value column ``v``."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return {"empty": True}
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    last = k[-1]
+    brk = np.nonzero(k != last)[0]
+    start = (brk[-1] + 1) if len(brk) else 0
+    return {"empty": False, "first_key": int(k[0]), "last_key": int(last),
+            "tail_sum": int(v[start:].sum()), "tail_n": int(n - start)}
+
+
+@ray.remote
+def _scan_task(t: pa.Table, carry: "tuple | None",
+               out_cols: list[str]) -> pa.Table:
+    """Per-block vectorized prefix scan within key runs; ``carry`` is the
+    (key, sum, count) state entering the block's first row."""
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("running_sum", pa.int64()), ("rn", pa.int64())])
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    run_start = _run_starts(k)
+    cs = np.cumsum(v)
+    base = np.where(run_start > 0, cs[run_start - 1], 0)
+    running = cs - base  # cumsum includes v[i]; base ends before the run
+    rn = np.arange(n, dtype=np.int64) - run_start + 1
+    if carry is not None and k[0] == carry[0]:
+        lead = run_start == 0
+        running = running + np.where(lead, carry[1], 0)
+        rn = rn + np.where(lead, carry[2], 0)
+    cols = {c: t[c] for c in out_cols}
+    cols["running_sum"] = pa.array(running, pa.int64())
+    cols["rn"] = pa.array(rn, pa.int64())
+    return pa.table(cols).cast(schema)
+
+
+def running_agg(ds: "ray.data.Dataset", key: str, order: list[str],
+                value: str,
+                keep: list[str] | None = None) -> "ray.data.Dataset":
+    """Cumulative SUM and ROW_NUMBER per ``key`` ordered by ``order``.
+
+    ``value`` must be an integer-valued column (pre-scale doubles upstream —
+    see module docstring); output carries ``keep`` (default: key + order
+    columns) plus ``running_sum`` (cumulative int64 sum, current row
+    inclusive) and ``rn`` (1-based rank within the key).
+
+    Ordering within a key must be unique under ``order`` for a
+    deterministic result — same contract as DuckDB's
+    ``SUM() OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING)``.
+    """
+    keep = keep if keep is not None else [key, *order]
+
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("v", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "v": pc.cast(t[value], pa.int64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+
+    refs = merged.to_arrow_refs()
+    summaries = ray.get([_summary_task.remote(r) for r in refs])
+
+    carries: list[tuple | None] = []
+    state: tuple | None = None  # (key, cum_sum, cum_count)
+    for s in summaries:
+        carries.append(state)
+        if s.get("empty"):
+            continue
+        if state is not None and state[0] == s["first_key"] \
+                and s["first_key"] == s["last_key"]:
+            state = (s["last_key"], state[1] + s["tail_sum"],
+                     state[2] + s["tail_n"])
+        else:
+            state = (s["last_key"], s["tail_sum"], s["tail_n"])
+
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_scan_task.remote(r, c, ccols)
+                for r, c in zip(refs, carries)]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)

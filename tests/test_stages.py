@@ -493,3 +493,44 @@ def test_rollup_agg_matches_duckdb():
         ["a", "b", "value_sum", "n"]]
     assert len(gc) == len(ec)
     pd.testing.assert_frame_equal(gc, ec, check_dtype=False, atol=1e-9)
+
+
+def test_running_agg_matches_pandas_across_layouts():
+    from cuttana_ray.stages.running import running_agg
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    df = pd.DataFrame({"k": rng.integers(0, 40, n),
+                       "t": rng.permutation(n).astype(np.int64),
+                       "v": rng.integers(-50, 100, n)})
+    exp = df.sort_values(["k", "t"]).copy()
+    exp["running_sum"] = exp.groupby("k")["v"].cumsum()
+    exp["rn"] = exp.groupby("k").cumcount() + 1
+    exp = exp[["k", "t", "running_sum", "rn"]] \
+        .sort_values(["k", "t"]).reset_index(drop=True)
+
+    t = pa.table({c: pa.array(df[c], pa.int64()) for c in df})
+    for nblocks in (1, 3, 17):
+        got = running_agg(rd.from_arrow(t).repartition(nblocks),
+                          "k", ["t"], "v", keep=["k", "t"]).to_pandas()
+        got = got.sort_values(["k", "t"]).reset_index(drop=True) \
+            .astype({"running_sum": "int64", "rn": "int64"})
+        pd.testing.assert_frame_equal(
+            got, exp.astype({"running_sum": "int64", "rn": "int64"}))
+
+
+def test_running_agg_single_key_many_blocks_carry_chain():
+    """One key spanning every block: the carry chain must accumulate
+    through every block summary (head/interior/tail), not just adjacent
+    pairs."""
+    from cuttana_ray.stages.running import running_agg
+
+    n = 4000
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "t": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.ones(n, np.int64))})
+    got = running_agg(rd.from_arrow(t).repartition(16),
+                      "k", ["t"], "v", keep=["t"]).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+    assert got["running_sum"].tolist() == list(range(1, n + 1))
+    assert got["rn"].tolist() == list(range(1, n + 1))
