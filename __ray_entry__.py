@@ -654,6 +654,21 @@ def _q_triangles_events(sf_dir: str):
     })
 
 
+def _q_bfs_events(sf_dir: str):
+    """Multi-source BFS hop distances from every 29th vertex (frontier
+    map_batches + min-combine per round, pipelines/bfs.py); -1 =
+    unreachable. Oracle: recursive CTE min-hop walk over the same encoded
+    graph."""
+    from cuttana_ray.pipelines.bfs import bfs_distances
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 29, dtype=np.int64)
+    res = bfs_distances(g, seeds)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "dist": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -808,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
+        "bfs_events": _q_bfs_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
         "components_events": _q_components_events,
@@ -943,6 +959,22 @@ _COMPONENTS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     )
     SELECT v AS vertex, CAST(MIN(lbl) AS BIGINT) AS component
     FROM reach GROUP BY 1
+"""
+
+
+# min-hop walk from every 29th vertex; the d < 64 bound keeps the recursive
+# UNION finite (≤ 64·V distinct (v,d) tuples) and far exceeds the link
+# graph's diameter, so MIN(d) is the exact BFS distance.
+_BFS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    walk(v, d) AS (
+        SELECT node_id, 0 FROM nodes WHERE node_id % 29 = 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    )
+    SELECT n.node_id AS vertex,
+           CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
+    FROM nodes n LEFT JOIN walk w ON w.v = n.node_id GROUP BY 1
 """
 
 
@@ -1260,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "labelprop_events": _labelprop_sql(),
         "triangles_events": _TRIANGLES_SQL,
         "components_events": _COMPONENTS_SQL,
+        "bfs_events": _BFS_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,

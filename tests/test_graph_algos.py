@@ -239,3 +239,43 @@ def test_auto_combine_respects_driver_state_cap(er_graph, monkeypatch):
     capped = pagerank(g, max_iters=15).values
     assert np.allclose(capped, default, atol=1e-12)
     assert (connected_components(g).values == cc_default).all()
+
+
+# -- multi-source BFS ------------------------------------------------------
+
+def _bfs_oracle(src, dst, n, seeds):
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    dist = np.full(n, -1, dtype=np.int64)
+    q = collections.deque()
+    for s in seeds:
+        dist[s] = 0
+        q.append(int(s))
+    while q:
+        v = q.popleft()
+        for w in adj[v]:
+            if dist[w] == -1:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def test_bfs_er_vs_oracle_both_combines(er_graph):
+    from cuttana_ray.pipelines.bfs import bfs_distances
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    seeds = np.array([0, 17, 101], dtype=np.int64)
+    exp = _bfs_oracle(src, dst, n, seeds)
+    for combine in ("driver", "shuffle"):
+        res = bfs_distances(g, seeds, combine=combine)
+        assert res.converged
+        assert (res.values == exp).all()
+
+
+def test_bfs_unreachable_component_stays_minus_one():
+    from cuttana_ray.pipelines.bfs import bfs_distances
+    g = graph_from_edges(TWO_TRIANGLES, 6)
+    res = bfs_distances(g, [0])
+    assert res.values.tolist() == [0, 1, 1, -1, -1, -1]
