@@ -669,6 +669,21 @@ def _q_bfs_events(sf_dir: str):
     })
 
 
+def _q_kcore_events(sf_dir: str):
+    """3-core membership via distributed peeling (pipelines/kcore.py).
+    Peeling is confluent, so the fixpoint is exact and layout-invariant;
+    the oracle unrolls 16 peel rounds (≥ the observed peel depth — extra
+    rounds are no-ops at the fixpoint)."""
+    from cuttana_ray.pipelines.kcore import kcore
+    g = _events_graph(sf_dir)
+    res = kcore(g, k=3)
+    assert res.converged and res.iterations <= 16
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "in_core": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -824,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
         "bfs_events": _q_bfs_events,
+        "kcore_events": _q_kcore_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
         "components_events": _q_components_events,
@@ -960,6 +976,27 @@ _COMPONENTS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     SELECT v AS vertex, CAST(MIN(lbl) AS BIGINT) AS component
     FROM reach GROUP BY 1
 """
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled peeling: round i keeps vertices with ≥ k surviving
+    neighbors among round i-1 survivors. ``rounds`` must exceed the peel
+    depth (asserted engine-side); extra rounds are fixpoint no-ops."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    k0 AS MATERIALIZED (SELECT node_id AS v FROM nodes)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+        SELECT e.src AS v FROM e
+        JOIN k{i-1} a ON a.v = e.src
+        JOIN k{i-1} b ON b.v = e.dst
+        GROUP BY 1 HAVING COUNT(*) >= {k})""")
+    parts.append(f"""
+    SELECT n.node_id AS vertex,
+           CAST(CASE WHEN n.node_id IN (SELECT v FROM k{rounds})
+                THEN 1 ELSE 0 END AS BIGINT) AS in_core
+    FROM nodes n""")
+    return "".join(parts)
 
 
 # min-hop walk from every 29th vertex; the d < 64 bound keeps the recursive
@@ -1293,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_events": _TRIANGLES_SQL,
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
+        "kcore_events": _kcore_sql(),
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,

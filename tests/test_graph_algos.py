@@ -279,3 +279,38 @@ def test_bfs_unreachable_component_stays_minus_one():
     g = graph_from_edges(TWO_TRIANGLES, 6)
     res = bfs_distances(g, [0])
     assert res.values.tolist() == [0, 1, 1, -1, -1, -1]
+
+
+# -- k-core ----------------------------------------------------------------
+
+def _kcore_oracle(src, dst, n, k):
+    alive = np.ones(n, dtype=bool)
+    while True:
+        deg = np.zeros(n, dtype=np.int64)
+        m = alive[src] & alive[dst]
+        np.add.at(deg, src[m], 1)
+        new = alive & (deg >= k)
+        if (new == alive).all():
+            return alive
+        alive = new
+
+
+def test_kcore_er_vs_oracle_both_combines(er_graph):
+    from cuttana_ray.pipelines.kcore import kcore
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    for k in (2, 4, 7):
+        exp = _kcore_oracle(src, dst, n, k).astype(np.int64)
+        for combine in ("driver", "shuffle"):
+            res = kcore(g, k, combine=combine)
+            assert res.converged
+            assert (res.values == exp).all(), (k, combine)
+
+
+def test_kcore_known_answer_and_coreness():
+    from cuttana_ray.pipelines.kcore import coreness, kcore
+    # K4 with a pendant path: 4-clique is the 3-core; path peels away
+    edges = K4 + [(3, 4), (4, 5)]
+    g = graph_from_edges(edges, 6)
+    assert kcore(g, 3).values.tolist() == [1, 1, 1, 1, 0, 0]
+    assert coreness(g).tolist() == [3, 3, 3, 3, 1, 1]
