@@ -684,6 +684,16 @@ def _q_kcore_events(sf_dir: str):
     })
 
 
+def _q_linkpred_events(sf_dir: str):
+    """Common-neighbor / Jaccard link prediction over the events graph:
+    non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
+    witness-pair expansion, never all pairs). Jaccard is an int/int double
+    division, bit-identical to the SQL oracle."""
+    from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
+    g = _events_graph(sf_dir)
+    return common_neighbor_pairs(g, min_common=2)
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_k5_events": _q_pagerank_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
+        "linkpred_events": _q_linkpred_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
         "components_events": _q_components_events,
@@ -975,6 +986,22 @@ _COMPONENTS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     )
     SELECT v AS vertex, CAST(MIN(lbl) AS BIGINT) AS component
     FROM reach GROUP BY 1
+"""
+
+
+_LINKPRED_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    sel AS (
+        SELECT a, b, cn FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.src = cn.a AND e.dst = cn.b))
+    SELECT s.a, s.b, CAST(s.cn AS BIGINT) AS common_neighbors,
+           CAST(s.cn AS DOUBLE) / (da.d + db.d - s.cn) AS jaccard
+    FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
 """
 
 
@@ -1331,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "kcore_events": _kcore_sql(),
+        "linkpred_events": _LINKPRED_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,

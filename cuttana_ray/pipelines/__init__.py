@@ -1,3 +1,4 @@
+from cuttana_ray.pipelines.bfs import bfs_distances
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.graph import (
     Graph,
@@ -5,7 +6,9 @@ from cuttana_ray.pipelines.graph import (
     build_graph_from_transcripts,
     graph_adjacency,
 )
+from cuttana_ray.pipelines.kcore import coreness, kcore
 from cuttana_ray.pipelines.labelprop import label_propagation
+from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
 from cuttana_ray.pipelines.pagerank import IterativeResult, pagerank
 from cuttana_ray.pipelines.triangles import TriangleResult, triangle_count
 
@@ -13,10 +16,14 @@ __all__ = [
     "Graph",
     "IterativeResult",
     "TriangleResult",
+    "bfs_distances",
     "build_graph_from_events",
     "build_graph_from_transcripts",
+    "common_neighbor_pairs",
     "connected_components",
+    "coreness",
     "graph_adjacency",
+    "kcore",
     "label_propagation",
     "pagerank",
     "triangle_count",

@@ -158,6 +158,8 @@ def _membership_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     holds at any right-side cardinality (a broadcast IN/NOT-IN would
     not)."""
     lschema = left.schema()
+    if lschema is None:  # fully-empty left (e.g. all rows filtered): the
+        return left      # join is a no-op either way
     ltypes = {c: lschema.types[lschema.names.index(c)]
               for c in lschema.names}
     lcols = list(lschema.names)

@@ -314,3 +314,37 @@ def test_kcore_known_answer_and_coreness():
     g = graph_from_edges(edges, 6)
     assert kcore(g, 3).values.tolist() == [1, 1, 1, 1, 0, 0]
     assert coreness(g).tolist() == [3, 3, 3, 3, 1, 1]
+
+
+# -- link prediction -------------------------------------------------------
+
+def test_linkpred_er_vs_bruteforce(er_graph):
+    from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    nbrs = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        nbrs[a].add(int(b))
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            cn = len(nbrs[a] & nbrs[b])
+            if cn >= 2 and b not in nbrs[a]:
+                exp[(a, b)] = (cn, cn / (len(nbrs[a]) + len(nbrs[b]) - cn))
+    got = common_neighbor_pairs(g, min_common=2).to_pandas()
+    got_map = {(int(r.a), int(r.b)): (int(r.common_neighbors), r.jaccard)
+               for r in got.itertuples()}
+    assert set(got_map) == set(exp)
+    for k, (cn, j) in exp.items():
+        assert got_map[k][0] == cn
+        assert got_map[k][1] == j  # int/int double division, bit-exact
+
+
+def test_linkpred_max_degree_skips_hub_witness():
+    from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
+    # star: center witnesses all leaf pairs; capping below its degree
+    # removes every candidate
+    g = graph_from_edges(STAR10, 11)
+    assert common_neighbor_pairs(g, min_common=1).count() == 45
+    assert common_neighbor_pairs(g, min_common=1,
+                                 max_degree=5).count() == 0
