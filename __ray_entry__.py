@@ -572,6 +572,23 @@ def _q_approx_distinct_users(sf_dir: str):
     return approx_distinct(_read(sf_dir, "events"), "user_id")
 
 
+def _q_top_terms_docs(sf_dir: str):
+    """Global top-50 term frequencies (vocabulary building): vectorized
+    polars extract_all + in-batch partial counts before the single term
+    shuffle; per-block top-k pruning before the final tiny sort
+    (functions/terms.py)."""
+    from cuttana_ray.functions.terms import top_terms
+    return top_terms(_read(sf_dir, "documents"), k=50)
+
+
+def _q_doc_tfidf_docs(sf_dir: str):
+    """Top-3 TF-IDF terms per document; df joins back via a term-keyed
+    hash join (vocabulary never touches the driver), top-k via the
+    grouped_topk combiner."""
+    from cuttana_ray.functions.terms import doc_tfidf_topk
+    return doc_tfidf_topk(_read(sf_dir, "documents"), k=3)
+
+
 def _q_knn_cosine_top5(sf_dir: str):
     import pyarrow.parquet as pq
     from cuttana_ray.functions.simsearch import knn_brute_force
@@ -845,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "top_terms_docs": _q_top_terms_docs,
+        "doc_tfidf_docs": _q_doc_tfidf_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
@@ -1609,6 +1628,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.95, CAST(quantile_disc(n, 0.95) AS BIGINT) FROM t
             UNION ALL
             SELECT 0.99, CAST(quantile_disc(n, 0.99) AS BIGINT) FROM t
+        """,
+        "top_terms_docs": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1)
+            SELECT term, tf FROM tc ORDER BY tf DESC, term LIMIT 50
+        """,
+        "doc_tfidf_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            dtf AS (SELECT doc_id, term, COUNT(*) AS tf
+                    FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, COUNT(*) AS df FROM dtf GROUP BY 1),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            sc AS (SELECT d.doc_id, d.term, d.tf, f.df,
+                          ROUND(d.tf * ln((SELECT n FROM nd) / f.df), 6)
+                              AS tfidf
+                   FROM dtf d JOIN dft f ON f.term = d.term),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+                  FROM sc)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, tfidf
+            FROM r WHERE rn <= 3
         """,
         "knn_cosine_top5": """
             WITH q AS (

@@ -13,6 +13,12 @@ from cuttana_ray.functions.multimodal import (
     synth_media_table,
 )
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
+from cuttana_ray.functions.terms import (
+    doc_term_counts,
+    doc_tfidf_topk,
+    term_counts,
+    top_terms,
+)
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
 from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
 from cuttana_ray.functions.textstats import (
@@ -46,4 +52,8 @@ __all__ = [
     "stratified_sample",
     "synth_media_table",
     "token_stats",
+    "term_counts",
+    "top_terms",
+    "doc_term_counts",
+    "doc_tfidf_topk",
 ]

@@ -1,0 +1,140 @@
+"""Vocabulary-building text operators: global term frequencies and TF-IDF.
+
+The term-extraction hot path is vectorized end-to-end: polars'
+``str.extract_all`` (Rust regex over the whole column) → ``explode`` →
+in-batch ``group_by`` partial counts, so the single
+``groupby(term)`` / ``groupby(doc, term)`` exchange moves distinct-term
+partials, never raw token streams. No Python loops over rows or tokens.
+
+Scale notes:
+* ``term_counts`` pre-aggregates per batch; hot terms (stopwords) arrive
+  at the exchange as one row per block, the classic combiner discipline.
+* ``top_terms`` prunes each post-aggregation block to its local top-k
+  before a final k·#blocks-row sort — never a global sort of the vocab.
+* ``doc_tfidf`` joins the (doc, term, tf) table with the (term, df) table
+  via Ray's hash join keyed on term — the vocabulary is unbounded at
+  100 TB, so df is NEVER broadcast or collected driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+_DEFAULT_PATTERN = "[a-z]+"
+
+
+def _extract_fn(text_col: str, id_col: str | None, pattern: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        fields = ([(id_col, pa.int64())] if id_col else []) + \
+            [("term", pa.string()), ("tf", pa.int64())]
+        schema = pa.schema(fields)
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return schema.empty_table()
+        cols = {"text": pc.fill_null(pc.cast(batch[text_col], pa.string()),
+                                     "")}
+        if id_col:
+            cols[id_col] = pc.cast(batch[id_col], pa.int64())
+        df = pl.from_arrow(pa.table(cols))
+        toks = df.with_columns(
+            pl.col("text").str.to_lowercase().str.extract_all(pattern)
+            .alias("term")).drop("text").explode("term") \
+            .drop_nulls("term")
+        keys = ([id_col] if id_col else []) + ["term"]
+        counts = toks.group_by(keys).len(name="tf")
+        out = counts.to_arrow()
+        cols = {}
+        if id_col:
+            cols[id_col] = pc.cast(out[id_col], pa.int64())
+        cols["term"] = pc.cast(out["term"], pa.string())
+        cols["tf"] = pc.cast(out["tf"], pa.int64())
+        return pa.table(cols).cast(schema)
+    return fn
+
+
+def term_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """Global term frequencies ``(term, tf)`` (terms = lowercase regex
+    matches, default ASCII words)."""
+    partial = ds.map_batches(_extract_fn(text_col, None, pattern),
+                             batch_format="pyarrow")
+    return partial.groupby("term").aggregate(Sum("tf", alias_name="tf"))
+
+
+def top_terms(ds: "ray.data.Dataset", k: int = 50, text_col: str = "text",
+              pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """The ``k`` most frequent terms, ties broken by term (ascending) —
+    per-block top-k pruning before one tiny final sort."""
+    counts = term_counts(ds, text_col, pattern)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("tf", "descending"),
+                                              ("term", "ascending")])
+        return t.take(order[:k])
+
+    pruned = counts.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(["tf", "term"], descending=[True, False]).limit(k)
+
+
+def doc_term_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                    id_col: str = "doc_id",
+                    pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """Per-document term frequencies ``(doc_id, term, tf)``."""
+    partial = ds.map_batches(_extract_fn(text_col, id_col, pattern),
+                             batch_format="pyarrow")
+    return partial.groupby([id_col, "term"]).aggregate(
+        Sum("tf", alias_name="tf"))
+
+
+def doc_tfidf_topk(ds: "ray.data.Dataset", k: int = 3, *,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   pattern: str = _DEFAULT_PATTERN,
+                   round_to: int = 6) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per document:
+    ``tfidf = tf · ln(N / df)``, ties broken by term ascending.
+
+    ``df`` (documents containing the term) comes from one
+    ``groupby(term)`` aggregate over the per-doc table and joins back via
+    Ray's hash join keyed on term — vocabulary never touches the driver.
+    ``N`` is the document count (one small aggregate).
+    """
+    doc_tf = doc_term_counts(ds, text_col, id_col, pattern).materialize()
+    n_docs = float(ds.count())
+
+    def ones(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "term" not in t.column_names:
+            return pa.schema([("term", pa.string()),
+                              ("df", pa.int64())]).empty_table()
+        return pa.table({"term": t["term"],
+                         "df": pa.array(np.ones(len(t), np.int64))})
+
+    df_tab = doc_tf.map_batches(ones, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    joined = doc_tf.join(df_tab, join_type="inner", num_partitions=16,
+                         on=("term",), right_suffix="_r")
+
+    def score(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                            ("tf", pa.int64()), ("df", pa.int64()),
+                            ("tfidf", pa.float64())])
+        if len(t) == 0 or "tf" not in t.column_names:
+            return schema.empty_table()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tf * np.log(n_docs / df), round_to)
+        return pa.table({id_col: t[id_col], "term": t["term"],
+                         "tf": t["tf"], "df": t["df"],
+                         "tfidf": pa.array(tfidf, pa.float64())
+                         }).cast(schema)
+
+    from cuttana_ray.stages.relational import grouped_topk
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, [id_col],
+                        [("tfidf", "descending"), ("term", "ascending")], k)

@@ -331,3 +331,64 @@ def test_heavy_hitters_exact_even_when_spread_thin():
     assert sorted(map(tuple, out[["key", "cnt"]].values.tolist())) == \
         sorted(map(tuple, exp.values.tolist()))
     assert 99_999 in set(out["key"])
+
+
+# -- term frequencies / TF-IDF ---------------------------------------------
+
+def test_term_counts_and_topk_vs_bruteforce():
+    import re
+    import ray.data as rd
+
+    from cuttana_ray.functions.terms import term_counts, top_terms
+
+    texts = ["The cat sat on the mat", "a CAT and a dog", None,
+             "dogs chase cats; cats nap", ""]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    exp = {}
+    for s in texts:
+        for w in re.findall("[a-z]+", (s or "").lower()):
+            exp[w] = exp.get(w, 0) + 1
+    got = term_counts(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert dict(zip(got["term"], got["tf"])) == exp
+    top = top_terms(rd.from_arrow(t).repartition(3), k=3).to_pandas()
+    order = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(zip(top["term"], top["tf"])) == order
+
+
+def test_doc_tfidf_topk_vs_bruteforce():
+    import math
+    import re
+    import ray.data as rd
+
+    from cuttana_ray.functions.terms import doc_tfidf_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 20)))
+             for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    tf = {}
+    df = {}
+    for i, s in enumerate(texts):
+        words = re.findall("[a-z]+", s.lower())
+        for w in words:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+        for w in set(words):
+            df[w] = df.get(w, 0) + 1
+    exp = {}
+    for (i, w), f in tf.items():
+        exp.setdefault(i, []).append(
+            (round(f * math.log(40.0 / df[w]), 6), w, f))
+    want = {}
+    for i, lst in exp.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        want[i] = [(w, f, s) for s, w, f in lst[:3]]
+    got = doc_tfidf_topk(rd.from_arrow(t).repartition(4), k=3).to_pandas()
+    got_map = {}
+    for r in got.itertuples():
+        got_map.setdefault(int(r.doc_id), []).append(
+            (r.term, int(r.tf), r.tfidf))
+    for i in want:
+        assert sorted(got_map[i]) == sorted(want[i]), i
