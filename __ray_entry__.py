@@ -643,6 +643,20 @@ def _q_pagerank_k5_events(sf_dir: str):
     return pa.table({"vertex": t["vertex"], "rank": pc.round(t["rank"], 8)})
 
 
+def _q_ppr_k5_events(sf_dir: str):
+    """Personalized PageRank (restart on every 13th vertex), 5 forced
+    power steps — same unrolled-CTE oracle discipline as pagerank_k5."""
+    import pyarrow.compute as pc
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g = _events_graph(sf_dir)
+    p = np.zeros(g.num_vertices, dtype=np.float64)
+    seeds = np.arange(0, g.num_vertices, 13, dtype=np.int64)
+    p[seeds] = 1.0 / float(len(seeds))
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5, restart=p)
+    t = res.table("rank")
+    return pa.table({"vertex": t["vertex"], "rank": pc.round(t["rank"], 8)})
+
+
 def _q_components_events(sf_dir: str):
     from cuttana_ray.pipelines.components import connected_components
     g = _events_graph(sf_dir)
@@ -867,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
+        "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
         "linkpred_events": _q_linkpred_events,
@@ -953,6 +968,40 @@ def _pagerank_k5_sql(k: int = 5, damping: float = 0.85) -> str:
                                     + (SELECT dm FROM d{i})
                                       / (SELECT v FROM vc)) AS r
               FROM nodes n LEFT JOIN c{i} c ON c.v = n.node_id)""")
+    parts.append(f"""
+    SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
+    return "WITH " + "".join(parts)
+
+
+def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
+    """Unrolled k-step PERSONALIZED PageRank: restart distribution p is
+    uniform over every ``mod``-th vertex; teleport and dangling mass land
+    on p: r' = (1-d)·p + d·(Σ_in r·w/outw + dm·p), r0 = p."""
+    parts = [_EVENTS_GRAPH_SQL, f""",
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    seeds AS (SELECT node_id AS v FROM nodes WHERE node_id % {mod} = 0),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds),
+    p AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               CASE WHEN n.node_id % {mod} = 0
+                    THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS pv
+        FROM nodes n),
+    outw AS (SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS w
+             FROM e GROUP BY 1),
+    pr0 AS MATERIALIZED (SELECT v, pv AS r FROM p)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS v, SUM(p.r * e.weight / ow.w) AS s
+             FROM e JOIN pr{i-1} p ON p.v = e.src
+                    JOIN outw ow ON ow.v = e.src
+             GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM pr{i-1} p
+             WHERE p.v NOT IN (SELECT v FROM outw)),
+    pr{i} AS MATERIALIZED (SELECT p.v,
+                     (1.0 - {damping}) * p.pv
+                     + {damping} * (COALESCE(c.s, 0.0)
+                                    + (SELECT dm FROM d{i}) * p.pv) AS r
+              FROM p LEFT JOIN c{i} c ON c.v = p.v)""")
     parts.append(f"""
     SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
     return "WITH " + "".join(parts)
@@ -1363,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
+        "ppr_k5_events": _ppr_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_id_docs": _LANG_ID_SQL,
         "embedding_neardup": """

@@ -112,9 +112,17 @@ def _contrib_fn(ranks_ref, outw_ref, num_vertices: int):
 def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
              max_iters: int = 100, workdir: str | None = None,
              resume: bool = False, combine: str = "auto",
-             tree_combine: int | None = None) -> IterativeResult:
+             tree_combine: int | None = None,
+             restart: "np.ndarray | None" = None) -> IterativeResult:
     """Weighted PageRank: ``r(v) = (1-d)/V + d * (Σ_{u→v} r(u)·w/outw(u)
-    + dangling_mass/V)``; ranks sum to 1."""
+    + dangling_mass/V)``; ranks sum to 1.
+
+    ``restart``: optional personalization distribution p (dense float64
+    summing to 1) — teleport AND dangling mass then land on p instead of
+    the uniform vector (personalized PageRank); initial ranks = p. The
+    default uniform path keeps its original arithmetic so existing
+    bit-parity results are unchanged ((1-d)/V is not bit-equal to
+    (1-d)·(1/V))."""
     V = graph.num_vertices
     combine = resolve_combine(combine, V)
     outw = graph.out_weights()
@@ -123,7 +131,11 @@ def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
     outw_ref = ray.put(outw_safe)
 
     start_iter = 0
-    ranks = np.full(V, 1.0 / V, dtype=np.float64)
+    if restart is not None:
+        restart = np.asarray(restart, dtype=np.float64)
+        ranks = restart.copy()
+    else:
+        ranks = np.full(V, 1.0 / V, dtype=np.float64)
     if resume and workdir:
         loaded = ckpt.load_latest_iteration(workdir, "pagerank")
         if loaded is not None:
@@ -143,7 +155,12 @@ def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
                 batch_size=tree_combine)
         gathered = _grouped_sum_to_dense(contrib_ds, V, combine=combine)
         dangling_mass = float(ranks[dangling].sum())
-        new = (1.0 - damping) / V + damping * (gathered + dangling_mass / V)
+        if restart is not None:
+            new = (1.0 - damping) * restart + \
+                damping * (gathered + dangling_mass * restart)
+        else:
+            new = (1.0 - damping) / V + \
+                damping * (gathered + dangling_mass / V)
         delta = float(np.abs(new - ranks).sum())
         ranks = new
         dt = time.perf_counter() - t0

@@ -348,3 +348,35 @@ def test_linkpred_max_degree_skips_hub_witness():
     assert common_neighbor_pairs(g, min_common=1).count() == 45
     assert common_neighbor_pairs(g, min_common=1,
                                  max_degree=5).count() == 0
+
+
+# -- personalized PageRank -------------------------------------------------
+
+def _ppr_oracle(src, dst, w, n, p, d=0.85, iters=50):
+    outw = np.zeros(n)
+    np.add.at(outw, src, w.astype(np.float64))
+    dang = outw == 0
+    outw_safe = np.where(dang, 1.0, outw)
+    r = p.copy()
+    for _ in range(iters):
+        g = np.zeros(n)
+        np.add.at(g, dst, r[src] * w / outw_safe[src])
+        r = (1 - d) * p + d * (g + r[dang].sum() * p)
+    return r
+
+
+def test_personalized_pagerank_vs_oracle(er_graph):
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g, n = er_graph
+    src, dst, w = arrays(g)
+    p = np.zeros(n)
+    seeds = np.array([3, 50, 120])
+    p[seeds] = 1.0 / len(seeds)
+    res = pagerank(g, tol=1e-12, max_iters=200, restart=p)
+    exp = _ppr_oracle(src, dst, w.astype(np.float64), n, p, iters=300)
+    assert res.converged
+    assert np.allclose(res.values, exp, atol=1e-8)
+    assert res.values.sum() == pytest.approx(1.0)
+    # teleport localizes mass: seeds hold more rank than uniform PageRank
+    uni = pagerank(g, tol=1e-12, max_iters=200)
+    assert res.values[seeds].sum() > uni.values[seeds].sum()
