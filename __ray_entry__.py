@@ -327,6 +327,72 @@ def _q_events_asof_value(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _set_op_halves(sf_dir: str, op: str):
+    """Distinct (user_id, event_type) pairs seen before vs on/after
+    2024-01-03, combined with a whole-row set operation
+    (stages/relational.py _set_op: per-block distinct + flag-sum cogroup,
+    one exchange, no driver-side row set)."""
+    from cuttana_ray.stages.relational import (except_distinct,
+                                               intersect_distinct)
+    ds = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_type", "ts"])
+    cutoff = np.datetime64("2024-01-03T00:00:00", "us")
+
+    def split(before: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ts = pc.cast(t["ts"], pa.timestamp("us"))
+            m = pc.less(ts, pa.scalar(cutoff)) if before \
+                else pc.greater_equal(ts, pa.scalar(cutoff))
+            return t.filter(m).select(["user_id", "event_type"])
+        return fn
+
+    early = ds.map_batches(split(True), batch_format="pyarrow")
+    late = ds.map_batches(split(False), batch_format="pyarrow")
+    if op == "intersect":
+        return intersect_distinct(early, late)
+    return except_distinct(late, early)
+
+
+def _q_events_pairs_intersect(sf_dir: str):
+    """(user, event_type) pairs active in BOTH halves of the window —
+    SQL INTERSECT."""
+    return _set_op_halves(sf_dir, "intersect")
+
+
+def _q_events_pairs_except(sf_dir: str):
+    """(user, event_type) pairs appearing only on/after the cutoff —
+    SQL EXCEPT."""
+    return _set_op_halves(sf_dir, "except")
+
+
+def _q_lineitem_corr_stats(sf_dir: str):
+    """Per-returnflag second-moment stats over (l_quantity,
+    l_extendedprice): one partial-moment row per (block, key) before the
+    single groupby exchange, merged with Chan's parallel formula
+    (stages/stats.py grouped_moments). Rounded on both sides; corr is
+    scale-free so 6 dp is far above merge-order float noise."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.stats import grouped_moments
+    ds = _read(sf_dir, "lineitem") \
+        .select_columns(["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_moments(ds, ["l_returnflag"], "l_quantity",
+                          "l_extendedprice")
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"],
+            "mean_qty": pc.round(batch["mean_x"], 6),
+            "sd_qty": pc.round(batch["sd_x"], 6),
+            "mean_price": pc.round(batch["mean_y"], 4),
+            "sd_price": pc.round(batch["sd_y"], 4),
+            "covar_qp": pc.round(batch["covar"], 2),
+            "corr_qp": pc.round(batch["corr"], 6),
+        })
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def _q_top_orders_per_priority(sf_dir: str):
     """Grouped top-k with a total ordering: the 3 most expensive orders per
     priority class. Per-block combiner keeps ≤k rows per key before the one
@@ -700,6 +766,23 @@ def _q_bfs_events(sf_dir: str):
     })
 
 
+def _q_sssp_events(sf_dir: str):
+    """Multi-source weighted shortest paths from every 31st vertex
+    (Bellman-Ford relaxation with frontier pruning, pipelines/sssp.py);
+    -1 = unreachable. Oracle: 24 unrolled relaxation rounds (≥ the
+    engine's observed convergence depth, asserted; extra rounds are
+    fixpoint no-ops)."""
+    from cuttana_ray.pipelines.sssp import shortest_paths
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 31, dtype=np.int64)
+    res = shortest_paths(g, seeds)
+    assert res.converged and res.iterations <= 24
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "dist": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_kcore_events(sf_dir: str):
     """3-core membership via distributed peeling (pipelines/kcore.py).
     Peeling is confluent, so the fixpoint is exact and layout-invariant;
@@ -864,6 +947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
+        "events_pairs_intersect": _q_events_pairs_intersect,
+        "events_pairs_except": _q_events_pairs_except,
+        "lineitem_corr_stats": _q_lineitem_corr_stats,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
@@ -884,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
+        "sssp_events": _q_sssp_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
         "pagerank_events": _q_pagerank_events,
@@ -1071,6 +1158,28 @@ _LINKPRED_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            CAST(s.cn AS DOUBLE) / (da.d + db.d - s.cn) AS jaccard
     FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
 """
+
+
+def _sssp_sql(rounds: int = 24, mod: int = 31) -> str:
+    """Unrolled Bellman-Ford: round i keeps the min of round i-1 and every
+    one-edge relaxation from round i-1's reached set."""
+    parts = [f"""WITH {_EVENTS_GRAPH_SQL},
+    s0 AS MATERIALIZED (
+        SELECT node_id AS v, CAST(0 AS BIGINT) AS d
+        FROM nodes WHERE node_id % {mod} = 0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    s{i} AS MATERIALIZED (
+        SELECT v, MIN(d) AS d FROM (
+            SELECT v, d FROM s{i-1}
+            UNION ALL
+            SELECT e.dst AS v, p.d + e.weight AS d
+            FROM e JOIN s{i-1} p ON p.v = e.src) GROUP BY 1)""")
+    parts.append(f"""
+    SELECT n.node_id AS vertex,
+           CAST(COALESCE(s.d, -1) AS BIGINT) AS dist
+    FROM nodes n LEFT JOIN s{rounds} s ON s.v = n.node_id""")
+    return "".join(parts)
 
 
 def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
@@ -1427,6 +1536,7 @@ def oracle_sql() -> dict[str, str]:
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "kcore_events": _kcore_sql(),
+        "sssp_events": _sssp_sql(),
         "linkpred_events": _LINKPRED_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
@@ -1530,6 +1640,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(r.value, 4) AS purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_pairs_intersect": """
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+            INTERSECT
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03'
+        """,
+        "events_pairs_except": """
+            SELECT user_id, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03'
+            EXCEPT
+            SELECT user_id, event_type FROM events
+            WHERE ts < TIMESTAMP '2024-01-03'
+        """,
+        "lineitem_corr_stats": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(l_quantity), 6) AS mean_qty,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS mean_price,
+                   ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+                   ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2)
+                       AS covar_qp,
+                   ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
+            FROM lineitem GROUP BY 1
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, o_totalprice, o_orderkey

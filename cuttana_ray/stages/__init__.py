@@ -9,12 +9,16 @@ from cuttana_ray.stages.joins import asof_join, range_join
 from cuttana_ray.stages.relational import (
     anti_join,
     cube_agg,
+    except_distinct,
     grouped_topk,
     grouping_sets_agg,
+    intersect_distinct,
     pivot_agg,
     rollup_agg,
     semi_join,
+    union_distinct,
 )
+from cuttana_ray.stages.stats import grouped_moments
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
@@ -37,8 +41,12 @@ __all__ = [
     "pivot_agg",
     "rollup_agg",
     "cube_agg",
+    "except_distinct",
+    "grouped_moments",
     "grouping_sets_agg",
+    "intersect_distinct",
     "semi_join",
+    "union_distinct",
     "bipartite_edges",
     "build_adjacency",
     "build_vocab",

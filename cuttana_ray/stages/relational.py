@@ -221,6 +221,76 @@ def semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                             keep_present=True)
 
 
+def _set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
+            op: str) -> "ray.data.Dataset":
+    """SQL set operations with DISTINCT semantics over whole rows
+    (``INTERSECT`` / ``EXCEPT`` / ``UNION``). Both inputs must share a
+    schema; the row itself is the group key.
+
+    Plan: each block first collapses to its distinct rows tagged with
+    per-side presence flags (pyarrow group_by — vectorized, no Python
+    rows), so the ONE groupby exchange moves at most the per-block
+    distinct count; a Sum aggregate then turns the flags into global
+    presence and a vectorized filter applies the operator. No driver-side
+    row set at any cardinality.
+    """
+    schema = left.schema()
+    cols = list(schema.names)
+    tag_schema = pa.schema(
+        [(c, t) for c, t in zip(schema.names, schema.types)]
+        + [("_l", pa.int64()), ("_r", pa.int64())])
+
+    def tag(is_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return tag_schema.empty_table()
+            d = t.select(cols).group_by(cols).aggregate([])
+            n = len(d)
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            return d.append_column("_l", pa.array(one if is_left else zero)) \
+                    .append_column("_r", pa.array(zero if is_left else one)) \
+                    .cast(tag_schema)
+        return fn
+
+    from ray.data.aggregate import Sum
+    tagged = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.map_batches(tag(False), batch_format="pyarrow"))
+    counts = tagged.groupby(cols).aggregate(
+        Sum("_l", alias_name="_l"), Sum("_r", alias_name="_r"))
+
+    def emit(t: pa.Table) -> pa.Table:
+        lf = pc.greater(t["_l"], 0)
+        rf = pc.greater(t["_r"], 0)
+        if op == "intersect":
+            keep = pc.and_(lf, rf)
+        elif op == "except":
+            keep = pc.and_(lf, pc.invert(rf))
+        else:  # union
+            keep = pc.or_(lf, rf)
+        return t.filter(keep).select(cols)
+
+    return counts.map_batches(emit, batch_format="pyarrow")
+
+
+def intersect_distinct(left: "ray.data.Dataset", right: "ray.data.Dataset"
+                       ) -> "ray.data.Dataset":
+    """SQL ``INTERSECT``: distinct rows present in both inputs."""
+    return _set_op(left, right, "intersect")
+
+
+def except_distinct(left: "ray.data.Dataset", right: "ray.data.Dataset"
+                    ) -> "ray.data.Dataset":
+    """SQL ``EXCEPT``: distinct left rows absent from the right input."""
+    return _set_op(left, right, "except")
+
+
+def union_distinct(left: "ray.data.Dataset", right: "ray.data.Dataset"
+                   ) -> "ray.data.Dataset":
+    """SQL ``UNION`` (distinct): distinct rows present in either input."""
+    return _set_op(left, right, "union")
+
+
 def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,
               values: list[str] | None = None) -> "ray.data.Dataset":
     """Pivot ``col``'s values into SUM(``val``) columns per ``key`` row

@@ -1,0 +1,104 @@
+"""Distributed one-pass second-moment statistics: per-group count / mean /
+sample stddev / sample covariance / Pearson correlation.
+
+The reference engine has only scalar counters (`src/assignment.rs:68-99`);
+this widens the SURVEY.md §2.4 aggregation family with the moments DuckDB
+exposes as ``STDDEV_SAMP`` / ``COVAR_SAMP`` / ``CORR``.
+
+Scale plan (same combiner discipline as the rest of ``stages/``): each
+input block reduces to ONE partial row per key it contains — ``(n, mean_x,
+M2_x, mean_y, M2_y, C_xy)`` computed vectorized around the block-local
+group means — so the single groupby exchange moves O(#blocks × #keys)
+rows, never O(rows). Partials merge with Chan's parallel update formula
+(numerically stable; no raw sum-of-squares is ever formed), sorted by a
+canonical key inside each group so the merge order — and therefore the
+float result — is a pure function of the block layout, not of shuffle
+arrival order. Across different layouts results agree to ~1e-12 relative
+(the usual reassociation noise), which the query-layer rounding absorbs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_PARTIAL_COLS = ["n", "mean_x", "m2_x", "mean_y", "m2_y", "c_xy"]
+
+
+def _partial_schema(keys: list[str], key_types: list[pa.DataType]
+                    ) -> pa.Schema:
+    return pa.schema(
+        [(k, t) for k, t in zip(keys, key_types)]
+        + [("n", pa.int64())]
+        + [(c, pa.float64()) for c in _PARTIAL_COLS[1:]])
+
+
+def _block_partials(t: pa.Table, keys: list[str], x: str, y: str
+                    ) -> pa.Table:
+    """One (n, means, M2s, co-moment) row per key present in the block."""
+    schema = _partial_schema(keys, [t.schema.field(k).type for k in keys])
+    if len(t) == 0:
+        return schema.empty_table()
+    df = t.select(keys + [x, y]).to_pandas()
+    g = df.groupby(keys, sort=False)
+    mx = g[x].transform("mean")
+    my = g[y].transform("mean")
+    dx = df[x].astype(np.float64) - mx
+    dy = df[y].astype(np.float64) - my
+    df["_m2x"] = dx * dx
+    df["_m2y"] = dy * dy
+    df["_cxy"] = dx * dy
+    agg = df.groupby(keys, sort=False, as_index=False).agg(
+        n=(x, "size"), mean_x=(x, "mean"), m2_x=("_m2x", "sum"),
+        mean_y=(y, "mean"), m2_y=("_m2y", "sum"), c_xy=("_cxy", "sum"))
+    return pa.Table.from_pandas(agg, preserve_index=False).cast(schema)
+
+
+def _merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Chan's parallel merge over one key group's partial rows.
+
+    Rows are first sorted by (n desc, mean_x) so the merge order is a pure
+    function of the partials themselves, not of shuffle arrival order.
+    """
+    df = df.sort_values(
+        ["n", "mean_x"], ascending=[False, True], kind="mergesort")
+    rows = df[_PARTIAL_COLS].to_numpy()
+    n, mx, m2x, my, m2y, cxy = rows[0]
+    for nb, mxb, m2xb, myb, m2yb, cxyb in rows[1:]:
+        tot = n + nb
+        dx = mxb - mx
+        dy = myb - my
+        f = n * nb / tot
+        m2x += m2xb + dx * dx * f
+        m2y += m2yb + dy * dy * f
+        cxy += cxyb + dx * dy * f
+        mx += dx * nb / tot
+        my += dy * nb / tot
+        n = tot
+    out = df.iloc[:1].drop(columns=_PARTIAL_COLS).copy()
+    out["n"] = np.int64(n)
+    if n > 1:
+        sd_x = float(np.sqrt(m2x / (n - 1)))
+        sd_y = float(np.sqrt(m2y / (n - 1)))
+        covar = float(cxy / (n - 1))
+        denom = float(np.sqrt(m2x * m2y))
+        corr = float(cxy / denom) if denom > 0 else np.nan
+    else:
+        sd_x = sd_y = covar = corr = np.nan
+    out["mean_x"], out["sd_x"] = float(mx), sd_x
+    out["mean_y"], out["sd_y"] = float(my), sd_y
+    out["covar"], out["corr"] = covar, corr
+    return out
+
+
+def grouped_moments(ds: "ray.data.Dataset", keys: list[str], x: str,
+                    y: str) -> "ray.data.Dataset":
+    """Per-``keys`` group: ``n, mean_x, sd_x, mean_y, sd_y, covar, corr``
+    (sample stddev/covariance, ddof=1; Pearson correlation). Groups of one
+    row get null moments, matching SQL semantics."""
+    partial = ds.map_batches(
+        lambda t: _block_partials(t, keys, x, y), batch_format="pyarrow")
+    return partial.groupby(keys).map_groups(
+        _merge_partials, batch_format="pandas")

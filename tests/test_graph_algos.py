@@ -281,6 +281,86 @@ def test_bfs_unreachable_component_stays_minus_one():
     assert res.values.tolist() == [0, 1, 1, -1, -1, -1]
 
 
+# -- weighted shortest paths -----------------------------------------------
+
+def _dijkstra_oracle(src, dst, w, n, seeds):
+    import heapq
+    adj = [[] for _ in range(n)]
+    for a, b, ww in zip(src, dst, w):
+        adj[int(a)].append((int(b), int(ww)))
+    dist = np.full(n, -1, dtype=np.int64)
+    h = [(0, int(s)) for s in seeds]
+    for _, s in h:
+        dist[s] = 0
+    heapq.heapify(h)
+    while h:
+        d, v = heapq.heappop(h)
+        if d > dist[v]:
+            continue
+        for u, ww in adj[v]:
+            nd = d + ww
+            if dist[u] == -1 or nd < dist[u]:
+                dist[u] = nd
+                heapq.heappush(h, (nd, u))
+    return dist
+
+
+@pytest.fixture(scope="module")
+def weighted_er_graph():
+    """ER graph with random int64 weights 1..9, symmetrized."""
+    rng = np.random.default_rng(11)
+    n = 150
+    pairs = {}
+    for _ in range(700):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs[(min(a, b), max(a, b))] = int(rng.integers(1, 10))
+    src = [a for a, b in pairs] + [b for a, b in pairs]
+    dst = [b for a, b in pairs] + [a for a, b in pairs]
+    w = list(pairs.values()) * 2
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(w, pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    return Graph(rd.from_arrow(t).repartition(4).materialize(), nodes, n), n
+
+
+def test_sssp_er_vs_dijkstra_both_combines(weighted_er_graph):
+    from cuttana_ray.pipelines.sssp import shortest_paths
+    g, n = weighted_er_graph
+    src, dst, w = arrays(g)
+    seeds = np.array([0, 42, 99], dtype=np.int64)
+    exp = _dijkstra_oracle(src, dst, w, n, seeds)
+    for combine in ("driver", "shuffle"):
+        res = shortest_paths(g, seeds, combine=combine)
+        assert res.converged
+        assert (res.values == exp).all(), combine
+
+
+def test_sssp_unreachable_and_weighted_detour():
+    """Path 0-1-2 with weights (5,5) plus a direct 0-2 edge of weight 20:
+    the two-hop route (10) must beat the one-hop route (20); the isolated
+    triangle stays -1."""
+    from cuttana_ray.pipelines.sssp import shortest_paths
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    wmap = {(0, 1): 5, (1, 2): 5, (0, 2): 20,
+            (3, 4): 1, (4, 5): 1, (3, 5): 1}
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    w = [wmap[e] for e in und] * 2
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(w, pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(6, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(6)]),
+                      "kind": pa.array(["v"] * 6)})
+    g = Graph(rd.from_arrow(t).repartition(3).materialize(), nodes, 6)
+    res = shortest_paths(g, [0])
+    assert res.values.tolist() == [0, 5, 10, -1, -1, -1]
+
+
 # -- k-core ----------------------------------------------------------------
 
 def _kcore_oracle(src, dst, n, k):

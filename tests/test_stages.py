@@ -534,3 +534,68 @@ def test_running_agg_single_key_many_blocks_carry_chain():
         .sort_values("t").reset_index(drop=True)
     assert got["running_sum"].tolist() == list(range(1, n + 1))
     assert got["rn"].tolist() == list(range(1, n + 1))
+
+
+# -- grouped second-moment statistics ---------------------------------------
+
+def test_grouped_moments_vs_numpy():
+    from cuttana_ray.stages.stats import grouped_moments
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = rng.integers(0, 4, n)
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 5, n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "x": pa.array(x), "y": pa.array(y)})).repartition(7)
+    got = grouped_moments(ds, ["k"], "x", "y").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    for i, k in enumerate(sorted(set(keys.tolist()))):
+        m = keys == k
+        xs, ys = x[m], y[m]
+        row = got.iloc[i]
+        assert row["k"] == k and row["n"] == m.sum()
+        assert np.isclose(row["mean_x"], xs.mean(), rtol=1e-12)
+        assert np.isclose(row["sd_x"], xs.std(ddof=1), rtol=1e-9)
+        assert np.isclose(row["sd_y"], ys.std(ddof=1), rtol=1e-9)
+        assert np.isclose(row["covar"], np.cov(xs, ys, ddof=1)[0, 1],
+                          rtol=1e-9)
+        assert np.isclose(row["corr"], np.corrcoef(xs, ys)[0, 1],
+                          rtol=1e-9)
+
+
+def test_grouped_moments_singleton_group_null_moments():
+    from cuttana_ray.stages.stats import grouped_moments
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([0, 1, 1], pa.int64()),
+        "x": pa.array([1.0, 2.0, 4.0]),
+        "y": pa.array([5.0, 6.0, 2.0])}))
+    got = grouped_moments(ds, ["k"], "x", "y").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got.loc[0, "n"] == 1 and np.isnan(got.loc[0, "sd_x"])
+    assert got.loc[1, "n"] == 2
+    assert np.isclose(got.loc[1, "corr"], -1.0)
+
+
+# -- whole-row set operations ------------------------------------------------
+
+def test_set_ops_vs_python_sets():
+    from cuttana_ray.stages.relational import (except_distinct,
+                                               intersect_distinct,
+                                               union_distinct)
+    rng = np.random.default_rng(5)
+    mk = lambda n, seed_off: pa.table({
+        "a": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "b": pa.array([f"s{v}" for v in rng.integers(0, 5, n)])})
+    lt, rt = mk(400, 0), mk(300, 1)
+    left = rd.from_arrow(lt).repartition(5)
+    right = rd.from_arrow(rt).repartition(3)
+    lset = set(zip(lt["a"].to_pylist(), lt["b"].to_pylist()))
+    rset = set(zip(rt["a"].to_pylist(), rt["b"].to_pylist()))
+    for fn, exp in ((intersect_distinct, lset & rset),
+                    (except_distinct, lset - rset),
+                    (union_distinct, lset | rset)):
+        out = fn(left, right).to_pandas()
+        got = set(zip(out["a"], out["b"]))
+        assert got == exp, fn.__name__
+        assert len(out) == len(got)  # distinct — no duplicate rows
