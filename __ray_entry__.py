@@ -366,6 +366,62 @@ def _q_events_pairs_except(sf_dir: str):
     return _set_op_halves(sf_dir, "except")
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Explode the embedding list column with ordinality (stages/nested.py
+    explode_list — pure Arrow offsets, no shuffle), keep the first 4
+    dimensions, and aggregate count + mean per position. The exchange
+    carries only 4 partial rows per block."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.nested import explode_list
+    ds = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    ex = explode_list(ds, "embedding", keep_cols=[], value_name="v",
+                      pos_name="pos")
+
+    def keep_low_dims(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["pos"], 4))
+        return pa.table({"pos": t["pos"],
+                         "v": pc.cast(t["v"], pa.float64())})
+    agg = ex.map_batches(keep_low_dims, batch_format="pyarrow") \
+        .groupby("pos").aggregate(Count(alias_name="n"),
+                                  Sum("v", alias_name="v_sum"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "pos": t["pos"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "mean_v": pc.round(pc.divide(t["v_sum"],
+                                         pc.cast(t["n"], pa.float64())), 6),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_price_quantiles(sf_dir: str):
+    """Exact quantile_cont over o_totalprice WITHOUT a global sort:
+    histogram-refinement selection (functions/quantiles.py
+    float_quantiles) — streaming passes with O(K·buckets) driver state,
+    interpolation formula identical to DuckDB's (parity ~1e-13, rounded
+    to 4 dp on both sides). Rounding uses decimal-string formatting, not
+    pc.round: DuckDB's ROUND returns the double NEAREST the 4-dp decimal,
+    which Arrow's scaled-multiply round misses by one ulp on values like
+    253605.98."""
+    from cuttana_ray.functions.quantiles import float_quantiles
+    ds = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+    t = float_quantiles(ds, "o_totalprice", (0.25, 0.5, 0.75, 0.9))
+    vals = [float(f"{v:.4f}") for v in t["value"].to_pylist()]
+    return t.set_column(t.schema.get_field_index("value"), "value",
+                        pa.array(vals, pa.float64()))
+
+
+def _q_user_top_event_type(sf_dir: str):
+    """Per-user modal event type (stages/relational.py mode_agg:
+    groupby-count then grouped-topk k=1; deterministic tie-break by count
+    desc, value asc — mirrored in the oracle's ROW_NUMBER ordering)."""
+    from cuttana_ray.stages.relational import mode_agg
+    ds = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return mode_agg(ds, ["user_id"], "event_type")
+
+
 def _q_lineitem_corr_stats(sf_dir: str):
     """Per-returnflag second-moment stats over (l_quantity,
     l_extendedprice): one partial-moment row per (block, key) before the
@@ -783,6 +839,24 @@ def _q_sssp_events(sf_dir: str):
     })
 
 
+def _q_clustering_events(sf_dir: str):
+    """Per-vertex local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
+    composed from the distributed triangle count (pipelines/triangles.py)
+    and the per-src degree aggregate; single exact division on both sides,
+    so no rounding is needed for hash parity."""
+    from cuttana_ray.pipelines.triangles import triangle_count
+    g = _events_graph(sf_dir)
+    tri = triangle_count(g).per_vertex.astype(np.float64)
+    deg = g.degrees().astype(np.float64)
+    denom = deg * (deg - 1.0)
+    cc = np.where(denom >= 2.0, 2.0 * tri / np.where(denom == 0, 1, denom),
+                  0.0)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "clustering": pa.array(cc, pa.float64()),
+    })
+
+
 def _q_kcore_events(sf_dir: str):
     """3-core membership via distributed peeling (pipelines/kcore.py).
     Peeling is confluent, so the fixpoint is exact and layout-invariant;
@@ -950,6 +1024,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
         "lineitem_corr_stats": _q_lineitem_corr_stats,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "orders_price_quantiles": _q_orders_price_quantiles,
+        "user_top_event_type": _q_user_top_event_type,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
@@ -970,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
+        "clustering_events": _q_clustering_events,
         "sssp_events": _q_sssp_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
@@ -1131,6 +1209,28 @@ _TRIANGLES_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
     cnt AS (SELECT v, COUNT(*) AS c FROM pv GROUP BY 1)
     SELECT n.node_id AS vertex, CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
     FROM nodes n LEFT JOIN cnt c ON c.v = n.node_id
+"""
+
+# same oriented-self-join CTE chain as _TRIANGLES_SQL, different final
+# projection: local clustering coefficient (single exact division — the
+# engine's numpy arithmetic is bit-identical, no rounding needed)
+_CLUSTERING_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    o AS (SELECT e.src AS u, e.dst AS v FROM e
+          JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+          WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM o e1 JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pv AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+           UNION ALL SELECT c AS v FROM tri),
+    cnt AS (SELECT v, COUNT(*) AS c FROM pv GROUP BY 1)
+    SELECT n.node_id AS vertex,
+           CASE WHEN COALESCE(d.d, 0) >= 2
+                THEN 2.0 * COALESCE(c.c, 0) / (d.d * (d.d - 1))
+                ELSE 0.0 END AS clustering
+    FROM nodes n LEFT JOIN deg d ON d.v = n.node_id
+                 LEFT JOIN cnt c ON c.v = n.node_id
 """
 
 _COMPONENTS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -1533,6 +1633,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "labelprop_events": _labelprop_sql(),
         "triangles_events": _TRIANGLES_SQL,
+        "clustering_events": _CLUSTERING_SQL,
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "kcore_events": _kcore_sql(),
@@ -1666,6 +1767,35 @@ def oracle_sql() -> dict[str, str]:
                        AS covar_qp,
                    ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
             FROM lineitem GROUP BY 1
+        """,
+        "orders_price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS value
+            FROM orders
+            UNION ALL SELECT CAST(0.5 AS DOUBLE),
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) FROM orders
+            UNION ALL SELECT CAST(0.75 AS DOUBLE),
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) FROM orders
+            UNION ALL SELECT CAST(0.9 AS DOUBLE),
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) FROM orders
+        """,
+        "embedding_dim_stats": """
+            WITH ex AS (
+                SELECT UNNEST(embedding) AS v,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings)
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(v), 6) AS mean_v
+            FROM ex WHERE pos <= 4 GROUP BY 1
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type, n FROM (
+                SELECT user_id, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type) AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn = 1
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, o_totalprice, o_orderkey

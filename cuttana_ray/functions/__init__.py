@@ -12,6 +12,7 @@ from cuttana_ray.functions.multimodal import (
     sample_frames,
     synth_media_table,
 )
+from cuttana_ray.functions.quantiles import float_quantiles
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.terms import (
     doc_term_counts,
@@ -35,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "extract_features",
     "fingerprints",
+    "float_quantiles",
     "hash_sample",
     "heavy_hitters",
     "kmeans_lite",

@@ -1,0 +1,179 @@
+"""Exact continuous quantiles (SQL ``quantile_cont`` / linear
+interpolation) over a float column WITHOUT a global sort.
+
+Distributed selection by histogram refinement: a first streaming pass
+gets (count, min, max); each refinement round histograms every still-open
+order-statistic interval into B buckets per batch (vectorized
+``np.searchsorted``) and the driver merges the fixed-size bucket counts —
+like the HLL registers in ``functions/sketches.py``, the merged state is
+O(K·B) no matter the row count, and no round shuffles anything. When an
+interval's candidate bucket is small enough, one final filtered pass
+collects just those values and ``np.partition`` selects exactly.
+
+At 100 TB: each round is one full streaming read (2-3 rounds cover any
+float64 spread), versus a sort-based quantile moving every block through
+an all-to-all exchange. The reference has no quantile operator at all
+(scalar counters only, ``src/assignment.rs:68-99``); this widens the
+§2.4 aggregation family next to ``int_quantiles``
+(functions/textstats.py), which handles the discrete/`quantile_disc`
+case.
+
+NaNs are not handled (SQL NULL-skipping applies upstream via a filter);
+infinities are fine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_BUCKETS = 4096
+_COLLECT_CAP = 1 << 20  # max values pulled for the final exact selection
+
+
+def _stats_pass(ds: "ray.data.Dataset", col: str):
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+    n, mn, mx = 0, np.inf, -np.inf
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        n += int(np.sum(b["n"].to_numpy(zero_copy_only=False)))
+        mn = min(mn, float(np.min(b["mn"].to_numpy(zero_copy_only=False))))
+        mx = max(mx, float(np.max(b["mx"].to_numpy(zero_copy_only=False))))
+    return n, mn, mx
+
+
+def _select_kth(ds: "ray.data.Dataset", col: str, ks: list[int],
+                n: int, mn: float, mx: float,
+                max_rounds: int = 4) -> dict[int, float]:
+    """Exact k-th smallest (0-based) for every k in ``ks``."""
+    # state per k: (lo, hi, rank_below_lo) — the k-th value lies in
+    # [lo, hi] and exactly rank_below values are < lo
+    state = {k: (mn, mx, 0, n) for k in ks}  # lo, hi, below, inside
+    answers: dict[int, float] = {}
+
+    for _ in range(max_rounds):
+        open_ks = [k for k in ks if k not in answers
+                   and state[k][3] > _COLLECT_CAP and state[k][0] < state[k][1]]
+        if not open_ks:
+            break
+        edges = {k: np.linspace(state[k][0], state[k][1], _BUCKETS + 1)
+                 for k in open_ks}
+
+        def hist_pass(t: pa.Table, edges=edges, open_ks=open_ks
+                      ) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            kk, bb, cc = [], [], []
+            for k in open_ks:
+                e = edges[k]
+                sel = v[(v >= e[0]) & (v <= e[-1])]
+                if len(sel) == 0:
+                    continue
+                # bucket i covers [e[i], e[i+1]); last bucket closed
+                idx = np.clip(np.searchsorted(e, sel, side="right") - 1,
+                              0, _BUCKETS - 1)
+                counts = np.bincount(idx, minlength=_BUCKETS)
+                nz = np.nonzero(counts)[0]
+                kk.append(np.full(len(nz), k, np.int64))
+                bb.append(nz.astype(np.int64))
+                cc.append(counts[nz].astype(np.int64))
+            if not kk:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "c": pa.array([], pa.int64())})
+            return pa.table({"k": pa.array(np.concatenate(kk)),
+                             "b": pa.array(np.concatenate(bb)),
+                             "c": pa.array(np.concatenate(cc))})
+
+        merged = {k: np.zeros(_BUCKETS, np.int64) for k in open_ks}
+        for b in ds.map_batches(hist_pass, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) == 0:
+                continue
+            karr = b["k"].to_numpy(zero_copy_only=False)
+            barr = b["b"].to_numpy(zero_copy_only=False)
+            carr = b["c"].to_numpy(zero_copy_only=False)
+            for k in open_ks:
+                m = karr == k
+                np.add.at(merged[k], barr[m], carr[m])
+        for k in open_ks:
+            lo, hi, below, _ = state[k]
+            cum = np.cumsum(merged[k])
+            local_rank = k - below
+            bidx = int(np.searchsorted(cum, local_rank + 1, side="left"))
+            e = edges[k]
+            new_below = below + (int(cum[bidx - 1]) if bidx > 0 else 0)
+            inside = int(merged[k][bidx])
+            new_lo, new_hi = float(e[bidx]), float(e[bidx + 1])
+            if new_lo == new_hi or inside == 0:
+                answers[k] = new_lo
+            else:
+                state[k] = (new_lo, new_hi, new_below, inside)
+
+    # final exact selection for the remaining ks: collect each candidate
+    # interval (≤ _COLLECT_CAP values unless duplicates defeated
+    # refinement, in which case the interval is one tight value range)
+    rest = [k for k in ks if k not in answers]
+    if rest:
+        ivals = {k: state[k] for k in rest}
+
+        def collect(t: pa.Table, ivals=ivals) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            kk, vv = [], []
+            for k, (lo, hi, _, _) in ivals.items():
+                sel = v[(v >= lo) & (v <= hi)]
+                kk.append(np.full(len(sel), k, np.int64))
+                vv.append(sel)
+            return pa.table({"k": pa.array(np.concatenate(kk)),
+                             "v": pa.array(np.concatenate(vv))})
+
+        buf: dict[int, list] = {k: [] for k in rest}
+        for b in ds.map_batches(collect, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) == 0:
+                continue
+            karr = b["k"].to_numpy(zero_copy_only=False)
+            varr = b["v"].to_numpy(zero_copy_only=False)
+            for k in rest:
+                buf[k].append(varr[karr == k])
+        for k in rest:
+            vals = np.concatenate(buf[k]) if buf[k] else np.array([])
+            local = k - state[k][2]
+            answers[k] = float(np.partition(vals, local)[local])
+    return answers
+
+
+def float_quantiles(ds: "ray.data.Dataset", col: str,
+                    qs: tuple = (0.25, 0.5, 0.75, 0.9)) -> pa.Table:
+    """Exact ``quantile_cont`` values: for each q, interpolate linearly
+    between order statistics floor(q·(n-1)) and ceil(q·(n-1)). Returns
+    ``(q: float64, value: float64)``."""
+    n, mn, mx = _stats_pass(ds, col)
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    ks = set()
+    ranks = {}
+    for q in qs:
+        r = q * (n - 1)
+        k0, k1 = int(np.floor(r)), int(np.ceil(r))
+        ranks[q] = (r, k0, k1)
+        ks.update((k0, k1))
+    kth = _select_kth(ds, col, sorted(ks), n, mn, mx)
+    out = []
+    for q in qs:
+        r, k0, k1 = ranks[q]
+        v0, v1 = kth[k0], kth[k1]
+        out.append(v0 + (r - k0) * (v1 - v0))
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(out, pa.float64())})

@@ -6,6 +6,7 @@ from cuttana_ray.stages.edges import (
     symmetrize,
 )
 from cuttana_ray.stages.joins import asof_join, range_join
+from cuttana_ray.stages.nested import explode_list
 from cuttana_ray.stages.relational import (
     anti_join,
     cube_agg,
@@ -13,6 +14,7 @@ from cuttana_ray.stages.relational import (
     grouped_topk,
     grouping_sets_agg,
     intersect_distinct,
+    mode_agg,
     pivot_agg,
     rollup_agg,
     semi_join,
@@ -42,9 +44,11 @@ __all__ = [
     "rollup_agg",
     "cube_agg",
     "except_distinct",
+    "explode_list",
     "grouped_moments",
     "grouping_sets_agg",
     "intersect_distinct",
+    "mode_agg",
     "semi_join",
     "union_distinct",
     "bipartite_edges",

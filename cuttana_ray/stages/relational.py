@@ -221,6 +221,23 @@ def semi_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                             keep_present=True)
 
 
+def mode_agg(ds: "ray.data.Dataset", keys: list[str], col: str
+             ) -> "ray.data.Dataset":
+    """Most frequent ``col`` value per ``keys`` group (SQL ``mode()``),
+    with a deterministic tie-break: highest count first, then smallest
+    value. Output columns: keys + ``col`` + ``n`` (the winning count).
+
+    Plan: one groupby counts (keys, col) pairs — per-batch partial
+    aggregation applies as in every Ray groupby — then ``grouped_topk``
+    k=1 picks the winner per key with its ≤1-row-per-key-per-block
+    combiner, so neither exchange carries more than the distinct pair
+    count."""
+    from ray.data.aggregate import Count
+    counts = ds.groupby(keys + [col]).aggregate(Count(alias_name="n"))
+    return grouped_topk(counts, keys,
+                        [("n", "descending"), (col, "ascending")], 1)
+
+
 def _set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
             op: str) -> "ray.data.Dataset":
     """SQL set operations with DISTINCT semantics over whole rows

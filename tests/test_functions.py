@@ -392,3 +392,32 @@ def test_doc_tfidf_topk_vs_bruteforce():
             (r.term, int(r.tf), r.tfidf))
     for i in want:
         assert sorted(got_map[i]) == sorted(want[i]), i
+
+
+# -- exact continuous quantiles ----------------------------------------------
+
+def test_float_quantiles_matches_numpy_linear():
+    import cuttana_ray.functions.quantiles as fq
+    rng = np.random.default_rng(21)
+    v = rng.normal(1000.0, 250.0, 20011)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(9)
+    qs = (0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    got = fq.float_quantiles(ds, "x", qs).to_pandas()
+    exp = np.quantile(v, qs)  # numpy 'linear' == SQL quantile_cont
+    assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=1e-9)
+
+
+def test_float_quantiles_refinement_path_exact(monkeypatch):
+    """Force the histogram-refinement rounds (tiny collect cap) and check
+    the result stays exact, including on duplicate-heavy data."""
+    import cuttana_ray.functions.quantiles as fq
+    monkeypatch.setattr(fq, "_COLLECT_CAP", 64)
+    rng = np.random.default_rng(22)
+    v = np.concatenate([rng.normal(0, 1, 4000),
+                        np.full(3000, 2.5),  # heavy duplicate spike
+                        rng.uniform(5, 6, 3000)])
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(5)
+    qs = (0.1, 0.3, 0.5, 0.7, 0.99)
+    got = fq.float_quantiles(ds, "x", qs).to_pandas()
+    exp = np.quantile(v, qs)
+    assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=1e-9)

@@ -599,3 +599,48 @@ def test_set_ops_vs_python_sets():
         got = set(zip(out["a"], out["b"]))
         assert got == exp, fn.__name__
         assert len(out) == len(got)  # distinct — no duplicate rows
+
+
+# -- explode / unnest ---------------------------------------------------------
+
+def test_explode_list_values_positions_and_empties():
+    from cuttana_ray.stages.nested import explode_list
+    t = pa.table({
+        "id": pa.array([10, 20, 30, 40], pa.int64()),
+        "xs": pa.array([[1.5, 2.5], [], None, [7.0, 8.0, 9.0]],
+                       pa.list_(pa.float32()))})
+    out = explode_list(rd.from_arrow(t).repartition(2), "xs",
+                       value_name="v", pos_name="pos").to_pandas() \
+        .sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [10, 10, 40, 40, 40]
+    assert out["pos"].tolist() == [1, 2, 1, 2, 3]
+    assert out["v"].tolist() == [1.5, 2.5, 7.0, 8.0, 9.0]
+
+
+def test_explode_list_matches_pandas_explode_random():
+    from cuttana_ray.stages.nested import explode_list
+    rng = np.random.default_rng(9)
+    lists = [rng.integers(0, 100, rng.integers(0, 6)).tolist()
+             for _ in range(300)]
+    t = pa.table({"id": pa.array(range(300), pa.int64()),
+                  "xs": pa.array(lists, pa.list_(pa.int64()))})
+    got = explode_list(rd.from_arrow(t).repartition(7), "xs",
+                       value_name="v", pos_name=None).to_pandas() \
+        .sort_values(["id", "v"]).reset_index(drop=True)
+    exp = t.to_pandas().explode("xs").dropna(subset=["xs"])
+    exp = exp.rename(columns={"xs": "v"}).astype({"v": np.int64}) \
+        .sort_values(["id", "v"]).reset_index(drop=True)
+    assert got.equals(exp[["id", "v"]])
+
+
+# -- grouped mode -------------------------------------------------------------
+
+def test_mode_agg_deterministic_tie_break():
+    from cuttana_ray.stages.relational import mode_agg
+    t = pa.table({
+        "k": pa.array([0, 0, 0, 1, 1, 1, 1], pa.int64()),
+        "v": pa.array(["b", "a", "b", "z", "y", "z", "y"])})
+    out = mode_agg(rd.from_arrow(t).repartition(3), ["k"], "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["v"].tolist() == ["b", "y"]  # k=1 ties 2-2 -> smallest value
+    assert out["n"].tolist() == [2, 2]
