@@ -396,6 +396,27 @@ def _q_embedding_dim_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_user_ranks(sf_dir: str):
+    """NTILE(4) + PERCENT_RANK per user over (ts, event_id) — the analytic
+    rank-window family (stages/running.py rank_windows: one sort +
+    carry-chain row numbers, count join, exact-integer tile arithmetic)."""
+    from cuttana_ray.stages.running import rank_windows
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts"])
+    out = rank_windows(ds, "user_id", ["ts", "event_id"], tiles=4,
+                       keep=["user_id", "event_id"])
+    return out.select_columns(["event_id", "user_id", "ntile", "prank"])
+
+
+def _q_lang_length_quantiles(sf_dir: str):
+    """Per-language median and p90 of document length — grouped exact
+    quantile_disc via per-batch value-count histograms, one exchange
+    (functions/textstats.py grouped_int_quantiles)."""
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+    ds = _read(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    return grouped_int_quantiles(ds, "lang", "n_chars", (0.5, 0.9))
+
+
 def _q_orders_price_quantiles(sf_dir: str):
     """Exact quantile_cont over o_totalprice WITHOUT a global sort:
     histogram-refinement selection (functions/quantiles.py
@@ -1026,6 +1047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_stats": _q_lineitem_corr_stats,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "orders_price_quantiles": _q_orders_price_quantiles,
+        "lang_length_quantiles": _q_lang_length_quantiles,
+        "events_user_ranks": _q_events_user_ranks,
         "user_top_event_type": _q_user_top_event_type,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
@@ -1767,6 +1790,22 @@ def oracle_sql() -> dict[str, str]:
                        AS covar_qp,
                    ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
             FROM lineitem GROUP BY 1
+        """,
+        "events_user_ranks": """
+            SELECT event_id, user_id,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS ntile,
+                   PERCENT_RANK() OVER w AS prank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "lang_length_quantiles": """
+            SELECT lang, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS value
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT)
+            FROM documents GROUP BY lang
         """,
         "orders_price_quantiles": """
             SELECT CAST(0.25 AS DOUBLE) AS q,

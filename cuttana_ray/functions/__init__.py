@@ -24,6 +24,7 @@ from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_iv
 from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
 from cuttana_ray.functions.textstats import (
     fingerprints,
+    grouped_int_quantiles,
     int_quantiles,
     lang_id,
     quality_scores,
@@ -37,6 +38,7 @@ __all__ = [
     "extract_features",
     "fingerprints",
     "float_quantiles",
+    "grouped_int_quantiles",
     "hash_sample",
     "heavy_hitters",
     "kmeans_lite",

@@ -220,3 +220,47 @@ def int_quantiles(ds: "ray.data.Dataset", col: str,
         out.append(int(uniq[idx]))
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array(out, pa.int64())})
+
+
+def grouped_int_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                          qs: tuple = (0.5, 0.9)) -> "ray.data.Dataset":
+    """Per-``key``-group exact discrete quantiles (``quantile_disc``
+    semantics, same position rule as ``int_quantiles``) without a global
+    sort: per-batch (key, value, count) histograms bound the ONE groupby
+    exchange by the per-block distinct-value count, and each key group's
+    tiny histogram selects its quantiles inside ``map_groups``. Returns
+    ``(key, q: float64, value: int64)`` rows."""
+    import math
+    import pandas as pd
+
+    key_type = ds.schema().types[ds.schema().names.index(key)]
+    part_schema = pa.schema([(key, key_type), ("v", pa.int64()),
+                             ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        df = pa.table({key: t[key], "v": pc.cast(t[col], pa.int64())}) \
+            .to_pandas()
+        agg = df.groupby([key, "v"], sort=False, as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .cast(part_schema)
+
+    def select(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("v", as_index=False, sort=True)["c"].sum() \
+            .sort_values("v")
+        cum = g["c"].cumsum().to_numpy()
+        vals = g["v"].to_numpy()
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            target = max(math.ceil(q * n), 1)
+            out_q.append(float(q))
+            out_v.append(int(vals[int(np.searchsorted(cum, target,
+                                                      side="left"))]))
+        return pd.DataFrame({key: [df[key].iloc[0]] * len(qs),
+                             "q": out_q, "value": np.int64(out_v)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(select, batch_format="pandas")

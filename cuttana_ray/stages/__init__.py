@@ -26,7 +26,7 @@ from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
     run_cuttana_partition,
 )
-from cuttana_ray.stages.running import running_agg
+from cuttana_ray.stages.running import rank_windows, running_agg
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
 from cuttana_ray.stages.windows import (
     hopping_window_agg,
@@ -61,6 +61,7 @@ __all__ = [
     "hash_partition_baseline",
     "hopping_window_agg",
     "partition_quality",
+    "rank_windows",
     "run_cuttana_partition",
     "running_agg",
     "session_counts",

@@ -149,3 +149,48 @@ def running_agg(ds: "ray.data.Dataset", key: str, order: list[str],
 
     return out.map_batches(strip, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def rank_windows(ds: "ray.data.Dataset", key: str, order: list[str],
+                 tiles: int = 4,
+                 keep: list[str] | None = None) -> "ray.data.Dataset":
+    """``NTILE(tiles)`` and ``PERCENT_RANK()`` per ``key`` ordered by
+    ``order`` (which must be a total order within each key — no peers, the
+    same contract as ``running_agg``).
+
+    Composition: ``running_agg`` over a ones column yields the exact
+    row number per key (one sort + O(#blocks) carry chain); a tiny
+    groupby-count supplies per-key sizes; a distributed hash join lines
+    them up; the tile/rank arithmetic is a vectorized exact-integer map.
+    NTILE uses the SQL rule (first ``n % tiles`` buckets get one extra
+    row); PERCENT_RANK is the single exact division (rn-1)/(n-1), so both
+    hash-match a SQL oracle bit-for-bit.
+    """
+    from ray.data.aggregate import Count
+
+    keep = keep if keep is not None else [key, *order]
+
+    def add_one(t: pa.Table) -> pa.Table:
+        return t.append_column("_one", pa.array(
+            np.ones(len(t), np.int64)))
+
+    rn_ds = running_agg(ds.map_batches(add_one, batch_format="pyarrow"),
+                        key, order, "_one", keep=keep) \
+        .drop_columns(["running_sum"])
+    counts = ds.groupby(key).aggregate(Count(alias_name="_nk"))
+    joined = rn_ds.join(counts, join_type="inner", num_partitions=8,
+                        on=(key,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        n = t["_nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q, r = n // tiles, n % tiles
+        head = rn <= r * (q + 1)
+        tile = np.where(head, (rn - 1) // np.maximum(q + 1, 1),
+                        r + (rn - 1 - r * (q + 1)) // np.maximum(q, 1)) + 1
+        prank = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        out = t.drop_columns(["_nk", "rn"])
+        out = out.append_column("ntile", pa.array(tile.astype(np.int64)))
+        return out.append_column("prank", pa.array(prank, pa.float64()))
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -421,3 +421,26 @@ def test_float_quantiles_refinement_path_exact(monkeypatch):
     got = fq.float_quantiles(ds, "x", qs).to_pandas()
     exp = np.quantile(v, qs)
     assert np.allclose(got["value"].to_numpy(), exp, rtol=0, atol=1e-9)
+
+
+def test_grouped_int_quantiles_vs_numpy_disc():
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+    import math
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 3, 2000)
+    v = rng.integers(0, 50, 2000)
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64()),
+                                 "v": pa.array(v, pa.int64())})) \
+        .repartition(6)
+    got = grouped_int_quantiles(ds, "k", "v", (0.25, 0.5, 0.9)) \
+        .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+    i = 0
+    for key in sorted(set(k.tolist())):
+        s = np.sort(v[k == key])
+        n = len(s)
+        for q in (0.25, 0.5, 0.9):
+            exp = int(s[max(math.ceil(q * n), 1) - 1])
+            row = got.iloc[i]
+            assert (row["k"], row["q"]) == (key, q)
+            assert row["value"] == exp, (key, q)
+            i += 1

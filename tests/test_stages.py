@@ -644,3 +644,44 @@ def test_mode_agg_deterministic_tie_break():
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert out["v"].tolist() == ["b", "y"]  # k=1 ties 2-2 -> smallest value
     assert out["n"].tolist() == [2, 2]
+
+
+# -- rank windows (NTILE / PERCENT_RANK) --------------------------------------
+
+def test_rank_windows_vs_bruteforce():
+    from cuttana_ray.stages.running import rank_windows
+    rng = np.random.default_rng(17)
+    n = 1200
+    k = rng.integers(0, 7, n)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "o": pa.array(rng.permutation(n), pa.int64())})
+    got = rank_windows(rd.from_arrow(t).repartition(5), "k", ["o"],
+                       tiles=4).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+
+    def ntile_sql(rn, nn, tiles):
+        q, r = divmod(nn, tiles)
+        if rn <= r * (q + 1):
+            return (rn - 1) // (q + 1) + 1
+        return r + (rn - 1 - r * (q + 1)) // q + 1
+
+    df = t.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    exp_tile, exp_prank = [], []
+    for key, grp in df.groupby("k", sort=True):
+        nn = len(grp)
+        for rn in range(1, nn + 1):
+            exp_tile.append(ntile_sql(rn, nn, 4))
+            exp_prank.append((rn - 1) / (nn - 1) if nn > 1 else 0.0)
+    assert got["ntile"].tolist() == exp_tile
+    assert got["prank"].tolist() == exp_prank
+
+
+def test_rank_windows_tiny_groups_and_n_less_than_tiles():
+    from cuttana_ray.stages.running import rank_windows
+    t = pa.table({"k": pa.array([0, 1, 1, 2, 2, 2], pa.int64()),
+                  "o": pa.array([1, 1, 2, 1, 2, 3], pa.int64())})
+    got = rank_windows(rd.from_arrow(t).repartition(3), "k", ["o"],
+                       tiles=4).to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    assert got["ntile"].tolist() == [1, 1, 2, 1, 2, 3]
+    assert got["prank"].tolist() == [0.0, 0.0, 1.0, 0.0, 0.5, 1.0]
