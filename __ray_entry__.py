@@ -396,6 +396,42 @@ def _q_embedding_dim_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_bloom_semi(sf_dir: str):
+    """Semi-join with a Bloom-filter reduction (stages/joins.py
+    bloom_filter_build/bloom_prune): the rich-customer key set folds into
+    a fixed 4 MiB filter broadcast once via ray.put, every orders block
+    drops definite non-matches vectorized BEFORE the exchange, and the
+    exact cogroup semi-join clears the false positives — output identical
+    to a plain IN, which is the oracle."""
+    from cuttana_ray.stages.joins import bloom_filter_build, bloom_prune
+    from cuttana_ray.stages.relational import semi_join
+    rich = _read(sf_dir, "customer") \
+        .filter(expr="c_acctbal > 9000.0").select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    bits = bloom_filter_build(rich, "c_custkey")
+    pruned = bloom_prune(orders, bits, "o_custkey")
+    return semi_join(pruned, rich, "o_custkey", "c_custkey")
+
+
+def _q_doc_regex_stats(sf_dir: str):
+    """Regex scalar functions over text: first capitalized word
+    (pc.extract_regex, null→'' to match DuckDB regexp_extract) and digit
+    count (pc.count_substring_regex). Both engines run RE2, so semantics
+    align exactly; embarrassingly parallel, no shuffle."""
+    import pyarrow.compute as pc
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["text"], r"(?P<m>[A-Z][a-z]+)")
+        first_cap = pc.fill_null(pc.struct_field(ex, "m"), "")
+        n_digits = pc.cast(
+            pc.count_substring_regex(t["text"], "[0-9]"), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "first_cap": first_cap,
+                         "n_digits": n_digits})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_events_user_ranks(sf_dir: str):
     """NTILE(4) + PERCENT_RANK per user over (ts, event_id) — the analytic
     rank-window family (stages/running.py rank_windows: one sort +
@@ -1049,6 +1085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": _q_orders_price_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
         "events_user_ranks": _q_events_user_ranks,
+        "doc_regex_stats": _q_doc_regex_stats,
+        "orders_bloom_semi": _q_orders_bloom_semi,
         "user_top_event_type": _q_user_top_event_type,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
@@ -1790,6 +1828,18 @@ def oracle_sql() -> dict[str, str]:
                        AS covar_qp,
                    ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
             FROM lineitem GROUP BY 1
+        """,
+        "orders_bloom_semi": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 9000.0)
+        """,
+        "doc_regex_stats": """
+            SELECT doc_id,
+                   regexp_extract(text, '([A-Z][a-z]+)', 1) AS first_cap,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS n_digits
+            FROM documents
         """,
         "events_user_ranks": """
             SELECT event_id, user_id,

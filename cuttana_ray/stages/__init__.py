@@ -5,7 +5,12 @@ from cuttana_ray.stages.edges import (
     dedup_weighted,
     symmetrize,
 )
-from cuttana_ray.stages.joins import asof_join, range_join
+from cuttana_ray.stages.joins import (
+    asof_join,
+    bloom_filter_build,
+    bloom_prune,
+    range_join,
+)
 from cuttana_ray.stages.nested import explode_list
 from cuttana_ray.stages.relational import (
     anti_join,
@@ -37,6 +42,8 @@ from cuttana_ray.stages.windows import (
 __all__ = [
     "anti_join",
     "asof_join",
+    "bloom_filter_build",
+    "bloom_prune",
     "range_join",
     "assignment_array",
     "grouped_topk",

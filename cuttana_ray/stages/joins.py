@@ -341,3 +341,82 @@ def range_join(left: "ray.data.Dataset", right: "ray.data.Dataset", *,
     gkeys = ["b"] + (["k"] if key else [])
     return both.groupby(gkeys).map_groups(match_group,
                                           batch_format="pyarrow")
+
+
+# -- Bloom-filter semi-join reduction ----------------------------------------
+
+_BLOOM_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_BLOOM_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit splitmix64-style hashes in exact uint64
+    arithmetic (double hashing generates all probe positions)."""
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _BLOOM_MIX1
+        x = (x ^ (x >> np.uint64(27))) * _BLOOM_MIX2
+        h1 = x ^ (x >> np.uint64(31))
+        y = (h1 ^ (h1 >> np.uint64(33))) * _BLOOM_MIX1
+        h2 = y ^ (y >> np.uint64(29))
+    return h1, h2 | np.uint64(1)  # odd step → full period
+
+
+def bloom_filter_build(small: "ray.data.Dataset", key: str,
+                       num_bits: int = 1 << 22,
+                       num_hashes: int = 4) -> np.ndarray:
+    """Build a Bloom filter (packed uint64 words) of the small side's
+    int64 keys: each block emits only its NON-ZERO (word-index, word)
+    pairs, the driver OR-merges them — fixed O(num_bits/8) driver state,
+    exactly the mergeable-register discipline of the HLL sketch
+    (functions/sketches.py). No false negatives ever."""
+    words = num_bits // 64
+
+    def block_bits(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False)
+        bits = np.zeros(words, np.uint64)
+        h1, h2 = _bloom_hashes(k)
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        nz = np.nonzero(bits)[0]
+        return pa.table({"w": pa.array(nz, pa.int64()),
+                         "bits": pa.array(bits[nz].astype(np.int64))})
+
+    merged = np.zeros(words, np.uint64)
+    for b in small.map_batches(block_bits, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        w = b["w"].to_numpy(zero_copy_only=False)
+        v = b["bits"].to_numpy(zero_copy_only=False).view(np.uint64)
+        np.bitwise_or.at(merged, w, v)
+    return merged
+
+
+def bloom_prune(big: "ray.data.Dataset", bloom_bits: np.ndarray, key: str,
+                num_hashes: int = 4) -> "ray.data.Dataset":
+    """Drop big-side rows whose key is DEFINITELY absent from the filter
+    (possible false positives, never false negatives — follow with an
+    exact join/semi-join). The filter ships once via ``ray.put`` and every
+    block probes it vectorized; at 100 TB this is the semi-join reduction
+    that keeps non-matching rows out of the join exchange entirely."""
+    import ray as _ray
+    num_bits = len(bloom_bits) * 64
+    ref = _ray.put(bloom_bits)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = _ray.get(ref)
+        k = t[key].to_numpy(zero_copy_only=False)
+        h1, h2 = _bloom_hashes(k)
+        hit = np.ones(len(k), bool)
+        for i in range(num_hashes):
+            with np.errstate(over="ignore"):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(num_bits)
+            word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+            hit &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    return big.map_batches(probe, batch_format="pyarrow")

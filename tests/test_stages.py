@@ -685,3 +685,29 @@ def test_rank_windows_tiny_groups_and_n_less_than_tiles():
         .sort_values(["k", "o"]).reset_index(drop=True)
     assert got["ntile"].tolist() == [1, 1, 2, 1, 2, 3]
     assert got["prank"].tolist() == [0.0, 0.0, 1.0, 0.0, 0.5, 1.0]
+
+
+# -- Bloom-filter semi-join reduction -----------------------------------------
+
+def test_bloom_prune_no_false_negatives_and_exact_composition():
+    from cuttana_ray.stages.joins import bloom_filter_build, bloom_prune
+    from cuttana_ray.stages.relational import semi_join
+    rng = np.random.default_rng(29)
+    small_keys = np.unique(rng.integers(0, 10_000, 150))
+    big_keys = rng.integers(0, 10_000, 5000)
+    small = rd.from_arrow(pa.table({"k": pa.array(small_keys, pa.int64())})) \
+        .repartition(3)
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "rowid": pa.array(np.arange(5000), pa.int64())})).repartition(6)
+    bits = bloom_filter_build(small, "k", num_bits=1 << 16)
+    pruned = bloom_prune(big, bits, "k").to_pandas()
+    in_small = np.isin(big_keys, small_keys)
+    # no false negatives: every true match survives pruning
+    assert set(np.nonzero(in_small)[0]) <= set(pruned["rowid"])
+    # composed with the exact semi-join the result is exact
+    final = semi_join(bloom_prune(big, bits, "k"), small, "k", "k") \
+        .to_pandas()
+    assert sorted(final["rowid"]) == sorted(np.nonzero(in_small)[0])
+    # and with 64 Kib the pruning actually prunes (fp rate ~0)
+    assert len(pruned) < 5000
