@@ -896,6 +896,16 @@ def _q_sssp_events(sf_dir: str):
     })
 
 
+def _q_random_walks_events(sf_dir: str):
+    """Deterministic uniform random walks (pipelines/randomwalk.py): one
+    walk per node_id % 17 == 0 seed, 8 steps, next hop = sorted-neighbor
+    index drawn from an exact int64 Lehmer LCG — the oracle replays the
+    identical arithmetic with DuckDB list indexing."""
+    from cuttana_ray.pipelines.randomwalk import random_walks
+    g = _events_graph(sf_dir)
+    return random_walks(g, walk_length=8, seed_mod=17)
+
+
 def _q_clustering_events(sf_dir: str):
     """Per-vertex local clustering coefficient 2·tri(v)/(deg(v)·(deg(v)−1))
     composed from the distributed triangle count (pipelines/triangles.py)
@@ -1109,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
         "clustering_events": _q_clustering_events,
+        "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
@@ -1340,6 +1351,33 @@ def _sssp_sql(rounds: int = 24, mod: int = 31) -> str:
     SELECT n.node_id AS vertex,
            CAST(COALESCE(s.d, -1) AS BIGINT) AS dist
     FROM nodes n LEFT JOIN s{rounds} s ON s.v = n.node_id""")
+    return "".join(parts)
+
+
+def _random_walks_sql(steps: int = 8, mod: int = 17) -> str:
+    """Unrolled walk steps replaying pipelines/randomwalk.py's Lehmer LCG
+    exactly: idx = ((walk % M)·48271 + step·9973 + 12345) % M % deg, next
+    hop = 1-based sorted-neighbor list index idx+1; dead ends COALESCE in
+    place."""
+    M = 2147483647
+    parts = [f"""WITH {_EVENTS_GRAPH_SQL},
+    adj AS MATERIALIZED (
+        SELECT src AS v, list_sort(list(dst)) AS nbrs,
+               COUNT(*) AS deg FROM e GROUP BY 1),
+    w0 AS MATERIALIZED (
+        SELECT node_id AS walk, node_id AS cur
+        FROM nodes WHERE node_id % {mod} = 0)"""]
+    for t in range(1, steps + 1):
+        parts.append(f""",
+    w{t} AS MATERIALIZED (
+        SELECT w.walk,
+               COALESCE(a.nbrs[CAST(((w.walk % {M}) * 48271
+                   + {t} * 9973 + 12345) % {M} % a.deg AS BIGINT) + 1],
+                   w.cur) AS cur
+        FROM w{t-1} w LEFT JOIN adj a ON a.v = w.cur)""")
+    selects = [f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS vertex "
+               f"FROM w{t}" for t in range(steps + 1)]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
     return "".join(parts)
 
 
@@ -1699,6 +1737,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_events": _BFS_SQL,
         "kcore_events": _kcore_sql(),
         "sssp_events": _sssp_sql(),
+        "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,

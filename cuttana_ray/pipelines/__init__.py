@@ -10,6 +10,7 @@ from cuttana_ray.pipelines.kcore import coreness, kcore
 from cuttana_ray.pipelines.labelprop import label_propagation
 from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
 from cuttana_ray.pipelines.pagerank import IterativeResult, pagerank
+from cuttana_ray.pipelines.randomwalk import random_walks
 from cuttana_ray.pipelines.sssp import shortest_paths
 from cuttana_ray.pipelines.triangles import TriangleResult, triangle_count
 
@@ -27,6 +28,7 @@ __all__ = [
     "kcore",
     "label_propagation",
     "pagerank",
+    "random_walks",
     "shortest_paths",
     "triangle_count",
 ]

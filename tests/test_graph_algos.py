@@ -460,3 +460,50 @@ def test_personalized_pagerank_vs_oracle(er_graph):
     # teleport localizes mass: seeds hold more rank than uniform PageRank
     uni = pagerank(g, tol=1e-12, max_iters=200)
     assert res.values[seeds].sum() > uni.values[seeds].sum()
+
+
+# -- deterministic random walks ----------------------------------------------
+
+def test_random_walks_match_local_replay(er_graph):
+    from cuttana_ray.pipelines.randomwalk import (_M, _A, _OFFSET,
+                                                  _STEP_MIX, random_walks)
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    nbrs = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        nbrs[a].append(int(b))
+    nbrs = [sorted(x) for x in nbrs]
+
+    L, MOD = 6, 13
+    got = random_walks(g, walk_length=L, seed_mod=MOD).to_pandas() \
+        .sort_values(["walk", "step"]).reset_index(drop=True)
+
+    exp = []
+    for w in range(0, n, MOD):
+        cur = w
+        exp.append((w, 0, cur))
+        for t in range(1, L + 1):
+            if nbrs[cur]:
+                idx = ((w % _M) * _A + t * _STEP_MIX + _OFFSET) % _M \
+                    % len(nbrs[cur])
+                cur = nbrs[cur][idx]
+            exp.append((w, t, cur))
+    exp = sorted(exp)
+    assert list(map(tuple, got[["walk", "step", "vertex"]].to_numpy())) \
+        == exp
+
+
+def test_random_walks_dead_end_stays_in_place():
+    from cuttana_ray.pipelines.randomwalk import random_walks
+    # directed edge table: 0 -> 1, and 1 has no outgoing edges
+    t = pa.table({"src": pa.array([0], pa.int64()),
+                  "dst": pa.array([1], pa.int64()),
+                  "weight": pa.array([1], pa.int64())})
+    nodes = pa.table({"node_id": pa.array([0, 1], pa.int64()),
+                      "name": pa.array(["a", "b"]),
+                      "kind": pa.array(["v", "v"])})
+    g = Graph(rd.from_arrow(t).materialize(), nodes, 2)
+    out = random_walks(g, walk_length=3, seed_mod=1).to_pandas() \
+        .sort_values(["walk", "step"])
+    w0 = out[out["walk"] == 0]["vertex"].tolist()
+    assert w0 == [0, 1, 1, 1]  # walks into the dead end, then stays
