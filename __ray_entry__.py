@@ -414,6 +414,21 @@ def _q_orders_bloom_semi(sf_dir: str):
     return semi_join(pruned, rich, "o_custkey", "c_custkey")
 
 
+def _q_events_profile(sf_dir: str):
+    """Per-column ingest profile (stages/profile.py): counts, null counts,
+    exact extrema (strings for int/text, float64 for numerics), numeric
+    means — one streaming pass, O(#blocks × #columns) driver state, no
+    shuffle. Means rounded decimal-string style to match DuckDB ROUND."""
+    from cuttana_ray.stages.profile import profile
+    ds = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "value"])
+    t = profile(ds)
+    mean = [float(f"{m:.6f}") if m is not None else None
+            for m in t["mean"].to_pylist()]
+    return t.set_column(t.schema.get_field_index("mean"), "mean",
+                        pa.array(mean, pa.float64()))
+
+
 def _q_doc_regex_stats(sf_dir: str):
     """Regex scalar functions over text: first capitalized word
     (pc.extract_regex, null→'' to match DuckDB regexp_extract) and digit
@@ -1097,6 +1112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_ranks": _q_events_user_ranks,
         "doc_regex_stats": _q_doc_regex_stats,
         "orders_bloom_semi": _q_orders_bloom_semi,
+        "events_profile": _q_events_profile,
         "user_top_event_type": _q_user_top_event_type,
         "top_orders_per_priority": _q_top_orders_per_priority,
         "orders_rollup": _q_orders_rollup,
@@ -1867,6 +1883,34 @@ def oracle_sql() -> dict[str, str]:
                        AS covar_qp,
                    ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp
             FROM lineitem GROUP BY 1
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_str,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_str,
+                   CAST(MIN(event_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(event_id) AS DOUBLE) AS max_num,
+                   ROUND(AVG(event_id), 6) AS mean
+            FROM events
+            UNION ALL SELECT 'user_id', COUNT(*),
+                   COUNT(*) - COUNT(user_id),
+                   CAST(MIN(user_id) AS VARCHAR),
+                   CAST(MAX(user_id) AS VARCHAR),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE),
+                   ROUND(AVG(user_id), 6) FROM events
+            UNION ALL SELECT 'event_type', COUNT(*),
+                   COUNT(*) - COUNT(event_type),
+                   MIN(event_type), MAX(event_type),
+                   NULL, NULL, NULL FROM events
+            UNION ALL SELECT 'value', COUNT(*),
+                   COUNT(*) - COUNT(value),
+                   NULL, NULL,
+                   CAST(MIN(value) AS DOUBLE),
+                   CAST(MAX(value) AS DOUBLE),
+                   ROUND(AVG(value), 6) FROM events
         """,
         "orders_bloom_semi": """
             SELECT o_orderkey, o_custkey FROM orders

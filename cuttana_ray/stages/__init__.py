@@ -27,6 +27,7 @@ from cuttana_ray.stages.relational import (
 )
 from cuttana_ray.stages.stats import grouped_moments
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
+from cuttana_ray.stages.profile import profile
 from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
     run_cuttana_partition,
@@ -68,6 +69,7 @@ __all__ = [
     "hash_partition_baseline",
     "hopping_window_agg",
     "partition_quality",
+    "profile",
     "rank_windows",
     "run_cuttana_partition",
     "running_agg",

@@ -711,3 +711,23 @@ def test_bloom_prune_no_false_negatives_and_exact_composition():
     assert sorted(final["rowid"]) == sorted(np.nonzero(in_small)[0])
     # and with 64 Kib the pruning actually prunes (fp rate ~0)
     assert len(pruned) < 5000
+
+
+# -- dataset profiling ---------------------------------------------------------
+
+def test_profile_counts_extrema_means_with_nulls():
+    from cuttana_ray.stages.profile import profile
+    t = pa.table({
+        "i": pa.array([3, None, 1, 7, None], pa.int64()),
+        "s": pa.array(["b", "a", None, "z", "m"]),
+        "f": pa.array([1.5, 2.5, None, -4.0, 10.0], pa.float64())})
+    got = profile(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("column")
+    assert got.loc["i", "n_rows"] == 5 and got.loc["i", "n_nulls"] == 2
+    assert got.loc["i", "min_str"] == "1" and got.loc["i", "max_str"] == "7"
+    assert got.loc["i", "mean"] == (3 + 1 + 7) / 3
+    assert got.loc["s", "min_str"] == "a" and got.loc["s", "max_str"] == "z"
+    assert np.isnan(got.loc["s", "mean"])
+    assert got.loc["f", "min_num"] == -4.0 and got.loc["f", "max_num"] == 10.0
+    assert got.loc["f", "mean"] == (1.5 + 2.5 - 4.0 + 10.0) / 4
+    assert pd.isna(got.loc["f", "min_str"])  # float extrema numeric-only
