@@ -911,6 +911,21 @@ def _q_sssp_events(sf_dir: str):
     })
 
 
+def _q_betweenness_events(sf_dir: str):
+    """Sampled-Brandes betweenness (pipelines/betweenness.py) from every
+    5th vertex — rows-only (two-sweep dependency recursion is not
+    practically SQL-expressible; exactness is pytest-gated against a pure
+    Brandes oracle)."""
+    from cuttana_ray.pipelines.betweenness import betweenness
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 5, dtype=np.int64)
+    bc = betweenness(g, seeds)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "betweenness": pa.array(np.round(bc, 8), pa.float64()),
+    })
+
+
 def _q_random_walks_events(sf_dir: str):
     """Deterministic uniform random walks (pipelines/randomwalk.py): one
     walk per node_id % 17 == 0 seed, 8 steps, next hop = sorted-neighbor
@@ -1139,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_events": _q_sssp_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
+        "betweenness_events": _q_betweenness_events,
         "pagerank_events": _q_pagerank_events,
         "components_events": _q_components_events,
         "labelprop_events": _q_labelprop_events,

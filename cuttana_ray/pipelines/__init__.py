@@ -1,3 +1,4 @@
+from cuttana_ray.pipelines.betweenness import betweenness
 from cuttana_ray.pipelines.bfs import bfs_distances
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.graph import (
@@ -18,6 +19,7 @@ __all__ = [
     "Graph",
     "IterativeResult",
     "TriangleResult",
+    "betweenness",
     "bfs_distances",
     "build_graph_from_events",
     "build_graph_from_transcripts",

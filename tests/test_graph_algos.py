@@ -507,3 +507,51 @@ def test_random_walks_dead_end_stays_in_place():
         .sort_values(["walk", "step"])
     w0 = out[out["walk"] == 0]["vertex"].tolist()
     assert w0 == [0, 1, 1, 1]  # walks into the dead end, then stays
+
+
+# -- betweenness (sampled Brandes) ---------------------------------------------
+
+def _brandes_oracle(src, dst, n, seeds):
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    bc = np.zeros(n, dtype=np.float64)
+    for s in seeds:
+        S, P = [], collections.defaultdict(list)
+        sigma = np.zeros(n); sigma[s] = 1.0
+        dist = np.full(n, -1); dist[s] = 0
+        q = collections.deque([int(s)])
+        while q:
+            v = q.popleft(); S.append(v)
+            for w in adj[v]:
+                if dist[w] == -1:
+                    dist[w] = dist[v] + 1; q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]; P[w].append(v)
+        delta = np.zeros(n)
+        for w in reversed(S):
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+    return bc
+
+
+def test_betweenness_er_vs_brandes(er_graph):
+    from cuttana_ray.pipelines.betweenness import betweenness
+    g, n = er_graph
+    src, dst, _ = arrays(g)
+    seeds = np.array([0, 3, 101, 150], dtype=np.int64)
+    got = betweenness(g, seeds)
+    exp = _brandes_oracle(src, dst, n, seeds)
+    assert np.allclose(got, exp, atol=1e-9)
+
+
+def test_betweenness_path_graph_exact():
+    """Path 0-1-2-3, all seeds: center vertices carry the crossings."""
+    from cuttana_ray.pipelines.betweenness import betweenness
+    g = graph_from_edges([(0, 1), (1, 2), (2, 3)], 4)
+    got = betweenness(g, [0, 1, 2, 3])
+    # directed-pair dependencies: δ totals per vertex = 2·(pairs through it)
+    assert np.allclose(got, [0.0, 4.0, 4.0, 0.0])
