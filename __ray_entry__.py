@@ -42,6 +42,23 @@ def _events_graph(sf_dir: str):
     return _GRAPH_CACHE[sf_dir]
 
 
+_DIGRAPH_CACHE: dict[str, Any] = {}
+
+
+def _events_digraph(sf_dir: str):
+    """Directed (pre-symmetrization) encoded edges over the events graph,
+    sharing the symmetric build's vocab — for direction-sensitive
+    algorithms (HITS)."""
+    from cuttana_ray.pipelines.graph import directed_edges_from_events
+    if sf_dir not in _DIGRAPH_CACHE:
+        g = _events_graph(sf_dir)
+        _DIGRAPH_CACHE[sf_dir] = (
+            directed_edges_from_events(_read(sf_dir, "events"),
+                                       g.nodes).materialize(),
+            g.num_vertices)
+    return _DIGRAPH_CACHE[sf_dir]
+
+
 _PART_CACHE: dict[str, Any] = {}
 
 
@@ -911,6 +928,21 @@ def _q_sssp_events(sf_dir: str):
     })
 
 
+def _q_hits_k4_events(sf_dir: str):
+    """HITS hubs/authorities (pipelines/hits.py), exactly 4 iterations on
+    the DIRECTED events edge table — SQL-checkable via an unrolled CTE
+    chain with per-step L2 normalization; scores rounded to 8 decimals on
+    both sides (summation order differs at the last ulp)."""
+    from cuttana_ray.pipelines.hits import hits
+    edges, V = _events_digraph(sf_dir)
+    res = hits(edges, V, max_iters=4, tol=0.0)
+    return pa.table({
+        "vertex": pa.array(np.arange(V, dtype=np.int64)),
+        "authority": pa.array(np.round(res.authority, 8), pa.float64()),
+        "hub": pa.array(np.round(res.hub, 8), pa.float64()),
+    })
+
+
 def _q_betweenness_events(sf_dir: str):
     """Sampled-Brandes betweenness (pipelines/betweenness.py) from every
     5th vertex — rows-only (two-sweep dependency recursion is not
@@ -1146,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
+        "hits_k4_events": _q_hits_k4_events,
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
@@ -1213,6 +1246,43 @@ _EVENTS_GRAPH_SQL = """
         FROM syms s JOIN nodes ns ON s.src = ns.name
                     JOIN nodes nd ON s.dst = nd.name)
 """
+
+
+def _hits_k4_sql(k: int = 4) -> str:
+    """Unrolled k-step weighted HITS matching hits() exactly: a' =
+    L2-normalize(Σ_in w·h), h' = L2-normalize(Σ_out w·a'), h0 = 1/√V,
+    over the DIRECTED edge table (alle, self-loops dropped)."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    de AS MATERIALIZED (
+        SELECT ns.node_id AS src, nd.node_id AS dst,
+               CAST(a.w AS DOUBLE) AS weight
+        FROM alle a JOIN nodes ns ON a.src = ns.name
+                    JOIN nodes nd ON a.dst = nd.name
+        WHERE a.src != a.dst),
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    h0 AS MATERIALIZED (
+        SELECT node_id AS v, 1.0 / sqrt((SELECT v FROM vc)) AS h
+        FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    ar{i} AS (SELECT de.dst AS v, SUM(de.weight * h.h) AS s
+              FROM de JOIN h{i-1} h ON h.v = de.src GROUP BY 1),
+    an{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM ar{i}),
+    a{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(r.s, 0.0) / (SELECT nrm FROM an{i}) AS a
+        FROM nodes n LEFT JOIN ar{i} r ON r.v = n.node_id),
+    hr{i} AS (SELECT de.src AS v, SUM(de.weight * a.a) AS s
+              FROM de JOIN a{i} a ON a.v = de.dst GROUP BY 1),
+    hn{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
+    h{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(r.s, 0.0) / (SELECT nrm FROM hn{i}) AS h
+        FROM nodes n LEFT JOIN hr{i} r ON r.v = n.node_id)""")
+    parts.append(f"""
+    SELECT a.v AS vertex, ROUND(a.a, 8) AS authority, ROUND(h.h, 8) AS hub
+    FROM a{k} a JOIN h{k} h ON h.v = a.v""")
+    return "WITH " + "".join(parts)
 
 
 def _pagerank_k5_sql(k: int = 5, damping: float = 0.85) -> str:
@@ -1752,6 +1822,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
+        "hits_k4_events": _hits_k4_sql(),
         "ppr_k5_events": _ppr_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_id_docs": _LANG_ID_SQL,

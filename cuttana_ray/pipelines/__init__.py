@@ -5,8 +5,10 @@ from cuttana_ray.pipelines.graph import (
     Graph,
     build_graph_from_events,
     build_graph_from_transcripts,
+    directed_edges_from_events,
     graph_adjacency,
 )
+from cuttana_ray.pipelines.hits import HitsResult, hits
 from cuttana_ray.pipelines.kcore import coreness, kcore
 from cuttana_ray.pipelines.labelprop import label_propagation
 from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
@@ -17,6 +19,7 @@ from cuttana_ray.pipelines.triangles import TriangleResult, triangle_count
 
 __all__ = [
     "Graph",
+    "HitsResult",
     "IterativeResult",
     "TriangleResult",
     "betweenness",
@@ -26,7 +29,9 @@ __all__ = [
     "common_neighbor_pairs",
     "connected_components",
     "coreness",
+    "directed_edges_from_events",
     "graph_adjacency",
+    "hits",
     "kcore",
     "label_propagation",
     "pagerank",

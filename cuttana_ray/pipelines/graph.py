@@ -137,6 +137,36 @@ def build_graph_from_events(events: "ray.data.Dataset",
                   deduped=False, canonical=True)
 
 
+def directed_edges_from_events(events: "ray.data.Dataset",
+                               nodes: pa.Table) -> "ray.data.Dataset":
+    """DIRECTED (pre-symmetrization) encoded edge table over the events
+    graph — the same extractors as ``build_graph_from_events`` but without
+    canonicalize/symmetrize, for direction-sensitive algorithms (HITS).
+
+    ``nodes`` is the vocab of the symmetric build (both directions of every
+    name appear there, so the directed endpoints are always covered).
+    Self-loops (event:X → event:X runs) are dropped per-batch, matching the
+    symmetric build's contract. The two extractors cover disjoint edge-key
+    spaces (user:→event: vs event:→event:), each already globally weighted,
+    so their union needs no further dedup exchange."""
+    import pyarrow.compute as pc
+
+    ue = bipartite_edges(events.select_columns(["user_id", "event_type"]),
+                         "user_id", "event_type", "user:", "event:")
+    ee = consecutive_pairs(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
+    enc = encode_edges(ue.union(ee), nodes)
+
+    def drop_loops(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.column_names or len(batch) == 0:
+            return batch
+        return batch.filter(pc.invert(pc.equal(batch["src"], batch["dst"])))
+
+    return enc.map_batches(drop_loops, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def graph_adjacency(graph: Graph) -> "ray.data.Dataset":
     """Adjacency rows for the partitioner feed, checkpointed when a workdir
     is set (the natural restart point before the sequential stage)."""

@@ -548,6 +548,58 @@ def test_betweenness_er_vs_brandes(er_graph):
     assert np.allclose(got, exp, atol=1e-9)
 
 
+def _hits_oracle(src, dst, w, n, k):
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(k):
+        a = np.zeros(n)
+        np.add.at(a, dst, w * h[src])
+        a /= np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        np.add.at(h, src, w * a[dst])
+        h /= np.sqrt((h * h).sum())
+    return a, h
+
+
+def test_hits_directed_er_vs_oracle():
+    from cuttana_ray.pipelines.hits import hits
+    rng = np.random.default_rng(13)
+    n = 120
+    pairs = {}
+    for _ in range(600):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs[(int(a), int(b))] = int(rng.integers(1, 6))
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    w = np.array(list(pairs.values()), dtype=np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(w)})
+    edges = rd.from_arrow(t).repartition(4).materialize()
+    res = hits(edges, n, max_iters=7, tol=0.0)
+    ea, eh = _hits_oracle(src, dst, w.astype(np.float64), n, 7)
+    assert res.iterations == 7
+    assert np.allclose(res.authority, ea, atol=1e-12)
+    assert np.allclose(res.hub, eh, atol=1e-12)
+    # shuffle-combine parity (the huge-V path)
+    res2 = hits(edges, n, max_iters=7, tol=0.0, combine="shuffle")
+    assert np.allclose(res2.authority, res.authority, atol=1e-12)
+
+
+def test_hits_star_known_answer():
+    """Directed star u→{1..4}: u is the only hub, leaves equal authorities."""
+    from cuttana_ray.pipelines.hits import hits
+    t = pa.table({"src": pa.array([0, 0, 0, 0], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 4], pa.int64()),
+                  "weight": pa.array([1, 1, 1, 1], pa.int64())})
+    res = hits(rd.from_arrow(t).materialize(), 5, max_iters=10)
+    assert res.converged
+    assert np.isclose(res.hub[0], 1.0)
+    assert np.allclose(res.hub[1:], 0.0)
+    assert np.allclose(res.authority[1:], 0.5)
+    assert np.isclose(res.authority[0], 0.0)
+
+
 def test_betweenness_path_graph_exact():
     """Path 0-1-2-3, all seeds: center vertices carry the crossings."""
     from cuttana_ray.pipelines.betweenness import betweenness
