@@ -813,6 +813,17 @@ def _q_knn_cosine_top5(sf_dir: str):
         preserve_index=False)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Element-wise mean embedding per label (functions/embeddings.py) —
+    long (label, dim, centroid) rows; float64 sums on both sides, rounded
+    to 8 decimals (summation order differs at the last ulp)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import label_centroids
+    t = label_centroids(_read(sf_dir, "embeddings"))
+    return t.set_column(t.schema.get_field_index("centroid"), "centroid",
+                        pc.round(t["centroid"], 8))
+
+
 def _q_knn_ivf_fullprobe_top5(sf_dir: str):
     """IVF with nprobe=nlist probes every bucket, so the result is exact by
     construction — same oracle as brute force. This gives the IVF machinery
@@ -1179,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
         "hits_k4_events": _q_hits_k4_events,
+        "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "kcore_events": _q_kcore_events,
@@ -1823,6 +1835,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
         "hits_k4_events": _hits_k4_sql(),
+        "label_centroids_embeddings": """
+    SELECT CAST(label AS BIGINT) AS label, dim,
+           ROUND(SUM(v) / COUNT(*), 8) AS centroid
+    FROM (SELECT label, UNNEST(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY 1, 2""",
         "ppr_k5_events": _ppr_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
         "lang_id_docs": _LANG_ID_SQL,

@@ -7,6 +7,7 @@ from cuttana_ray.functions.dedup import (
     pair_components,
     simhash_pairs,
 )
+from cuttana_ray.functions.embeddings import label_centroids
 from cuttana_ray.functions.multimodal import (
     extract_features,
     sample_frames,
@@ -38,6 +39,7 @@ __all__ = [
     "extract_features",
     "fingerprints",
     "float_quantiles",
+    "label_centroids",
     "grouped_int_quantiles",
     "hash_sample",
     "heavy_hitters",

@@ -1,0 +1,100 @@
+"""Vector-column aggregates over embedding tables.
+
+``label_centroids`` — element-wise mean embedding per label (the building
+block of IVF/k-means training, class prototypes, and centroid-based
+dedup): one ``map_batches`` pass emits per-batch pre-aggregated partials
+in LONG form (label, dim, s, n) — ≤ labels×dim rows per batch regardless
+of batch size, so hub labels ship sums, not rows — then either a driver
+combine over the tiny partials (default; same small-state regime as
+``pipelines/pagerank._grouped_sum_to_dense``) or a distributed
+``groupby(label, dim).sum`` (``combine="shuffle"``, the huge-label path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from cuttana_ray.functions.simsearch import _batch_matrix
+
+
+def _partials(vec_col: str, label_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or vec_col not in batch.column_names:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        labels = batch[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = m.shape[1]
+        sums = np.zeros((len(uniq), dim), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv).astype(np.int64)
+        # long form: one row per (label, dim)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, dim), pa.int64()),
+        })
+    return fn
+
+
+def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
+                    label_col: str = "label",
+                    combine: str = "driver") -> pa.Table:
+    """Element-wise mean vector per label, long format: (label, dim
+    [1-based], centroid). Exact — sums in float64 regardless of the
+    stored vector dtype."""
+    parts = ds.map_batches(_partials(vec_col, label_col),
+                           batch_format="pyarrow")
+    if combine == "shuffle":
+        agg = parts.groupby(["label", "dim"]).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        t = pa.concat_tables(
+            agg.iter_batches(batch_size=None, batch_format="pyarrow"))
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        dim = t["dim"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+    else:
+        sums_by_label: dict[int, np.ndarray] = {}
+        counts_by_label: dict[int, int] = {}
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            bl = b["label"].to_numpy(zero_copy_only=False)
+            bd = b["dim"].to_numpy(zero_copy_only=False)
+            bs = b["s"].to_numpy(zero_copy_only=False)
+            bn = b["n"].to_numpy(zero_copy_only=False)
+            if len(bl) == 0:
+                continue
+            d = int(bd.max())
+            for lb in np.unique(bl):
+                msk = bl == lb
+                vec = np.zeros(d, dtype=np.float64)
+                vec[bd[msk] - 1] = bs[msk]
+                if int(lb) in sums_by_label:
+                    sums_by_label[int(lb)] += vec
+                else:
+                    sums_by_label[int(lb)] = vec
+                counts_by_label[int(lb)] = counts_by_label.get(int(lb), 0) \
+                    + int(bn[msk][0])
+        labs = sorted(sums_by_label)
+        d = len(next(iter(sums_by_label.values()))) if labs else 0
+        lab = np.repeat(np.array(labs, dtype=np.int64), d)
+        dim = np.tile(np.arange(1, d + 1, dtype=np.int64), len(labs))
+        s = np.concatenate([sums_by_label[x] for x in labs]) if labs \
+            else np.array([], dtype=np.float64)
+        n = np.repeat(np.array([counts_by_label[x] for x in labs],
+                               dtype=np.int64), d)
+    order = np.lexsort((dim, lab))
+    return pa.table({
+        "label": pa.array(lab[order], pa.int64()),
+        "dim": pa.array(dim[order], pa.int64()),
+        "centroid": pa.array(s[order] / n[order], pa.float64()),
+    })

@@ -444,3 +444,27 @@ def test_grouped_int_quantiles_vs_numpy_disc():
             assert (row["k"], row["q"]) == (key, q)
             assert row["value"] == exp, (key, q)
             i += 1
+
+
+def test_label_centroids_vs_numpy_and_shuffle_parity():
+    from cuttana_ray.functions.embeddings import label_centroids
+    rng = np.random.default_rng(23)
+    n, d = 400, 8
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 5, n).astype(np.int64)
+    t = pa.table({"embedding": pa.array(m.tolist(),
+                                        pa.list_(pa.float32())),
+                  "label": pa.array(labels)})
+    ds = rd.from_arrow(t).repartition(6).materialize()
+    got = label_centroids(ds).to_pandas()
+    assert list(got.columns) == ["label", "dim", "centroid"]
+    for lb in range(5):
+        exp = m[labels == lb].astype(np.float64).mean(axis=0)
+        sub = got[got["label"] == lb].sort_values("dim")
+        assert (sub["dim"].to_numpy() == np.arange(1, d + 1)).all()
+        assert np.allclose(sub["centroid"].to_numpy(), exp, atol=1e-12)
+    # distributed groupby combine (the huge-label path) agrees exactly
+    got2 = label_centroids(ds, combine="shuffle").to_pandas()
+    assert np.allclose(got2["centroid"].to_numpy(),
+                       got["centroid"].to_numpy(), atol=0)
+    assert (got2["label"].to_numpy() == got["label"].to_numpy()).all()
