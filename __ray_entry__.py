@@ -792,6 +792,15 @@ def _q_top_terms_docs(sf_dir: str):
     return top_terms(_read(sf_dir, "documents"), k=50)
 
 
+def _q_top_bigrams_docs(sf_dir: str):
+    """Global top-50 token bigrams (n-gram statistics): Arrow
+    split_pattern + offset-arithmetic pair construction + in-batch polars
+    partial counts before the single (w1, w2) shuffle; ties broken by
+    (w1, w2) ascending (functions/terms.py)."""
+    from cuttana_ray.functions.terms import top_bigrams
+    return top_bigrams(_read(sf_dir, "documents"), k=50)
+
+
 def _q_doc_tfidf_docs(sf_dir: str):
     """Top-3 TF-IDF terms per document; df joins back via a term-keyed
     hash join (vocabulary never touches the driver), top-k via the
@@ -1185,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
+        "top_bigrams_docs": _q_top_bigrams_docs,
         "doc_tfidf_docs": _q_doc_tfidf_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
@@ -2231,6 +2241,19 @@ def oracle_sql() -> dict[str, str]:
             tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
                    FROM toks GROUP BY 1)
             SELECT term, tf FROM tc ORDER BY tf DESC, term LIMIT 50
+        """,
+        "top_bigrams_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' '))
+                           AS w,
+                       generate_subscripts(
+                           string_split(COALESCE(text, ''), ' '), 1) AS i
+                FROM documents),
+            bi AS (SELECT a.w AS w1, b.w AS w2
+                   FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM bi GROUP BY 1, 2 ORDER BY tf DESC, w1, w2 LIMIT 50
         """,
         "doc_tfidf_docs": """
             WITH toks AS (

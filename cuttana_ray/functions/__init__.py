@@ -16,9 +16,11 @@ from cuttana_ray.functions.multimodal import (
 from cuttana_ray.functions.quantiles import float_quantiles
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.terms import (
+    bigram_counts,
     doc_term_counts,
     doc_tfidf_topk,
     term_counts,
+    top_bigrams,
     top_terms,
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
@@ -59,6 +61,8 @@ __all__ = [
     "synth_media_table",
     "token_stats",
     "term_counts",
+    "bigram_counts",
+    "top_bigrams",
     "top_terms",
     "doc_term_counts",
     "doc_tfidf_topk",

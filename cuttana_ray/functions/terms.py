@@ -82,6 +82,72 @@ def top_terms(ds: "ray.data.Dataset", k: int = 50, text_col: str = "text",
     return pruned.sort(["tf", "term"], descending=[True, False]).limit(k)
 
 
+def _bigram_fn(text_col: str):
+    """Per-batch (w1, w2, tf) partial counts of consecutive-token pairs.
+
+    Fully vectorized: one Arrow ``split_pattern`` over the column, then the
+    bigram index pairs are computed from the list offsets (per-list aranges
+    — no Python loop over rows or tokens), and counted with an in-batch
+    polars ``group_by`` so the global exchange moves distinct-pair partials.
+    """
+    schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                        ("tf", pa.int64())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return schema.empty_table()
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        arr = pc.split_pattern(text, " ")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten()
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.maximum(np.diff(offsets) - 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return schema.empty_table()
+        base = np.repeat(offsets[:-1], counts)
+        within = np.arange(total, dtype=np.int64) - \
+            np.repeat(np.cumsum(counts) - counts, counts)
+        idx = base + within
+        pairs = pa.table({"w1": flat.take(pa.array(idx)),
+                          "w2": flat.take(pa.array(idx + 1))})
+        out = pl.from_arrow(pairs).group_by(["w1", "w2"]) \
+            .len(name="tf").to_arrow()
+        return pa.table({"w1": pc.cast(out["w1"], pa.string()),
+                         "w2": pc.cast(out["w2"], pa.string()),
+                         "tf": pc.cast(out["tf"], pa.int64())}).cast(schema)
+    return fn
+
+
+def bigram_counts(ds: "ray.data.Dataset",
+                  text_col: str = "text") -> "ray.data.Dataset":
+    """Global counts of consecutive whitespace-token pairs ``(w1, w2, tf)``
+    — the n-gram statistics pass of a training-data pipeline."""
+    partial = ds.map_batches(_bigram_fn(text_col), batch_format="pyarrow")
+    return partial.groupby(["w1", "w2"]).aggregate(Sum("tf", alias_name="tf"))
+
+
+def top_bigrams(ds: "ray.data.Dataset", k: int = 50,
+                text_col: str = "text") -> "ray.data.Dataset":
+    """The ``k`` most frequent token bigrams, ties broken by (w1, w2)
+    ascending — per-block top-k pruning before one tiny final sort."""
+    counts = bigram_counts(ds, text_col)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("tf", "descending"),
+                                              ("w1", "ascending"),
+                                              ("w2", "ascending")])
+        return t.take(order[:k])
+
+    pruned = counts.map_batches(local_topk, batch_format="pyarrow")
+    return pruned.sort(["tf", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
+
+
 def doc_term_counts(ds: "ray.data.Dataset", text_col: str = "text",
                     id_col: str = "doc_id",
                     pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":

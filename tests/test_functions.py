@@ -468,3 +468,25 @@ def test_label_centroids_vs_numpy_and_shuffle_parity():
     assert np.allclose(got2["centroid"].to_numpy(),
                        got["centroid"].to_numpy(), atol=0)
     assert (got2["label"].to_numpy() == got["label"].to_numpy()).all()
+
+
+def test_bigram_counts_vs_python_oracle():
+    from collections import Counter
+    from cuttana_ray.functions.terms import bigram_counts, top_bigrams
+    rng = np.random.default_rng(31)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 9)))
+             for _ in range(300)]
+    exp = Counter()
+    for t in texts:
+        w = t.split(" ") if t else [""]
+        exp.update(zip(w, w[1:]))
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(5)
+    got = bigram_counts(ds).to_pandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["w1"], r["w2"])] == r["tf"]
+    topk = top_bigrams(ds, k=7).to_pandas()
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert [((r["w1"], r["w2"]), r["tf"]) for _, r in topk.iterrows()] \
+        == ranked
