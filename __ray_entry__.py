@@ -931,6 +931,16 @@ def _q_bfs_events(sf_dir: str):
     })
 
 
+def _q_eccentricity_events(sf_dir: str):
+    """Per-seed eccentricity + reachable count from every 41st vertex
+    (one frontier-bounded BFS per seed, pipelines/bfs.py). Oracle:
+    recursive-CTE min-hop walk carrying the seed column."""
+    from cuttana_ray.pipelines.bfs import eccentricity
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 41, dtype=np.int64)
+    return eccentricity(g, seeds)
+
+
 def _q_sssp_events(sf_dir: str):
     """Multi-source weighted shortest paths from every 31st vertex
     (Bellman-Ford relaxation with frontier pruning, pipelines/sssp.py);
@@ -1207,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
+        "eccentricity_events": _q_eccentricity_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
         "betweenness_events": _q_betweenness_events,
@@ -1542,6 +1553,20 @@ _BFS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
 """
 
 
+_ECC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    walk(seed, v, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE node_id % 41 = 0
+        UNION
+        SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    md AS (SELECT seed, v, MIN(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT seed, CAST(MAX(d) AS BIGINT) AS eccentricity,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM md GROUP BY 1
+"""
+
+
 _SW = {
     "en": "'the','and','of','to','a','in','is','it','you','that'",
     "de": "'der','die','und','das','ist','nicht','ein','ich','zu','mit'",
@@ -1867,6 +1892,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_events": _CLUSTERING_SQL,
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
+        "eccentricity_events": _ECC_SQL,
         "kcore_events": _kcore_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

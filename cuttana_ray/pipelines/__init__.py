@@ -1,5 +1,5 @@
 from cuttana_ray.pipelines.betweenness import betweenness
-from cuttana_ray.pipelines.bfs import bfs_distances
+from cuttana_ray.pipelines.bfs import bfs_distances, eccentricity
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.graph import (
     Graph,
@@ -30,6 +30,7 @@ __all__ = [
     "connected_components",
     "coreness",
     "directed_edges_from_events",
+    "eccentricity",
     "graph_adjacency",
     "hits",
     "kcore",

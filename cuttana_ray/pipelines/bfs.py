@@ -112,3 +112,24 @@ def bfs_distances(graph: Graph, seeds: "np.ndarray | list[int]",
         res.iterations = max_iters
     res.values = dist
     return res
+
+
+def eccentricity(graph: Graph, seeds: "np.ndarray | list[int]",
+                 max_iters: int = 200) -> pa.Table:
+    """Per-seed eccentricity over the reachable set: one BFS per seed
+    (frontier-bounded edge passes), reporting the max hop distance and the
+    reachable-vertex count (seed included). With seeds = a hash-spaced
+    sample this is the standard diameter/radius estimator; passes scale as
+    |seeds| × depth, so size the sample accordingly."""
+    out_seed, out_ecc, out_n = [], [], []
+    for s in np.asarray(seeds, dtype=np.int64):
+        d = bfs_distances(graph, [int(s)], max_iters=max_iters).values
+        reached = d >= 0
+        out_seed.append(int(s))
+        out_ecc.append(int(d[reached].max()))
+        out_n.append(int(reached.sum()))
+    return pa.table({
+        "seed": pa.array(out_seed, pa.int64()),
+        "eccentricity": pa.array(out_ecc, pa.int64()),
+        "n_reached": pa.array(out_n, pa.int64()),
+    })

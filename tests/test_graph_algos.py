@@ -607,3 +607,13 @@ def test_betweenness_path_graph_exact():
     got = betweenness(g, [0, 1, 2, 3])
     # directed-pair dependencies: δ totals per vertex = 2·(pairs through it)
     assert np.allclose(got, [0.0, 4.0, 4.0, 0.0])
+
+
+def test_eccentricity_known_answers():
+    from cuttana_ray.pipelines.bfs import eccentricity
+    # path 0-1-2-3 plus isolated-ish extra component {4,5}
+    g = graph_from_edges([(0, 1), (1, 2), (2, 3), (4, 5)], 6)
+    t = eccentricity(g, [0, 1, 4]).to_pandas()
+    assert t["seed"].tolist() == [0, 1, 4]
+    assert t["eccentricity"].tolist() == [3, 2, 1]
+    assert t["n_reached"].tolist() == [4, 4, 2]
