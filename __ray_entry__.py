@@ -931,6 +931,22 @@ def _q_bfs_events(sf_dir: str):
     })
 
 
+def _q_scc_events(sf_dir: str):
+    """Strongly connected components (min-id labels) on the DIRECTED
+    events edge table via forward-backward min-label rounds
+    (pipelines/scc.py). Oracle: recursive-CTE transitive closure +
+    mutual-reachability self-join (exact; the closure is O(V²) rows,
+    fine at oracle scale)."""
+    from cuttana_ray.pipelines.scc import strongly_connected_components
+    edges, V = _events_digraph(sf_dir)
+    res = strongly_connected_components(edges, V)
+    assert res.converged
+    return pa.table({
+        "vertex": pa.array(np.arange(V, dtype=np.int64)),
+        "scc": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_eccentricity_events(sf_dir: str):
     """Per-seed eccentricity + reachable count from every 41st vertex
     (one frontier-bounded BFS per seed, pipelines/bfs.py). Oracle:
@@ -1218,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
         "eccentricity_events": _q_eccentricity_events,
+        "scc_events": _q_scc_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
         "betweenness_events": _q_betweenness_events,
@@ -1550,6 +1567,23 @@ _BFS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     SELECT n.node_id AS vertex,
            CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS dist
     FROM nodes n LEFT JOIN walk w ON w.v = n.node_id GROUP BY 1
+"""
+
+
+_SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    de AS MATERIALIZED (
+        SELECT ns.node_id AS src, nd.node_id AS dst
+        FROM alle a JOIN nodes ns ON a.src = ns.name
+                    JOIN nodes nd ON a.dst = nd.name
+        WHERE a.src != a.dst),
+    reach(a, b) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN de e ON e.src = r.b
+    )
+    SELECT r1.a AS vertex, CAST(MIN(r1.b) AS BIGINT) AS scc
+    FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+    GROUP BY 1
 """
 
 
@@ -1893,6 +1927,7 @@ def oracle_sql() -> dict[str, str]:
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "eccentricity_events": _ECC_SQL,
+        "scc_events": _SCC_SQL,
         "kcore_events": _kcore_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

@@ -14,6 +14,7 @@ from cuttana_ray.pipelines.labelprop import label_propagation
 from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
 from cuttana_ray.pipelines.pagerank import IterativeResult, pagerank
 from cuttana_ray.pipelines.randomwalk import random_walks
+from cuttana_ray.pipelines.scc import strongly_connected_components
 from cuttana_ray.pipelines.sssp import shortest_paths
 from cuttana_ray.pipelines.triangles import TriangleResult, triangle_count
 
@@ -38,5 +39,6 @@ __all__ = [
     "pagerank",
     "random_walks",
     "shortest_paths",
+    "strongly_connected_components",
     "triangle_count",
 ]

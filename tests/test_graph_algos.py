@@ -617,3 +617,79 @@ def test_eccentricity_known_answers():
     assert t["seed"].tolist() == [0, 1, 4]
     assert t["eccentricity"].tolist() == [3, 2, 1]
     assert t["n_reached"].tolist() == [4, 4, 2]
+
+
+# -- strongly connected components ------------------------------------------
+
+def _tarjan_oracle(src, dst, n):
+    """Iterative Tarjan; labels = min vertex id per SCC."""
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    index = np.full(n, -1); low = np.zeros(n, dtype=np.int64)
+    on = np.zeros(n, dtype=bool); comp = np.full(n, -1, dtype=np.int64)
+    stack, counter = [], [0]
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]; counter[0] += 1
+                stack.append(v); on[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0)); recurse = True
+                    break
+                if on[w]:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop(); on[w] = False; members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
+def _directed_ds(edge_list):
+    src = pa.array([a for a, b in edge_list], pa.int64())
+    dst = pa.array([b for a, b in edge_list], pa.int64())
+    w = pa.array([1] * len(edge_list), pa.int64())
+    return rd.from_arrow(pa.table({"src": src, "dst": dst, "weight": w})) \
+        .repartition(3).materialize()
+
+
+def test_scc_known_answer_cycle_plus_tail():
+    from cuttana_ray.pipelines.scc import strongly_connected_components
+    # cycle 0->1->2->0, tail 2->3->4, back-edge 4->3 makes {3,4} a SCC
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3)]
+    res = strongly_connected_components(_directed_ds(edges), 5)
+    assert res.converged
+    assert res.values.tolist() == [0, 0, 0, 3, 3]
+
+
+def test_scc_random_vs_tarjan():
+    from cuttana_ray.pipelines.scc import strongly_connected_components
+    rng = np.random.default_rng(41)
+    n = 120
+    edges = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, n, (500, 2)) if a != b})
+    src = np.array([a for a, b in edges]); dst = np.array([b for a, b in edges])
+    res = strongly_connected_components(_directed_ds(edges), n)
+    assert res.converged
+    assert (res.values == _tarjan_oracle(src, dst, n)).all()
