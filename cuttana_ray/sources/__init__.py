@@ -8,8 +8,10 @@ from cuttana_ray.sources.adjacency import (
 from cuttana_ray.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
     read_transcripts,
+    read_transcripts_jsonl,
     synth_transcripts_table,
     write_synth_transcripts,
+    write_transcripts_jsonl,
 )
 
 __all__ = [
@@ -20,6 +22,8 @@ __all__ = [
     "from_adjacency_list",
     "read_adjacency_text",
     "read_transcripts",
+    "read_transcripts_jsonl",
     "synth_transcripts_table",
     "write_synth_transcripts",
+    "write_transcripts_jsonl",
 ]

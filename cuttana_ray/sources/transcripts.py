@@ -132,3 +132,51 @@ def read_transcripts(path: str, columns: list[str] | None = None,
     ``columns`` so only the needed columns leave storage.
     """
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_transcripts_jsonl(table: pa.Table, out_dir: str,
+                            num_files: int = 4) -> str:
+    """Test/interop helper: shard a transcript table to JSONL files.
+    ``ts`` is serialized as int64 microseconds since epoch (lossless)."""
+    import pyarrow.compute as pc
+    os.makedirs(out_dir, exist_ok=True)
+    t = table.set_column(
+        table.schema.get_field_index("ts"), "ts",
+        pc.cast(table["ts"], pa.int64()))
+    df = t.to_pandas()
+    n = len(df)
+    bounds = np.linspace(0, n, num_files + 1).astype(int)
+    for i in range(num_files):
+        df.iloc[bounds[i]:bounds[i + 1]].to_json(
+            os.path.join(out_dir, f"part-{i:05d}.jsonl"),
+            orient="records", lines=True)
+    return out_dir
+
+
+def read_transcripts_jsonl(path: str, **kwargs) -> "ray.data.Dataset":
+    """JSONL transcript source: ``ray.data.read_json`` + a per-batch cast
+    onto ``TRANSCRIPT_SCHEMA`` (``ts`` accepted as int64 µs or native
+    timestamp; ``tool`` nullable). Keeps the pipeline schema-identical to
+    the Parquet source so every downstream stage is source-agnostic."""
+    import pyarrow.compute as pc
+    ds = ray.data.read_json(path, file_extensions=["jsonl", "json"],
+                            **kwargs)
+
+    def to_schema(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return TRANSCRIPT_SCHEMA.empty_table()
+        ts = batch["ts"]
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.int64()), pa.timestamp("us"))
+        tool = batch["tool"] if "tool" in batch.column_names \
+            else pa.nulls(len(batch), pa.string())
+        return pa.table({
+            "conv_id": pc.cast(batch["conv_id"], pa.string()),
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+            "role": pc.cast(batch["role"], pa.string()),
+            "text": pc.cast(batch["text"], pa.string()),
+            "tool": pc.cast(tool, pa.string()),
+            "ts": ts,
+        }).cast(TRANSCRIPT_SCHEMA)
+
+    return ds.map_batches(to_schema, batch_format="pyarrow")

@@ -731,3 +731,22 @@ def test_profile_counts_extrema_means_with_nulls():
     assert got.loc["f", "min_num"] == -4.0 and got.loc["f", "max_num"] == 10.0
     assert got.loc["f", "mean"] == (1.5 + 2.5 - 4.0 + 10.0) / 4
     assert pd.isna(got.loc["f", "min_str"])  # float extrema numeric-only
+
+
+def test_jsonl_transcript_roundtrip(tmp_path):
+    """JSONL source parity: byte-equal text per (conv_id, turn_idx) and an
+    identical schema to the Parquet source (input_hint per-row invariant)."""
+    import pandas as pd
+    from cuttana_ray.sources.transcripts import (
+        TRANSCRIPT_SCHEMA, read_transcripts_jsonl, synth_transcripts_table,
+        write_transcripts_jsonl)
+    table = synth_transcripts_table(40, seed=9)
+    d = write_transcripts_jsonl(table, str(tmp_path / "jl"), num_files=3)
+    ds = read_transcripts_jsonl(d)
+    got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    exp = table.to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    assert pa.Table.from_pandas(got, preserve_index=False).schema \
+        .equals(TRANSCRIPT_SCHEMA)
+    pd.testing.assert_frame_equal(got, exp)
