@@ -317,6 +317,23 @@ def _q_events_running_total(sf_dir: str):
                        keep=["user_id", "event_id"])
 
 
+def _q_events_moving_sum(sf_dir: str):
+    """Per-user moving 4-row window (SUM + COUNT, ROWS BETWEEN 3 PRECEDING
+    AND CURRENT ROW) ordered by (ts, event_id) — bounded-frame variant of
+    the carry-chain scan (stages/running.py moving_agg); exact int64
+    cents, bit-identical to the SQL oracle."""
+    import pyarrow.compute as _pc
+    from cuttana_ray.stages.running import moving_agg
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _pc.cast(
+            _pc.floor(_pc.multiply(t["value"], 100.0)), pa.int64()))
+
+    ds = _read(sf_dir, "events").map_batches(cents, batch_format="pyarrow")
+    return moving_agg(ds, "user_id", ["ts", "event_id"], "cents", frame=4,
+                      keep=["user_id", "event_id"])
+
+
 def _q_events_asof_value(sf_dir: str):
     """As-of join: each non-purchase event picks up the user's most recent
     purchase value at-or-before its timestamp (sort-once + per-block
@@ -1194,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
         "events_running_total": _q_events_running_total,
+        "events_moving_sum": _q_events_moving_sum,
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -2236,6 +2254,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (
                        PARTITION BY user_id ORDER BY ts, event_id)
                        AS BIGINT) AS rn
+            FROM events
+        """,
+        "events_moving_sum": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS window_sum,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS window_n
             FROM events
         """,
         "events_hopping_windows": """

@@ -32,7 +32,7 @@ from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
     run_cuttana_partition,
 )
-from cuttana_ray.stages.running import rank_windows, running_agg
+from cuttana_ray.stages.running import moving_agg, rank_windows, running_agg
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
 from cuttana_ray.stages.windows import (
     hopping_window_agg,
@@ -70,6 +70,7 @@ __all__ = [
     "hopping_window_agg",
     "partition_quality",
     "profile",
+    "moving_agg",
     "rank_windows",
     "run_cuttana_partition",
     "running_agg",

@@ -151,6 +151,126 @@ def running_agg(ds: "ray.data.Dataset", key: str, order: list[str],
                            zero_copy_batch=True)
 
 
+@ray.remote
+def _msummary_task(t: pa.Table, frame: int) -> dict:
+    """O(frame) carry info: first/last key plus the trailing key run's last
+    ``frame-1`` values (everything a bounded frame can see across the
+    boundary)."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return {"empty": True}
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    last = k[-1]
+    brk = np.nonzero(k != last)[0]
+    start = (brk[-1] + 1) if len(brk) else 0
+    tail = v[max(start, n - (frame - 1)):] if frame > 1 \
+        else np.array([], dtype=np.int64)
+    return {"empty": False, "first_key": int(k[0]), "last_key": int(last),
+            "tail_vals": tail.astype(np.int64)}
+
+
+@ray.remote
+def _mscan_task(t: pa.Table, carry: "tuple | None", frame: int,
+                out_cols: list[str]) -> pa.Table:
+    """Per-block moving-frame scan: ``window_sum`` / ``window_n`` over the
+    last ``frame`` rows of the key run (current row inclusive); ``carry``
+    is (key, tail values) entering the block's first row."""
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("window_sum", pa.int64()), ("window_n", pa.int64())])
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    run_start = _run_starts(k)
+    cs = np.cumsum(v)
+    pos = np.arange(n, dtype=np.int64)
+    start = np.maximum(run_start, pos - frame + 1)
+    base = np.where(start > 0, cs[start - 1], 0)
+    wsum = cs - base
+    wn = pos - start + 1
+    if carry is not None and k[0] == carry[0] and len(carry[1]):
+        cv = carry[1]
+        # suffix sums: sfx[j] = sum of the last j carried values
+        sfx = np.concatenate([[0], np.cumsum(cv[::-1])])
+        lead = run_start == 0
+        need = np.minimum(np.maximum(frame - 1 - pos, 0), len(cv))
+        wsum = wsum + np.where(lead, sfx[need], 0)
+        wn = wn + np.where(lead, need, 0)
+    cols = {c: t[c] for c in out_cols}
+    cols["window_sum"] = pa.array(wsum, pa.int64())
+    cols["window_n"] = pa.array(wn, pa.int64())
+    return pa.table(cols).cast(schema)
+
+
+def moving_agg(ds: "ray.data.Dataset", key: str, order: list[str],
+               value: str, frame: int,
+               keep: list[str] | None = None) -> "ray.data.Dataset":
+    """Bounded-frame window aggregate: ``SUM/COUNT(...) OVER (PARTITION BY
+    key ORDER BY order ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``.
+
+    Same single-sort + O(#blocks) carry-chain discipline as
+    ``running_agg``, except each block's carry is the trailing key run's
+    last ``frame-1`` int64 values (O(frame) per block, still never
+    per-row). Same contracts: integer-valued ``value`` column and a total
+    ``order`` within each key."""
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("v", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "v": pc.cast(t[value], pa.int64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+
+    refs = merged.to_arrow_refs()
+    summaries = ray.get([_msummary_task.remote(r, frame) for r in refs])
+
+    carries: list[tuple | None] = []
+    state: tuple | None = None  # (key, trailing values ≤ frame-1)
+    for s in summaries:
+        carries.append(state)
+        if s.get("empty"):
+            continue
+        tail = s["tail_vals"]
+        if state is not None and state[0] == s["first_key"] \
+                and s["first_key"] == s["last_key"]:
+            tail = np.concatenate([state[1], tail])
+        state = (s["last_key"],
+                 tail[max(0, len(tail) - (frame - 1)):] if frame > 1
+                 else tail[:0])
+
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_mscan_task.remote(r, c, frame, ccols)
+                for r, c in zip(refs, carries)]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def rank_windows(ds: "ray.data.Dataset", key: str, order: list[str],
                  tiles: int = 4,
                  keep: list[str] | None = None) -> "ray.data.Dataset":

@@ -750,3 +750,50 @@ def test_jsonl_transcript_roundtrip(tmp_path):
     assert pa.Table.from_pandas(got, preserve_index=False).schema \
         .equals(TRANSCRIPT_SCHEMA)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_moving_agg_matches_pandas_across_layouts():
+    from cuttana_ray.stages.running import moving_agg
+
+    rng = np.random.default_rng(29)
+    n = 5000
+    df = pd.DataFrame({"k": rng.integers(0, 40, n),
+                       "t": rng.permutation(n).astype(np.int64),
+                       "v": rng.integers(-50, 100, n)})
+    exp = df.sort_values(["k", "t"]).copy()
+    g = exp.groupby("k")["v"]
+    exp["window_sum"] = g.rolling(4, min_periods=1).sum() \
+        .reset_index(level=0, drop=True)
+    exp["window_n"] = g.rolling(4, min_periods=1).count() \
+        .reset_index(level=0, drop=True)
+    exp = exp[["k", "t", "window_sum", "window_n"]] \
+        .sort_values(["k", "t"]).reset_index(drop=True) \
+        .astype({"window_sum": "int64", "window_n": "int64"})
+
+    t = pa.table({c: pa.array(df[c], pa.int64()) for c in df})
+    for nblocks in (1, 3, 17):
+        got = moving_agg(rd.from_arrow(t).repartition(nblocks),
+                         "k", ["t"], "v", frame=4,
+                         keep=["k", "t"]).to_pandas()
+        got = got.sort_values(["k", "t"]).reset_index(drop=True) \
+            .astype({"window_sum": "int64", "window_n": "int64"})
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_moving_agg_single_key_tiny_blocks_frame_straddle():
+    """One key, frame wider than every block: the carried tail must chain
+    across MULTIPLE consecutive block summaries, not just one hop."""
+    from cuttana_ray.stages.running import moving_agg
+
+    n = 60
+    t = pa.table({"k": pa.array(np.zeros(n, np.int64)),
+                  "t": pa.array(np.arange(n, dtype=np.int64)),
+                  "v": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+    got = moving_agg(rd.from_arrow(t).repartition(30), "k", ["t"], "v",
+                     frame=7, keep=["t"]).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+    v = np.arange(1, n + 1, dtype=np.int64)
+    exp_sum = [int(v[max(0, i - 6):i + 1].sum()) for i in range(n)]
+    exp_n = [min(i + 1, 7) for i in range(n)]
+    assert got["window_sum"].tolist() == exp_sum
+    assert got["window_n"].tolist() == exp_n
