@@ -809,6 +809,27 @@ def _q_top_terms_docs(sf_dir: str):
     return top_terms(_read(sf_dir, "documents"), k=50)
 
 
+def _q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: every 97th document is the 'eval set';
+    its distinct 5-token shingles broadcast once (small side), training
+    docs stream through one vectorized is_in kernel
+    (functions/decontam.py). n_hits counts matching shingle positions."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.decontam import (benchmark_shingles,
+                                                decontaminate)
+    docs = _read(sf_dir, "documents")
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    bset = benchmark_shingles(bench, n=5)
+    return decontaminate(docs, bset, n=5)
+
+
 def _q_top_bigrams_docs(sf_dir: str):
     """Global top-50 token bigrams (n-gram statistics): Arrow
     split_pattern + offset-arithmetic pair construction + in-batch polars
@@ -1239,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
+        "decontam_docs": _q_decontam_docs,
         "doc_tfidf_docs": _q_doc_tfidf_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
@@ -2332,6 +2354,29 @@ def oracle_sql() -> dict[str, str]:
             tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
                    FROM toks GROUP BY 1)
             SELECT term, tf FROM tc ORDER BY tf DESC, term LIMIT 50
+        """,
+        "decontam_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(COALESCE(text, ''), ' ')) AS w,
+                       generate_subscripts(
+                           string_split(COALESCE(text, ''), ' '), 1) AS i
+                FROM documents),
+            sh AS (
+                SELECT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                           || ' ' || e.w AS s
+                FROM toks a
+                JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                JOIN toks d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+                JOIN toks e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+            bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+            hits AS (SELECT doc_id, COUNT(*) AS n_hits FROM sh
+                     WHERE s IN (SELECT s FROM bench) GROUP BY 1)
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "top_bigrams_docs": """
             WITH toks AS (

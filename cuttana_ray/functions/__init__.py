@@ -7,6 +7,7 @@ from cuttana_ray.functions.dedup import (
     pair_components,
     simhash_pairs,
 )
+from cuttana_ray.functions.decontam import benchmark_shingles, decontaminate
 from cuttana_ray.functions.embeddings import label_centroids
 from cuttana_ray.functions.multimodal import (
     extract_features,
@@ -36,6 +37,8 @@ from cuttana_ray.functions.textstats import (
 
 __all__ = [
     "approx_distinct",
+    "benchmark_shingles",
+    "decontaminate",
     "embedding_cosine_pairs",
     "exact_dedup",
     "extract_features",

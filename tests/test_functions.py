@@ -490,3 +490,23 @@ def test_bigram_counts_vs_python_oracle():
     ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
     assert [((r["w1"], r["w2"]), r["tf"]) for _, r in topk.iterrows()] \
         == ranked
+
+
+def test_decontaminate_known_answer():
+    from cuttana_ray.functions.decontam import (benchmark_shingles,
+                                                decontaminate)
+    bench_txt = ["a b c d e f", "x y z"]
+    docs = ["q q a b c d e q",      # contains shingle "a b c d e" → 1 hit
+            "a b c d e f g h",      # "a b c d e" + "b c d e f" → 2 hits
+            "no overlap here at all",
+            "x y z too short"]      # n=5: no 5-gram matches
+    bds = rd.from_arrow(pa.table({"text": pa.array(bench_txt)}))
+    dds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+        "text": pa.array(docs)})).repartition(2)
+    bset = benchmark_shingles(bds, n=5)
+    assert bset.to_pylist() == ["a b c d e", "b c d e f"]
+    got = decontaminate(dds, bset, n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_hits"].tolist() == [1, 2, 0, 0]
+    assert got["contaminated"].tolist() == [True, True, False, False]
