@@ -244,6 +244,60 @@ def _q_orders_customer_join(sf_dir: str):
     return agg.map_batches(round_col, batch_format="pyarrow")
 
 
+def _q_customer_order_counts_left(sf_dir: str):
+    """LEFT OUTER join (Ray ``Dataset.join`` left_outer path): per-customer
+    order counts *including* customers with zero orders — the rows an inner
+    join would drop. Non-null indicator + Sum replaces COUNT(col)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderkey"])
+    joined = cust.join(orders, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def indicator(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "has_order": pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64()),
+        })
+
+    return joined.map_batches(indicator, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("has_order",
+                                            alias_name="n_orders"))
+
+
+def _q_user_event_seq(sf_dir: str):
+    """Ordered grouped string concatenation (STRING_AGG ... ORDER BY):
+    per-user event-type sequence in (ts, event_id) order
+    (stages/relational.py:string_agg_ordered)."""
+    from cuttana_ray.stages.relational import string_agg_ordered
+    return string_agg_ordered(_read(sf_dir, "events"), ["user_id"],
+                              "event_type", ["ts", "event_id"],
+                              sep=",", alias="seq")
+
+
+def _q_lineitem_measure_stats(sf_dir: str):
+    """UNPIVOT/melt (stages/relational.py:unpivot): lineitem's four measure
+    columns melted to (measure, value) rows, then one tiny groupby —
+    count + rounded sum per measure."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.relational import unpivot
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    melted = unpivot(li, [], ["l_quantity", "l_extendedprice",
+                              "l_discount", "l_tax"])
+    agg = melted.groupby("measure").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total"))
+
+    def round_col(batch):
+        return batch.set_column(
+            batch.column_names.index("total"), "total",
+            pc.round(batch["total"], 2))
+    return agg.map_batches(round_col, batch_format="pyarrow")
+
+
 def _q_orders_by_month(sf_dir: str):
     """Date scalar functions (pyarrow.compute year/month kernels) +
     aggregate: per-month order counts and revenue."""
@@ -282,6 +336,15 @@ def _q_events_per_type(sf_dir: str):
             batch.column_names.index("total_value"), "total_value",
             pc.round(batch["total_value"], 2))
     return agg.map_batches(round_col, batch_format="pyarrow")
+
+
+def _q_distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type via
+    the local-dedup combiner + single-exchange count_distinct kernel
+    (stages/relational.py:distinct_count_agg)."""
+    from cuttana_ray.stages.relational import distinct_count_agg
+    return distinct_count_agg(_read(sf_dir, "events"), ["event_type"],
+                              "user_id", alias="n_distinct_users")
 
 
 def _q_events_hourly_windows(sf_dir: str):
@@ -1227,6 +1290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
+        "distinct_users_per_type": _q_distinct_users_per_type,
+        "customer_order_counts_left": _q_customer_order_counts_left,
+        "user_event_seq": _q_user_event_seq,
+        "lineitem_measure_stats": _q_lineitem_measure_stats,
         "orders_customer_join": _q_orders_customer_join,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
@@ -2039,6 +2106,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS n_distinct_users
+            FROM events GROUP BY 1
+        """,
+        "customer_order_counts_left": """
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "user_event_seq": """
+            SELECT user_id,
+                   STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY 1
+        """,
+        "lineitem_measure_stats": """
+            SELECT m.measure, COUNT(*) AS n, ROUND(SUM(m.value), 2) AS total
+            FROM (
+                SELECT 'l_quantity' AS measure, l_quantity AS value
+                FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice
+                FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            ) m GROUP BY 1
         """,
         "orders_customer_join": """
             -- CAST: customer.parquet stores c_nationkey as int32; the Ray

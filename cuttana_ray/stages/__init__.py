@@ -15,6 +15,7 @@ from cuttana_ray.stages.nested import explode_list
 from cuttana_ray.stages.relational import (
     anti_join,
     cube_agg,
+    distinct_count_agg,
     except_distinct,
     grouped_topk,
     grouping_sets_agg,
@@ -23,7 +24,9 @@ from cuttana_ray.stages.relational import (
     pivot_agg,
     rollup_agg,
     semi_join,
+    string_agg_ordered,
     union_distinct,
+    unpivot,
 )
 from cuttana_ray.stages.stats import grouped_moments
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
@@ -51,6 +54,7 @@ __all__ = [
     "pivot_agg",
     "rollup_agg",
     "cube_agg",
+    "distinct_count_agg",
     "except_distinct",
     "explode_list",
     "grouped_moments",
@@ -58,7 +62,9 @@ __all__ = [
     "intersect_distinct",
     "mode_agg",
     "semi_join",
+    "string_agg_ordered",
     "union_distinct",
+    "unpivot",
     "bipartite_edges",
     "build_adjacency",
     "build_vocab",

@@ -238,6 +238,86 @@ def mode_agg(ds: "ray.data.Dataset", keys: list[str], col: str
                         [("n", "descending"), (col, "ascending")], 1)
 
 
+def distinct_count_agg(ds: "ray.data.Dataset", keys: list[str], col: str,
+                       alias: str = "n_distinct") -> "ray.data.Dataset":
+    """Exact grouped ``COUNT(DISTINCT col)`` (nulls ignored, SQL semantics).
+
+    Plan: each block first collapses to its distinct (keys, col) rows
+    (pyarrow hash group_by — vectorized), so the ONE groupby exchange moves
+    at most the per-block distinct pair count regardless of row
+    multiplicity; ``map_groups`` then counts unique values per key with a
+    single ``pc.count_distinct`` kernel. No driver-side value set at any
+    cardinality — a hot key's distinct values stream through its group
+    block only.
+    """
+    cols = list(keys) + [col]
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(cols)
+        return t.select(cols).group_by(cols).aggregate([])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        head = t.select(list(keys)).slice(0, 1)
+        n = pc.count_distinct(t[col], mode="only_valid").as_py()
+        return head.append_column(alias, pa.array([n], pa.int64()))
+
+    partial = ds.map_batches(local_distinct, batch_format="pyarrow")
+    return partial.groupby(list(keys)).map_groups(
+        per_group, batch_format="pyarrow")
+
+
+def string_agg_ordered(ds: "ray.data.Dataset", keys: list[str], col: str,
+                       order_by: list[str], sep: str = ",",
+                       alias: str = "agg") -> "ray.data.Dataset":
+    """SQL ``STRING_AGG(col, sep ORDER BY order_by)`` per key group.
+    Make ``order_by`` a total order (end with a unique id) so the
+    concatenation is deterministic across block layouts.
+
+    Plan: project to keys+order+col at the read, ONE groupby exchange,
+    then per group a vectorized ``sort_indices`` take and a single
+    C-level ``str.join`` over the value buffer — no Python per-row work
+    beyond the final join of that group's strings, which is the output
+    payload itself."""
+    cols = list(keys) + list(order_by) + [col]
+
+    def per_group(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(c, "ascending")
+                                            for c in order_by])
+        vals = t[col].take(idx).to_pylist()
+        head = t.select(list(keys)).slice(0, 1)
+        joined = sep.join("" if v is None else v for v in vals)
+        return head.append_column(alias, pa.array([joined], pa.string()))
+
+    proj = ds.map_batches(lambda t: t.select(cols), batch_format="pyarrow")
+    return proj.groupby(list(keys)).map_groups(
+        per_group, batch_format="pyarrow")
+
+
+def unpivot(ds: "ray.data.Dataset", id_cols: list[str],
+            value_cols: list[str], name_col: str = "measure",
+            value_col: str = "value") -> "ray.data.Dataset":
+    """``UNPIVOT`` / melt: turn ``value_cols`` (same Arrow type) into
+    (``name_col``, ``value_col``) rows, replicating ``id_cols``.
+
+    Embarrassingly parallel — a pure per-batch concat of column slices
+    (zero-copy takes, no shuffle, no Python rows); output is
+    ``len(value_cols) ×`` the input row count, streamed block by block."""
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for vc in value_cols:
+            part = t.select(list(id_cols))
+            part = part.append_column(
+                name_col, pa.array([vc] * len(t), pa.string()))
+            part = part.append_column(value_col, t[vc])
+            parts.append(part)
+        if not parts:
+            return t.select(list(id_cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def _set_op(left: "ray.data.Dataset", right: "ray.data.Dataset",
             op: str) -> "ray.data.Dataset":
     """SQL set operations with DISTINCT semantics over whole rows

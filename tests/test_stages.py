@@ -646,6 +646,58 @@ def test_mode_agg_deterministic_tie_break():
     assert out["n"].tolist() == [2, 2]
 
 
+# -- grouped exact COUNT(DISTINCT) --------------------------------------------
+
+def test_distinct_count_agg_vs_bruteforce():
+    from cuttana_ray.stages.relational import distinct_count_agg
+    rng = np.random.default_rng(23)
+    n = 2000
+    k = rng.integers(0, 5, n)
+    v = rng.integers(0, 40, n)
+    null_mask = rng.random(n) < 0.1
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "v": pa.array(np.where(null_mask, None, v),
+                                pa.int64(), from_pandas=True)})
+    got = distinct_count_agg(rd.from_arrow(t).repartition(7), ["k"], "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    df = t.to_pandas()
+    exp = df.groupby("k")["v"].nunique()  # pandas nunique drops NaN
+    assert got["k"].tolist() == sorted(exp.index.tolist())
+    assert got["n_distinct"].tolist() == [int(exp[kk]) for kk in got["k"]]
+
+
+# -- ordered STRING_AGG / UNPIVOT ---------------------------------------------
+
+def test_string_agg_ordered_vs_bruteforce():
+    from cuttana_ray.stages.relational import string_agg_ordered
+    rng = np.random.default_rng(31)
+    n = 500
+    k = rng.integers(0, 4, n)
+    o = rng.permutation(n)
+    v = np.array([f"v{i % 7}" for i in range(n)])
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "o": pa.array(o, pa.int64()), "v": pa.array(v)})
+    got = string_agg_ordered(rd.from_arrow(t).repartition(6), ["k"], "v",
+                             ["o"], sep="|", alias="s") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "o"])
+    exp = df.groupby("k")["v"].agg("|".join)
+    assert got["s"].tolist() == [exp[kk] for kk in got["k"]]
+
+
+def test_unpivot_roundtrip():
+    from cuttana_ray.stages.relational import unpivot
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "a": pa.array([1.0, 2.0, 3.0]),
+                  "b": pa.array([10.0, 20.0, 30.0])})
+    got = unpivot(rd.from_arrow(t).repartition(2), ["id"], ["a", "b"]) \
+        .to_pandas().sort_values(["id", "measure"]).reset_index(drop=True)
+    assert len(got) == 6
+    assert got.loc[(got["id"] == 2) & (got["measure"] == "b"),
+                   "value"].iloc[0] == 20.0
+    assert set(got["measure"]) == {"a", "b"}
+
+
 # -- rank windows (NTILE / PERCENT_RANK) --------------------------------------
 
 def test_rank_windows_vs_bruteforce():
