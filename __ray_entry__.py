@@ -298,6 +298,101 @@ def _q_lineitem_measure_stats(sf_dir: str):
     return agg.map_batches(round_col, batch_format="pyarrow")
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the symmetrized user–event graph: Pearson
+    correlation of endpoint weighted degrees across all directed edges.
+    Each edge melts into two (node, edge-id, role, weight) rows; ONE
+    ``groupby(node).map_groups`` cogroup computes the node's weighted
+    degree in place (sum of its is_src rows' weights — exactly the full
+    degree because the graph is symmetrized) and stamps it on each
+    endpoint row, and an indicator-sum pivot folds the rows back to
+    per-edge (deg_src, deg_dst). No ``Dataset.join`` at all: the
+    degree-aggregate → join plan trips a Ray 2.49 hash-shuffle bug where
+    an aggregate's empty output block carries no schema and breaks the
+    per-partition Acero join; the cogroup moves the same bytes with the
+    same single exchange and no such hazard. The correlation is a
+    one-pass per-block moment partial merged with Chan's formula — corr
+    is scale-free so 6 dp rounding is far above merge-order float noise.
+    No driver-side degree map at any scale."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.edges import bipartite_edges, symmetrize
+    from cuttana_ray.stages.stats import grouped_moments
+    e = bipartite_edges(_read(sf_dir, "events"), "user_id", "event_type",
+                        "user:", "event:")
+    sym = symmetrize(e)
+
+    def melt_endpoints(t: pa.Table) -> pa.Table:
+        n = len(t)
+        part_s = pa.table({"e_src": t["src"], "e_dst": t["dst"],
+                           "node": t["src"], "w": t["weight"],
+                           "is_src": pa.array(np.ones(n, np.int64))})
+        part_d = pa.table({"e_src": t["src"], "e_dst": t["dst"],
+                           "node": t["dst"], "w": t["weight"],
+                           "is_src": pa.array(np.zeros(n, np.int64))})
+        return pa.concat_tables([part_s, part_d])
+
+    melted = sym.map_batches(melt_endpoints, batch_format="pyarrow")
+
+    def attach_deg(g: pa.Table) -> pa.Table:
+        is_src = g["is_src"].to_numpy(zero_copy_only=False).astype(bool)
+        w = g["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        wdeg = float(w[is_src].sum())
+        n = len(g)
+        return pa.table({
+            "e_src": g["e_src"], "e_dst": g["e_dst"],
+            "deg_src_part": pa.array(np.where(is_src, wdeg, 0.0)),
+            "deg_dst_part": pa.array(np.where(is_src, 0.0, wdeg))})
+
+    per_edge = melted.groupby("node") \
+        .map_groups(attach_deg, batch_format="pyarrow") \
+        .groupby(["e_src", "e_dst"]).aggregate(
+            Sum("deg_src_part", alias_name="deg_src"),
+            Sum("deg_dst_part", alias_name="deg_dst"))
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "deg_src": pc.cast(t["deg_src"], pa.float64()),
+            "deg_dst": pc.cast(t["deg_dst"], pa.float64())})
+
+    m = grouped_moments(
+        per_edge.map_batches(const_key, batch_format="pyarrow"),
+        ["k"], "deg_src", "deg_dst")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_edges": pc.cast(t["n"], pa.int64()),
+            "assortativity": pc.round(t["corr"], 6)})
+    return m.map_batches(project, batch_format="pyarrow")
+
+
+def _q_user_customer_full_join(sf_dir: str):
+    """FULL OUTER join (Ray ``Dataset.join`` full_outer path): event users
+    vs the customer table on key — rows survive from both unmatched sides,
+    null-coalesced into one key with per-side presence flags."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    users = _read(sf_dir, "events").groupby("user_id").aggregate(
+        Count(alias_name="n_events"))
+    # Presence must ride a NON-key marker column: pyarrow's join coalesces
+    # the key pair into the left name, so `c_custkey` is gone post-join.
+    cust = _read(sf_dir, "customer").select_columns(["c_custkey"]) \
+        .map_batches(
+            lambda t: t.append_column(
+                "cust_flag", pa.array(np.ones(len(t), np.int64))),
+            batch_format="pyarrow")
+    j = users.join(cust, join_type="full_outer", num_partitions=8,
+                   on=("user_id",), right_on=("c_custkey",))
+
+    def emit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "n_events": pc.coalesce(t["n_events"], pa.scalar(0, pa.int64())),
+            "is_customer": pc.cast(pc.is_valid(t["cust_flag"]), pa.int64())})
+    return j.map_batches(emit, batch_format="pyarrow")
+
+
 def _q_orders_by_month(sf_dir: str):
     """Date scalar functions (pyarrow.compute year/month kernels) +
     aggregate: per-month order counts and revenue."""
@@ -1294,6 +1389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts_left": _q_customer_order_counts_left,
         "user_event_seq": _q_user_event_seq,
         "lineitem_measure_stats": _q_lineitem_measure_stats,
+        "degree_assortativity": _q_degree_assortativity,
+        "user_customer_full_join": _q_user_customer_full_join,
         "orders_customer_join": _q_orders_customer_join,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
@@ -2134,6 +2231,34 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'l_discount', l_discount FROM lineitem
                 UNION ALL SELECT 'l_tax', l_tax FROM lineitem
             ) m GROUP BY 1
+        """,
+        "degree_assortativity": """
+            WITH e AS (
+                SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
+                       'event:' || event_type AS dst, COUNT(*) AS w
+                FROM events GROUP BY 1, 2),
+            sym AS (
+                SELECT src, dst FROM e
+                UNION ALL SELECT dst, src FROM e),
+            d AS (
+                SELECT node, SUM(w) AS wdeg FROM (
+                    SELECT src AS node, w FROM e
+                    UNION ALL SELECT dst AS node, w FROM e)
+                GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   ROUND(CORR(ds.wdeg, dd.wdeg), 6) AS assortativity
+            FROM sym
+            JOIN d ds ON sym.src = ds.node
+            JOIN d dd ON sym.dst = dd.node
+        """,
+        "user_customer_full_join": """
+            WITH u AS (
+                SELECT user_id, COUNT(*) AS n_events
+                FROM events GROUP BY 1)
+            SELECT COALESCE(u.user_id, c.c_custkey) AS key,
+                   COALESCE(u.n_events, 0) AS n_events,
+                   CAST(c.c_custkey IS NOT NULL AS BIGINT) AS is_customer
+            FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
         """,
         "orders_customer_join": """
             -- CAST: customer.parquet stores c_nationkey as int32; the Ray
