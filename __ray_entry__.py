@@ -21,11 +21,12 @@ import numpy as np
 import pyarrow as pa
 
 
-def _read(sf_dir: str, name: str):
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
     from cuttana_ray.util import strip_schema_metadata
     return strip_schema_metadata(
-        rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet")))
+        rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                        columns=columns))
 
 
 # ---------------------------------------------------------------------------
@@ -391,6 +392,31 @@ def _q_user_customer_full_join(sf_dir: str):
             "n_events": pc.coalesce(t["n_events"], pa.scalar(0, pa.int64())),
             "is_customer": pc.cast(pc.is_valid(t["cust_flag"]), pa.int64())})
     return j.map_batches(emit, batch_format="pyarrow")
+
+
+def _q_events_props_stats(sf_dir: str):
+    """JSON scalar extraction (``stages/jsoncol.py``): the ``events.props``
+    JSON payload block-parses via pyarrow.json (newline-joined NDJSON
+    buffer, zero Python rows), then a per-type aggregate over the extracted
+    field — read prunes to the two needed columns."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.jsoncol import json_extract_scalars
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+    k = json_extract_scalars(ev, "props", {"k": pa.int64()},
+                             keep=["event_type"])
+    agg = k.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "avg_k": pc.round(pc.divide(
+                pc.cast(t["sum_k"], pa.float64()),
+                pc.cast(t["n"], pa.float64())), 2)})
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_orders_by_month(sf_dir: str):
@@ -1392,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "user_customer_full_join": _q_user_customer_full_join,
         "orders_customer_join": _q_orders_customer_join,
+        "events_props_stats": _q_events_props_stats,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
@@ -2269,6 +2296,15 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   ROUND(AVG(CAST(json_extract(props, '$.k') AS BIGINT)), 2)
+                       AS avg_k
+            FROM events GROUP BY event_type
         """,
         "orders_by_month": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,

@@ -11,6 +11,7 @@ from cuttana_ray.stages.joins import (
     bloom_prune,
     range_join,
 )
+from cuttana_ray.stages.jsoncol import json_extract_scalars
 from cuttana_ray.stages.nested import explode_list
 from cuttana_ray.stages.relational import (
     anti_join,
@@ -60,6 +61,7 @@ __all__ = [
     "grouped_moments",
     "grouping_sets_agg",
     "intersect_distinct",
+    "json_extract_scalars",
     "mode_agg",
     "semi_join",
     "string_agg_ordered",

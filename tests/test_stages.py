@@ -849,3 +849,29 @@ def test_moving_agg_single_key_tiny_blocks_frame_straddle():
     exp_n = [min(i + 1, 7) for i in range(n)]
     assert got["window_sum"].tolist() == exp_sum
     assert got["window_n"].tolist() == exp_n
+
+
+def test_json_extract_scalars():
+    """Typed multi-field extraction: nulls, missing keys, extra keys,
+    escaped-newline string values, empty strings — all row-aligned."""
+    from cuttana_ray.stages.jsoncol import json_extract_scalars
+
+    rows = [
+        '{"k": 7, "name": "a", "extra": true}',
+        '{"name": "line\\nbreak"}',          # escaped newline inside JSON
+        None,
+        '',
+        '{"k": -3}',
+    ]
+    t = pa.table({"id": pa.array(np.arange(5, dtype=np.int64)),
+                  "props": pa.array(rows, pa.string())})
+    out = json_extract_scalars(
+        rd.from_arrow(t).repartition(3), "props",
+        {"k": pa.int64(), "name": pa.string()}, keep=["id"]) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out.columns.tolist() == ["id", "k", "name"]
+    assert out["k"].tolist()[0] == 7 and out["k"].tolist()[4] == -3
+    assert out["k"].isna().tolist() == [False, True, True, True, False]
+    assert out["name"].tolist()[0] == "a"
+    assert out["name"].tolist()[1] == "line\nbreak"
+    assert out["name"].isna().tolist() == [False, False, True, True, True]
