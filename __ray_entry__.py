@@ -965,6 +965,15 @@ def _q_doc_token_stats(sf_dir: str):
         .select_columns(["doc_id", "n_tokens", "n_chars_computed"])
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (functions/textstats.py
+    repetition_stats): per-doc token/distinct/top-token/top-bigram counts,
+    exact int64, no shuffle — one vectorized pass per batch."""
+    from cuttana_ray.functions.textstats import repetition_stats
+    return repetition_stats(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact p50/p90/p95/p99 of document token counts via the shuffle-free
     histogram-quantile operator (per-batch value counts → tiny driver merge;
@@ -1448,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_counts": _q_user_session_counts,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
+        "doc_repetition": _q_doc_repetition,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
@@ -2580,6 +2590,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "doc_repetition": """
+            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+            tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+            tstat AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                             CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                             CAST(MAX(c) AS BIGINT) AS top_token_n
+                      FROM tc GROUP BY 1),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS b FROM (
+                       SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                       FROM tk)),
+            bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+            bstat AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                      FROM bc GROUP BY 1)
+            SELECT ts.doc_id, ts.n_tokens, ts.n_distinct_tokens,
+                   ts.top_token_n,
+                   CAST(GREATEST(ts.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(bs.top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n
+            FROM tstat ts LEFT JOIN bstat bs USING (doc_id)
         """,
         "doc_token_stats": """
             SELECT doc_id,

@@ -32,6 +32,7 @@ from cuttana_ray.functions.textstats import (
     int_quantiles,
     lang_id,
     quality_scores,
+    repetition_stats,
     token_stats,
 )
 
@@ -62,6 +63,7 @@ __all__ = [
     "simhash_pairs",
     "stratified_sample",
     "synth_media_table",
+    "repetition_stats",
     "token_stats",
     "term_counts",
     "bigram_counts",

@@ -264,3 +264,73 @@ def grouped_int_quantiles(ds: "ray.data.Dataset", key: str, col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).map_groups(select, batch_format="pandas")
+
+
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 quality filters): per document the
+    token count, distinct-token count, the most-frequent token's count,
+    and the most-frequent token-bigram's count (with the bigram total).
+
+    All counts are EXACT int64 — fraction thresholds divide downstream, so
+    the driver hash can't drift on float rounding. Fully vectorized and
+    embarrassingly parallel: one ``split_pattern`` kernel per batch, then
+    dictionary-encoded token codes keyed as ``doc_idx * C + code`` through
+    a single ``np.unique`` (and ``C²`` keys for bigrams) — no shuffle, no
+    Python per-row loop, nothing leaves the batch but 6 ints per doc.
+
+    Tokenization is a plain single-space split (matching SQL
+    ``string_split(text, ' ')``) so the op is oracle-checkable.
+    """
+    def stats(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (id_col, pa.int64()), ("n_tokens", pa.int64()),
+            ("n_distinct_tokens", pa.int64()), ("top_token_n", pa.int64()),
+            ("n_bigrams", pa.int64()), ("top_bigram_n", pa.int64())])
+        n = len(batch)
+        if n == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.cast(batch[text_col], pa.string()), " ")
+        toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)                      # tokens per doc
+        flat = toks.values.dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        C = len(flat.dictionary)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+        top_tok = np.zeros(n, np.int64)
+        n_distinct = np.zeros(n, np.int64)
+        if len(codes):
+            pair_keys, pair_cnt = np.unique(doc_of * C + codes,
+                                            return_counts=True)
+            pd_doc = pair_keys // C
+            np.maximum.at(top_tok, pd_doc, pair_cnt)
+            np.add.at(n_distinct, pd_doc, 1)
+
+        # bigrams: adjacent token positions belonging to the same doc
+        top_big = np.zeros(n, np.int64)
+        n_bigrams = np.maximum(counts - 1, 0).astype(np.int64)
+        if len(codes) > 1:
+            same = doc_of[1:] == doc_of[:-1]
+            if same.any():
+                if C and C * C < (2 ** 62) // max(n, 1):
+                    bg_keys = (doc_of[:-1][same] * (C * C)
+                               + codes[:-1][same] * C + codes[1:][same])
+                    bk, bc = np.unique(bg_keys, return_counts=True)
+                    np.maximum.at(top_big, bk // (C * C), bc)
+                else:  # giant per-batch vocab: overflow-safe 3-column path
+                    tri = np.stack([doc_of[:-1][same], codes[:-1][same],
+                                    codes[1:][same]], axis=1)
+                    bk, bc = np.unique(tri, axis=0, return_counts=True)
+                    np.maximum.at(top_big, bk[:, 0], bc)
+
+        return pa.table({
+            id_col: batch[id_col], "n_tokens": pa.array(counts.astype(np.int64)),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "top_token_n": pa.array(top_tok),
+            "n_bigrams": pa.array(n_bigrams),
+            "top_bigram_n": pa.array(top_big)}).cast(out_schema)
+
+    return ds.map_batches(stats, batch_format="pyarrow")

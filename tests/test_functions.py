@@ -510,3 +510,24 @@ def test_decontaminate_known_answer():
         .sort_values("doc_id").reset_index(drop=True)
     assert got["n_hits"].tolist() == [1, 2, 0, 0]
     assert got["contaminated"].tolist() == [True, True, False, False]
+
+
+def test_repetition_stats_known_answer():
+    from cuttana_ray.functions.textstats import repetition_stats
+    import ray.data as rd
+
+    texts = [
+        "a b a b a",          # 5 toks, 2 distinct, top a=3; bigrams: "a b"x2,"b a"x2 → 2
+        "x",                  # 1 tok, no bigrams
+        "",                   # splits to one empty token
+        "z z z z",            # top z=4, bigram "z z"x3
+    ]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = repetition_stats(rd.from_arrow(t).repartition(3)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [5, 1, 1, 4]
+    assert got["n_distinct_tokens"].tolist() == [2, 1, 1, 1]
+    assert got["top_token_n"].tolist() == [3, 1, 1, 4]
+    assert got["n_bigrams"].tolist() == [4, 0, 0, 3]
+    assert got["top_bigram_n"].tolist() == [2, 0, 0, 3]
