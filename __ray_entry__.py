@@ -974,6 +974,26 @@ def _q_doc_repetition(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def _q_pii_scrub_docs(sf_dir: str):
+    """PII redaction (functions/pii.py): the corpus text gets a
+    deterministic doc_id-derived contact suffix appended (testdata has no
+    real PII — the suffix exercises all three pattern classes), then the
+    RE2 scrub runs and the full redacted text plus per-class counts are
+    hash-compared against DuckDB's identical regexp_replace chain."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.pii import scrub_pii
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            t["text"], " contact user", did, "@example.com call 555-0100-",
+            did, " ssn 123-45-6789", "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return scrub_pii(docs.map_batches(inject, batch_format="pyarrow"))
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact p50/p90/p95/p99 of document token counts via the shuffle-free
     histogram-quantile operator (per-batch value counts → tiny driver merge;
@@ -1458,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "doc_repetition": _q_doc_repetition,
+        "pii_scrub_docs": _q_pii_scrub_docs,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
@@ -2590,6 +2611,40 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "pii_scrub_docs": """
+            -- identical RE2 patterns in the identical order as
+            -- cuttana_ray/functions/pii.py PII_PATTERNS (email, ssn, phone)
+            WITH base AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com call 555-0100-'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' ssn 123-45-6789' AS t0
+                FROM documents),
+            s1 AS (SELECT doc_id,
+                     CAST(len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '[REDACTED]', 'g') AS t1
+                   FROM base),
+            s2 AS (SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t1,
+                       '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS BIGINT)
+                       AS n_ssn,
+                     regexp_replace(t1, '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                       '[REDACTED]', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT doc_id, n_email, n_ssn,
+                     CAST(len(regexp_extract_all(t2,
+                       '\\+?[0-9][0-9 ()\\-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+                     regexp_replace(t2, '\\+?[0-9][0-9 ()\\-]{7,}[0-9]',
+                       '[REDACTED]', 'g') AS t3
+                   FROM s2)
+            SELECT doc_id, t3 AS text_clean, n_email, n_ssn, n_phone
+            FROM s3
         """,
         "doc_repetition": """
             WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t

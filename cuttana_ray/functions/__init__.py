@@ -26,6 +26,7 @@ from cuttana_ray.functions.terms import (
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
 from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
+from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
     fingerprints,
     grouped_int_quantiles,
@@ -64,6 +65,7 @@ __all__ = [
     "stratified_sample",
     "synth_media_table",
     "repetition_stats",
+    "scrub_pii",
     "token_stats",
     "term_counts",
     "bigram_counts",

@@ -531,3 +531,23 @@ def test_repetition_stats_known_answer():
     assert got["top_token_n"].tolist() == [3, 1, 1, 4]
     assert got["n_bigrams"].tolist() == [4, 0, 0, 3]
     assert got["top_bigram_n"].tolist() == [2, 0, 0, 3]
+
+
+def test_scrub_pii_known_answer():
+    from cuttana_ray.functions.pii import scrub_pii
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at jo.doe+x@foo-bar.org now",
+            "ssn 123-45-6789 and phone +1 (415) 555-0100 ok",
+            "clean text no pii"], pa.string())})
+    got = scrub_pii(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["text_clean"][0] == "mail me at [REDACTED] now"
+    assert got["n_email"].tolist() == [1, 0, 0]
+    assert got["n_ssn"].tolist() == [0, 1, 0]
+    assert got["n_phone"].tolist() == [0, 1, 0]
+    assert got["text_clean"][1] == "ssn [REDACTED] and phone [REDACTED] ok"
+    assert got["text_clean"][2] == "clean text no pii"
