@@ -974,6 +974,18 @@ def _q_doc_repetition(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means (functions/embeddings.py kmeans): k=4,
+    2 iterations, deterministic smallest-id init, lowest-cluster
+    tie-break — assignment parity against the identical unrolled Lloyd
+    steps in SQL."""
+    from cuttana_ray.functions.embeddings import kmeans
+    assigns, _ = kmeans(_read(sf_dir, "embeddings",
+                              columns=["vec_id", "embedding"]),
+                        k=4, iters=2)
+    return assigns
+
+
 def _q_pii_scrub_docs(sf_dir: str):
     """PII redaction (functions/pii.py): the corpus text gets a
     deterministic doc_id-derived contact suffix appended (testdata has no
@@ -1479,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub_docs": _q_pii_scrub_docs,
+        "kmeans_embeddings": _q_kmeans_embeddings,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
@@ -2611,6 +2624,52 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "kmeans_embeddings": """
+            -- Lloyd k-means, k=4, 2 iterations unrolled, matching
+            -- functions/embeddings.py kmeans: init = 4 smallest vec_ids,
+            -- distance Σ(v-c)², mean update, lowest-cluster tie-break.
+            WITH ex AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS i,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT vec_id, embedding,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings)),
+            init AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+                      LIMIT 4)),
+            c0 AS (SELECT init.cl, ex.i, ex.v
+                   FROM ex JOIN init USING (vec_id)),
+            d1 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c0 c USING (i) GROUP BY 1, 2),
+            a1 AS (SELECT d1.vec_id, MIN(d1.cl) AS cl
+                   FROM d1 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d1 GROUP BY 1) m
+                     ON d1.vec_id = m.vec_id AND d1.d = m.md
+                   GROUP BY 1),
+            c1 AS (SELECT a1.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
+                   FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+            d2 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c1 c USING (i) GROUP BY 1, 2),
+            a2 AS (SELECT d2.vec_id, MIN(d2.cl) AS cl
+                   FROM d2 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d2 GROUP BY 1) m
+                     ON d2.vec_id = m.vec_id AND d2.d = m.md
+                   GROUP BY 1),
+            c2 AS (SELECT a2.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
+                   FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+            d3 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c2 c USING (i) GROUP BY 1, 2),
+            a3 AS (SELECT d3.vec_id, MIN(d3.cl) AS cl
+                   FROM d3 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d3 GROUP BY 1) m
+                     ON d3.vec_id = m.vec_id AND d3.d = m.md
+                   GROUP BY 1)
+            SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a3
         """,
         "pii_scrub_docs": """
             -- identical RE2 patterns in the identical order as

@@ -8,7 +8,6 @@ from cuttana_ray.functions.dedup import (
     simhash_pairs,
 )
 from cuttana_ray.functions.decontam import benchmark_shingles, decontaminate
-from cuttana_ray.functions.embeddings import label_centroids
 from cuttana_ray.functions.multimodal import (
     extract_features,
     sample_frames,
@@ -26,6 +25,7 @@ from cuttana_ray.functions.terms import (
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
 from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
+from cuttana_ray.functions.embeddings import kmeans, label_centroids
 from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
     fingerprints,
@@ -64,6 +64,7 @@ __all__ = [
     "simhash_pairs",
     "stratified_sample",
     "synth_media_table",
+    "kmeans",
     "repetition_stats",
     "scrub_pii",
     "token_stats",

@@ -98,3 +98,90 @@ def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
         "dim": pa.array(dim[order], pa.int64()),
         "centroid": pa.array(s[order] / n[order], pa.float64()),
     })
+
+
+def kmeans(ds: "ray.data.Dataset", k: int = 4, iters: int = 3,
+           vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Lloyd k-means over a vector column.
+
+    Returns ``(assignments, centroids)``: a Dataset of ``(id_col,
+    cluster:int64)`` plus the final ``k×d`` float64 centroid matrix.
+
+    Scale shape: centroid state is ``k×d`` by definition — broadcast via
+    ``ray.put`` once per iteration and read zero-copy in every task; each
+    batch ships back ≤ ``k×d`` partial-sum rows (long form, like
+    ``label_centroids``), so the driver reduce is O(k·d·num_blocks) tiny
+    rows and the full vector table never leaves the workers. Deterministic
+    init (the ``k`` smallest ids' vectors) and lowest-cluster tie-break
+    make runs reproducible across layouts and cluster sizes. Distances use
+    the explicit ``Σ(x_i-c_i)²`` form in float64 to track the SQL oracle's
+    arithmetic. An emptied cluster keeps its previous centroid.
+    """
+    import ray
+
+    sub = ds.select_columns([id_col, vec_col])
+    init_rows = sub.sort(id_col).limit(k).take_all()
+    C = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                  for r in init_rows])
+    if len(C) < k:
+        raise ValueError(f"k={k} exceeds dataset size {len(C)}")
+
+    def _assign(X: np.ndarray, Cm: np.ndarray) -> np.ndarray:
+        diff = X[:, None, :] - Cm[None, :, :]
+        return np.argmin((diff * diff).sum(axis=2), axis=1)
+
+    long_schema = pa.schema([("cluster", pa.int64()), ("dim", pa.int64()),
+                             ("s", pa.float64()), ("n", pa.int64())])
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            if len(batch) == 0:
+                return long_schema.empty_table()
+            Cm = ray.get(_cref)
+            X = _batch_matrix(batch, vec_col).astype(np.float64)
+            a = _assign(X, Cm)
+            uniq, inv = np.unique(a, return_inverse=True)
+            d = X.shape[1]
+            sums = np.zeros((len(uniq), d), dtype=np.float64)
+            np.add.at(sums, inv, X)
+            counts = np.bincount(inv).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(uniq))),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d), pa.int64())})
+
+        sums = np.zeros_like(C)
+        cnt = np.zeros(k, dtype=np.int64)
+        for b in sub.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) == 0:
+                continue
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            dm = b["dim"].to_numpy(zero_copy_only=False)
+            s = b["s"].to_numpy(zero_copy_only=False)
+            n = b["n"].to_numpy(zero_copy_only=False)
+            np.add.at(sums, (cl, dm), s)
+            first = dm == 0
+            np.add.at(cnt, cl[first], n[first])
+        newC = C.copy()
+        nz = cnt > 0
+        newC[nz] = sums[nz] / cnt[nz, None]
+        C = newC
+
+    cref = ray.put(C)
+
+    def finalize(batch: pa.Table, _cref=cref) -> pa.Table:
+        out_schema = pa.schema([
+            (id_col, batch.schema.field(id_col).type if len(batch) else
+             pa.int64()), ("cluster", pa.int64())])
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        Cm = ray.get(_cref)
+        X = _batch_matrix(batch, vec_col).astype(np.float64)
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(_assign(X, Cm), pa.int64())})
+
+    return sub.map_batches(finalize, batch_format="pyarrow"), C

@@ -551,3 +551,34 @@ def test_scrub_pii_known_answer():
     assert got["n_phone"].tolist() == [0, 1, 0]
     assert got["text_clean"][1] == "ssn [REDACTED] and phone [REDACTED] ok"
     assert got["text_clean"][2] == "clean text no pii"
+
+
+def test_kmeans_recovers_separated_clusters():
+    """Three well-separated blobs: k-means labels must be constant within
+    each blob regardless of block layout, and centroids must land on the
+    blob means."""
+    from cuttana_ray.functions.embeddings import kmeans
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    X = np.vstack([c + 0.1 * rng.standard_normal((20, 2)) for c in centers])
+    # interleave ids across blobs so the smallest-id init spans all three
+    blob = np.repeat(np.arange(3), 20)
+    within = np.tile(np.arange(20), 3)
+    vec_id = (within * 3 + blob).astype(np.int64)
+    t = pa.table({
+        "vec_id": pa.array(vec_id),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32()))})
+    for nblocks in (1, 7):
+        assigns, C = kmeans(rd.from_arrow(t).repartition(nblocks),
+                            k=3, iters=5)
+        df = assigns.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        lab = df["cluster"].to_numpy()
+        blob_sorted = df["vec_id"].to_numpy() % 3   # id = within*3 + blob
+        labels_per_blob = [set(lab[blob_sorted == b]) for b in range(3)]
+        assert all(len(s) == 1 for s in labels_per_blob)
+        assert len(set().union(*labels_per_blob)) == 3
+        got_centers = C[np.argsort(C[:, 0] + 100 * C[:, 1])]
+        exp_centers = centers[np.argsort(centers[:, 0] + 100 * centers[:, 1])]
+        assert np.allclose(got_centers, exp_centers, atol=0.2)
