@@ -1018,11 +1018,15 @@ def _q_doc_length_quantiles(sf_dir: str):
 
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id) over events (p=14,
-    ±~0.8%). Rows-only by nature: the estimate is deliberately approximate,
-    so there is no exact SQL hash to match; accuracy vs the exact count is
-    asserted by ``tests/test_functions.py::test_hll_approx_distinct``."""
+    ±~0.8%). SQL-checked despite being approximate: the ``duckdb_int``
+    hash path is bit-identical to DuckDB's ``hash()``, so the oracle
+    replays the SAME sketch (register build, max-merge, bias/linear-count
+    corrections) and must land on the SAME integer estimate. Accuracy vs
+    the exact count is separately asserted by
+    ``tests/test_functions.py::test_hll_approx_distinct``."""
     from cuttana_ray.functions.sketches import approx_distinct
-    return approx_distinct(_read(sf_dir, "events"), "user_id")
+    return approx_distinct(_read(sf_dir, "events", columns=["user_id"]),
+                           "user_id", hash_fn="duckdb_int")
 
 
 def _q_top_terms_docs(sf_dir: str):
@@ -2812,6 +2816,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
                    CAST(df AS BIGINT) AS df, tfidf
             FROM r WHERE rn <= 3
+        """,
+        "approx_distinct_users": """
+            -- replay the ENGINE's HyperLogLog exactly: DuckDB hash() ==
+            -- functions/sketches.py murmur64_int, p=14, rank = 1 +
+            -- leading-zeros of the low 50 bits (capped), element-wise max
+            -- registers, alpha*m^2/sum estimate with linear counting.
+            WITH h AS (SELECT hash(user_id) AS hv
+                       FROM (SELECT DISTINCT user_id FROM events)),
+            r0 AS (SELECT CAST(hv >> 50 AS BIGINT) AS idx,
+                          hv & 1125899906842623 AS rest FROM h),
+            regs AS (SELECT idx,
+                            MAX(CASE WHEN rest = 0 THEN 51
+                                ELSE 50 - CAST(FLOOR(LOG2(CAST(rest AS
+                                     DOUBLE))) AS BIGINT) END) AS rank
+                     FROM r0 GROUP BY idx),
+            s AS (SELECT SUM(POWER(2.0, -rank)) AS sp,
+                         COUNT(*) AS present FROM regs),
+            est AS (SELECT 0.7213 / (1 + 1.079 / 16384.0) * 16384.0
+                           * 16384.0 / (sp + (16384 - present)) AS e,
+                           (16384 - present) AS zeros FROM s)
+            SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                              THEN 16384.0 * LN(16384.0 / zeros)
+                              ELSE e END, 0) AS BIGINT) AS approx_distinct,
+                   CAST(14 AS BIGINT) AS precision_p
+            FROM est
         """,
         "knn_cosine_top5": """
             WITH q AS (

@@ -30,6 +30,23 @@ def _hash_column(batch: pa.Table, col: str, seed: int = 42) -> np.ndarray:
     return h.to_numpy().astype(np.uint64)
 
 
+def murmur64_int(vals: np.ndarray) -> np.ndarray:
+    """DuckDB's integer ``hash()`` (murmur64 finalizer: xor-shift-32,
+    multiply by 0xd6e8feb86659fd93, twice, then a final xor-shift),
+    vectorized over uint64 with natural wraparound. Bit-identical to
+    ``SELECT hash(x)`` for BIGINT x — the bridge that lets an approximate
+    sketch be hash-compared against a DuckDB oracle computing the SAME
+    sketch."""
+    M = np.uint64(0xD6E8FEB86659FD93)
+    x = np.ascontiguousarray(vals).astype(np.int64).view(np.uint64).copy()
+    x ^= x >> np.uint64(32)
+    x *= M
+    x ^= x >> np.uint64(32)
+    x *= M
+    x ^= x >> np.uint64(32)
+    return x
+
+
 def _hll_alpha(m: int) -> float:
     if m == 16:
         return 0.673
@@ -76,16 +93,28 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 14,
-                    seed: int = 42) -> pa.Table:
+                    seed: int = 42, hash_fn: str = "polars") -> pa.Table:
     """Approximate COUNT(DISTINCT col) via HyperLogLog (±~1.04/sqrt(2^p),
     ≈0.8% at the default p=14).
 
     Per-batch register arrays (2^p bytes each, independent of batch row
     count) stream to an element-wise-max driver merge. Returns a one-row
     table ``(approx_distinct: int64, precision_p: int64)``.
+
+    ``hash_fn="duckdb_int"`` (integer columns only) hashes with
+    ``murmur64_int`` — bit-identical to DuckDB's ``hash()`` — so the whole
+    sketch, estimate included, can be replayed in SQL and hash-compared;
+    ``seed`` is ignored on that path. Default ``"polars"`` hashes any
+    column type.
     """
     def partial(batch: pa.Table) -> pa.Table:
-        regs = hll_registers(_hash_column(batch, col, seed), p)
+        if hash_fn == "duckdb_int":
+            vals = batch[col].combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            hashes = murmur64_int(vals)
+        else:
+            hashes = _hash_column(batch, col, seed)
+        regs = hll_registers(hashes, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     merged = np.zeros(1 << p, dtype=np.uint8)

@@ -582,3 +582,19 @@ def test_kmeans_recovers_separated_clusters():
         got_centers = C[np.argsort(C[:, 0] + 100 * C[:, 1])]
         exp_centers = centers[np.argsort(centers[:, 0] + 100 * centers[:, 1])]
         assert np.allclose(got_centers, exp_centers, atol=0.2)
+
+
+def test_murmur64_int_matches_duckdb_hash():
+    import duckdb
+    from cuttana_ray.functions.sketches import murmur64_int
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        np.array([0, 1, -1, 2**62, -2**62], dtype=np.int64),
+        rng.integers(-2**63, 2**63 - 1, size=200, dtype=np.int64)])
+    got = murmur64_int(vals)
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT hash(x) FROM (SELECT unnest(?) AS x)",
+        [vals.tolist()]).df().iloc[:, 0].to_numpy().astype(np.uint64)
+    assert (got == exp).all()
