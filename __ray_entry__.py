@@ -974,6 +974,90 @@ def _q_doc_repetition(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def _q_mis_users(sf_dir: str):
+    """Maximal independent set (pipelines/mis.py, Luby-style static
+    hash priorities) over the user co-occurrence graph: users adjacent in
+    the global (ts, event_id) event order are connected. 4 rounds, each
+    replayed exactly by the SQL oracle via DuckDB's hash() ==
+    murmur64_int. Duplicate edges are kept — MIS min/neighbor semantics
+    are multiplicity-invariant, so the dedup exchange is skipped."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.pipelines.mis import mis_rounds
+    from cuttana_ray.stages.edges import consecutive_pairs
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_id", "user_id"])
+    keyed = ev.map_batches(
+        lambda t: t.append_column("k", pa.array(np.zeros(len(t), np.int64))),
+        batch_format="pyarrow")
+    cp = consecutive_pairs(keyed, "k", ["ts", "event_id"], "user_id")
+
+    def to_int_pairs(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["src"], pa.int64())
+        b = pc.cast(t["dst"], pa.int64())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.concat_tables([pa.table({"a": a, "b": b}),
+                                 pa.table({"a": b, "b": a})])
+
+    edges = cp.map_batches(to_int_pairs, batch_format="pyarrow")
+
+    # participating vertices: distinct user ids (tiny per-batch uniques)
+    users = np.zeros(0, dtype=np.int64)
+    for blk in ev.map_batches(
+            lambda t: pa.table({"u": pa.array(np.unique(
+                t["user_id"].to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(blk) and "u" in blk.column_names:
+            users = np.union1d(users, blk["u"].to_numpy(zero_copy_only=False))
+    status = mis_rounds(edges, int(users.max()) + 1, users, rounds=4)
+    return pa.table({"user_id": pa.array(users, pa.int64()),
+                     "status": pa.array(status[users], pa.int64())})
+
+
+def _mis_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled SQL replay of ``mis_rounds`` (one CTE trio per round)."""
+    # MATERIALIZED: every CTE is referenced repeatedly across rounds;
+    # DuckDB inlines plain CTEs (re-scanning the parquet per reference,
+    # which both exhausts file descriptors and blows up the plan).
+    parts = ["""
+        WITH seq AS MATERIALIZED (SELECT user_id,
+                            LEAD(user_id) OVER (ORDER BY ts, event_id) AS nx
+                     FROM events),
+        e0 AS MATERIALIZED (SELECT user_id AS a, nx AS b FROM seq
+               WHERE nx IS NOT NULL AND nx <> user_id),
+        ed AS MATERIALIZED (SELECT a, b FROM e0
+               UNION ALL SELECT b, a FROM e0),
+        n AS MATERIALIZED (SELECT DISTINCT user_id AS v FROM events),
+        u0 AS MATERIALIZED (SELECT v FROM n)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+        t{i} AS MATERIALIZED (SELECT e.a AS v, MIN(hash(e.b)) AS mn
+                 FROM ed e JOIN u{i-1} x ON e.b = x.v
+                           JOIN u{i-1} y ON e.a = y.v
+                 GROUP BY 1),
+        m{i} AS MATERIALIZED (SELECT u.v FROM u{i-1} u LEFT JOIN t{i} ON u.v = t{i}.v
+                 WHERE t{i}.mn IS NULL OR hash(u.v) < t{i}.mn),
+        r{i} AS MATERIALIZED (SELECT DISTINCT e.b AS v FROM ed e
+                 JOIN m{i} ON e.a = m{i}.v JOIN u{i-1} x ON e.b = x.v
+                 WHERE e.b NOT IN (SELECT v FROM m{i})),
+        u{i} AS MATERIALIZED (SELECT v FROM u{i-1}
+                 WHERE v NOT IN (SELECT v FROM m{i})
+                   AND v NOT IN (SELECT v FROM r{i}))""")
+    mis_union = " UNION ALL ".join(
+        f"SELECT v FROM m{i}" for i in range(1, rounds + 1))
+    rem_union = " UNION ALL ".join(
+        f"SELECT v FROM r{i}" for i in range(1, rounds + 1))
+    parts.append(f"""
+        SELECT v AS user_id,
+               CAST(CASE WHEN v IN ({mis_union}) THEN 1
+                         WHEN v IN ({rem_union}) THEN 2
+                         ELSE 0 END AS BIGINT) AS status
+        FROM n""")
+    return "".join(parts)
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means (functions/embeddings.py kmeans): k=4,
     2 iterations, deterministic smallest-id init, lowest-cluster
@@ -1496,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "pii_scrub_docs": _q_pii_scrub_docs,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "mis_users": _q_mis_users,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
@@ -1594,14 +1679,14 @@ def _hits_k4_sql(k: int = 4) -> str:
         FROM nodes)"""]
     for i in range(1, k + 1):
         parts.append(f""",
-    ar{i} AS (SELECT de.dst AS v, SUM(de.weight * h.h) AS s
+    ar{i} AS MATERIALIZED (SELECT de.dst AS v, SUM(de.weight * h.h) AS s
               FROM de JOIN h{i-1} h ON h.v = de.src GROUP BY 1),
     an{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM ar{i}),
     a{i} AS MATERIALIZED (
         SELECT n.node_id AS v,
                COALESCE(r.s, 0.0) / (SELECT nrm FROM an{i}) AS a
         FROM nodes n LEFT JOIN ar{i} r ON r.v = n.node_id),
-    hr{i} AS (SELECT de.src AS v, SUM(de.weight * a.a) AS s
+    hr{i} AS MATERIALIZED (SELECT de.src AS v, SUM(de.weight * a.a) AS s
               FROM de JOIN a{i} a ON a.v = de.dst GROUP BY 1),
     hn{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
     h{i} AS MATERIALIZED (
@@ -1688,7 +1773,7 @@ def _labelprop_sql(k: int = 10) -> str:
     agg{i} AS (SELECT e.dst AS v, p.lbl AS label,
                       CAST(SUM(e.weight) AS BIGINT) AS ws
                FROM e JOIN lp{i-1} p ON p.v = e.src GROUP BY 1, 2),
-    best{i} AS (SELECT v, label FROM (
+    best{i} AS MATERIALIZED (SELECT v, label FROM (
         SELECT v, label, ROW_NUMBER() OVER (
             PARTITION BY v ORDER BY ws DESC, label ASC) AS rn
         FROM agg{i}) WHERE rn = 1),
@@ -2629,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        "mis_users": _mis_oracle_sql(rounds=4),
         "kmeans_embeddings": """
             -- Lloyd k-means, k=4, 2 iterations unrolled, matching
             -- functions/embeddings.py kmeans: init = 4 smallest vec_ids,

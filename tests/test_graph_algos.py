@@ -693,3 +693,42 @@ def test_scc_random_vs_tarjan():
     res = strongly_connected_components(_directed_ds(edges), n)
     assert res.converged
     assert (res.values == _tarjan_oracle(src, dst, n)).all()
+
+
+def test_mis_rounds_valid_maximal_and_layout_invariant():
+    """MIS over a random graph: independence, maximality (no undecided
+    after enough rounds, every removed vertex has an MIS neighbor), and
+    bit-identical status across block layouts and duplicate edges."""
+    import ray.data as rd
+
+    from cuttana_ray.pipelines.mis import IN_MIS, REMOVED, mis_rounds
+
+    rng = np.random.default_rng(13)
+    n = 200
+    a = rng.integers(0, n, 600)
+    b = rng.integers(0, n, 600)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    sym_a = np.concatenate([a, b]).astype(np.int64)
+    sym_b = np.concatenate([b, a]).astype(np.int64)
+    nodes = np.arange(n, dtype=np.int64)   # include isolated vertices
+    adj: dict[int, set] = {i: set() for i in range(n)}
+    for x, y in zip(sym_a, sym_b):
+        adj[int(x)].add(int(y))
+
+    results = []
+    for nblocks, dup in ((1, 1), (9, 1), (4, 3)):
+        t = pa.table({"a": pa.array(np.tile(sym_a, dup)),
+                      "b": pa.array(np.tile(sym_b, dup))})
+        st = mis_rounds(rd.from_arrow(t).repartition(nblocks), n, nodes,
+                        rounds=30)
+        results.append(st)
+    assert all((r == results[0]).all() for r in results[1:])
+
+    st = results[0]
+    assert (st != 0).all()                       # converged: all decided
+    mis = set(np.flatnonzero(st == IN_MIS).tolist())
+    for v in mis:
+        assert not (adj[v] & mis)                # independent
+    for v in np.flatnonzero(st == REMOVED):
+        assert adj[int(v)] & mis                 # removal is justified
