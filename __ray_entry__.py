@@ -1090,6 +1090,15 @@ def _q_pii_scrub_docs(sf_dir: str):
     return scrub_pii(docs.map_batches(inject, batch_format="pyarrow"))
 
 
+def _q_sequence_pack_docs(sf_dir: str):
+    """Concatenate-and-chunk training-sequence packing (functions/
+    packing.py): per doc its global token interval and the 512-token
+    sequences it lands in — one sort exchange total."""
+    from cuttana_ray.functions.packing import sequence_pack
+    return sequence_pack(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]), seq_len=512)
+
+
 def _q_doc_length_quantiles(sf_dir: str):
     """Exact p50/p90/p95/p99 of document token counts via the shuffle-free
     histogram-quantile operator (per-batch value counts → tiny driver merge;
@@ -1579,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": _q_doc_token_stats,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub_docs": _q_pii_scrub_docs,
+        "sequence_pack_docs": _q_sequence_pack_docs,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "mis_users": _q_mis_users,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -2713,6 +2723,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text
+        """,
+        "sequence_pack_docs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       CAST(array_length(string_split_regex(trim(text),
+                            '\\s+')) AS BIGINT) AS n
+                FROM documents),
+            cum AS (
+                SELECT doc_id, n,
+                       CAST(SUM(n) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+                FROM tok)
+            SELECT doc_id, n AS n_tokens,
+                   run - n AS tok_start,
+                   (run - n) // 512 AS seq_first,
+                   (run - 1) // 512 AS seq_last,
+                   (run - n) % 512 AS seq_offset,
+                   (run - 1) // 512 - (run - n) // 512 + 1 AS n_seqs
+            FROM cum
         """,
         "mis_users": _mis_oracle_sql(rounds=4),
         "kmeans_embeddings": """

@@ -26,6 +26,7 @@ from cuttana_ray.functions.terms import (
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
 from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
 from cuttana_ray.functions.embeddings import kmeans, label_centroids
+from cuttana_ray.functions.packing import sequence_pack
 from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
     fingerprints,
@@ -67,6 +68,7 @@ __all__ = [
     "kmeans",
     "repetition_stats",
     "scrub_pii",
+    "sequence_pack",
     "token_stats",
     "term_counts",
     "bigram_counts",

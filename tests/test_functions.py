@@ -598,3 +598,30 @@ def test_murmur64_int_matches_duckdb_hash():
         "SELECT hash(x) FROM (SELECT unnest(?) AS x)",
         [vals.tolist()]).df().iloc[:, 0].to_numpy().astype(np.uint64)
     assert (got == exp).all()
+
+
+def test_sequence_pack_matches_brute_force():
+    from cuttana_ray.functions.packing import sequence_pack
+
+    rng = np.random.default_rng(9)
+    texts = [" ".join(["tok"] * int(rng.integers(1, 40))) for _ in range(60)]
+    t = pa.table({"doc_id": pa.array(np.arange(60, dtype=np.int64)),
+                  "text": pa.array(texts, pa.string())})
+    L = 16
+    got = sequence_pack(rd.from_arrow(t).repartition(7), seq_len=L) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # brute force: concatenate in id order, chunk into L-token windows
+    pos = 0
+    for i, text in enumerate(texts):
+        n = len(text.split())
+        row = got.iloc[i]
+        assert row.n_tokens == n
+        assert row.tok_start == pos
+        assert row.seq_first == pos // L
+        assert row.seq_last == (pos + n - 1) // L
+        assert row.seq_offset == pos % L
+        assert row.n_seqs == row.seq_last - row.seq_first + 1
+        pos += n
+    # consecutive docs tile the stream with no gaps or overlaps
+    assert (got["tok_start"].to_numpy()[1:]
+            == (got["tok_start"] + got["n_tokens"]).to_numpy()[:-1]).all()
