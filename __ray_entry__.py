@@ -171,6 +171,32 @@ def _q_cut_metrics_mod16(sf_dir: str):
     })
 
 
+def _q_modularity_mod16(sf_dir: str):
+    """Newman modularity of the mod-16 assignment over the same disjoint
+    int-id order–part graph as cut_metrics_mod16 (stages/metrics.py
+    modularity_mod): bounded k-row partials, no vocab, SQL-reproducible."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.edges import bipartite_edges, symmetrize
+    from cuttana_ray.stages.metrics import modularity_mod
+
+    def disjoint_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": pc.multiply(batch["l_orderkey"], pa.scalar(2, pa.int64())),
+            "p": pc.add(pc.multiply(batch["l_partkey"],
+                                    pa.scalar(2, pa.int64())),
+                        pa.scalar(1, pa.int64())),
+        })
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(disjoint_ids, batch_format="pyarrow")
+    sym = symmetrize(bipartite_edges(li, "o", "p"))
+    m = modularity_mod(sym, 16)
+    return pa.table({
+        "n_clusters": pa.array([m["n_clusters"]], pa.int64()),
+        "modularity": pa.array([round(m["modularity"], 6)], pa.float64()),
+    })
+
+
 def _q_q1_lineitem(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -1546,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_topk": _q_degree_topk,
         "edges_order_part": _q_edges_order_part,
         "cut_metrics_mod16": _q_cut_metrics_mod16,
+        "modularity_mod16": _q_modularity_mod16,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2354,6 +2381,26 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "modularity_mod16": """
+            WITH e AS (
+                SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                       COUNT(*) AS weight
+                FROM lineitem GROUP BY 1, 2),
+            sym AS (
+                SELECT src, dst, weight FROM e
+                UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
+            agg AS (
+                SELECT src % 16 AS c,
+                       SUM(weight) AS d_c,
+                       SUM(CASE WHEN src % 16 = dst % 16
+                           THEN weight ELSE 0 END) AS w_in
+                FROM sym GROUP BY 1),
+            tot AS (SELECT CAST(SUM(d_c) AS DOUBLE) AS m2 FROM agg)
+            SELECT CAST(16 AS BIGINT) AS n_clusters,
+                   ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
+                       AS modularity
+            FROM agg, tot
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

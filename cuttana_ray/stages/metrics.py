@@ -64,6 +64,42 @@ def cut_metrics_mod(edges: "ray.data.Dataset", num_partitions: int) -> dict:
     }
 
 
+def modularity_mod(edges: "ray.data.Dataset", num_partitions: int) -> dict:
+    """Newman modularity of a symmetrized weighted INT-keyed edge table
+    under the SQL-reproducible rule ``cluster(node) = node mod k``:
+    ``Q = Σ_c (w_in_c/2m − (d_c/2m)²)`` with ``2m`` the total symmetrized
+    weight, ``w_in_c`` the symmetrized weight internal to cluster c, and
+    ``d_c`` cluster c's weighted degree. Per-batch partials are k rows of
+    exact int64 sums (k = num_partitions, bounded), combined on the
+    driver; the float formula runs once over k terms at the end."""
+    def counter(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = src % num_partitions
+        deg = np.zeros(num_partitions, np.int64)
+        win = np.zeros(num_partitions, np.int64)
+        np.add.at(deg, c, w)
+        internal = c == (dst % num_partitions)
+        np.add.at(win, c[internal], w[internal])
+        return pa.table({
+            "c": pa.array(np.arange(num_partitions, dtype=np.int64)),
+            "d_c": pa.array(deg), "w_in": pa.array(win)})
+
+    d_c = np.zeros(num_partitions, np.int64)
+    w_in = np.zeros(num_partitions, np.int64)
+    for b in edges.map_batches(counter, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0 or "c" not in b.column_names:
+            continue
+        idx = b["c"].to_numpy(zero_copy_only=False)
+        np.add.at(d_c, idx, b["d_c"].to_numpy(zero_copy_only=False))
+        np.add.at(w_in, idx, b["w_in"].to_numpy(zero_copy_only=False))
+    m2 = float(d_c.sum())
+    q = float(np.sum(w_in / m2 - (d_c / m2) ** 2)) if m2 else 0.0
+    return {"n_clusters": num_partitions, "modularity": q}
+
+
 def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
                       num_partitions: int,
                       weighted: bool = False) -> dict:
