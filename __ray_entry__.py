@@ -197,6 +197,17 @@ def _q_modularity_mod16(sf_dir: str):
     })
 
 
+def _q_funnel_users(sf_dir: str):
+    """Ordered view→click→purchase funnel (stages/windows.py
+    funnel_counts): per-step reached-user counts via three vectorized
+    broadcast-threshold min passes — no per-group Python."""
+    from cuttana_ray.stages.windows import funnel_counts
+    return funnel_counts(_read(sf_dir, "events",
+                               columns=["user_id", "ts", "event_type"]),
+                         "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def _q_q1_lineitem(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
@@ -1573,6 +1584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_order_part": _q_edges_order_part,
         "cut_metrics_mod16": _q_cut_metrics_mod16,
         "modularity_mod16": _q_modularity_mod16,
+        "funnel_users": _q_funnel_users,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2381,6 +2393,26 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "funnel_users": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                   GROUP BY 1)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+                UNION ALL
+                SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+                UNION ALL
+                SELECT 3, 'purchase',
+                       CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
         """,
         "modularity_mod16": """
             WITH e AS (

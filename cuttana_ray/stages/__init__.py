@@ -39,6 +39,7 @@ from cuttana_ray.stages.partition_stage import (
 from cuttana_ray.stages.running import moving_agg, rank_windows, running_agg
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
 from cuttana_ray.stages.windows import (
+    funnel_counts,
     hopping_window_agg,
     session_counts,
     tumbling_window_agg,
@@ -75,6 +76,7 @@ __all__ = [
     "dedup_weighted",
     "encode_edges",
     "hash_partition_baseline",
+    "funnel_counts",
     "hopping_window_agg",
     "partition_quality",
     "profile",

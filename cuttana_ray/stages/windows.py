@@ -244,3 +244,76 @@ def hopping_window_agg(ds: "ray.data.Dataset", key: str, ts: str,
             batch.column_names.index("value_sum"), "value_sum",
             pc.round(batch["value_sum"], 2))
     return agg.map_batches(round_col, batch_format="pyarrow")
+
+
+def funnel_counts(ds: "ray.data.Dataset", key: str, ts: str,
+                  type_col: str, steps: list[str],
+                  num_keys: int | None = None) -> "pa.Table":
+    """Ordered funnel over a keyed event log: a key reaches step k when an
+    event of type ``steps[k]`` occurs at ``ts >= t_{k-1}`` (the earliest
+    time step k-1 was reached; step 0 needs only any matching event).
+    Returns one row per step: ``(step, event_type, n_users)``.
+
+    Fully vectorized, no per-group Python: one pass per step, each a
+    per-batch masked ``np.minimum.at`` partial against the PREVIOUS
+    step's reach-time array (broadcast via ``ray.put``, read zero-copy),
+    merged on the driver — the same bounded dense-state regime as
+    ``pipelines/kcore.py``. Reads prune to the funnel's event types and
+    three columns before anything moves.
+    """
+    import ray
+
+    sub = ds.select_columns([key, ts, type_col])
+    sub = sub.map_batches(
+        lambda t: t.filter(pc.is_in(t[type_col],
+                                    value_set=pa.array(steps))),
+        batch_format="pyarrow")
+
+    if num_keys is None:
+        mx = 0
+        for b in sub.map_batches(
+                lambda t: pa.table({"m": pa.array(
+                    [int(pc.max(t[key]).as_py() or 0) if len(t) else 0],
+                    pa.int64())}), batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) and "m" in b.column_names:
+                mx = max(mx, int(b["m"][0].as_py()))
+        num_keys = mx + 1
+
+    NONE = np.iinfo(np.int64).max
+    reach = np.zeros(0, dtype=np.int64)  # t_{k-1} per key
+    out_rows = []
+    for si, step in enumerate(steps):
+        prev_ref = ray.put(reach if si else None)
+
+        def step_min(batch: pa.Table, _p=prev_ref, _s=step,
+                     _first=(si == 0)) -> pa.Table:
+            t_us = np.asarray(ts_to_us(batch[ts]), dtype=np.int64)
+            k = batch[key].to_numpy(zero_copy_only=False)
+            m = pc.equal(batch[type_col], _s).to_numpy(zero_copy_only=False)
+            if not _first:
+                prev = ray.get(_p)
+                m = m & (t_us >= prev[k])
+            if not m.any():
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "t": pa.array([], pa.int64())})
+            uniq, inv = np.unique(k[m], return_inverse=True)
+            mn = np.full(len(uniq), NONE, np.int64)
+            np.minimum.at(mn, inv, t_us[m])
+            return pa.table({"k": pa.array(uniq, pa.int64()),
+                             "t": pa.array(mn, pa.int64())})
+
+        cur = np.full(num_keys, NONE, dtype=np.int64)
+        for b in sub.map_batches(step_min, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) == 0 or "k" not in b.column_names:
+                continue
+            np.minimum.at(cur, b["k"].to_numpy(zero_copy_only=False),
+                          b["t"].to_numpy(zero_copy_only=False))
+        reach = cur
+        out_rows.append((si + 1, step, int((cur != NONE).sum())))
+
+    return pa.table({
+        "step": pa.array([r[0] for r in out_rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in out_rows], pa.string()),
+        "n_users": pa.array([r[2] for r in out_rows], pa.int64())})

@@ -875,3 +875,36 @@ def test_json_extract_scalars():
     assert out["name"].tolist()[0] == "a"
     assert out["name"].tolist()[1] == "line\nbreak"
     assert out["name"].isna().tolist() == [False, False, True, True, True]
+
+
+def test_funnel_counts_ordering_semantics():
+    """Out-of-order steps must not count; equal timestamps DO satisfy
+    ts >= t_prev; missing steps break the chain."""
+    from cuttana_ray.stages.windows import funnel_counts
+
+    rows = [
+        # u1: clean view(1) → click(2) → purchase(3): reaches all
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2: purchase BEFORE click: view(1) → click(5), purchase at 2 only
+        (2, 1, "view"), (2, 5, "click"), (2, 2, "purchase"),
+        # u3: equal ts everywhere: ties count (>= semantics)
+        (3, 7, "view"), (3, 7, "click"), (3, 7, "purchase"),
+        # u4: no view at all, later steps present: reaches nothing
+        (4, 1, "click"), (4, 2, "purchase"),
+        # u5: view only
+        (5, 9, "view"),
+        # u6: second click AFTER purchase-time rescues nothing; but a
+        # second purchase after the click does: view(1) click(4)
+        # purchase(2 and 6) → purchase at 6 counts
+        (6, 1, "view"), (6, 4, "click"), (6, 2, "purchase"),
+        (6, 6, "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string())})
+    out = funnel_counts(rd.from_arrow(t).repartition(4), "user_id", "ts",
+                        "event_type", ["view", "click", "purchase"]) \
+        .to_pandas()
+    assert out["n_users"].tolist() == [5, 4, 3]
+    # reached sets: view {1,2,3,5,6}; click {1,2,3,6}; purchase {1,3,6}
