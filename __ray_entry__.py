@@ -197,6 +197,16 @@ def _q_modularity_mod16(sf_dir: str):
     })
 
 
+def _q_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (stages/stats.py grouped_entropy): the non-linear aggregate decomposed
+    into mergeable sums via H = log2(T) − Σc·log2(c)/T."""
+    from cuttana_ray.stages.stats import grouped_entropy
+    return grouped_entropy(_read(sf_dir, "events",
+                                 columns=["user_id", "event_type"]),
+                           "user_id", "event_type")
+
+
 def _q_funnel_users(sf_dir: str):
     """Ordered view→click→purchase funnel (stages/windows.py
     funnel_counts): per-step reached-user counts via three vectorized
@@ -1585,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cut_metrics_mod16": _q_cut_metrics_mod16,
         "modularity_mod16": _q_modularity_mod16,
         "funnel_users": _q_funnel_users,
+        "user_type_entropy": _q_user_type_entropy,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2393,6 +2404,16 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "user_type_entropy": """
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6)
+                       AS entropy
+            FROM c GROUP BY 1
         """,
         "funnel_users": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events

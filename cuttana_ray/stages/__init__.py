@@ -29,7 +29,7 @@ from cuttana_ray.stages.relational import (
     union_distinct,
     unpivot,
 )
-from cuttana_ray.stages.stats import grouped_moments
+from cuttana_ray.stages.stats import grouped_entropy, grouped_moments
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.profile import profile
 from cuttana_ray.stages.partition_stage import (
@@ -59,6 +59,7 @@ __all__ = [
     "distinct_count_agg",
     "except_distinct",
     "explode_list",
+    "grouped_entropy",
     "grouped_moments",
     "grouping_sets_agg",
     "intersect_distinct",

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 _PARTIAL_COLS = ["n", "mean_x", "m2_x", "mean_y", "m2_y", "c_xy"]
@@ -102,3 +103,61 @@ def grouped_moments(ds: "ray.data.Dataset", keys: list[str], x: str,
         lambda t: _block_partials(t, keys, x, y), batch_format="pyarrow")
     return partial.groupby(keys).map_groups(
         _merge_partials, batch_format="pandas")
+
+
+def grouped_entropy(ds: "ray.data.Dataset", key: str, value: str,
+                    round_to: int = 6) -> "ray.data.Dataset":
+    """Shannon entropy (bits) of ``value``'s distribution within each
+    ``key`` group: ``H = log2(T) − (Σ_v c_v·log2(c_v)) / T``.
+
+    That identity makes the non-linear aggregate mergeable: stage 1 is an
+    exact (key, value) count (per-batch ``group_by`` combiner before the
+    one exchange), stage 2 folds each count into the two mergeable sums
+    ``T`` and ``Σ c·log2 c`` per key — so no group's full distribution is
+    ever held in one place. Output: ``(key, n_events, n_distinct,
+    entropy)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def precount(t: pa.Table) -> pa.Table:
+        g = t.select([key, value]).group_by([key, value]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([key, value, "c"])
+
+    counts = ds.map_batches(precount, batch_format="pyarrow") \
+        .groupby([key, value]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(key, t.schema.field(key).type if len(t) else
+                             pa.int64()), ("c", pa.int64()),
+                            ("clog", pa.float64()), ("one", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({key: t[key],
+                         "c": pc.cast(t["c"], pa.int64()),
+                         "clog": pa.array(c * np.log2(c)),
+                         "one": pa.array(np.ones(len(t), np.int64))}) \
+            .cast(schema)
+
+    agg = counts.map_batches(fold, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("c", alias_name="n_events"),
+                                Sum("clog", alias_name="s_clog"),
+                                Sum("one", alias_name="n_distinct"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(key, t.schema.field(key).type if len(t) else
+                             pa.int64()), ("n_events", pa.int64()),
+                            ("n_distinct", pa.int64()),
+                            ("entropy", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        T = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s_clog"].to_numpy(zero_copy_only=False)
+        h = np.round(np.log2(T) - s / T, round_to)
+        return pa.table({key: t[key],
+                         "n_events": pc.cast(t["n_events"], pa.int64()),
+                         "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+                         "entropy": pa.array(h)}).cast(schema)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -908,3 +908,23 @@ def test_funnel_counts_ordering_semantics():
         .to_pandas()
     assert out["n_users"].tolist() == [5, 4, 3]
     # reached sets: view {1,2,3,5,6}; click {1,2,3,6}; purchase {1,3,6}
+
+
+def test_grouped_entropy_known_answers():
+    from cuttana_ray.stages.stats import grouped_entropy
+
+    rows = (
+        [(1, "a")] * 4 + [(1, "b")] * 4            # uniform 2 → H=1
+        + [(2, "a")] * 2 + [(2, "b")] * 2
+        + [(2, "c")] * 2 + [(2, "d")] * 2          # uniform 4 → H=2
+        + [(3, "a")] * 7                           # single type → H=0
+        + [(4, "a")] * 3 + [(4, "b")] * 1          # 3:1 → 2-0.75*log2(3)
+    )
+    t = pa.table({"k": pa.array([r[0] for r in rows], pa.int64()),
+                  "v": pa.array([r[1] for r in rows], pa.string())})
+    out = grouped_entropy(rd.from_arrow(t).repartition(5), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["n_events"].tolist() == [8, 8, 7, 4]
+    assert out["n_distinct"].tolist() == [2, 4, 1, 2]
+    exp = [1.0, 2.0, 0.0, round(2 - 0.75 * np.log2(3), 6)]
+    assert out["entropy"].tolist() == pytest.approx(exp, abs=1e-9)
