@@ -197,6 +197,38 @@ def _q_modularity_mod16(sf_dir: str):
     })
 
 
+def _q_orders_snapshot_diff(sf_dir: str):
+    """Snapshot diff (stages/relational.py table_diff): two deterministic
+    views of orders — A drops keys ≡0 mod 7, B drops ≡0 mod 5 and bumps
+    the price of keys ≡0 mod 3 — diffed into added/removed/changed rows
+    via one tagged-union indicator-sum exchange (no join)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import table_diff
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 7 != 0))
+        return pa.table({"k": t["o_orderkey"],
+                         "v": pc.cast(t["o_totalprice"], pa.float64())})
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 5 != 0))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        bump = pa.array((k % 3 == 0).astype(np.float64))
+        return pa.table({"k": t["o_orderkey"],
+                         "v": pc.add(pc.cast(t["o_totalprice"],
+                                             pa.float64()), bump)})
+
+    a = base.map_batches(snap_a, batch_format="pyarrow")
+    b = base.map_batches(snap_b, batch_format="pyarrow")
+    d = table_diff(a, b, "k", "v")
+    return d.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "change"]),
+        batch_format="pyarrow")
+
+
 def _q_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution
     (stages/stats.py grouped_entropy): the non-linear aggregate decomposed
@@ -1596,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_mod16": _q_modularity_mod16,
         "funnel_users": _q_funnel_users,
         "user_type_entropy": _q_user_type_entropy,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2404,6 +2437,23 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "orders_snapshot_diff": """
+            WITH a AS (SELECT o_orderkey AS k,
+                              CAST(o_totalprice AS DOUBLE) AS v
+                       FROM orders WHERE o_orderkey % 7 <> 0),
+            b AS (SELECT o_orderkey AS k,
+                         CAST(o_totalprice AS DOUBLE)
+                         + CAST(o_orderkey % 3 = 0 AS DOUBLE) AS v
+                  FROM orders WHERE o_orderkey % 5 <> 0),
+            j AS (SELECT COALESCE(a.k, b.k) AS k, a.v AS av, b.v AS bv
+                  FROM a FULL OUTER JOIN b ON a.k = b.k)
+            SELECT k AS o_orderkey,
+                   CASE WHEN av IS NULL THEN 'added'
+                        WHEN bv IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM j
+            WHERE av IS NULL OR bv IS NULL OR av <> bv
         """,
         "user_type_entropy": """
             WITH c AS (SELECT user_id, event_type, COUNT(*) AS c

@@ -26,6 +26,7 @@ from cuttana_ray.stages.relational import (
     rollup_agg,
     semi_join,
     string_agg_ordered,
+    table_diff,
     union_distinct,
     unpivot,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "json_extract_scalars",
     "mode_agg",
     "semi_join",
+    "table_diff",
     "string_agg_ordered",
     "union_distinct",
     "unpivot",

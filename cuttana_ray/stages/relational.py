@@ -429,3 +429,66 @@ def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).aggregate(*[Sum(c, alias_name=c) for c in colnames])
     return agg
+
+
+def table_diff(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, value: str) -> "ray.data.Dataset":
+    """Snapshot diff between two tables with unique ``key`` per side:
+    emits ``(key, change)`` for every key that was ``'added'`` (right
+    only), ``'removed'`` (left only), or ``'changed'`` (present in both
+    with different ``value``); unchanged keys are dropped.
+
+    The dataset-versioning primitive for incremental pipeline runs. No
+    join and no per-group Python: both sides melt into one tagged union
+    whose per-key presence counts and side values fold through ONE
+    groupby as indicator sums (unique keys make ``Sum(v·tag)`` recover
+    the side's value exactly), then a vectorized CASE projection.
+    """
+    from ray.data.aggregate import Sum
+
+    def tag_side(is_right: int):
+        def fn(t: pa.Table) -> pa.Table:
+            schema = pa.schema([
+                ("k", t.schema.field(key).type if len(t) else pa.int64()),
+                ("l_n", pa.int64()), ("r_n", pa.int64()),
+                ("l_v", pa.float64()), ("r_v", pa.float64())])
+            if len(t) == 0:
+                return schema.empty_table()
+            n = len(t)
+            v = pc.cast(t[value], pa.float64())
+            zero_i = pa.array(np.zeros(n, np.int64))
+            one_i = pa.array(np.ones(n, np.int64))
+            zero_f = pa.array(np.zeros(n, np.float64))
+            return pa.table({
+                "k": t[key],
+                "l_n": zero_i if is_right else one_i,
+                "r_n": one_i if is_right else zero_i,
+                "l_v": zero_f if is_right else v,
+                "r_v": v if is_right else zero_f}).cast(schema)
+        return fn
+
+    both = left.map_batches(tag_side(0), batch_format="pyarrow").union(
+        right.map_batches(tag_side(1), batch_format="pyarrow"))
+    agg = both.groupby("k").aggregate(
+        Sum("l_n", alias_name="l_n"), Sum("r_n", alias_name="r_n"),
+        Sum("l_v", alias_name="l_v"), Sum("r_v", alias_name="r_v"))
+
+    def project(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("k", t.schema.field("k").type if len(t) else pa.int64()),
+            ("change", pa.string())])
+        if len(t) == 0:
+            return schema.empty_table()
+        l_n = t["l_n"].to_numpy(zero_copy_only=False)
+        r_n = t["r_n"].to_numpy(zero_copy_only=False)
+        l_v = t["l_v"].to_numpy(zero_copy_only=False)
+        r_v = t["r_v"].to_numpy(zero_copy_only=False)
+        change = np.where(l_n == 0, "added",
+                          np.where(r_n == 0, "removed",
+                                   np.where(l_v != r_v, "changed", "")))
+        keep = change != ""
+        return pa.table({"k": t["k"].filter(pa.array(keep)),
+                         "change": pa.array(change[keep], pa.string())}) \
+            .cast(schema)
+
+    return agg.map_batches(project, batch_format="pyarrow")

@@ -928,3 +928,17 @@ def test_grouped_entropy_known_answers():
     assert out["n_distinct"].tolist() == [2, 4, 1, 2]
     exp = [1.0, 2.0, 0.0, round(2 - 0.75 * np.log2(3), 6)]
     assert out["entropy"].tolist() == pytest.approx(exp, abs=1e-9)
+
+
+def test_table_diff_all_change_classes():
+    from cuttana_ray.stages.relational import table_diff
+
+    left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                     "v": pa.array([10.0, 20.0, 30.0, 40.0])})
+    right = pa.table({"k": pa.array([2, 3, 4, 5], pa.int64()),
+                      "v": pa.array([20.0, 31.0, 40.0, 50.0])})
+    out = table_diff(rd.from_arrow(left).repartition(3),
+                     rd.from_arrow(right).repartition(2), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(zip(out["k"], out["change"])) == [
+        (1, "removed"), (3, "changed"), (5, "added")]
