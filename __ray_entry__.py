@@ -197,6 +197,53 @@ def _q_modularity_mod16(sf_dir: str):
     })
 
 
+def _q_max_concurrent_users(sf_dir: str):
+    """Sweep-line maximum concurrency: each user is active on
+    [min ts, max ts]; melt intervals to ±1 boundary events, ONE global
+    sort with the O(#blocks) running-sum carry chain (stages/running.py),
+    then a local-max fold. Ties order starts before ends (inclusive
+    overlap) via a negated-delta sort column."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    iv = ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]),
+                                                        dtype=np.int64))}),
+        batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("t_us", alias_name="t0"),
+                                      Max("t_us", alias_name="t1"))
+
+    def melt(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.int64()), ("ts", pa.int64()),
+                            ("negd", pa.int64()), ("d", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        n = len(t)
+        t0 = t["t0"].to_numpy(zero_copy_only=False)
+        t1 = t["t1"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(np.zeros(2 * n, np.int64)),
+            "ts": pa.array(np.concatenate([t0, t1]).astype(np.int64)),
+            "negd": pa.array(np.concatenate(
+                [-np.ones(n, np.int64), np.ones(n, np.int64)])),
+            "d": pa.array(np.concatenate(
+                [np.ones(n, np.int64), -np.ones(n, np.int64)]))}) \
+            .cast(schema)
+
+    run = running_agg(iv.map_batches(melt, batch_format="pyarrow"),
+                      "k", ["ts", "negd"], "d", keep=[])
+
+    best = 0
+    for b in run.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) and "running_sum" in b.column_names:
+            best = max(best, int(pc.max(b["running_sum"]).as_py()))
+    return pa.table({"max_concurrent": pa.array([best], pa.int64())})
+
+
 def _q_orders_snapshot_diff(sf_dir: str):
     """Snapshot diff (stages/relational.py table_diff): two deterministic
     views of orders — A drops keys ≡0 mod 7, B drops ≡0 mod 5 and bumps
@@ -1629,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_users": _q_funnel_users,
         "user_type_entropy": _q_user_type_entropy,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "max_concurrent_users": _q_max_concurrent_users,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2437,6 +2485,17 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "max_concurrent_users": """
+            WITH iv AS (SELECT user_id,
+                               MIN(epoch_us(ts)) AS t0,
+                               MAX(epoch_us(ts)) AS t1
+                        FROM events GROUP BY 1),
+            ev AS (SELECT t0 AS ts, 1 AS d FROM iv
+                   UNION ALL SELECT t1, -1 FROM iv),
+            run AS (SELECT SUM(d) OVER (ORDER BY ts, -d
+                         ROWS UNBOUNDED PRECEDING) AS c FROM ev)
+            SELECT CAST(MAX(c) AS BIGINT) AS max_concurrent FROM run
         """,
         "orders_snapshot_diff": """
             WITH a AS (SELECT o_orderkey AS k,
