@@ -60,6 +60,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         queries: dict[str, float] = {}
         detail: dict[str, object] = {}
+        # shared-host contention context: co-tenant load skews wall times
+        # up to ~2x run-to-run (see BENCH/BASELINE.md host-noise note)
+        detail["host_load_before"] = list(os.getloadavg())
 
         # -- flagship transcripts ------------------------------------------
         tdir = f"/tmp/cuttana_bench/transcripts_sf{sf}"
@@ -130,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         queries["knn_brute_force"] = round(time.perf_counter() - t0, 3)
 
         total = round(sum(queries.values()), 3)
+        detail["host_load_after"] = list(os.getloadavg())
         return {
             "metric": "headline pipelines total wall time (flagship "
                       "transcripts graph + events graph + training-data ops)",
