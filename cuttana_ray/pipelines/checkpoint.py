@@ -63,7 +63,11 @@ def write_stage(ds: "ray.data.Dataset", dirpath: str, meta: dict | None = None,
         shutil.rmtree(dirpath)
     os.makedirs(dirpath, exist_ok=True)
     ds.write_parquet(dirpath)
-    rows = ray.data.read_parquet(dirpath, file_extensions=["parquet"]).count()
+    # row count from parquet FOOTERS only — no data re-read (at 100 TB a
+    # count() here would re-scan the entire stage output)
+    rows = sum(
+        pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+        for f in os.listdir(dirpath) if f.endswith(".parquet"))
     _write_manifest(dirpath, {"rows": rows, **(meta or {})})
     return ray.data.read_parquet(dirpath, file_extensions=["parquet"])
 
