@@ -129,6 +129,43 @@ def _q_edges_event_adjacency(sf_dir: str):
                              ["ts", "event_id"], "event_type")
 
 
+def _q_event_transition_probs(sf_dir: str):
+    """Markov transition-probability estimate over the event-type chain:
+    the edges_event_adjacency counts row-normalized per source inside one
+    ``groupby(src).map_groups`` fold (the group IS the distribution — no
+    driver-side totals map, no second exchange); exact int counts plus a
+    6-dp probability."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.edges import consecutive_pairs
+    cp = consecutive_pairs(_read(sf_dir, "events"), "user_id",
+                           ["ts", "event_id"], "event_type")
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                            ("weight", pa.int64()), ("prob", pa.float64())])
+        if len(g) == 0:
+            return schema.empty_table()
+        w = pc.cast(g["weight"], pa.int64())
+        wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"src": g["src"], "dst": g["dst"], "weight": w,
+                         "prob": pa.array(np.round(wn / wn.sum(), 6))}) \
+            .cast(schema)
+
+    return cp.groupby("src").map_groups(fold, batch_format="pyarrow")
+
+
+def _q_nation_region_cross(sf_dir: str):
+    """Cross join (stages/joins.py cross_join_broadcast): nation ×
+    region, the small side broadcast once — completes the join-family
+    matrix (inner/left/full/semi/anti/asof/range/bloom/cross)."""
+    import pyarrow.parquet as _pq
+    from cuttana_ray.stages.joins import cross_join_broadcast
+    region = _pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                            columns=["r_name"])
+    nat = _read(sf_dir, "nation", columns=["n_name"])
+    return cross_join_broadcast(nat, region)
+
+
 def _q_degree_topk(sf_dir: str):
     from ray.data.aggregate import Sum
     from cuttana_ray.stages.edges import bipartite_edges, symmetrize
@@ -1669,6 +1706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked
         "edges_user_event": _q_edges_user_event,
         "edges_event_adjacency": _q_edges_event_adjacency,
+        "event_transition_probs": _q_event_transition_probs,
+        "nation_region_cross": _q_nation_region_cross,
         "degree_topk": _q_degree_topk,
         "edges_order_part": _q_edges_order_part,
         "cut_metrics_mod16": _q_cut_metrics_mod16,
@@ -2451,6 +2490,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT event_type AS src, nxt AS dst, COUNT(*) AS weight
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "nation_region_cross": """
+            SELECT n.n_name, r.r_name
+            FROM nation n CROSS JOIN region r
+        """,
+        "event_transition_probs": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events),
+            c AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS weight
+                  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+            SELECT src, dst, CAST(weight AS BIGINT) AS weight,
+                   ROUND(CAST(weight AS DOUBLE)
+                         / SUM(weight) OVER (PARTITION BY src), 6) AS prob
+            FROM c
         """,
         "degree_topk": """
             WITH e AS (

@@ -7,6 +7,7 @@ from cuttana_ray.stages.edges import (
 )
 from cuttana_ray.stages.joins import (
     asof_join,
+    cross_join_broadcast,
     bloom_filter_build,
     bloom_prune,
     range_join,
@@ -51,6 +52,7 @@ __all__ = [
     "asof_join",
     "bloom_filter_build",
     "bloom_prune",
+    "cross_join_broadcast",
     "range_join",
     "assignment_array",
     "grouped_topk",

@@ -420,3 +420,33 @@ def bloom_prune(big: "ray.data.Dataset", bloom_bits: np.ndarray, key: str,
         return t.filter(pa.array(hit))
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def cross_join_broadcast(left: "ray.data.Dataset",
+                         right_table: pa.Table) -> "ray.data.Dataset":
+    """Cartesian product with a SMALL broadcast right side — the only
+    shape in which a cross join is ever sane at scale: the right table
+    goes to the object store ONCE (``ray.put``), every task reads it
+    zero-copy, and each batch expands by vectorized repeat/tile take
+    kernels. Output size is |left|·|right| rows; no shuffle at all.
+    Column-name collisions get a ``_r`` suffix on the right."""
+    import ray
+
+    ref = ray.put(right_table)
+
+    def fn(batch: pa.Table, _r=ref) -> pa.Table:
+        r = ray.get(_r)
+        rnames = [c + "_r" if c in batch.column_names else c
+                  for c in r.column_names]
+        out_schema = pa.schema(
+            list(zip(batch.schema.names, batch.schema.types))
+            + list(zip(rnames, r.schema.types)))
+        n, m = len(batch), len(r)
+        if n == 0 or m == 0:
+            return out_schema.empty_table()
+        lt = batch.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        rt = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        cols = list(lt.columns) + list(rt.columns)
+        return pa.table(cols, schema=out_schema)
+
+    return left.map_batches(fn, batch_format="pyarrow")
