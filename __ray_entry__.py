@@ -849,6 +849,45 @@ def _q_lang_length_quantiles(sf_dir: str):
     return grouped_int_quantiles(ds, "lang", "n_chars", (0.5, 0.9))
 
 
+def _q_user_gap_quantiles(sf_dir: str):
+    """Per-user inter-event gap quantiles (p50/p90, seconds): consecutive
+    LAG diffs come for free from the O(frame) moving-window carry chain
+    (frame=2 ⇒ prev = window_sum − value, exact across any block layout),
+    then the grouped histogram-quantile operator — two exchanges total,
+    no per-group Python in the gap extraction."""
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+    from cuttana_ray.stages.running import moving_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    prepped = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]),
+                                        dtype=np.int64)),
+            "event_id": t["event_id"]}),
+        batch_format="pyarrow")
+    win = moving_agg(prepped, "user_id", ["t_us", "event_id"], "t_us",
+                     frame=2, keep=["user_id", "t_us"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("gap_s", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        n2 = t["window_n"].to_numpy(zero_copy_only=False) == 2
+        s = t["window_sum"].to_numpy(zero_copy_only=False)
+        cur = t["t_us"].to_numpy(zero_copy_only=False)
+        gap_us = 2 * cur - s  # cur - prev, since sum = cur + prev
+        return pa.table({
+            "user_id": t["user_id"].filter(pa.array(n2)),
+            "gap_s": pa.array((gap_us[n2] // 1_000_000).astype(np.int64))
+        }).cast(schema)
+
+    gds = win.map_batches(gaps, batch_format="pyarrow")
+    return grouped_int_quantiles(gds, "user_id", "gap_s", (0.5, 0.9))
+
+
 def _q_orders_price_quantiles(sf_dir: str):
     """Exact quantile_cont over o_totalprice WITHOUT a global sort:
     histogram-refinement selection (functions/quantiles.py
@@ -1740,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "orders_price_quantiles": _q_orders_price_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
+        "user_gap_quantiles": _q_user_gap_quantiles,
         "events_user_ranks": _q_events_user_ranks,
         "doc_regex_stats": _q_doc_regex_stats,
         "orders_bloom_semi": _q_orders_bloom_semi,
@@ -2811,6 +2851,22 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER w AS prank
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "user_gap_quantiles": """
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                       // 1000000 AS gap_s
+                FROM events),
+            gg AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL)
+            SELECT user_id, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(gap_s, 0.5) AS BIGINT) AS value
+            FROM gg GROUP BY user_id
+            UNION ALL
+            SELECT user_id, CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(gap_s, 0.9) AS BIGINT)
+            FROM gg GROUP BY user_id
         """,
         "lang_length_quantiles": """
             SELECT lang, CAST(0.5 AS DOUBLE) AS q,
