@@ -1354,6 +1354,15 @@ def _q_decontam_docs(sf_dir: str):
     return decontaminate(docs, bset, n=5)
 
 
+def _q_pmi_bigrams_docs(sf_dir: str):
+    """Top-20 PMI collocations over document bigrams (functions/terms.py
+    pmi_bigrams): marginals attach via a single token cogroup, min-count
+    survivors fold to the driver for the final ln/sort."""
+    from cuttana_ray.functions.terms import pmi_bigrams
+    return pmi_bigrams(_read(sf_dir, "documents", columns=["text"]),
+                       min_count=10, k=20)
+
+
 def _q_top_bigrams_docs(sf_dir: str):
     """Global top-50 token bigrams (n-gram statistics): Arrow
     split_pattern + offset-arithmetic pair construction + in-batch polars
@@ -1804,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
         "top_bigrams_docs": _q_top_bigrams_docs,
+        "pmi_bigrams_docs": _q_pmi_bigrams_docs,
         "decontam_docs": _q_decontam_docs,
         "doc_tfidf_docs": _q_doc_tfidf_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
@@ -3219,6 +3229,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        """,
+        "pmi_bigrams_docs": """
+            WITH toks AS (
+                SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS w
+                FROM documents),
+            uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+            nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_uni FROM uni),
+            tk2 AS (SELECT string_split(COALESCE(text, ''), ' ') AS t
+                    FROM documents),
+            bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+                       SELECT t, unnest(range(1, len(t))) AS i FROM tk2)),
+            bc AS (SELECT w1, w2, COUNT(*) AS tf FROM bi GROUP BY 1, 2),
+            nb AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_bi FROM bc),
+            surv AS (SELECT * FROM bc WHERE tf >= 10),
+            j AS (SELECT s.w1, s.w2, s.tf, u1.c AS c1, u2.c AS c2
+                  FROM surv s JOIN uni u1 ON s.w1 = u1.w
+                              JOIN uni u2 ON s.w2 = u2.w)
+            SELECT w1, w2, CAST(tf AS BIGINT) AS tf,
+                   CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+                   ROUND(LN((CAST(tf AS DOUBLE) / n_bi)
+                            / ((CAST(c1 AS DOUBLE) / n_uni)
+                               * (CAST(c2 AS DOUBLE) / n_uni))), 6) AS pmi
+            FROM j, nu, nb
+            ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "top_bigrams_docs": """
             WITH toks AS (

@@ -19,6 +19,7 @@ from cuttana_ray.functions.terms import (
     bigram_counts,
     doc_term_counts,
     doc_tfidf_topk,
+    pmi_bigrams,
     term_counts,
     top_bigrams,
     top_terms,
@@ -67,6 +68,7 @@ __all__ = [
     "synth_media_table",
     "kmeans",
     "repetition_stats",
+    "pmi_bigrams",
     "scrub_pii",
     "sequence_pack",
     "token_stats",

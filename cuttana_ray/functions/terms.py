@@ -204,3 +204,139 @@ def doc_tfidf_topk(ds: "ray.data.Dataset", k: int = 3, *,
     scored = joined.map_batches(score, batch_format="pyarrow")
     return grouped_topk(scored, [id_col],
                         [("tfidf", "descending"), ("term", "ascending")], k)
+
+
+def _space_unigram_fn(text_col: str):
+    """Per-batch (w, c) partial counts with the SAME single-space
+    tokenizer as ``_bigram_fn`` (PMI needs consistent marginals)."""
+    schema = pa.schema([("w", pa.string()), ("c", pa.int64())])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return schema.empty_table()
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        arr = pc.split_pattern(text, " ")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = pa.table({"w": arr.flatten()})
+        out = pl.from_arrow(flat).group_by("w").len(name="c").to_arrow()
+        return pa.table({"w": pc.cast(out["w"], pa.string()),
+                         "c": pc.cast(out["c"], pa.int64())}).cast(schema)
+    return fn
+
+
+def pmi_bigrams(ds: "ray.data.Dataset", min_count: int = 10, k: int = 20,
+                text_col: str = "text") -> pa.Table:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``pmi = ln((tf/N_bi) / ((c1/N_uni)·(c2/N_uni)))`` over space-token
+    bigrams with ``tf ≥ min_count``, ordered by (pmi desc, w1, w2).
+
+    Scale shape: unigram and bigram counts are the standard partial-
+    aggregated exchanges; the unigram marginals attach to surviving
+    bigrams through ONE ``groupby(token)`` cogroup (melt each bigram to
+    two token-sided rows, union with the unigram table — no join, no
+    broadcast vocabulary) and fold back per (w1, w2) as indicator sums.
+    Only the min-count survivors with attached marginals — already a
+    top-k-bounded set — reach the driver for the final ln/sort.
+    """
+    from ray.data.aggregate import Sum
+
+    big = bigram_counts(ds, text_col).materialize()  # reused: N_bi + melt
+    uni = ds.map_batches(_space_unigram_fn(text_col),
+                         batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("c", alias_name="c")).materialize()
+
+    def _total(d: "ray.data.Dataset", col: str) -> int:
+        tot = 0
+        for b in d.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if len(b) and col in b.column_names:
+                tot += int(pc.sum(b[col]).as_py() or 0)
+        return tot
+
+    n_bi = float(_total(big, "tf"))
+    n_uni = float(_total(uni, "c"))
+
+    melt_schema = pa.schema([("token", pa.string()), ("w1", pa.string()),
+                             ("w2", pa.string()), ("n", pa.int64()),
+                             ("side", pa.int64())])
+
+    def melt_big(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w1" not in t.column_names:
+            return melt_schema.empty_table()
+        keep = pc.greater_equal(t["tf"], min_count)
+        t = t.filter(keep)
+        n = len(t)
+        rows = []
+        for side, tok_col in ((1, "w1"), (2, "w2")):
+            rows.append(pa.table({
+                "token": t[tok_col], "w1": t["w1"], "w2": t["w2"],
+                "n": pc.cast(t["tf"], pa.int64()),
+                "side": pa.array(np.full(n, side, np.int64))}))
+        return pa.concat_tables([r.cast(melt_schema) for r in rows])
+
+    def melt_uni(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "w" not in t.column_names:
+            return melt_schema.empty_table()
+        n = len(t)
+        empty = pa.array([""] * n, pa.string())
+        return pa.table({"token": t["w"], "w1": empty, "w2": empty,
+                         "n": pc.cast(t["c"], pa.int64()),
+                         "side": pa.array(np.zeros(n, np.int64))}) \
+            .cast(melt_schema)
+
+    melted = big.map_batches(melt_big, batch_format="pyarrow").union(
+        uni.map_batches(melt_uni, batch_format="pyarrow"))
+
+    def attach(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                            ("tf", pa.int64()), ("c1_part", pa.int64()),
+                            ("c2_part", pa.int64())])
+        side = g["side"].to_numpy(zero_copy_only=False)
+        uni_rows = np.flatnonzero(side == 0)
+        if len(uni_rows) == 0 or len(uni_rows) == len(g):
+            return schema.empty_table()   # no marginal / no bigram rows
+        c_tok = int(g["n"][int(uni_rows[0])].as_py())
+        bg = g.filter(pa.array(side != 0))
+        s = bg["side"].to_numpy(zero_copy_only=False)
+        n = bg["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "w1": bg["w1"], "w2": bg["w2"],
+            "tf": pa.array(np.where(s == 1, n, 0).astype(np.int64)),
+            "c1_part": pa.array(np.where(s == 1, c_tok, 0)
+                                .astype(np.int64)),
+            "c2_part": pa.array(np.where(s == 2, c_tok, 0)
+                                .astype(np.int64))}).cast(schema)
+
+    folded = melted.groupby("token") \
+        .map_groups(attach, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(
+            Sum("tf", alias_name="tf"),
+            Sum("c1_part", alias_name="c1"),
+            Sum("c2_part", alias_name="c2"))
+
+    parts = [b for b in folded.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")
+             if len(b) and "w1" in b.column_names]
+    if not parts:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64()),
+                         "c1": pa.array([], pa.int64()),
+                         "c2": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    t = pa.concat_tables(parts)
+    tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    pmi = np.round(np.log((tf / n_bi) / ((c1 / n_uni) * (c2 / n_uni))), 6)
+    t = t.append_column("pmi", pa.array(pmi, pa.float64()))
+    order = pc.sort_indices(t, sort_keys=[("pmi", "descending"),
+                                          ("w1", "ascending"),
+                                          ("w2", "ascending")])
+    t = t.take(order[:k])
+    return pa.table({"w1": t["w1"], "w2": t["w2"],
+                     "tf": pc.cast(t["tf"], pa.int64()),
+                     "c1": pc.cast(t["c1"], pa.int64()),
+                     "c2": pc.cast(t["c2"], pa.int64()),
+                     "pmi": t["pmi"]})
