@@ -1528,6 +1528,16 @@ def _q_eccentricity_events(sf_dir: str):
     return eccentricity(g, seeds)
 
 
+def _q_harmonic_events(sf_dir: str):
+    """Per-seed harmonic centrality from every 41st vertex (one
+    frontier-bounded BFS per seed, pipelines/bfs.py harmonic_centrality).
+    Oracle: the eccentricity recursive-CTE walk summed as Σ 1/d."""
+    from cuttana_ray.pipelines.bfs import harmonic_centrality
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 41, dtype=np.int64)
+    return harmonic_centrality(g, seeds)
+
+
 def _q_sssp_events(sf_dir: str):
     """Multi-source weighted shortest paths from every 31st vertex
     (Bellman-Ford relaxation with frontier pruning, pipelines/sssp.py);
@@ -1828,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
         "eccentricity_events": _q_eccentricity_events,
+        "harmonic_events": _q_harmonic_events,
         "scc_events": _q_scc_events,
         "linkpred_events": _q_linkpred_events,
         # rows-only
@@ -2194,6 +2205,19 @@ _ECC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     FROM md GROUP BY 1
 """
 
+_HARMONIC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    walk(seed, v, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE node_id % 41 = 0
+        UNION
+        SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    md AS (SELECT seed, v, MIN(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT seed, ROUND(SUM(1.0 / d), 6) AS harmonic,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM md WHERE d > 0 GROUP BY 1
+"""
+
 
 _SW = {
     "en": "'the','and','of','to','a','in','is','it','you','that'",
@@ -2521,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "eccentricity_events": _ECC_SQL,
+        "harmonic_events": _HARMONIC_SQL,
         "scc_events": _SCC_SQL,
         "kcore_events": _kcore_sql(),
         "sssp_events": _sssp_sql(),

@@ -1,5 +1,5 @@
 from cuttana_ray.pipelines.betweenness import betweenness
-from cuttana_ray.pipelines.bfs import bfs_distances, eccentricity
+from cuttana_ray.pipelines.bfs import bfs_distances, eccentricity, harmonic_centrality
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.mis import mis_rounds
 from cuttana_ray.pipelines.graph import (
@@ -30,6 +30,7 @@ __all__ = [
     "build_graph_from_transcripts",
     "common_neighbor_pairs",
     "connected_components",
+    "harmonic_centrality",
     "mis_rounds",
     "coreness",
     "directed_edges_from_events",
