@@ -313,6 +313,42 @@ def _q_orders_snapshot_diff(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_weighted_sample_orders(sf_dir: str):
+    """Deterministic weighted sampling without replacement, 5 orders per
+    priority weighted by price (Efraimidis–Spirakis A-ES: rank by
+    u^(1/w) with u a hash-derived uniform — murmur64 == DuckDB hash(), so
+    the oracle replays the exact sample). Selection reuses grouped_topk's
+    ≤k-per-key combiner; zero shuffles beyond its single exchange."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import murmur64_int
+    from cuttana_ray.stages.relational import grouped_topk
+
+    base = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("o_orderpriority", pa.string()), ("o_orderkey", pa.int64()),
+            ("sample_key", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        h = murmur64_int(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "sample_key": pa.array(np.power(u, 1.0 / w))}).cast(schema)
+
+    top = grouped_topk(base.map_batches(keyed, batch_format="pyarrow"),
+                       ["o_orderpriority"],
+                       [("sample_key", "descending"),
+                        ("o_orderkey", "ascending")], 5)
+    return top.map_batches(
+        lambda t: t.drop_columns(["sample_key"]), batch_format="pyarrow")
+
+
 def _q_user_type_entropy(sf_dir: str):
     """Per-user Shannon entropy of the event-type distribution
     (stages/stats.py grouped_entropy): the non-linear aggregate decomposed
@@ -1772,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "modularity_mod16": _q_modularity_mod16,
         "funnel_users": _q_funnel_users,
         "user_type_entropy": _q_user_type_entropy,
+        "weighted_sample_orders": _q_weighted_sample_orders,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "max_concurrent_users": _q_max_concurrent_users,
         "q1_lineitem": _q_q1_lineitem,
@@ -2616,6 +2653,21 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "weighted_sample_orders": """
+            WITH keyed AS (
+                SELECT o_orderpriority, o_orderkey,
+                       POWER((CAST(hash(o_orderkey) AS DOUBLE) + 0.5)
+                             / 18446744073709551616.0,
+                             1.0 / CAST(o_totalprice AS DOUBLE))
+                           AS sample_key
+                FROM orders),
+            r AS (SELECT o_orderpriority, o_orderkey,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY sample_key DESC, o_orderkey)
+                             AS rn
+                  FROM keyed)
+            SELECT o_orderpriority, o_orderkey FROM r WHERE rn <= 5
         """,
         "max_concurrent_users": """
             WITH iv AS (SELECT user_id,
