@@ -924,6 +924,60 @@ def _q_user_gap_quantiles(sf_dir: str):
     return grouped_int_quantiles(gds, "user_id", "gap_s", (0.5, 0.9))
 
 
+def _q_event_session_ids(sf_dir: str):
+    """Per-event session assignment (gap > 3600 s starts a new session,
+    matching user_session_counts): the LAG identity from the frame-2
+    moving window yields break indicators, and one running sum per user
+    numbers the sessions — two sort exchanges, no per-group Python."""
+    from cuttana_ray.stages.running import moving_agg, running_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    prepped = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]),
+                                        dtype=np.int64)),
+            "event_id": t["event_id"]}),
+        batch_format="pyarrow")
+    win = moving_agg(prepped, "user_id", ["t_us", "event_id"], "t_us",
+                     frame=2, keep=["user_id", "t_us", "event_id"])
+
+    def breaks(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("t_us", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("is_break", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        n2 = t["window_n"].to_numpy(zero_copy_only=False) == 2
+        s = t["window_sum"].to_numpy(zero_copy_only=False)
+        cur = t["t_us"].to_numpy(zero_copy_only=False)
+        gap = 2 * cur - s
+        return pa.table({
+            "user_id": t["user_id"], "t_us": t["t_us"],
+            "event_id": t["event_id"],
+            "is_break": pa.array((n2 & (gap > 3_600_000_000))
+                                 .astype(np.int64))}).cast(schema)
+
+    brk = win.map_batches(breaks, batch_format="pyarrow")
+    run = running_agg(brk, "user_id", ["t_us", "event_id"], "is_break",
+                      keep=["user_id", "event_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("session_id", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "session_id": pa.array(
+                t["running_sum"].to_numpy(zero_copy_only=False) + 1)
+        }).cast(schema)
+
+    return run.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_orders_price_quantiles(sf_dir: str):
     """Exact quantile_cont over o_totalprice WITHOUT a global sort:
     histogram-refinement selection (functions/quantiles.py
@@ -1836,6 +1890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": _q_orders_price_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
         "user_gap_quantiles": _q_user_gap_quantiles,
+        "event_session_ids": _q_event_session_ids,
         "events_user_ranks": _q_events_user_ranks,
         "doc_regex_stats": _q_doc_regex_stats,
         "orders_bloom_semi": _q_orders_bloom_semi,
@@ -2938,6 +2993,21 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER w AS prank
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "event_session_ids": """
+            WITH x AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN pt IS NOT NULL
+                                  AND t - pt > 3600000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY t, event_id
+                              ROWS UNBOUNDED PRECEDING) + 1 AS BIGINT)
+                       AS session_id
+            FROM x
         """,
         "user_gap_quantiles": """
             WITH g AS (

@@ -942,3 +942,23 @@ def test_table_diff_all_change_classes():
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert list(zip(out["k"], out["change"])) == [
         (1, "removed"), (3, "changed"), (5, "added")]
+
+
+def test_session_ids_consistent_with_session_counts():
+    """Cross-operator invariant: max session_id per user from the
+    assignment query equals n_sessions from session_counts on the same
+    events (sf0.001 testdata), under the same 3600 s gap rule."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_sess", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    sf = "/root/testdata/sf0.001"
+    ids = mod.queries()["event_session_ids"](sf).to_pandas()
+    counts = mod.queries()["user_session_counts"](sf)
+    counts = counts.to_pandas() if hasattr(counts, "to_pandas") else counts
+    got = ids.groupby("user_id")["session_id"].max()
+    exp = counts.set_index(counts.columns[0])[counts.columns[1]]
+    exp.index = exp.index.astype(got.index.dtype)
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
