@@ -234,6 +234,51 @@ def _q_modularity_mod16(sf_dir: str):
     })
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted per month offset. Distinct (user, month) rows pre-dedupe per
+    batch before ONE user-keyed exchange whose groups (≤ months-per-user
+    rows) fold cohort + offsets in place; a final small (cohort, offset)
+    aggregate. No join, no driver-side user state."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def months(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("ym", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        ts = t["ts"]
+        ym = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()), 12),
+                    pc.cast(pc.month(ts), pa.int64()))
+        return pa.table({"user_id": t["user_id"], "ym": ym}) \
+            .group_by(["user_id", "ym"]).aggregate([]).cast(schema)
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("cohort_ym", pa.int64()),
+                            ("month_offset", pa.int64()),
+                            ("n", pa.int64())])
+        if len(g) == 0:
+            return schema.empty_table()
+        ym = np.unique(g["ym"].to_numpy(zero_copy_only=False))
+        c = int(ym.min())
+        return pa.table({
+            "cohort_ym": pa.array(np.full(len(ym), c, np.int64)),
+            "month_offset": pa.array(ym - c),
+            "n": pa.array(np.ones(len(ym), np.int64))}).cast(schema)
+
+    per_user = ev.map_batches(months, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(fold, batch_format="pyarrow")
+    agg = per_user.groupby(["cohort_ym", "month_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+    return agg.map_batches(
+        lambda t: pa.table({"cohort_ym": t["cohort_ym"],
+                            "month_offset": t["month_offset"],
+                            "n_users": pc.cast(t["n_users"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _q_max_concurrent_users(sf_dir: str):
     """Sweep-line maximum concurrency: each user is active on
     [min ts, max ts]; melt intervals to ±1 boundary events, ONE global
@@ -1865,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": _q_weighted_sample_orders,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "max_concurrent_users": _q_max_concurrent_users,
+        "cohort_retention": _q_cohort_retention,
         "q1_lineitem": _q_q1_lineitem,
         "top_customers_revenue": _q_top_customers_revenue,
         "events_per_type": _q_events_per_type,
@@ -2708,6 +2754,16 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) / 2.0 / COUNT(*), 6)
                        AS edge_cut_ratio
             FROM sym
+        """,
+        "cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(YEAR(ts) * 12 + MONTH(ts) AS BIGINT) AS ym
+                FROM events),
+            f AS (SELECT user_id, MIN(ym) AS cym FROM act GROUP BY 1)
+            SELECT cym AS cohort_ym, act.ym - cym AS month_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM act JOIN f USING (user_id) GROUP BY 1, 2
         """,
         "weighted_sample_orders": """
             WITH keyed AS (

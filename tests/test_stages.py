@@ -962,3 +962,30 @@ def test_session_ids_consistent_with_session_counts():
     exp = counts.set_index(counts.columns[0])[counts.columns[1]]
     exp.index = exp.index.astype(got.index.dtype)
     assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_cohort_retention_multi_month():
+    import importlib.util
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_cohort", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # synthetic: u1 active m0,m1,m3; u2 active m1; u3 active m0,m0 (dup)
+    ts = (pd.to_datetime(["2024-01-05", "2024-02-10", "2024-04-01",
+                          "2024-02-20", "2024-01-07", "2024-01-30"])
+          .tz_localize(None))
+    t = pa.table({"user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    import os, tempfile
+    import pyarrow.parquet as pq
+    d = tempfile.mkdtemp()
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    out = mod.queries()["cohort_retention"](d)
+    df = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .sort_values(["cohort_ym", "month_offset"]).reset_index(drop=True)
+    jan = 2024 * 12 + 1
+    feb = jan + 1
+    got = list(zip(df.cohort_ym, df.month_offset, df.n_users))
+    assert got == [(jan, 0, 2), (jan, 1, 1), (jan, 3, 1), (feb, 0, 1)]
