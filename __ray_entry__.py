@@ -1842,6 +1842,26 @@ def _q_knn_ivf_top5(sf_dir: str):
     return knn_ivf(_read(sf_dir, "embeddings"), q, k=5, nlist=16, nprobe=4)
 
 
+def _q_knn_ivf_fullprobe_top5(sf_dir: str):
+    """IVF ANN at nprobe == nlist: probes every centroid bucket, so the
+    result is EXACTLY the brute-force top-5 — which makes the whole IVF
+    machinery (persisted index, bucket routing, per-bucket top-k merge)
+    SQL-checkable against the cosine oracle. The approximate
+    configuration (nprobe=4) stays exposed as knn_ivf_top5 with its
+    recall pytest."""
+    import pyarrow.parquet as pq
+    from cuttana_ray.functions.simsearch import knn_ivf
+    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    order = np.argsort(et["vec_id"].to_numpy())
+    q = np.stack([np.asarray(et["embedding"][int(i)].as_py(), np.float32)
+                  for i in order[:2]])
+    import pyarrow.compute as pc
+    t = knn_ivf(_read(sf_dir, "embeddings"), q, k=5, nlist=16, nprobe=16) \
+        .select(["query_id", "vec_id"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("vec_id", "ascending")]))
+
+
 def _q_lang_id_docs(sf_dir: str):
     from cuttana_ray.functions.textstats import lang_id
     return lang_id(_read(sf_dir, "documents"))
@@ -1994,6 +2014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
+        "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -3514,6 +3535,26 @@ def oracle_sql() -> dict[str, str]:
                               ELSE e END, 0) AS BIGINT) AS approx_distinct,
                    CAST(14 AS BIGINT) AS precision_p
             FROM est
+        """,
+        "knn_ivf_fullprobe_top5": """
+            -- full-probe IVF == exact cosine top-5 (same oracle shape as
+            -- knn_cosine_top5)
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding
+                FROM embeddings WHERE vec_id < 2),
+            s AS (
+                SELECT q.query_id AS query_id, e.vec_id AS vec_id,
+                       list_cosine_similarity(q.embedding, e.embedding)
+                           AS cosine
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                           AS rn
+                FROM s)
+            SELECT query_id, vec_id FROM r WHERE rn <= 5
+            ORDER BY query_id, vec_id
         """,
         "knn_cosine_top5": """
             WITH q AS (
