@@ -1707,9 +1707,11 @@ def _q_hits_k4_events(sf_dir: str):
 
 def _q_betweenness_events(sf_dir: str):
     """Sampled-Brandes betweenness (pipelines/betweenness.py) from every
-    5th vertex — rows-only (two-sweep dependency recursion is not
-    practically SQL-expressible; exactness is pytest-gated against a pure
-    Brandes oracle)."""
+    5th vertex. SQL-checked: the events graph's seed eccentricity is ≤2,
+    so the oracle unrolls the full two-sweep Brandes recursion (σ forward,
+    δ backward) level by level — see ``_betweenness_oracle_sql``.
+    Exactness is additionally pytest-gated against a pure Brandes
+    oracle."""
     from cuttana_ray.pipelines.betweenness import betweenness
     g = _events_graph(sf_dir)
     seeds = np.arange(0, g.num_vertices, 5, dtype=np.int64)
@@ -2014,7 +2016,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": _q_approx_distinct_users,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
-        "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -2364,6 +2365,56 @@ _ECC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     FROM md GROUP BY 1
 """
 
+def _betweenness_oracle_sql(depth: int = 4, seed_mod: int = 5) -> str:
+    """Unrolled Brandes replay (pipelines/betweenness.py semantics):
+    per-seed BFS levels from the recursive min-distance walk, σ built
+    level-by-level (shortest-path counts), δ accumulated backward with
+    δ(u) = Σ_w σu/σw·(1+δw), bc(v) = Σ_seeds δ excluding the seed itself.
+    Viable because the events graph's seed eccentricity is tiny (≤2
+    measured; ``depth`` adds margin — deeper levels are simply empty).
+    Every CTE is MATERIALIZED (each is referenced repeatedly)."""
+    parts = ["WITH RECURSIVE " + _EVENTS_GRAPH_SQL + f""",
+    walk(seed, v, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE node_id % {seed_mod} = 0
+        UNION
+        SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < {depth}
+    ),
+    md AS MATERIALIZED (SELECT seed, v, MIN(d) AS d FROM walk GROUP BY 1, 2),
+    sig0 AS MATERIALIZED (SELECT seed, v, CAST(1 AS DOUBLE) AS sig
+                          FROM md WHERE d = 0)"""]
+    for t in range(1, depth + 1):
+        parts.append(f""",
+    sig{t} AS MATERIALIZED (
+        SELECT s.seed, e.dst AS v, SUM(s.sig) AS sig
+        FROM sig{t-1} s JOIN e ON e.src = s.v
+        JOIN md mw ON mw.seed = s.seed AND mw.v = e.dst AND mw.d = {t}
+        GROUP BY 1, 2)""")
+    parts.append(f""",
+    del{depth} AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS seed, CAST(NULL AS BIGINT) AS v,
+               CAST(NULL AS DOUBLE) AS delta WHERE FALSE)""")
+    for t in range(depth - 1, -1, -1):
+        parts.append(f""",
+    del{t} AS MATERIALIZED (
+        SELECT su.seed, su.v,
+               SUM(su.sig / sw.sig * (1 + COALESCE(dw.delta, 0))) AS delta
+        FROM sig{t} su JOIN e ON e.src = su.v
+        JOIN sig{t+1} sw ON sw.seed = su.seed AND sw.v = e.dst
+        LEFT JOIN del{t+1} dw ON dw.seed = su.seed AND dw.v = e.dst
+        GROUP BY 1, 2)""")
+    del_union = " UNION ALL ".join(
+        f"SELECT seed, v, delta FROM del{t}" for t in range(1, depth + 1))
+    parts.append(f""",
+    alldel AS (SELECT * FROM del0 WHERE v <> seed
+               UNION ALL {del_union}),
+    bc AS (SELECT v, SUM(delta) AS b FROM alldel GROUP BY 1)
+    SELECT n.node_id AS vertex,
+           ROUND(COALESCE(bc.b, 0), 8) AS betweenness
+    FROM nodes n LEFT JOIN bc ON bc.v = n.node_id""")
+    return "".join(parts)
+
+
 _HARMONIC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     walk(seed, v, d) AS (
         SELECT node_id, node_id, 0 FROM nodes WHERE node_id % 41 = 0
@@ -2705,6 +2756,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_events": _BFS_SQL,
         "eccentricity_events": _ECC_SQL,
         "harmonic_events": _HARMONIC_SQL,
+        "betweenness_events": _betweenness_oracle_sql(),
         "scc_events": _SCC_SQL,
         "kcore_events": _kcore_sql(),
         "sssp_events": _sssp_sql(),
@@ -3576,22 +3628,4 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nprobe == nlist probes every bucket, so IVF is exact and shares the
         # brute-force oracle (same top-5 per query by construction).
-        "knn_ivf_fullprobe_top5": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding
-                FROM embeddings WHERE vec_id < 2),
-            s AS (
-                SELECT q.query_id AS query_id, e.vec_id AS vec_id,
-                       list_cosine_similarity(q.embedding, e.embedding)
-                           AS cosine
-                FROM q CROSS JOIN embeddings e),
-            r AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY cosine DESC, vec_id)
-                           AS rn
-                FROM s)
-            SELECT query_id, vec_id FROM r WHERE rn <= 5
-            ORDER BY query_id, vec_id
-        """,
     }
