@@ -1023,6 +1023,88 @@ def _q_event_session_ids(sf_dir: str):
     return run.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_transcripts_from_events(sf_dir: str):
+    """Conversationalized event log — the north-star per-row invariant
+    made driver-checkable: sessions become conversations (conv_id =
+    user·1e6 + session), events become turns with a stable
+    (conv_id, turn_idx) order, and the raw ``props`` payload rides
+    through byte-identical as the turn text. Three carry-chain sorts
+    (LAG gaps → session numbering → in-session turn numbering), no
+    per-group Python."""
+    from cuttana_ray.stages.running import moving_agg, running_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type", "props"])
+    prepped = ev.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]),
+                                        dtype=np.int64)),
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "props": t["props"]}),
+        batch_format="pyarrow")
+    win = moving_agg(prepped, "user_id", ["t_us", "event_id"], "t_us",
+                     frame=2, keep=["user_id", "t_us", "event_id",
+                                    "event_type", "props"])
+
+    def breaks(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("t_us", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("props", pa.string()),
+                            ("is_break", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        n2 = t["window_n"].to_numpy(zero_copy_only=False) == 2
+        gap = 2 * t["t_us"].to_numpy(zero_copy_only=False) \
+            - t["window_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "t_us": t["t_us"],
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "props": t["props"],
+            "is_break": pa.array((n2 & (gap > 3_600_000_000))
+                                 .astype(np.int64))}).cast(schema)
+
+    sess = running_agg(win.map_batches(breaks, batch_format="pyarrow"),
+                       "user_id", ["t_us", "event_id"], "is_break",
+                       keep=["user_id", "t_us", "event_id", "event_type",
+                             "props"])
+
+    def conv_key(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("conv_id", pa.int64()), ("t_us", pa.int64()),
+                            ("event_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("props", pa.string()), ("z", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        s = t["running_sum"].to_numpy(zero_copy_only=False) + 1
+        return pa.table({
+            "conv_id": pa.array(u * 1_000_000 + s),
+            "t_us": t["t_us"], "event_id": t["event_id"],
+            "event_type": t["event_type"], "props": t["props"],
+            "z": pa.array(np.zeros(len(t), np.int64))}).cast(schema)
+
+    turns = running_agg(sess.map_batches(conv_key, batch_format="pyarrow"),
+                        "conv_id", ["t_us", "event_id"], "z",
+                        keep=["conv_id", "event_type", "props"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("conv_id", pa.int64()),
+                            ("turn_idx", pa.int64()),
+                            ("role", pa.string()), ("text", pa.string())])
+        if len(t) == 0:
+            return schema.empty_table()
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pa.array(t["rn"].to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "role": t["event_type"], "text": t["props"]}).cast(schema)
+
+    return turns.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_orders_price_quantiles(sf_dir: str):
     """Exact quantile_cont over o_totalprice WITHOUT a global sort:
     histogram-refinement selection (functions/quantiles.py
@@ -1959,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_quantiles": _q_lang_length_quantiles,
         "user_gap_quantiles": _q_user_gap_quantiles,
         "event_session_ids": _q_event_session_ids,
+        "transcripts_from_events": _q_transcripts_from_events,
         "events_user_ranks": _q_events_user_ranks,
         "doc_regex_stats": _q_doc_regex_stats,
         "orders_bloom_semi": _q_orders_bloom_semi,
@@ -3122,6 +3205,27 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER w AS prank
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "transcripts_from_events": """
+            WITH x AS (
+                SELECT user_id, event_id, event_type, props,
+                       epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (SELECT user_id, event_id, event_type, props, t,
+                         SUM(CASE WHEN pt IS NOT NULL
+                                   AND t - pt > 3600000000
+                             THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) + 1 AS sid
+                  FROM x)
+            SELECT CAST(user_id * 1000000 + sid AS BIGINT) AS conv_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id, sid ORDER BY t, event_id)
+                       AS BIGINT) AS turn_idx,
+                   event_type AS role, props AS text
+            FROM s
         """,
         "event_session_ids": """
             WITH x AS (
