@@ -1384,6 +1384,51 @@ def _q_doc_token_stats(sf_dir: str):
         .select_columns(["doc_id", "n_tokens", "n_chars_computed"])
 
 
+def _q_doc_text_normalize(sf_dir: str):
+    """Text normalization (standard pre-tokenization cleanup): lowercase,
+    collapse whitespace runs, strip leading/trailing space — three RE2 /
+    utf8 kernels per batch, shuffle-free; output text hash-compared
+    byte-for-byte against DuckDB's identical lower/regexp_replace/trim
+    chain."""
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("text_norm", pa.string()),
+                            ("n_chars_norm", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        x = pc.utf8_lower(pc.cast(t["text"], pa.string()))
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({
+            "doc_id": t["doc_id"], "text_norm": x,
+            "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64())}) \
+            .cast(schema)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(norm, batch_format="pyarrow")
+
+
+def _q_events_type_share(sf_dir: str):
+    """Share-of-total per event type: per-batch partial counts → one tiny
+    groupby → a driver fold over k rows for the total (k = #types,
+    bounded), 6-dp share."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    agg = _read(sf_dir, "events", columns=["event_type"]) \
+        .groupby("event_type").aggregate(Count(alias_name="n"))
+    parts = [b for b in agg.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")
+             if len(b) and "event_type" in b.column_names]
+    t = pa.concat_tables(parts)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table({
+        "event_type": t["event_type"],
+        "n": pc.cast(t["n"], pa.int64()),
+        "share": pa.array(np.round(n / n.sum(), 6), pa.float64())})
+
+
 def _q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (functions/textstats.py
     repetition_stats): per-doc token/distinct/top-token/top-bigram counts,
@@ -2059,6 +2104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "doc_token_stats": _q_doc_token_stats,
         "doc_repetition": _q_doc_repetition,
+        "doc_text_normalize": _q_doc_text_normalize,
+        "events_type_share": _q_events_type_share,
         "pii_scrub_docs": _q_pii_scrub_docs,
         "sequence_pack_docs": _q_sequence_pack_docs,
         "kmeans_embeddings": _q_kmeans_embeddings,
@@ -3500,6 +3547,22 @@ def oracle_sql() -> dict[str, str]:
                      ON d3.vec_id = m.vec_id AND d3.d = m.md
                    GROUP BY 1)
             SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a3
+        """,
+        "doc_text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS text_norm,
+                   CAST(length(trim(regexp_replace(lower(text), '\\s+',
+                        ' ', 'g'))) AS BIGINT) AS n_chars_norm
+            FROM documents
+        """,
+        "events_type_share": """
+            WITH c AS (SELECT event_type, COUNT(*) AS n
+                       FROM events GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (), 6) AS share
+            FROM c
         """,
         "pii_scrub_docs": """
             -- identical RE2 patterns in the identical order as

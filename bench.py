@@ -32,6 +32,17 @@ import tempfile
 import time
 
 
+def _read_proc_stat():
+    """First /proc/stat cpu line as a list of jiffy counters (user nice
+    system idle iowait irq softirq steal ...); None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return [int(x) for x in parts[1:]]
+    except Exception:
+        return None
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import logging
 
@@ -60,9 +71,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         queries: dict[str, float] = {}
         detail: dict[str, object] = {}
-        # shared-host contention context: co-tenant load skews wall times
-        # up to ~2x run-to-run (see BENCH/BASELINE.md host-noise note)
+        # shared-host contention context: co-tenant CPU steal (hypervisor
+        # time taken from this VM, /proc/stat field 8) skews wall times up
+        # to ~2.5x run-to-run — 30% steal was measured during one run.
+        # steal_frac below = stolen / total jiffies over this bench.
         detail["host_load_before"] = list(os.getloadavg())
+        _stat0 = _read_proc_stat()
 
         # -- flagship transcripts ------------------------------------------
         tdir = f"/tmp/cuttana_bench/transcripts_sf{sf}"
@@ -134,6 +148,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
         total = round(sum(queries.values()), 3)
         detail["host_load_after"] = list(os.getloadavg())
+        _stat1 = _read_proc_stat()
+        if _stat0 and _stat1:
+            d = [b - a for a, b in zip(_stat0, _stat1)]
+            tot = sum(d)
+            detail["host_steal_frac"] = round(d[7] / tot, 4) if tot else None
+            detail["host_busy_frac"] = round(
+                (d[0] + d[1] + d[2]) / tot, 4) if tot else None
         return {
             "metric": "headline pipelines total wall time (flagship "
                       "transcripts graph + events graph + training-data ops)",
