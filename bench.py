@@ -43,6 +43,17 @@ def _read_proc_stat():
         return None
 
 
+def _steal_between(s0, s1):
+    """(steal_frac, busy_frac) between two /proc/stat samples."""
+    if not s0 or not s1:
+        return None, None
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d)
+    if not tot:
+        return None, None
+    return round(d[7] / tot, 4), round((d[0] + d[1] + d[2]) / tot, 4)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import logging
 
@@ -77,6 +88,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # steal_frac below = stolen / total jiffies over this bench.
         detail["host_load_before"] = list(os.getloadavg())
         _stat0 = _read_proc_stat()
+        _qsteal: dict[str, float] = {}
+        detail["query_steal_frac"] = _qsteal
+        _qs = _stat0
 
         # -- flagship transcripts ------------------------------------------
         tdir = f"/tmp/cuttana_bench/transcripts_sf{sf}"
@@ -89,6 +103,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         lineage = run_flagship(transcripts, workdir, num_partitions=16,
                                mode="csr")
         queries["flagship_transcripts"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["flagship_transcripts"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
         detail["flagship"] = {
             "num_vertices": lineage["num_vertices"],
             "edge_count": lineage["edge_count"],
@@ -114,9 +131,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         g = build_graph_from_events(
             rd.read_parquet(os.path.join(sf_dir, "events.parquet")))
         queries["events_graph_build"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["events_graph_build"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
         t0 = time.perf_counter()
         pr = pagerank(g, tol=1e-6)
         queries["events_pagerank_shuffle"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["events_pagerank_shuffle"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
         E = g.edges.count()
         spi = float(np.mean(pr.seconds_per_iter)) if pr.seconds_per_iter else 0
         detail["events_pagerank"] = {
@@ -132,9 +155,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         exact_dedup(docs).count()
         queries["dedup_exact_docs"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["dedup_exact_docs"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
         t0 = time.perf_counter()
         minhash_lsh_pairs(docs, threshold=0.5).count()
         queries["minhash_lsh_docs"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["minhash_lsh_docs"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
 
         import pyarrow.parquet as pq
         et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -145,6 +174,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t0 = time.perf_counter()
         knn_brute_force(emb, q, k=10)
         queries["knn_brute_force"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["knn_brute_force"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
 
         total = round(sum(queries.values()), 3)
         detail["host_load_after"] = list(os.getloadavg())
