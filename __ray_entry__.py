@@ -663,6 +663,61 @@ def _q_events_props_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery pattern decorrelated: orders priced above
+    their own customer's average. One ``groupby(cust).map_groups``
+    cogroup computes the group mean AND filters in place — the group IS
+    the correlation domain, so no join, no second exchange, no
+    aggregate-then-join empty-schema hazard. Exact comparison: the mean
+    is Σ/n in float64 on both sides."""
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def fold(g: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("o_totalprice", pa.float64())])
+        if len(g) == 0:
+            return schema.empty_table()
+        v = g["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = v > (v.sum() / len(v))
+        g = g.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": g["o_orderkey"], "o_custkey": g["o_custkey"],
+            "o_totalprice": pc.cast(g["o_totalprice"], pa.float64())}) \
+            .cast(schema)
+
+    return orders.groupby("o_custkey").map_groups(
+        fold, batch_format="pyarrow")
+
+
+def _q_embedding_norms(sf_dir: str):
+    """Per-vector L2 norm and component mean over the embedding column —
+    one vectorized matrix pass per batch, no shuffle; 6-dp floats against
+    an element-wise unnest oracle."""
+    from cuttana_ray.functions.simsearch import _batch_matrix
+
+    def norms(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("vec_id", pa.int64()), ("dim", pa.int64()),
+                            ("l2_norm", pa.float64()),
+                            ("mean_val", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        m = _batch_matrix(t, "embedding").astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "dim": pa.array(np.full(len(t), m.shape[1], np.int64)),
+            "l2_norm": pa.array(np.round(np.sqrt((m * m).sum(axis=1)), 6)),
+            "mean_val": pa.array(np.round(m.mean(axis=1), 6))}) \
+            .cast(schema)
+
+    return _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(norms, batch_format="pyarrow")
+
+
 def _q_orders_by_month(sf_dir: str):
     """Date scalar functions (pyarrow.compute year/month kernels) +
     aggregate: per-month order counts and revenue."""
@@ -2071,6 +2126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_customer_full_join": _q_user_customer_full_join,
         "orders_customer_join": _q_orders_customer_join,
         "events_props_stats": _q_events_props_stats,
+        "orders_above_cust_avg": _q_orders_above_cust_avg,
+        "embedding_norms": _q_embedding_norms,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
@@ -3145,6 +3202,26 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "orders_above_cust_avg": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders o
+            WHERE CAST(o_totalprice AS DOUBLE) > (
+                SELECT SUM(CAST(o_totalprice AS DOUBLE)) / COUNT(*)
+                FROM orders i WHERE i.o_custkey = o.o_custkey)
+        """,
+        "embedding_norms": """
+            WITH ex AS (
+                SELECT vec_id, len(embedding) AS dim,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT vec_id, embedding,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings))
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   ROUND(SQRT(SUM(v * v)), 6) AS l2_norm,
+                   ROUND(SUM(v) / COUNT(*), 6) AS mean_val
+            FROM ex GROUP BY 1, 2
         """,
         "events_props_stats": """
             SELECT event_type,
