@@ -67,3 +67,35 @@ def test_buffer_eviction_is_max_score_order(rows):
         keys.append((score, v))
     assert keys == sorted(keys, reverse=True)
     assert len(keys) == len(rows)
+
+
+@given(st.lists(st.lists(st.sampled_from(["a", "bb", "c", "dd", "e"]),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=20),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=25, deadline=None)
+def test_repetition_stats_matches_pure_python(token_lists, nblocks):
+    """repetition_stats == a per-doc pure-Python Counter reference for any
+    token content and block layout."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuttana_ray.functions.textstats import repetition_stats
+
+    texts = [" ".join(toks) for toks in token_lists]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = repetition_stats(rd.from_arrow(t).repartition(nblocks)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, text in enumerate(texts):
+        toks = text.split(" ")       # '' → [''] like the engine/oracle
+        bigs = [(a, b) for a, b in zip(toks, toks[1:])]
+        tc, bc = Counter(toks), Counter(bigs)
+        row = got.iloc[i]
+        assert row.n_tokens == len(toks)
+        assert row.n_distinct_tokens == len(tc)
+        assert row.top_token_n == max(tc.values())
+        assert row.n_bigrams == len(bigs)
+        assert row.top_bigram_n == (max(bc.values()) if bc else 0)
