@@ -663,6 +663,58 @@ def _q_events_props_stats(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_page3(sf_dir: str):
+    """Deterministic ORDER BY … LIMIT/OFFSET pagination: global sort on
+    (price desc, key), stream only the first offset+limit rows out of the
+    sorted Dataset (limit pushes into the sort output), slice the page on
+    the driver — the offset never materializes more than one page + offset
+    rows."""
+    import pyarrow.compute as pc
+    sorted_ds = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_totalprice"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(60)
+    t = pa.concat_tables(
+        b for b in sorted_ds.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")
+        if len(b))
+    page = t.slice(40, 20)
+    return pa.table({"o_orderkey": page["o_orderkey"],
+                     "o_totalprice": pc.cast(page["o_totalprice"],
+                                             pa.float64())})
+
+
+def _q_corpus_mix(sf_dir: str):
+    """Deterministic source mixing (training-corpus blending): ~70% of
+    documents plus ~30% of event payloads, each side filtered by a
+    murmur64 hash threshold on its int key (== DuckDB hash(), so the
+    oracle replays the exact mix) and unioned under one schema — no
+    shuffle, reproducible across layouts and cluster sizes."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import murmur64_int
+
+    def pick(ds, id_col, text_col, src, keep_mod):
+        def fn(t: pa.Table) -> pa.Table:
+            schema = pa.schema([("source", pa.string()),
+                                ("item_id", pa.int64()),
+                                ("text", pa.string())])
+            if len(t) == 0:
+                return schema.empty_table()
+            h = murmur64_int(t[id_col].to_numpy(zero_copy_only=False))
+            t = t.filter(pa.array((h % 10) < keep_mod))
+            return pa.table({
+                "source": pa.array([src] * len(t), pa.string()),
+                "item_id": pc.cast(t[id_col], pa.int64()),
+                "text": pc.cast(t[text_col], pa.string())}).cast(schema)
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    docs = pick(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                "doc_id", "text", "documents", 7)
+    evs = pick(_read(sf_dir, "events", columns=["event_id", "props"]),
+               "event_id", "props", "events", 3)
+    return docs.union(evs)
+
+
 def _q_orders_above_cust_avg(sf_dir: str):
     """Correlated-subquery pattern decorrelated: orders priced above
     their own customer's average. One ``groupby(cust).map_groups``
@@ -2127,6 +2179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": _q_orders_customer_join,
         "events_props_stats": _q_events_props_stats,
         "orders_above_cust_avg": _q_orders_above_cust_avg,
+        "orders_page3": _q_orders_page3,
+        "corpus_mix": _q_corpus_mix,
         "embedding_norms": _q_embedding_norms,
         "orders_by_month": _q_orders_by_month,
         "events_hourly_windows": _q_events_hourly_windows,
@@ -3202,6 +3256,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1
+        """,
+        "orders_page3": """
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 20 OFFSET 40
+        """,
+        "corpus_mix": """
+            SELECT 'documents' AS source, doc_id AS item_id, text
+            FROM documents WHERE hash(doc_id) % 10 < 7
+            UNION ALL
+            SELECT 'events', event_id, props
+            FROM events WHERE hash(event_id) % 10 < 3
         """,
         "orders_above_cust_avg": """
             SELECT o_orderkey, o_custkey,
