@@ -1773,25 +1773,6 @@ def _q_label_centroids(sf_dir: str):
                         pc.round(t["centroid"], 8))
 
 
-def _q_knn_ivf_fullprobe_top5(sf_dir: str):
-    """IVF with nprobe=nlist probes every bucket, so the result is exact by
-    construction — same oracle as brute force. This gives the IVF machinery
-    (sampling, k-means, bucket shuffle, probe-masked top-k, merge) a
-    driver-side hash check; the approximate nprobe<nlist path stays
-    rows-only with recall tests."""
-    import pyarrow.parquet as pq
-    from cuttana_ray.functions.simsearch import knn_ivf
-    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    order = np.argsort(et["vec_id"].to_numpy())
-    q = np.stack([np.asarray(et["embedding"][int(i)].as_py(), np.float32)
-                  for i in order[:2]])
-    out = knn_ivf(_read(sf_dir, "embeddings"), q, k=5,
-                  nlist=16, nprobe=16).to_pandas()
-    return pa.Table.from_pandas(
-        out[["query_id", "vec_id"]].sort_values(["query_id", "vec_id"]),
-        preserve_index=False)
-
-
 # -- rows-only (non-SQL-expressible; verified vs NumPy oracles in pytest) --
 
 def _q_pagerank_events(sf_dir: str):
@@ -2098,6 +2079,51 @@ def _q_knn_ivf_fullprobe_top5(sf_dir: str):
         t, sort_keys=[("query_id", "ascending"), ("vec_id", "ascending")]))
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking (functions/chunking.py): sliding 64-token
+    windows with 16-token overlap; chunk text = window tokens joined by
+    one space, so DuckDB's string_split_regex + list slicing replays it
+    byte-for-byte."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.chunking import chunk_documents
+    t = pa.concat_tables(
+        [b for b in chunk_documents(_read(sf_dir, "documents"),
+                                    chunk_size=64, overlap=16)
+         .iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("doc_id", "ascending"), ("chunk_idx", "ascending")]))
+
+
+def _q_quantized_embeddings(sf_dir: str):
+    """int8 scalar quantization (functions/embeddings.py): per-dim global
+    extrema (one bounded-partial pass) then floor-rounded [0,255] codes,
+    pinned per vector by two exact int64 checksums. The floor arithmetic
+    is replayed verbatim by the oracle — bit-exact in float64."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import quantize_embeddings
+    t = pa.concat_tables(
+        [b for b in quantize_embeddings(_read(sf_dir, "embeddings"))
+         .iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(t, sort_keys=[("vec_id", "ascending")]))
+
+
+def _q_knn_quantized_top5(sf_dir: str):
+    """Quantized-code ANN: top-5 by INTEGER dot product of [0,255] codes
+    (functions/embeddings.py knn_quantized) — ranking is int64 end to
+    end, so the SQL replay has zero float-comparison risk."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import knn_quantized
+    et = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    order = np.argsort(et["vec_id"].to_numpy())
+    q = np.stack([np.asarray(et["embedding"][int(i)].as_py(), np.float64)
+                  for i in order[:2]])
+    t = knn_quantized(_read(sf_dir, "embeddings"), q, k=5) \
+        .select(["query_id", "vec_id"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("query_id", "ascending"), ("vec_id", "ascending")]))
+
+
 def _q_lang_id_docs(sf_dir: str):
     from cuttana_ray.functions.textstats import lang_id
     return lang_id(_read(sf_dir, "documents"))
@@ -2229,6 +2255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_docs": _q_doc_tfidf_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
+        "chunk_docs": _q_chunk_docs,
+        "quantized_embeddings": _q_quantized_embeddings,
+        "knn_quantized_top5": _q_knn_quantized_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
         "hits_k4_events": _q_hits_k4_events,
         "label_centroids_embeddings": _q_label_centroids,
@@ -3898,6 +3927,81 @@ def oracle_sql() -> dict[str, str]:
                               ELSE e END, 0) AS BIGINT) AS approx_distinct,
                    CAST(14 AS BIGINT) AS precision_p
             FROM est
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS tok
+                FROM documents),
+            c AS (
+                SELECT doc_id, tok, len(tok) AS n,
+                       CASE WHEN len(tok) = 0 THEN 0
+                            WHEN len(tok) <= 64 THEN 1
+                            ELSE 1 + (len(tok) - 64 + 47) // 48 END
+                           AS n_chunks
+                FROM toks),
+            g AS (
+                SELECT doc_id, tok, n,
+                       UNNEST(range(0, n_chunks)) AS chunk_idx
+                FROM c)
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+                   CAST(LEAST(chunk_idx * 48 + 64, n) AS BIGINT) AS tok_end,
+                   CAST(LEAST(chunk_idx * 48 + 64, n) - chunk_idx * 48
+                        AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(
+                       tok[chunk_idx * 48 + 1 :
+                           LEAST(chunk_idx * 48 + 64, n)], ' ')
+                       AS chunk_text
+            FROM g
+            ORDER BY doc_id, chunk_idx
+        """,
+        "quantized_embeddings": """
+            WITH ex AS (
+                SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+            mm AS (SELECT pos, MIN(x) AS vmin, MAX(x) AS vmax
+                   FROM ex GROUP BY 1),
+            codes AS (
+                SELECT e.vec_id, e.pos,
+                       CASE WHEN mm.vmax > mm.vmin
+                            THEN CAST(floor(((e.x - mm.vmin) * 255.0)
+                                            / (mm.vmax - mm.vmin) + 0.5)
+                                      AS BIGINT)
+                            ELSE 0 END AS code
+                FROM ex e JOIN mm USING (pos))
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+                   CAST(SUM(code) AS BIGINT) AS code_sum,
+                   CAST(SUM(code * pos) AS BIGINT) AS code_dot
+            FROM codes GROUP BY 1 ORDER BY vec_id
+        """,
+        "knn_quantized_top5": """
+            WITH ex AS (
+                SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+            mm AS (SELECT CASE WHEN MAX(ABS(x)) > 0 THEN MAX(ABS(x))
+                               ELSE 1.0 END AS amax FROM ex),
+            codes AS (
+                SELECT e.vec_id, e.pos,
+                       CAST(floor((e.x * 127.0) / mm.amax + 0.5)
+                            AS BIGINT) AS code
+                FROM ex e CROSS JOIN mm),
+            s AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                       SUM(q.code * c.code) AS dot
+                FROM codes q JOIN codes c USING (pos)
+                WHERE q.vec_id < 2 GROUP BY 1, 2),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC, vec_id) AS rn
+                FROM s)
+            SELECT query_id, vec_id FROM r WHERE rn <= 5
+            ORDER BY query_id, vec_id
         """,
         "knn_ivf_fullprobe_top5": """
             -- full-probe IVF == exact cosine top-5 (same oracle shape as

@@ -185,3 +185,161 @@ def kmeans(ds: "ray.data.Dataset", k: int = 4, iters: int = 3,
                          "cluster": pa.array(_assign(X, Cm), pa.int64())})
 
     return sub.map_batches(finalize, batch_format="pyarrow"), C
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (the memory-side half of an ANN index)
+# ---------------------------------------------------------------------------
+
+def embedding_extrema(ds: "ray.data.Dataset", vec_col: str = "embedding"
+                      ) -> "tuple[np.ndarray, np.ndarray]":
+    """Global per-dimension (min, max) of a fixed-width vector column.
+
+    One ``map_batches`` pass emits a d-row (dim, vmin, vmax) partial per
+    batch; the driver folds the tiny partials (O(#blocks x d) driver
+    state, the same bounded regime as ``stages/profile.py``). Extrema are
+    order-free, so the fold is exact — no float-summation hazard.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "vmin": pa.array([], pa.float64()),
+                             "vmax": pa.array([], pa.float64())})
+        m = _batch_matrix(batch, vec_col).astype(np.float64)
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "vmin": pa.array(m.min(axis=0)),
+            "vmax": pa.array(m.max(axis=0)),
+        })
+
+    vmin = vmax = None
+    for part in ds.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        if len(part) == 0:
+            continue
+        dims = part["dim"].to_numpy()
+        lo = part["vmin"].to_numpy()
+        hi = part["vmax"].to_numpy()
+        if vmin is None:
+            d = int(dims.max()) + 1
+            vmin = np.full(d, np.inf)
+            vmax = np.full(d, -np.inf)
+        np.minimum.at(vmin, dims, lo)
+        np.maximum.at(vmax, dims, hi)
+    if vmin is None:
+        raise ValueError("empty dataset")
+    return vmin, vmax
+
+
+def _quantize_matrix(m: np.ndarray, vmin: np.ndarray, vmax: np.ndarray,
+                     levels: int) -> np.ndarray:
+    """Codes in [0, levels] as int64. The arithmetic is written in the
+    exact order the SQL oracle replays it — ``floor(((x - vmin) * L) /
+    (vmax - vmin) + 0.5)`` in float64 — so codes are bit-identical to
+    DuckDB's on any input."""
+    x = m.astype(np.float64)
+    rng = vmax - vmin
+    safe = np.where(rng > 0.0, rng, 1.0)
+    codes = np.floor(((x - vmin) * float(levels)) / safe + 0.5)
+    codes = np.where(rng > 0.0, codes, 0.0)
+    return codes.astype(np.int64)
+
+
+def quantize_embeddings(ds: "ray.data.Dataset", vec_col: str = "embedding",
+                        id_col: str = "vec_id", levels: int = 255,
+                        extrema: "tuple[np.ndarray, np.ndarray] | None" = None
+                        ) -> "ray.data.Dataset":
+    """Per-vector scalar-quantization summary: ``(vec_id, n_dims,
+    code_sum, code_dot)`` where ``code_dot = sum(code[j] * (j+1))`` — two
+    exact int64 checksums that pin every code without emitting the d-wide
+    code rows. The codes themselves are recomputed where needed (cheaper
+    than shipping them at 100 TB; the scale x offset pair is O(d) and
+    broadcast in the task closure)."""
+    if extrema is None:
+        extrema = embedding_extrema(ds, vec_col)
+    vmin, vmax = extrema
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_dims": pa.array([], pa.int64()),
+                             "code_sum": pa.array([], pa.int64()),
+                             "code_dot": pa.array([], pa.int64())})
+        codes = _quantize_matrix(_batch_matrix(batch, vec_col), vmin, vmax,
+                                 levels)
+        pos = np.arange(1, codes.shape[1] + 1, dtype=np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_dims": pa.array(np.full(len(codes), codes.shape[1],
+                                       np.int64)),
+            "code_sum": pa.array(codes.sum(axis=1)),
+            "code_dot": pa.array((codes * pos).sum(axis=1)),
+        })
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def embedding_absmax(ds: "ray.data.Dataset", vec_col: str = "embedding"
+                     ) -> float:
+    """Global scalar max(|x|) over every element of the vector column —
+    the symmetric-quantization scale. One extrema pass (order-free,
+    exact), O(#blocks x d) driver fold."""
+    vmin, vmax = embedding_extrema(ds, vec_col)
+    return float(max(np.abs(vmin).max(), np.abs(vmax).max()))
+
+
+def _symmetric_codes(m: np.ndarray, amax: float, levels: int) -> np.ndarray:
+    """Codes in [-levels, levels] as int64 with ONE global scale:
+    ``floor((x * L) / amax + 0.5)``. Because the scale is a single
+    scalar, the integer code dot product is EXACTLY monotone with the
+    dequantized inner product (dot(x_hat, y_hat) = (amax/L)^2 *
+    dot(cx, cy)) — so ranking by it IS maximum-inner-product search over
+    the dequantized vectors, not a heuristic. Arithmetic order matches
+    the SQL oracle's replay verbatim."""
+    x = m.astype(np.float64)
+    scale = amax if amax > 0.0 else 1.0
+    return np.floor((x * float(levels)) / scale + 0.5).astype(np.int64)
+
+
+def knn_quantized(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  levels: int = 127,
+                  amax: "float | None" = None) -> pa.Table:
+    """Approximate maximum-inner-product top-k over int8-style symmetric
+    codes: ranking is int64 end to end — reproducible bit-for-bit across
+    layouts AND replayable by the SQL oracle with zero float-comparison
+    risk — and exactly equal to exact MIPS over the dequantized vectors
+    (see ``_symmetric_codes``). Per batch: codes matmul the broadcast
+    query codes, keep the local top-k, driver merges the tiny candidate
+    sets (same shape as ``knn_brute_force``). Output:
+    (query_id, vec_id, dot) sorted by (query_id, -dot, vec_id)."""
+    import ray as _ray
+    if amax is None:
+        amax = embedding_absmax(ds, vec_col)
+    qcodes = _symmetric_codes(np.asarray(queries, dtype=np.float64),
+                              amax, levels)
+    q_ref = _ray.put(qcodes)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = _ray.get(q_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        codes = _symmetric_codes(_batch_matrix(batch, vec_col), amax,
+                                 levels)
+        dots = qm @ codes.T                        # (nq, nb) int64
+        kk = min(k, dots.shape[1])
+        idx = np.argpartition(-dots, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qm)), kk)
+        cols = idx.ravel()
+        return pa.table({
+            "query_id": pa.array(rows, pa.int64()),
+            id_col: pa.array(ids[cols], pa.int64()),
+            "dot": pa.array(dots[rows, cols], pa.int64()),
+        })
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    cand = cand.sort_values(["query_id", "dot", id_col],
+                            ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)

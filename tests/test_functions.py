@@ -625,3 +625,95 @@ def test_sequence_pack_matches_brute_force():
     # consecutive docs tile the stream with no gaps or overlaps
     assert (got["tok_start"].to_numpy()[1:]
             == (got["tok_start"] + got["n_tokens"]).to_numpy()[:-1]).all()
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking + int8 quantization
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_windows_and_text():
+    from cuttana_ray.functions.chunking import chunk_documents
+    toks = [f"t{i}" for i in range(130)]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([" ".join(toks),          # 130 tokens -> 3 chunks
+                          "a b c",                  # short -> 1 chunk
+                          "   \t\n  ",              # whitespace-only -> 0
+                          ""]),                     # empty -> 0
+    })
+    out = chunk_documents(rd.from_arrow(t), chunk_size=64, overlap=16) \
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]) \
+        .reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 1, 1, 2]
+    assert out["tok_start"].tolist() == [0, 48, 96, 0]
+    assert out["tok_end"].tolist() == [64, 112, 130, 3]
+    assert out["n_chunk_tokens"].tolist() == [64, 64, 34, 3]
+    # each window's text is exactly its token slice joined by one space
+    for _, r in out[out.doc_id == 1].iterrows():
+        assert r.chunk_text == " ".join(toks[r.tok_start:r.tok_end])
+    assert out[out.doc_id == 2].chunk_text.iloc[0] == "a b c"
+    # stride coverage: consecutive windows overlap by exactly `overlap`
+    # and together cover every token
+    covered = set()
+    for _, r in out[out.doc_id == 1].iterrows():
+        covered.update(range(r.tok_start, r.tok_end))
+    assert covered == set(range(130))
+
+
+def test_chunk_documents_layout_invariance():
+    from cuttana_ray.functions.chunking import chunk_documents
+    rng = np.random.default_rng(7)
+    texts = [" ".join(rng.choice(["alpha", "beta", "gamma", "delta"],
+                                 size=int(rng.integers(0, 200))))
+             for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts)})
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(blocks)
+        outs.append(chunk_documents(ds, chunk_size=32, overlap=8)
+                    .to_pandas().sort_values(["doc_id", "chunk_idx"])
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+
+
+def test_quantized_knn_high_recall_vs_exact_mips():
+    from cuttana_ray.functions.embeddings import knn_quantized
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 16)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    q = X[:3].astype(np.float64)
+    quant = knn_quantized(ds, q, k=10).to_pandas()
+    # exact maximum-inner-product baseline (the metric knn_quantized
+    # approximates; quantization noise is the only divergence)
+    dots = X[:3].astype(np.float64) @ X.astype(np.float64).T
+    recall = np.mean([
+        len(set(quant[quant.query_id == i].vec_id)
+            & set(np.argsort(-dots[i])[:10])) / 10
+        for i in range(3)])
+    assert recall >= 0.8
+    # integer ranking is deterministic across layouts
+    quant2 = knn_quantized(ds.repartition(5), q, k=10).to_pandas()
+    assert quant.sort_values(["query_id", "vec_id"]).reset_index(drop=True) \
+        .equals(quant2.sort_values(["query_id", "vec_id"])
+                .reset_index(drop=True))
+
+
+def test_quantize_embeddings_codes_span_range():
+    from cuttana_ray.functions.embeddings import (
+        embedding_extrema, quantize_embeddings)
+    X = np.array([[0.0, -1.0], [1.0, 1.0], [0.5, 0.0]], np.float32)
+    t = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    ds = rd.from_arrow(t)
+    vmin, vmax = embedding_extrema(ds)
+    assert vmin.tolist() == [0.0, -1.0] and vmax.tolist() == [1.0, 1.0]
+    out = quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+    # codes: dim0 -> 0,255,128 ; dim1 -> 0,255,128 (rounded 127.5 -> floor+0.5)
+    assert out.code_sum.tolist() == [0, 510, 128 + 128]
+    # code_dot = code[0]*1 + code[1]*2
+    assert out.code_dot.tolist() == [0, 255 + 510, 128 + 256]
