@@ -1429,6 +1429,42 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_orders_overlap_pairs(sf_dir: str):
+    """Interval OVERLAP join (stages/joins.py interval_overlap_join):
+    per-customer pairs of orders whose 30-day windows [o_orderdate,
+    o_orderdate + 30d] intersect — the two-sided sibling of the
+    containment range_join. Bucket-replicated candidates, one shuffle,
+    each pair claimed by exactly one bucket (the overlap start's)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.joins import interval_overlap_join
+    from cuttana_ray.stages.windows import ts_to_us
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(ts_to_us(t["o_orderdate"]), pa.int64())
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "s": s,
+            "e": pc.add(s, pa.scalar(30 * 86400 * 1_000_000, pa.int64())),
+        })
+
+    ivds = orders.map_batches(iv, batch_format="pyarrow")
+    pairs = interval_overlap_join(
+        ivds, ivds, "s", "e", "s", "e", key="o_custkey",
+        left_cols=["o_orderkey"], right_cols=["o_orderkey"])
+
+    def keep_lt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderkey"], t["r_o_orderkey"]))
+    t = pa.concat_tables(
+        [b for b in pairs.map_batches(keep_lt, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("o_orderkey", "ascending"),
+                      ("r_o_orderkey", "ascending")]))
+
+
 def _q_events_range_join(sf_dir: str):
     """Range (interval containment) join: events land in overlapping
     'promotion windows' derived deterministically from the nation table —
@@ -2215,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_sum": _q_events_moving_sum,
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
+        "orders_overlap_pairs": _q_orders_overlap_pairs,
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
         "lineitem_corr_stats": _q_lineitem_corr_stats,
@@ -3581,6 +3618,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "orders_overlap_pairs": """
+            SELECT a.o_orderkey AS o_orderkey,
+                   b.o_orderkey AS r_o_orderkey
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+             AND a.o_orderkey < b.o_orderkey
+            ORDER BY 1, 2
         """,
         "events_range_join": """
             WITH b AS (SELECT MIN(epoch_us(ts)) AS t0,

@@ -450,3 +450,144 @@ def cross_join_broadcast(left: "ray.data.Dataset",
         return pa.table(cols, schema=out_schema)
 
     return left.map_batches(fn, batch_format="pyarrow")
+
+
+def interval_overlap_join(left: "ray.data.Dataset",
+                          right: "ray.data.Dataset",
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          key: str | None = None,
+                          left_cols: list[str] | None = None,
+                          right_cols: list[str] | None = None,
+                          bucket_width: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Interval OVERLAP join: every (left, right) pair whose closed
+    intervals intersect — ``l.start <= r.end AND r.start <= l.end`` (and
+    equal ``key`` if given). The two-sided sibling of ``range_join``
+    (point-in-interval); together they cover SQL's interval-predicate
+    join family.
+
+    Plan (SURVEY.md §2.4 custom-operator rule (a)): both sides replicate
+    each interval into every W-bucket it spans (≤ 2 copies when
+    ``W >= max span``, vectorized np.repeat expansion), then ONE
+    ``groupby(bucket[, key]).map_groups`` shuffle co-locates candidates
+    and a dense vectorized mask tests overlap. A pair that shares several
+    buckets is emitted exactly once, with no global dedup pass: the
+    overlap start ``max(l.start, r.start)`` lies inside BOTH intervals,
+    so both copies exist in its bucket, and the group keeps only pairs
+    whose overlap start falls in the group's own bucket.
+
+    Partitioning assumption: intervals per (bucket, key) group stay
+    bounded (true when span is bounded by W and per-key interval density
+    is bounded); pre-split hot keys as in ``range_join``.
+
+    Bounds are normalised to int64 via ``ts_to_us`` (timestamps) or raw
+    ints. Output: ``left_cols`` plus ``r_<col>`` for right columns.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    left_cols = left_cols or [c for c in lschema.names
+                              if c not in (left_start, left_end)]
+    right_cols = right_cols or [c for c in rschema.names
+                                if c not in (right_start, right_end)]
+    ltypes = {c: lschema.types[lschema.names.index(c)] for c in left_cols}
+    rtypes = {c: rschema.types[rschema.names.index(c)] for c in right_cols}
+    ktype = (lschema.types[lschema.names.index(key)] if key else None)
+
+    if bucket_width is None:
+        from ray.data.aggregate import Max
+
+        def span(scol: str, ecol: str):
+            def fn(t: pa.Table) -> pa.Table:
+                if len(t) == 0 or scol not in t.column_names:
+                    return pa.table({"span": pa.array([], pa.int64())})
+                s = pc.cast(ts_to_us(t[scol]), pa.int64())
+                e = pc.cast(ts_to_us(t[ecol]), pa.int64())
+                return pa.table({"span": pc.subtract(e, s)})
+            return fn
+        spans = left.map_batches(span(left_start, left_end),
+                                 batch_format="pyarrow").union(
+            right.map_batches(span(right_start, right_end),
+                              batch_format="pyarrow"))
+        agg = spans.aggregate(Max("span", alias_name="mx"))
+        bucket_width = max(int(agg["mx"] or 1), 1)
+    w = int(bucket_width)
+
+    fields = [("b", pa.int64()), ("side", pa.int8()), ("s", pa.int64()),
+              ("e", pa.int64())] + \
+        ([("k", ktype)] if key else []) + \
+        [(f"l_{c}", ltypes[c]) for c in left_cols] + \
+        [(f"r_{c}", rtypes[c]) for c in right_cols]
+    tag_schema = pa.schema(fields)
+
+    def tagger(is_left: bool, scol: str, ecol: str, cols_: list[str]):
+        def tag(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or scol not in t.column_names:
+                return tag_schema.empty_table()
+            s = pc.cast(ts_to_us(t[scol]), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            e = pc.cast(ts_to_us(t[ecol]), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            b0 = s // w
+            nb = np.maximum((e // w) - b0 + 1, 1)
+            idx = np.repeat(np.arange(len(t), dtype=np.int64), nb)
+            off = np.arange(len(idx), dtype=np.int64) - \
+                np.repeat(np.cumsum(nb) - nb, nb)
+            take = pa.array(idx)
+            m = len(idx)
+            cols = {"b": pa.array(b0[idx] + off),
+                    "side": pa.array(np.full(m, 1 if is_left else 0,
+                                             np.int8)),
+                    "s": pa.array(s[idx]), "e": pa.array(e[idx])}
+            if key:
+                cols["k"] = t[key].take(take)
+            for c in left_cols:
+                cols[f"l_{c}"] = (t[c].take(take) if is_left
+                                  else pa.nulls(m, ltypes[c]))
+            for c in right_cols:
+                cols[f"r_{c}"] = (t[c].take(take) if not is_left
+                                  else pa.nulls(m, rtypes[c]))
+            return pa.table(cols).cast(tag_schema)
+        return tag
+
+    both = left.map_batches(tagger(True, left_start, left_end, left_cols),
+                            batch_format="pyarrow").union(
+        right.map_batches(tagger(False, right_start, right_end, right_cols),
+                          batch_format="pyarrow"))
+
+    out_fields = [(c, ltypes[c]) for c in left_cols] + \
+        [(f"r_{c}", rtypes[c]) for c in right_cols]
+    out_schema = pa.schema(out_fields)
+
+    def match_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "side" not in t.column_names:
+            return out_schema.empty_table()
+        bucket = int(t["b"][0].as_py())
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lpos = np.nonzero(side == 1)[0]
+        rpos = np.nonzero(side == 0)[0]
+        if len(lpos) == 0 or len(rpos) == 0:
+            return out_schema.empty_table()
+        ls = t["s"].to_numpy(zero_copy_only=False)[lpos]
+        le = t["e"].to_numpy(zero_copy_only=False)[lpos]
+        rs = t["s"].to_numpy(zero_copy_only=False)[rpos]
+        re_ = t["e"].to_numpy(zero_copy_only=False)[rpos]
+        overlap = (ls[:, None] <= re_[None, :]) & \
+            (rs[None, :] <= le[:, None])
+        # claim each pair in exactly one bucket: the one holding the
+        # overlap start max(ls, rs)
+        ostart = np.maximum(ls[:, None], rs[None, :])
+        mask = overlap & ((ostart // w) == bucket)
+        li, ri = np.nonzero(mask)
+        ltake = pa.array(lpos[li])
+        rtake = pa.array(rpos[ri])
+        cols = {}
+        for c in left_cols:
+            cols[c] = t[f"l_{c}"].take(ltake)
+        for c in right_cols:
+            cols[f"r_{c}"] = t[f"r_{c}"].take(rtake)
+        return pa.table(cols).cast(out_schema)
+
+    gkeys = ["b"] + (["k"] if key else [])
+    return both.groupby(gkeys).map_groups(match_group,
+                                          batch_format="pyarrow")

@@ -989,3 +989,43 @@ def test_cohort_retention_multi_month():
     feb = jan + 1
     got = list(zip(df.cohort_ym, df.month_offset, df.n_users))
     assert got == [(jan, 0, 2), (jan, 1, 1), (jan, 3, 1), (feb, 0, 1)]
+
+
+def test_interval_overlap_join_matches_brute_force():
+    """Random intervals (spans up to and beyond one bucket width, keyed
+    and unkeyed) against an O(n^2) reference — exercises the multi-bucket
+    replication + single-bucket pair-claim dedup."""
+    import pandas as pd
+    from cuttana_ray.stages.joins import interval_overlap_join
+    rng = np.random.default_rng(3)
+    nl, nr = 80, 70
+    ls = rng.integers(0, 1000, nl)
+    le = ls + rng.integers(0, 120, nl)          # spans 0..119
+    rs = rng.integers(0, 1000, nr)
+    re_ = rs + rng.integers(0, 120, nr)
+    lk = rng.integers(0, 3, nl)
+    rk = rng.integers(0, 3, nr)
+    left = pa.table({"lid": pa.array(range(nl), pa.int64()),
+                     "k": pa.array(lk, pa.int64()),
+                     "s": pa.array(ls, pa.int64()),
+                     "e": pa.array(le, pa.int64())})
+    right = pa.table({"rid": pa.array(range(nr), pa.int64()),
+                      "k": pa.array(rk, pa.int64()),
+                      "s": pa.array(rs, pa.int64()),
+                      "e": pa.array(re_, pa.int64())})
+
+    for key, width in ((None, None), ("k", None), (None, 40), ("k", 17)):
+        got = interval_overlap_join(
+            rd.from_arrow(left).repartition(4),
+            rd.from_arrow(right).repartition(3),
+            "s", "e", "s", "e", key=key,
+            left_cols=["lid"], right_cols=["rid"],
+            bucket_width=width).to_pandas() \
+            .sort_values(["lid", "r_rid"]).reset_index(drop=True)
+        mask = (ls[:, None] <= re_[None, :]) & (rs[None, :] <= le[:, None])
+        if key:
+            mask &= lk[:, None] == rk[None, :]
+        li, ri = np.nonzero(mask)
+        exp = pd.DataFrame({"lid": li, "r_rid": ri}).astype("int64") \
+            .sort_values(["lid", "r_rid"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
