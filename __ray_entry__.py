@@ -1429,6 +1429,36 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_doc_postings(sf_dir: str):
+    """Inverted-index posting lists (functions/terms.py build_postings):
+    distinct (term, doc) pairs via in-batch partial counts, ONE
+    groupby(term) exchange, postings rendered as the sorted doc-id list
+    — SQL-checked against string_agg(... ORDER BY doc_id)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.terms import build_postings
+    t = pa.concat_tables(
+        [b for b in build_postings(_read(sf_dir, "documents"))
+         .iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(t, sort_keys=[("term", "ascending")]))
+
+
+def _q_user_last_event(sf_dir: str):
+    """Latest event per user (arg-max / LAST_VALUE semantics): one
+    grouped_topk k=1 with a total (ts desc, event_id asc) order —
+    per-block ≤1-row-per-key combiner before the single exchange."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import grouped_topk
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type"])
+    out = grouped_topk(ev, ["user_id"],
+                       [("ts", "descending"), ("event_id", "ascending")],
+                       k=1)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]) \
+        .select(["user_id", "event_id", "event_type"])
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id", "ascending")]))
+
+
 def _q_orders_overlap_pairs(sf_dir: str):
     """Interval OVERLAP join (stages/joins.py interval_overlap_join):
     per-customer pairs of orders whose 30-day windows [o_orderdate,
@@ -2252,6 +2282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
         "orders_overlap_pairs": _q_orders_overlap_pairs,
+        "doc_postings": _q_doc_postings,
+        "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
         "lineitem_corr_stats": _q_lineitem_corr_stats,
@@ -3618,6 +3650,26 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "doc_postings": """
+            WITH pairs AS (
+                SELECT DISTINCT
+                       unnest(regexp_extract_all(
+                           lower(COALESCE(text, '')), '[a-z]+')) AS term,
+                       doc_id
+                FROM documents)
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY 1 ORDER BY term
+        """,
+        "user_last_event": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id) AS rn
+                FROM events)
+            WHERE rn = 1 ORDER BY user_id
         """,
         "orders_overlap_pairs": """
             SELECT a.o_orderkey AS o_orderkey,

@@ -340,3 +340,41 @@ def pmi_bigrams(ds: "ray.data.Dataset", min_count: int = 10, k: int = 20,
                      "c1": pc.cast(t["c1"], pa.int64()),
                      "c2": pc.cast(t["c2"], pa.int64()),
                      "pmi": t["pmi"]})
+
+
+def build_postings(ds: "ray.data.Dataset", text_col: str = "text",
+                   id_col: str = "doc_id",
+                   pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """Inverted-index posting lists: ``(term, df, postings)`` where
+    ``postings`` is the sorted doc-id list joined by ','.
+
+    The distributed artifact is the intermediate (term, doc_id) DISTINCT
+    pair table — that is what a 100 TB deployment keeps (and what
+    ``decontaminate``-style membership probes join against); the joined
+    string column is the compact per-term rendering, built inside the
+    same single ``groupby(term)`` exchange via ``map_groups`` (in-group
+    sort + one ``pc.binary_join_element_wise``-free list join — no Python
+    token loops). Hot terms (stopwords) produce one long row each; at
+    scale cap or skip rendering for df above a threshold and keep the
+    pair rows (documented trade, same hub discipline as term_counts).
+    """
+    partial = ds.map_batches(_extract_fn(text_col, id_col, pattern),
+                             batch_format="pyarrow")
+
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+
+    def render(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        # rows are (doc_id, term, tf) partials for ONE term group; a doc
+        # can appear once per source block -> distinct doc ids first
+        docs = np.unique(t[id_col].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "term": pa.array([t["term"][0].as_py()]),
+            "df": pa.array([len(docs)], pa.int64()),
+            "postings": pa.array([",".join(map(str, docs.tolist()))]),
+        }).cast(out_schema)
+
+    return partial.groupby("term").map_groups(render,
+                                              batch_format="pyarrow")

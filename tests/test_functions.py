@@ -717,3 +717,18 @@ def test_quantize_embeddings_codes_span_range():
     assert out.code_sum.tolist() == [0, 510, 128 + 128]
     # code_dot = code[0]*1 + code[1]*2
     assert out.code_dot.tolist() == [0, 255 + 510, 128 + 256]
+
+
+def test_build_postings_known_answer():
+    from cuttana_ray.functions.terms import build_postings
+    t = pa.table({
+        "doc_id": pa.array([10, 3, 7], pa.int64()),
+        "text": pa.array(["Apple banana apple", "banana CHERRY",
+                          "cherry apple cherry"]),
+    })
+    out = build_postings(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    assert out.term.tolist() == ["apple", "banana", "cherry"]
+    assert out.df.tolist() == [2, 2, 2]
+    # postings sorted by doc id, distinct per doc regardless of tf
+    assert out.postings.tolist() == ["7,10", "3,10", "3,7"]
