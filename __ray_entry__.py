@@ -1429,6 +1429,37 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_orders_price_quantiles_sketch(sf_dir: str):
+    """One-pass approximate quantiles via the deterministic mergeable
+    compactor sketch (functions/sketches.py QuantileSketch) — rows-only
+    by design (approximate); the exact histogram-refinement sibling
+    orders_price_quantiles is the SQL-checked anchor, and the sketch's
+    rank error is pytest-asserted against exact order statistics."""
+    from cuttana_ray.functions.sketches import quantile_sketch
+    return quantile_sketch(
+        _read(sf_dir, "orders", columns=["o_totalprice"]),
+        "o_totalprice", qs=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def _q_priority_price_quantiles(sf_dir: str):
+    """Per-priority exact continuous quantiles of order price
+    (functions/quantiles.py grouped_float_quantiles) — the grouped
+    quantile_cont sibling of orders_price_quantiles (global) and
+    lang_length_quantiles (grouped discrete). Rounded to 8 dp on both
+    sides (interpolation ulp)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.quantiles import grouped_float_quantiles
+    out = grouped_float_quantiles(
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority", "o_totalprice", qs=[0.25, 0.5, 0.9])
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    t = t.set_column(t.schema.get_field_index("value"), "value",
+                     pc.round(t["value"], 8))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("o_orderpriority", "ascending"), ("q", "ascending")]))
+
+
 def _q_doc_postings(sf_dir: str):
     """Inverted-index posting lists (functions/terms.py build_postings):
     distinct (term, doc) pairs via in-batch partial counts, ONE
@@ -2283,6 +2314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "orders_overlap_pairs": _q_orders_overlap_pairs,
         "doc_postings": _q_doc_postings,
+        "priority_price_quantiles": _q_priority_price_quantiles,
+        "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
@@ -3650,6 +3683,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "priority_price_quantiles": """
+            WITH g AS (
+                SELECT o_orderpriority,
+                       quantile_cont(o_totalprice, 0.25) AS q25,
+                       quantile_cont(o_totalprice, 0.5) AS q50,
+                       quantile_cont(o_totalprice, 0.9) AS q90
+                FROM orders GROUP BY 1)
+            SELECT o_orderpriority, 0.25 AS q, ROUND(q25, 8) AS value
+            FROM g
+            UNION ALL
+            SELECT o_orderpriority, 0.5, ROUND(q50, 8) FROM g
+            UNION ALL
+            SELECT o_orderpriority, 0.9, ROUND(q90, 8) FROM g
+            ORDER BY o_orderpriority, q
         """,
         "doc_postings": """
             WITH pairs AS (

@@ -177,3 +177,41 @@ def float_quantiles(ds: "ray.data.Dataset", col: str,
         out.append(v0 + (r - k0) * (v1 - v0))
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array(out, pa.float64())})
+
+
+def grouped_float_quantiles(ds: "ray.data.Dataset", key: str, col: str,
+                            qs: "list[float]" = (0.5, 0.9, 0.95)
+                            ) -> "ray.data.Dataset":
+    """Exact per-key continuous quantiles (SQL ``quantile_cont(col, q)
+    GROUP BY key``): one ``groupby(key).map_groups`` exchange, in-group
+    NumPy sort + the same linear interpolation DuckDB uses
+    (``v[lo] + (v[hi]-v[lo])*(pos-lo)`` at ``pos = q*(n-1)``).
+
+    Partitioning assumption (SURVEY.md §2.4): rows per key stay bounded —
+    the right plan for dimension-like keys (priority, language, ...).
+    An unbounded-key-cardinality-with-hot-keys input should use the
+    global histogram-refinement path (``float_quantiles``) per key of
+    interest instead; this is the grouped/cont sibling of
+    ``grouped_int_quantiles`` (functions/textstats.py)."""
+    qs = [float(q) for q in qs]
+    kt = ds.schema().types[ds.schema().names.index(key)]
+    out_schema = pa.schema([(key, kt), ("q", pa.float64()),
+                            ("value", pa.float64())])
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        v = np.sort(t[col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        vals = []
+        for q in qs:
+            pos = q * (len(v) - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            vals.append(v[lo] + (v[hi] - v[lo]) * (pos - lo))
+        return pa.table({key: pa.array([t[key][0].as_py()] * len(qs), kt),
+                         "q": pa.array(qs, pa.float64()),
+                         "value": pa.array(vals, pa.float64())})
+
+    return ds.select_columns([key, col]).groupby(key) \
+        .map_groups(per_group, batch_format="pyarrow")

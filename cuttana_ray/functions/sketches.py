@@ -217,3 +217,129 @@ def heavy_hitters(ds: "ray.data.Dataset", col: str, min_count: int,
     exact = partial.map_batches(survives, batch_format="pyarrow") \
         .groupby(key_field).aggregate(Sum("cnt", alias_name="cnt"))
     return exact.filter(expr=f"cnt >= {int(min_count)}")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile sketch (Munro–Paterson-style compactor)
+# ---------------------------------------------------------------------------
+
+class QuantileSketch:
+    """Bounded-size mergeable order-statistics summary.
+
+    A stack of levels; level ``i`` holds sorted values each representing
+    ``2^i`` original rows. When a level exceeds ``cap`` it compacts:
+    keep every second value (odd positions of the sorted run — a
+    DETERMINISTIC compaction, unlike randomized KLL, trading the
+    unbiasedness guarantee for exact reproducibility) and push the
+    survivors one level up. Size is O(cap * log(n/cap)) no matter the
+    input; two sketches merge by concatenating levels and re-compacting,
+    associatively — the same register discipline as the HLL/Count-Min
+    sketches above, so every block ships a fixed-size summary and any
+    combine tree yields a valid sketch. Deterministic compaction keeps
+    the classic Munro–Paterson rank-error bound of
+    O(log^2(n/cap) / cap) * n.
+    """
+
+    def __init__(self, cap: int = 512):
+        self.cap = int(cap)
+        self.levels: list[np.ndarray] = []
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = self.levels[i]
+            if len(lv) > self.cap:
+                lv = np.sort(lv)
+                promoted = lv[1::2]
+                self.levels[i] = lv[:0]
+                if i + 1 == len(self.levels):
+                    self.levels.append(promoted)
+                else:
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], promoted])
+            i += 1
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        if len(v) == 0:
+            return
+        if not self.levels:
+            self.levels.append(v.copy())
+        else:
+            self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, lv in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.array([], np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def to_table(self) -> pa.Table:
+        lvl = np.concatenate(
+            [np.full(len(lv), i, np.int64)
+             for i, lv in enumerate(self.levels)] or
+            [np.array([], np.int64)])
+        val = np.concatenate(
+            [lv for lv in self.levels] or [np.array([], np.float64)])
+        return pa.table({"level": pa.array(lvl),
+                         "value": pa.array(val, pa.float64())})
+
+    @classmethod
+    def from_table(cls, t: pa.Table, cap: int = 512) -> "QuantileSketch":
+        sk = cls(cap)
+        lvl = t["level"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        nlev = int(lvl.max()) + 1 if len(lvl) else 0
+        sk.levels = [val[lvl == i].astype(np.float64)
+                     for i in range(nlev)]
+        sk._compact()
+        return sk
+
+    def quantiles(self, qs: "list[float]") -> "list[float]":
+        vals = np.concatenate(
+            [lv for lv in self.levels] or [np.array([], np.float64)])
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64)
+             for i, lv in enumerate(self.levels)] or
+            [np.array([], np.int64)])
+        if len(vals) == 0:
+            return [float("nan")] * len(qs)
+        order = np.argsort(vals, kind="stable")
+        vals, wts = vals[order], wts[order]
+        cum = np.cumsum(wts)
+        total = cum[-1]
+        out = []
+        for q in qs:
+            target = min(max(q, 0.0), 1.0) * total
+            out.append(float(vals[np.searchsorted(cum, target,
+                                                  side="left")
+                                   if target > 0 else 0]))
+        return out
+
+
+def quantile_sketch(ds: "ray.data.Dataset", col: str, cap: int = 512,
+                    qs: "list[float]" = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+                    ) -> pa.Table:
+    """Approximate quantiles in ONE streaming pass: each block emits its
+    fixed-size compactor summary (``QuantileSketch.to_table`` rows,
+    O(cap·log) per block), the driver merges them — no sort, no shuffle,
+    no second read. The approximate sibling of the exact
+    ``float_quantiles`` (histogram refinement, 2-3 passes); accuracy is
+    pytest-asserted against the exact path. Output: (q, value)."""
+    def partial(t: pa.Table) -> pa.Table:
+        sk = QuantileSketch(cap)
+        if len(t) and col in t.column_names:
+            sk.add(t[col].to_numpy(zero_copy_only=False))
+        return sk.to_table()
+
+    merged = QuantileSketch(cap)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b):
+            merged.merge(QuantileSketch.from_table(b, cap))
+    vals = merged.quantiles(list(qs))
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(vals, pa.float64())})

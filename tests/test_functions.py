@@ -732,3 +732,45 @@ def test_build_postings_known_answer():
     assert out.df.tolist() == [2, 2, 2]
     # postings sorted by doc id, distinct per doc regardless of tf
     assert out.postings.tolist() == ["7,10", "3,10", "3,7"]
+
+
+def test_quantile_sketch_rank_error_bound():
+    from cuttana_ray.functions.sketches import QuantileSketch, quantile_sketch
+    rng = np.random.default_rng(9)
+    v = rng.lognormal(0.0, 1.5, 50_000)
+    sv = np.sort(v)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v, pa.float64())})) \
+        .repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = quantile_sketch(ds, "x", cap=512, qs=qs).to_pydict()
+    n = len(v)
+    for q, est in zip(out["q"], out["value"]):
+        rank = np.searchsorted(sv, est)
+        assert abs(rank - q * n) <= 0.02 * n, (q, est, rank)
+    # mergeability: folding block partials == one single-shot sketch,
+    # within the same bound
+    whole = QuantileSketch(512)
+    whole.add(v)
+    for q, single in zip(qs, whole.quantiles(qs)):
+        rank = np.searchsorted(sv, single)
+        assert abs(rank - q * n) <= 0.02 * n
+
+
+def test_grouped_float_quantiles_matches_numpy():
+    from cuttana_ray.functions.quantiles import grouped_float_quantiles
+    rng = np.random.default_rng(4)
+    k = rng.integers(0, 5, 4000)
+    v = rng.normal(size=4000) * (k + 1)
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64()),
+                                 "v": pa.array(v, pa.float64())})) \
+        .repartition(6)
+    out = grouped_float_quantiles(ds, "k", "v", qs=[0.25, 0.5, 0.9]) \
+        .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+    for key in range(5):
+        vals = np.sort(v[k == key])
+        for q in (0.25, 0.5, 0.9):
+            pos = q * (len(vals) - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            exp = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
+            got = out[(out.k == key) & (out.q == q)].value.iloc[0]
+            assert got == exp
