@@ -1429,6 +1429,21 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """One-pass d x d sample covariance of the embedding column
+    (functions/embeddings.py covariance_matrix): per-block Gram partials
+    folded on the driver, finished with (G - s s^T/n)/(n-1). Upper
+    triangle, 1-based dims, rounded to 6 dp on both sides (summation
+    order)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import covariance_matrix
+    t = covariance_matrix(_read(sf_dir, "embeddings"))
+    t = t.set_column(t.schema.get_field_index("cov"), "cov",
+                     pc.round(t["cov"], 6))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("i", "ascending"), ("j", "ascending")]))
+
+
 def _q_orders_price_quantiles_sketch(sf_dir: str):
     """One-pass approximate quantiles via the deterministic mergeable
     compactor sketch (functions/sketches.py QuantileSketch) — rows-only
@@ -2316,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_postings": _q_doc_postings,
         "priority_price_quantiles": _q_priority_price_quantiles,
         "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
+        "embedding_covariance": _q_embedding_covariance,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
@@ -3683,6 +3699,17 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "embedding_covariance": """
+            WITH ex AS (
+                SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings)
+            SELECT a.pos AS i, b.pos AS j,
+                   ROUND(COVAR_SAMP(a.x, b.x), 6) AS cov
+            FROM ex a JOIN ex b USING (vec_id)
+            WHERE a.pos <= b.pos
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "priority_price_quantiles": """
             WITH g AS (

@@ -343,3 +343,57 @@ def knn_quantized(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
                             ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def covariance_matrix(ds: "ray.data.Dataset", vec_col: str = "embedding"
+                      ) -> pa.Table:
+    """Sample covariance matrix of a fixed-width vector column in ONE
+    streaming pass: each batch ships its d x d Gram partial ``X^T X``
+    plus column sums and count (O(d^2) per block regardless of rows —
+    the register discipline again), the driver folds them and finishes
+    with ``(G - s s^T / n) / (n - 1)``. This is the input half of
+    PCA/whitening at 100 TB: no per-pair shuffle, no second read.
+
+    Output: long upper-triangle rows ``(i, j, cov)`` with 1-based dims,
+    float64. Exact up to summation order (the SQL check rounds).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"g": pa.array([], pa.float64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        g = m.T @ m
+        return pa.table({
+            "g": pa.array(g.ravel(), pa.float64()),
+            "s": pa.array(np.concatenate(
+                [m.sum(axis=0), np.zeros(len(g.ravel()) - m.shape[1])]),
+                pa.float64()),
+            "n": pa.array(np.concatenate(
+                [[len(m)], np.zeros(len(g.ravel()) - 1, np.int64)]),
+                pa.int64()),
+        })
+
+    G = s = None
+    n = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        gflat = b["g"].to_numpy(zero_copy_only=False)
+        d = int(round(len(gflat) ** 0.5))
+        if G is None:
+            G = np.zeros((d, d))
+            s = np.zeros(d)
+        G += gflat.reshape(d, d)
+        s += b["s"].to_numpy(zero_copy_only=False)[:d]
+        n += int(b["n"].to_numpy(zero_copy_only=False)[0])
+    if G is None or n < 2:
+        raise ValueError("need at least 2 vectors")
+    cov = (G - np.outer(s, s) / n) / (n - 1)
+    iu, ju = np.triu_indices(len(cov))
+    return pa.table({
+        "i": pa.array(iu + 1, pa.int64()),
+        "j": pa.array(ju + 1, pa.int64()),
+        "cov": pa.array(cov[iu, ju], pa.float64()),
+    })

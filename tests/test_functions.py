@@ -774,3 +774,18 @@ def test_grouped_float_quantiles_matches_numpy():
             exp = vals[lo] + (vals[hi] - vals[lo]) * (pos - lo)
             got = out[(out.k == key) & (out.q == q)].value.iloc[0]
             assert got == exp
+
+
+def test_covariance_matrix_matches_numpy():
+    from cuttana_ray.functions.embeddings import covariance_matrix
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(200, 6)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    out = covariance_matrix(rd.from_arrow(t).repartition(5)).to_pandas()
+    exp = np.cov(X.astype(np.float64), rowvar=False)
+    for _, r in out.iterrows():
+        assert r["cov"] == pytest.approx(exp[int(r.i) - 1, int(r.j) - 1],
+                                         abs=1e-10)
+    assert len(out) == 6 * 7 // 2
