@@ -1429,6 +1429,73 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_events_by_dow(sf_dir: str):
+    """Day-of-week activity profile: ISO dow (1=Mon..7=Sun) via the Arrow
+    day_of_week kernel, counts + exact value sums pre-aggregated per
+    batch before one 7-row exchange; oracle uses DuckDB isodow."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def dow(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"dow": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "value_sum": pa.array([], pa.float64())})
+        d = pc.day_of_week(t["ts"], count_from_zero=False,
+                           week_start=1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "dow": pa.array(uniq, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "value_sum": pa.array(np.bincount(inv, weights=v)),
+        })
+
+    agg = ev.map_batches(dow, batch_format="pyarrow").groupby("dow") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("value_sum", alias_name="value_sum"))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    t = t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
+                     pc.round(t["value_sum"], 6))
+    return t.take(pc.sort_indices(t, sort_keys=[("dow", "ascending")]))
+
+
+def _q_orders_price_histogram(sf_dir: str):
+    """Equi-width histogram of order price: 20 bins over the global
+    [min, max], bin = LEAST(floor((x - mn) * 20 / (mx - mn)), 19) with
+    the identical float64 arithmetic on both sides; per-batch bincount
+    partials before one 20-row exchange."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+    B = 20
+    ords = _read(sf_dir, "orders", columns=["o_totalprice"])
+    bounds = ords.aggregate(Min("o_totalprice", alias_name="mn"),
+                            Max("o_totalprice", alias_name="mx"))
+    mn, mx = float(bounds["mn"]), float(bounds["mx"])
+    rng = (mx - mn) if mx > mn else 1.0
+
+    def hist(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.minimum(np.floor(((x - mn) * B) / rng), B - 1) \
+            .astype(np.int64)
+        uniq, counts = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = ords.map_batches(hist, batch_format="pyarrow").groupby("bin") \
+        .aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(t, sort_keys=[("bin", "ascending")]))
+
+
 def _q_embedding_covariance(sf_dir: str):
     """One-pass d x d sample covariance of the embedding column
     (functions/embeddings.py covariance_matrix): per-block Gram partials
@@ -2332,6 +2399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_quantiles": _q_priority_price_quantiles,
         "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
         "embedding_covariance": _q_embedding_covariance,
+        "events_by_dow": _q_events_by_dow,
+        "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
         "events_pairs_except": _q_events_pairs_except,
@@ -3699,6 +3768,25 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "events_by_dow": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "orders_price_histogram": """
+            WITH mm AS (
+                SELECT MIN(o_totalprice) AS mn,
+                       CASE WHEN MAX(o_totalprice) > MIN(o_totalprice)
+                            THEN MAX(o_totalprice) - MIN(o_totalprice)
+                            ELSE 1.0 END AS rng
+                FROM orders)
+            SELECT CAST(LEAST(floor(((o_totalprice - mm.mn) * 20) / mm.rng),
+                              19) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders CROSS JOIN mm
+            GROUP BY 1 ORDER BY 1
         """,
         "embedding_covariance": """
             WITH ex AS (
