@@ -1429,6 +1429,32 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_events_customer_skew_join(sf_dir: str):
+    """Skew-aware inner join (stages/joins.py skew_join): Count-Min-
+    detected heavy user_ids join against broadcast customer rows inside
+    map_batches (no exchange), the light tail takes Ray's native hash
+    join — EXACT results, stragglers routed around. Aggregated per
+    market segment; oracle is the plain join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.joins import skew_join
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    joined = skew_join(ev, cust, "user_id", "c_custkey",
+                       heavy_min_count=120)
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="value_sum"))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    t = t.set_column(t.schema.get_field_index("value_sum"), "value_sum",
+                     pc.round(t["value_sum"], 6))
+    t = t.set_column(t.schema.get_field_index("n"), "n",
+                     pc.cast(t["n"], pa.int64()))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("c_mktsegment", "ascending")]))
+
+
 def _q_events_by_dow(sf_dir: str):
     """Day-of-week activity profile: ISO dow (1=Mon..7=Sun) via the Arrow
     day_of_week kernel, counts + exact value sums pre-aggregated per
@@ -2400,6 +2426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
         "embedding_covariance": _q_embedding_covariance,
         "events_by_dow": _q_events_by_dow,
+        "events_customer_skew_join": _q_events_customer_skew_join,
         "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -3768,6 +3795,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "events_customer_skew_join": """
+            SELECT c.c_mktsegment AS c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(e.value), 6) AS value_sum
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "events_by_dow": """
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,

@@ -591,3 +591,160 @@ def interval_overlap_join(left: "ray.data.Dataset",
     gkeys = ["b"] + (["k"] if key else [])
     return both.groupby(gkeys).map_groups(match_group,
                                           batch_format="pyarrow")
+
+
+def skew_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_key: str, right_key: str,
+              heavy_min_count: int = 100_000,
+              num_partitions: int = 8) -> "ray.data.Dataset":
+    """Skew-aware inner equi-join: EXACT results with hot keys routed
+    around the shuffle.
+
+    A plain hash join sends every row of a hot key to one partition —
+    the classic straggler at web scale (one conv-id with 10^8 turns melts
+    its reducer). Plan here:
+
+    1. Detect heavy LEFT keys with the Count-Min-pruned exact counter
+       (``functions/sketches.py heavy_hitters`` — fixed-size sketch per
+       block, never under-counts, so no heavy key is missed).
+    2. Broadcast the right-side rows of those keys once (``ray.put``);
+       heavy left rows join against them INSIDE ``map_batches`` — a
+       vectorized searchsorted-range expansion, no exchange at all.
+    3. Everything else takes one tagged-union cogroup exchange (the
+       repo's join discipline that tolerates the empty blocks the heavy
+       filter leaves behind — Ray 2.49's native hash join does not), now
+       free of stragglers.
+    4. Union of the two outputs; columns ordered identically on both
+       paths.
+
+    Partitioning assumption (SURVEY.md §2.4): the RIGHT side is the
+    dimension-like side — its rows for the heavy keys fit in the object
+    store (heavy keys are few by definition; right rows per key bounded).
+    Output schema: all left columns plus right columns except
+    ``right_key`` (its values equal ``left_key``'s).
+    """
+    from cuttana_ray.functions.sketches import heavy_hitters
+
+    lschema = left.schema()
+    rschema = right.schema()
+    rcols = [c for c in rschema.names if c != right_key]
+    out_names = list(lschema.names) + rcols
+
+    hh_parts = [b for b in heavy_hitters(left, left_key,
+                                         min_count=heavy_min_count)
+                .iter_batches(batch_format="pyarrow")]
+    heavy_keys = np.sort(pa.concat_tables(hh_parts)["key"]
+                         .to_numpy(zero_copy_only=False)) \
+        if hh_parts else np.array([], np.int64)
+
+    def part_filter(key_col: str, keep_heavy: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            m = np.isin(k, heavy_keys)
+            return t.filter(pa.array(m if keep_heavy else ~m))
+        return fn
+
+    # light path: one tagged-union cogroup exchange (NOT Dataset.join —
+    # Ray 2.49's hash-shuffle join breaks on the empty blocks the heavy
+    # filter leaves behind: an empty shuffle partition loses its schema
+    # and Acero then can't resolve the key FieldRef; same hazard as
+    # documented at the degree_assortativity query)
+    tag_fields = [("k", lschema.types[lschema.names.index(left_key)]),
+                  ("side", pa.int8())] + \
+        [(f"l_{c}", lschema.types[lschema.names.index(c)])
+         for c in lschema.names] + \
+        [(f"r_{c}", rschema.types[rschema.names.index(c)]) for c in rcols]
+    tag_schema = pa.schema(tag_fields)
+
+    def tag(is_left: bool, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return tag_schema.empty_table()
+            n = len(t)
+            cols = {"k": t[key_col],
+                    "side": pa.array(np.full(n, 1 if is_left else 0,
+                                             np.int8))}
+            for c in lschema.names:
+                cols[f"l_{c}"] = t[c] if is_left \
+                    else pa.nulls(n, lschema.types[lschema.names.index(c)])
+            for c in rcols:
+                cols[f"r_{c}"] = t[c] if not is_left \
+                    else pa.nulls(n, rschema.types[rschema.names.index(c)])
+            return pa.table(cols).cast(tag_schema)
+        return fn
+
+    out_schema = pa.schema(
+        [(c, lschema.types[lschema.names.index(c)])
+         for c in lschema.names] +
+        [(c, rschema.types[rschema.names.index(c)]) for c in rcols])
+
+    def join_group(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "side" not in t.column_names:
+            return out_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lpos = np.nonzero(side == 1)[0]
+        rpos = np.nonzero(side == 0)[0]
+        if len(lpos) == 0 or len(rpos) == 0:
+            return out_schema.empty_table()
+        li = np.repeat(lpos, len(rpos))
+        ri = np.tile(rpos, len(lpos))
+        cols = {}
+        for c in lschema.names:
+            cols[c] = t[f"l_{c}"].take(pa.array(li))
+        for c in rcols:
+            cols[c] = t[f"r_{c}"].take(pa.array(ri))
+        return pa.table(cols).cast(out_schema)
+
+    lt = left.map_batches(part_filter(left_key, False),
+                          batch_format="pyarrow") \
+        .map_batches(tag(True, left_key), batch_format="pyarrow")
+    rt = right.map_batches(part_filter(right_key, False),
+                           batch_format="pyarrow") \
+        .map_batches(tag(False, right_key), batch_format="pyarrow")
+    light = lt.union(rt).groupby("k").map_groups(join_group,
+                                                 batch_format="pyarrow")
+    if len(heavy_keys) == 0:
+        return light
+
+    # heavy path: broadcast right rows for the hot keys, join per batch
+    rh_parts = [b for b in right.map_batches(part_filter(right_key, True),
+                                             batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")]
+    if not rh_parts:
+        return light        # heavy keys have no right-side match
+    rh = pa.concat_tables(rh_parts)
+    order = np.argsort(rh[right_key].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    rh = rh.take(pa.array(order))
+    rh_ref = ray.put(rh)
+
+    def bcast_join(t: pa.Table) -> pa.Table:
+        rt = ray.get(rh_ref)
+        rk = rt[right_key].to_numpy(zero_copy_only=False)
+        if len(t) == 0:
+            lo = hi = np.array([], np.int64)
+            lidx = np.array([], np.int64)
+        else:
+            k = t[left_key].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(rk, k, side="left")
+            hi = np.searchsorted(rk, k, side="right")
+            cnt = hi - lo
+            lidx = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+            cum = np.cumsum(cnt) - cnt
+            ridx = (np.arange(int(cnt.sum()), dtype=np.int64)
+                    - np.repeat(cum, cnt) + np.repeat(lo, cnt))
+        cols = {}
+        ltake = pa.array(lidx)
+        rtake = pa.array(ridx if len(t) else np.array([], np.int64))
+        for c in lschema.names:
+            cols[c] = t[c].take(ltake)
+        for c in rcols:
+            cols[c] = rt[c].take(rtake)
+        return pa.table(cols).select(out_names)
+
+    heavy = left.map_batches(part_filter(left_key, True),
+                             batch_format="pyarrow") \
+        .map_batches(bcast_join, batch_format="pyarrow")
+    return light.union(heavy)

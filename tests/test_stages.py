@@ -1029,3 +1029,29 @@ def test_interval_overlap_join_matches_brute_force():
         exp = pd.DataFrame({"lid": li, "r_rid": ri}).astype("int64") \
             .sort_values(["lid", "r_rid"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_skew_join_matches_plain_join():
+    """Skewed key distribution through all three regimes (some / none /
+    all keys heavy), multiple right rows per key, vs a pandas merge."""
+    from cuttana_ray.stages.joins import skew_join
+    rng = np.random.default_rng(6)
+    # key 7 is hot (500 rows), the rest uniform
+    lk = np.concatenate([np.full(500, 7), rng.integers(0, 20, 300)])
+    lv = np.arange(len(lk))
+    left = pa.table({"k": pa.array(lk, pa.int64()),
+                     "lv": pa.array(lv, pa.int64())})
+    # right: two rows for some keys, none for others
+    rk = np.concatenate([np.arange(15), np.arange(0, 15, 2)])
+    right = pa.table({"rk": pa.array(rk, pa.int64()),
+                      "rv": pa.array(np.arange(len(rk)) * 10, pa.int64())})
+    exp = pd.merge(left.to_pandas(), right.to_pandas(),
+                   left_on="k", right_on="rk")[["k", "lv", "rv"]] \
+        .sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+    for thresh in (100, 10_000, 1):      # some / none / all heavy
+        got = skew_join(rd.from_arrow(left).repartition(5),
+                        rd.from_arrow(right).repartition(3),
+                        "k", "rk", heavy_min_count=thresh).to_pandas() \
+            [["k", "lv", "rv"]].sort_values(["k", "lv", "rv"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
