@@ -1537,6 +1537,24 @@ def _q_embedding_covariance(sf_dir: str):
         t, sort_keys=[("i", "ascending"), ("j", "ascending")]))
 
 
+def _q_embedding_standardize(sf_dir: str):
+    """Per-dim z-score standardization (functions/embeddings.py
+    standardize_embeddings): O(d) moment fold then a streaming map to
+    long (vec_id, pos, z) rows; AVG/STDDEV_SAMP oracle, rounded 6 dp
+    (summation order). Checked on the first 4 dims to keep the compare
+    compact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import standardize_embeddings
+    out = standardize_embeddings(_read(sf_dir, "embeddings"))
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    t = t.filter(pc.less_equal(t["pos"], 4))
+    t = t.set_column(t.schema.get_field_index("z"), "z",
+                     pc.round(t["z"], 6))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("vec_id", "ascending"), ("pos", "ascending")]))
+
+
 def _q_orders_price_quantiles_sketch(sf_dir: str):
     """One-pass approximate quantiles via the deterministic mergeable
     compactor sketch (functions/sketches.py QuantileSketch) — rows-only
@@ -2425,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_quantiles": _q_priority_price_quantiles,
         "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
         "embedding_covariance": _q_embedding_covariance,
+        "embedding_standardize": _q_embedding_standardize,
         "events_by_dow": _q_events_by_dow,
         "events_customer_skew_join": _q_events_customer_skew_join,
         "orders_price_histogram": _q_orders_price_histogram,
@@ -3795,6 +3814,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderstatus = 'F')
+        """,
+        "embedding_standardize": """
+            WITH ex AS (
+                SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+            mm AS (SELECT pos, AVG(x) AS mu, STDDEV_SAMP(x) AS sd
+                   FROM ex GROUP BY 1)
+            SELECT e.vec_id, e.pos,
+                   ROUND(CASE WHEN mm.sd > 0
+                              THEN (e.x - mm.mu) / mm.sd
+                              ELSE 0.0 END, 6) AS z
+            FROM ex e JOIN mm USING (pos)
+            WHERE e.pos <= 4
+            ORDER BY e.vec_id, e.pos
         """,
         "events_customer_skew_join": """
             SELECT c.c_mktsegment AS c_mktsegment,

@@ -397,3 +397,63 @@ def covariance_matrix(ds: "ray.data.Dataset", vec_col: str = "embedding"
         "j": pa.array(ju + 1, pa.int64()),
         "cov": pa.array(cov[iu, ju], pa.float64()),
     })
+
+
+def standardize_embeddings(ds: "ray.data.Dataset",
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> "ray.data.Dataset":
+    """Per-dimension z-score standardization (the feature-scaling half of
+    whitening): one O(d) moment pass (per-block n/sum/sumsq partials,
+    driver fold — bounded state like ``embedding_extrema``), then a
+    streaming map emits long ``(vec_id, pos, z)`` rows with
+    ``z = (x - mean) / stddev_samp`` in float64. Constant dimensions
+    (stddev 0) emit z = 0. SQL-checkable against AVG/STDDEV_SAMP with
+    end rounding (summation order)."""
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"s": pa.array([], pa.float64()),
+                             "s2": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        return pa.table({
+            "s": pa.array(m.sum(axis=0)),
+            "s2": pa.array((m * m).sum(axis=0)),
+            "n": pa.array(np.full(m.shape[1], len(m), np.int64)),
+        })
+
+    s = s2 = None
+    n = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        if s is None:
+            s = np.zeros(len(b))
+            s2 = np.zeros(len(b))
+        s += b["s"].to_numpy(zero_copy_only=False)
+        s2 += b["s2"].to_numpy(zero_copy_only=False)
+        n += int(b["n"][0].as_py())
+    if s is None or n < 2:
+        raise ValueError("need at least 2 vectors")
+    mean = s / n
+    var = (s2 - (s * s) / n) / (n - 1)
+    std = np.sqrt(np.maximum(var, 0.0))
+    safe = np.where(std > 0.0, std, 1.0)
+
+    def zrows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float64())})
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        z = np.where(std > 0.0, (m - mean) / safe, 0.0)
+        d = m.shape[1]
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(m)), pa.int64()),
+            "z": pa.array(z.ravel(), pa.float64()),
+        })
+
+    return ds.map_batches(zrows, batch_format="pyarrow")

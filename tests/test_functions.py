@@ -789,3 +789,25 @@ def test_covariance_matrix_matches_numpy():
         assert r["cov"] == pytest.approx(exp[int(r.i) - 1, int(r.j) - 1],
                                          abs=1e-10)
     assert len(out) == 6 * 7 // 2
+
+
+def test_standardize_embeddings_zero_mean_unit_var():
+    from cuttana_ray.functions.embeddings import standardize_embeddings
+    rng = np.random.default_rng(21)
+    X = (rng.normal(size=(150, 5)) * [1, 10, 0.1, 3, 1]
+         + [5, -2, 0, 100, 0]).astype(np.float32)
+    X[:, 4] = 7.0                      # constant dim -> z = 0
+    t = pa.table({"vec_id": pa.array(range(150), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    out = standardize_embeddings(rd.from_arrow(t).repartition(4)) \
+        .to_pandas()
+    z = out.pivot(index="vec_id", columns="pos", values="z").to_numpy()
+    Xd = X.astype(np.float64)
+    sd = Xd.std(axis=0, ddof=1)
+    exp = (Xd - Xd.mean(axis=0)) / np.where(sd > 0, sd, 1.0)
+    for j in range(4):
+        assert np.allclose(z[:, j], exp[:, j], atol=1e-9)
+    assert (z[:, 4] == 0).all()
+    assert np.allclose(z[:, :4].mean(axis=0), 0, atol=1e-9)
+    assert np.allclose(z[:, :4].std(axis=0, ddof=1), 1, atol=1e-9)
