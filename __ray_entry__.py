@@ -1429,6 +1429,22 @@ def _q_events_pivot_by_type(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_events_zorder_page(sf_dir: str):
+    """Z-order (Morton) clustering (stages/layout.py): events sorted on
+    the interleaved (user_id, event_id) curve — the Delta/Iceberg
+    ZORDER BY layout primitive — first 200 rows of the curve. The bit
+    interleave is replayed verbatim by the oracle, so keys are
+    int64-exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.layout import zorder_sort
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    out = zorder_sort(ev, "user_id", "event_id").limit(200)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("zkey", "ascending"), ("event_id", "ascending")]))
+
+
 def _q_events_customer_skew_join(sf_dir: str):
     """Skew-aware inner join (stages/joins.py skew_join): Count-Min-
     detected heavy user_ids join against broadcast customer rows inside
@@ -2446,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_standardize": _q_embedding_standardize,
         "events_by_dow": _q_events_by_dow,
         "events_customer_skew_join": _q_events_customer_skew_join,
+        "events_zorder_page": _q_events_zorder_page,
         "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -3226,6 +3243,19 @@ _SIMHASH_SQL = f"""
 """
 
 
+def _zorder_page_sql() -> str:
+    """Generated oracle replaying the Morton bit interleave verbatim
+    (stages/layout.py morton_sql_expr) — int64-exact on both sides."""
+    from cuttana_ray.stages.layout import morton_sql_expr
+    return f"""
+        SELECT event_id, user_id,
+               CAST({morton_sql_expr('user_id', 'event_id')}
+                    AS BIGINT) AS zkey
+        FROM events
+        ORDER BY zkey, event_id LIMIT 200
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
@@ -3830,6 +3860,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.pos <= 4
             ORDER BY e.vec_id, e.pos
         """,
+        "events_zorder_page": _zorder_page_sql(),
         "events_customer_skew_join": """
             SELECT c.c_mktsegment AS c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -1055,3 +1055,26 @@ def test_skew_join_matches_plain_join():
             [["k", "lv", "rv"]].sort_values(["k", "lv", "rv"]) \
             .reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp)
+
+
+def test_zorder_key_locality_and_exactness():
+    from cuttana_ray.stages.layout import morton_interleave, zorder_sort
+    # known interleave: a=0b101 fills even bits, b=0b011 odd bits
+    assert morton_interleave(np.array([0b101]),
+                             np.array([0b011]))[0] == 0b11011
+    # exact round-trip: sorting by zkey groups small coordinate boxes
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 1 << 10, 500)
+    b = rng.integers(0, 1 << 10, 500)
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    out = zorder_sort(rd.from_arrow(t).repartition(4), "a", "b") \
+        .to_pandas()
+    z = morton_interleave(out.a.to_numpy(), out.b.to_numpy())
+    assert (np.diff(z) >= 0).all()          # actually sorted on the curve
+    # locality: mean |Δa|+|Δb| between curve-adjacent rows must be far
+    # below the random-order baseline
+    curve_gap = (np.abs(np.diff(out.a.to_numpy()))
+                 + np.abs(np.diff(out.b.to_numpy()))).mean()
+    rand_gap = (np.abs(np.diff(a)) + np.abs(np.diff(b))).mean()
+    assert curve_gap < rand_gap / 3
