@@ -1571,6 +1571,23 @@ def _q_embedding_standardize(sf_dir: str):
         t, sort_keys=[("vec_id", "ascending"), ("pos", "ascending")]))
 
 
+def _q_embedding_pca_scores(sf_dir: str):
+    """Top-2 principal-component scores (functions/embeddings.py
+    pca_scores): covariance fold + driver d x d eigendecomposition +
+    one streaming projection pass. Rows-only (eigendecomposition is not
+    SQL-expressible); whole-matrix NumPy parity in pytest, and the
+    feeding covariance IS SQL-checked (embedding_covariance)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.embeddings import pca_scores
+    scores, _, _ = pca_scores(_read(sf_dir, "embeddings"), k=2)
+    t = pa.concat_tables(
+        [b for b in scores.iter_batches(batch_format="pyarrow")])
+    t = t.set_column(t.schema.get_field_index("score"), "score",
+                     pc.round(t["score"], 8))
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("vec_id", "ascending"), ("comp", "ascending")]))
+
+
 def _q_orders_price_quantiles_sketch(sf_dir: str):
     """One-pass approximate quantiles via the deterministic mergeable
     compactor sketch (functions/sketches.py QuantileSketch) — rows-only
@@ -2458,6 +2475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_postings": _q_doc_postings,
         "priority_price_quantiles": _q_priority_price_quantiles,
         "orders_price_quantiles_sketch": _q_orders_price_quantiles_sketch,
+        "embedding_pca_scores": _q_embedding_pca_scores,
         "embedding_covariance": _q_embedding_covariance,
         "embedding_standardize": _q_embedding_standardize,
         "events_by_dow": _q_events_by_dow,

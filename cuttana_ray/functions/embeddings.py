@@ -457,3 +457,77 @@ def standardize_embeddings(ds: "ray.data.Dataset",
         })
 
     return ds.map_batches(zrows, batch_format="pyarrow")
+
+
+def pca_scores(ds: "ray.data.Dataset", k: int = 2,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id"):
+    """Principal-component scores: the covariance pass above (one
+    streaming read, O(d^2) folded state) feeds a d x d eigendecomposition
+    ON THE DRIVER (d is the embedding width — trivially small next to n),
+    then one more streaming map projects every centered vector onto the
+    top-``k`` components. Returns ``(scores_ds, components, eigvals)``
+    where ``scores_ds`` has long rows (vec_id, comp [1-based], score).
+
+    Deterministic up to eigenvector sign, which is fixed by forcing the
+    largest-|loading| coordinate positive. Approximation-free; rows-only
+    in the driver contract (eigendecomposition is not SQL-expressible)
+    with NumPy whole-matrix parity in pytest.
+    """
+    # reuse the covariance fold, but keep the mean for centering
+    t = covariance_matrix(ds, vec_col)
+    iu = t["i"].to_numpy(zero_copy_only=False) - 1
+    ju = t["j"].to_numpy(zero_copy_only=False) - 1
+    cv = t["cov"].to_numpy(zero_copy_only=False)
+    d = int(iu.max()) + 1
+    C = np.zeros((d, d))
+    C[iu, ju] = cv
+    C[ju, iu] = cv
+
+    # column means via one O(d) pass
+    s = np.zeros(d)
+    n = 0
+    def mean_partial(tt: pa.Table) -> pa.Table:
+        if len(tt) == 0:
+            return pa.table({"s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _batch_matrix(tt, vec_col).astype(np.float64)
+        return pa.table({"s": pa.array(m.sum(axis=0)),
+                         "n": pa.array(np.full(m.shape[1], len(m),
+                                               np.int64))})
+    for b in ds.map_batches(mean_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        s += b["s"].to_numpy(zero_copy_only=False)
+        n += int(b["n"][0].as_py())
+    mean = s / n
+
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                    # (k, d)
+    # sign convention: largest-|loading| coordinate positive
+    for r in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    eigvals = evals[order]
+
+    def project(tt: pa.Table) -> pa.Table:
+        if len(tt) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = _batch_matrix(tt, vec_col).astype(np.float64) - mean
+        sc = m @ comps.T                         # (n, k)
+        ids = tt[id_col].to_numpy(zero_copy_only=False)
+        kk = sc.shape[1]
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, kk), pa.int64()),
+            "comp": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     len(m)), pa.int64()),
+            "score": pa.array(sc.ravel(), pa.float64()),
+        })
+
+    return (ds.map_batches(project, batch_format="pyarrow"),
+            comps, eigvals)

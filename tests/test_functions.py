@@ -811,3 +811,31 @@ def test_standardize_embeddings_zero_mean_unit_var():
     assert (z[:, 4] == 0).all()
     assert np.allclose(z[:, :4].mean(axis=0), 0, atol=1e-9)
     assert np.allclose(z[:, :4].std(axis=0, ddof=1), 1, atol=1e-9)
+
+
+def test_pca_scores_match_whole_matrix_pca():
+    from cuttana_ray.functions.embeddings import pca_scores
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: strong first axis
+    base = rng.normal(size=(200, 4)) @ np.diag([10.0, 3.0, 1.0, 0.2])
+    X = base.astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in X],
+                                        pa.list_(pa.float32()))})
+    scores_ds, comps, eigvals = pca_scores(
+        rd.from_arrow(t).repartition(5), k=2)
+    got = scores_ds.to_pandas().pivot(index="vec_id", columns="comp",
+                                      values="score").to_numpy()
+    Xd = X.astype(np.float64)
+    Xc = Xd - Xd.mean(axis=0)
+    ev, evec = np.linalg.eigh(np.cov(Xd, rowvar=False))
+    order = np.argsort(ev)[::-1][:2]
+    V = evec[:, order].T
+    for r in range(2):
+        j = int(np.argmax(np.abs(V[r])))
+        if V[r, j] < 0:
+            V[r] = -V[r]
+    exp = Xc @ V.T
+    assert np.allclose(got, exp, atol=1e-6)
+    assert np.allclose(eigvals, ev[order], atol=1e-8)
+    assert eigvals[0] > eigvals[1] > 0
