@@ -1078,3 +1078,49 @@ def test_zorder_key_locality_and_exactness():
                  + np.abs(np.diff(out.b.to_numpy()))).mean()
     rand_gap = (np.abs(np.diff(a)) + np.abs(np.diff(b))).mean()
     assert curve_gap < rand_gap / 3
+
+
+def test_zorder_write_shrinks_file_bounding_boxes(tmp_path):
+    """The point of Z-order: after write_parquet, each file's (a, b)
+    bounding box is compact, so a predicate on either column can prune
+    whole files via parquet column statistics. Compare total bbox area
+    of zordered vs row-order files."""
+    import pyarrow.parquet as pq
+    from cuttana_ray.stages.layout import zorder_sort
+    rng = np.random.default_rng(8)
+    n = 20_000
+    t = pa.table({"a": pa.array(rng.integers(0, 1 << 12, n), pa.int64()),
+                  "b": pa.array(rng.integers(0, 1 << 12, n), pa.int64())})
+
+    def bbox_area_sum(d: str) -> float:
+        import glob
+        total = 0.0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            amin = bmin = float("inf")
+            amax = bmax = float("-inf")
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if st is None or name not in ("a", "b"):
+                        continue
+                    if name == "a":
+                        amin = min(amin, st.min)
+                        amax = max(amax, st.max)
+                    else:
+                        bmin = min(bmin, st.min)
+                        bmax = max(bmax, st.max)
+            total += (amax - amin) * (bmax - bmin)
+        return total
+
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    ds = rd.from_arrow(t)
+    ds.repartition(8).write_parquet(plain_dir)
+    zorder_sort(ds, "a", "b").repartition(8).write_parquet(z_dir)
+    # random-order files each span ~the full square; zordered files
+    # cover small curve segments
+    assert bbox_area_sum(z_dir) < bbox_area_sum(plain_dir) / 4
