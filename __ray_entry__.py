@@ -1212,6 +1212,50 @@ def _q_transcripts_from_events(sf_dir: str):
     return turns.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation turn statistics over the conversationalized event
+    log (the north-star transcript shape): n_turns, total text bytes,
+    distinct roles — Count/Sum aggregates plus the per-block-distinct
+    exact distinct-count path (stages/relational.py distinct_count_agg),
+    merged driver-side over the small per-conversation results."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.relational import distinct_count_agg
+    tr = _q_transcripts_from_events(sf_dir)
+
+    def chars(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"conv_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "role": pa.array([], pa.string())})
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "role": t["role"],
+        })
+
+    base = tr.map_batches(chars, batch_format="pyarrow")
+    agg = base.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"), Sum("n_chars", alias_name="n_chars"))
+    at = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    dt = pa.concat_tables(
+        [b for b in distinct_count_agg(base, ["conv_id"], "role")
+         .iter_batches(batch_format="pyarrow")])
+    merged = at.join(dt, keys=["conv_id"])      # driver-side: small
+    merged = merged.set_column(
+        merged.schema.get_field_index("n_turns"), "n_turns",
+        pc.cast(merged["n_turns"], pa.int64()))
+    out = pa.table({
+        "conv_id": merged["conv_id"],
+        "n_turns": merged["n_turns"],
+        "n_chars": merged["n_chars"],
+        "n_roles": merged["n_distinct"],
+    })
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("conv_id", "ascending")]))
+
+
 def _q_orders_price_quantiles(sf_dir: str):
     """Exact quantile_cont over o_totalprice WITHOUT a global sort:
     histogram-refinement selection (functions/quantiles.py
@@ -2481,6 +2525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_dow": _q_events_by_dow,
         "events_customer_skew_join": _q_events_customer_skew_join,
         "events_zorder_page": _q_events_zorder_page,
+        "conv_stats": _q_conv_stats,
         "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -3727,6 +3772,30 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS turn_idx,
                    event_type AS role, props AS text
             FROM s
+        """,
+        "conv_stats": """
+            WITH x AS (
+                SELECT user_id, event_id, event_type, props,
+                       epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (SELECT user_id, event_id, event_type, props, t,
+                         SUM(CASE WHEN pt IS NOT NULL
+                                   AND t - pt > 3600000000
+                             THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) + 1 AS sid
+                  FROM x),
+            tr AS (SELECT CAST(user_id * 1000000 + sid AS BIGINT)
+                              AS conv_id,
+                          event_type AS role, props AS text
+                   FROM s)
+            SELECT conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles
+            FROM tr GROUP BY 1 ORDER BY 1
         """,
         "event_session_ids": """
             WITH x AS (
