@@ -1993,6 +1993,24 @@ def _q_approx_distinct_users(sf_dir: str):
                            "user_id", hash_fn="duckdb_int")
 
 
+def _q_type_distinct_users_hll(sf_dir: str):
+    """Grouped HyperLogLog (functions/sketches.py grouped_approx_distinct,
+    p=12): one 4096-byte register row per (block, key), ONE exchange
+    max-merges per key. SQL-checked the same way as the global sketch —
+    DuckDB hash() == murmur64_int, so the oracle replays every register
+    and must land on the same integer estimates. Exact sibling:
+    distinct_users_per_type."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import grouped_approx_distinct
+    out = grouped_approx_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id", p=12)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("event_type", "ascending")]))
+
+
 def _q_top_terms_docs(sf_dir: str):
     """Global top-50 term frequencies (vocabulary building): vectorized
     polars extract_all + in-batch partial counts before the single term
@@ -2597,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "neardup_clusters_docs": _q_neardup_clusters,
         "approx_distinct_users": _q_approx_distinct_users,
+        "type_distinct_users_hll": _q_type_distinct_users_hll,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "lang_id_docs": _q_lang_id_docs,
@@ -4375,6 +4394,32 @@ def oracle_sql() -> dict[str, str]:
                               ELSE e END, 0) AS BIGINT) AS approx_distinct,
                    CAST(14 AS BIGINT) AS precision_p
             FROM est
+        """,
+        "type_distinct_users_hll": """
+            -- grouped HLL replay at p=12 (see approx_distinct_users for
+            -- the p=14 global version of the same construction)
+            WITH h AS (SELECT event_type AS k, hash(user_id) AS hv
+                       FROM (SELECT DISTINCT event_type, user_id
+                             FROM events)),
+            r0 AS (SELECT k, CAST(hv >> 52 AS BIGINT) AS idx,
+                          hv & 4503599627370495 AS rest FROM h),
+            regs AS (SELECT k, idx,
+                            MAX(CASE WHEN rest = 0 THEN 53
+                                ELSE 52 - CAST(FLOOR(LOG2(CAST(rest AS
+                                     DOUBLE))) AS BIGINT) END) AS rank
+                     FROM r0 GROUP BY 1, 2),
+            s AS (SELECT k, SUM(POWER(2.0, -rank)) AS sp,
+                         COUNT(*) AS present FROM regs GROUP BY 1),
+            est AS (SELECT k,
+                           0.7213 / (1 + 1.079 / 4096.0) * 4096.0
+                           * 4096.0 / (sp + (4096 - present)) AS e,
+                           (4096 - present) AS zeros FROM s)
+            SELECT k AS event_type,
+                   CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096.0 * LN(4096.0 / zeros)
+                              ELSE e END, 0) AS BIGINT) AS approx_distinct,
+                   CAST(12 AS BIGINT) AS precision_p
+            FROM est ORDER BY 1
         """,
         "chunk_docs": """
             WITH toks AS (

@@ -343,3 +343,57 @@ def quantile_sketch(ds: "ray.data.Dataset", col: str, cap: int = 512,
     vals = merged.quantiles(list(qs))
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array(vals, pa.float64())})
+
+
+def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
+                            p: int = 12) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT col) PER KEY via one HyperLogLog sketch
+    per key: each block collapses to its distinct (key, col) pairs, hashes
+    with ``murmur64_int`` (bit-identical to DuckDB ``hash()``), and emits
+    one 2^p-byte register row per key it contains; ONE ``groupby(key)``
+    exchange max-merges the registers and estimates. Shuffle traffic is
+    (keys-per-block x 2^p) bytes regardless of row count — the grouped
+    sibling of ``approx_distinct``, SQL-replayable the same way.
+
+    Output: (key, approx_distinct:int64, precision_p:int64).
+    """
+    m = 1 << p
+    kt = ds.schema().types[ds.schema().names.index(key)]
+    part_schema = pa.schema([("k", kt), ("regs", pa.binary())])
+    out_schema = pa.schema([(key, kt), ("approx_distinct", pa.int64()),
+                            ("precision_p", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return part_schema.empty_table()
+        d = t.select([key, col]).group_by([key, col]).aggregate([])
+        hv = murmur64_int(d[col].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+        karr = d[key]
+        kvals, inv = np.unique(
+            karr.to_numpy(zero_copy_only=False), return_inverse=True)
+        rows_k, rows_r = [], []
+        for i in range(len(kvals)):
+            regs = hll_registers(hv[inv == i], p)
+            rows_k.append(kvals[i])
+            rows_r.append(regs.tobytes())
+        return pa.table({"k": pa.array(rows_k, kt),
+                         "regs": pa.array(rows_r, pa.binary())}) \
+            .cast(part_schema)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "regs" not in t.column_names:
+            return out_schema.empty_table()
+        merged = np.zeros(m, np.uint8)
+        for b in t["regs"]:
+            np.maximum(merged, np.frombuffer(b.as_py(), np.uint8),
+                       out=merged)
+        return pa.table({
+            key: t["k"].slice(0, 1),
+            "approx_distinct": pa.array([int(round(hll_estimate(merged)))],
+                                        pa.int64()),
+            "precision_p": pa.array([p], pa.int64()),
+        }).cast(out_schema)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").map_groups(merge, batch_format="pyarrow")

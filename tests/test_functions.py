@@ -839,3 +839,23 @@ def test_pca_scores_match_whole_matrix_pca():
     assert np.allclose(got, exp, atol=1e-6)
     assert np.allclose(eigvals, ev[order], atol=1e-8)
     assert eigvals[0] > eigvals[1] > 0
+
+
+def test_grouped_approx_distinct_accuracy():
+    from cuttana_ray.functions.sketches import grouped_approx_distinct
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 4, 40_000)
+    # true distinct cardinality differs strongly per key
+    vals = np.where(keys == 0, rng.integers(0, 50, 40_000),
+                    rng.integers(0, 10_000 * (keys + 1), 40_000))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.int64()),
+                                 "v": pa.array(vals, pa.int64())})) \
+        .repartition(6)
+    out = grouped_approx_distinct(ds, "k", "v", p=12).to_pandas() \
+        .set_index("k")["approx_distinct"]
+    import pandas as pd
+    truth = pd.DataFrame({"k": keys, "v": vals}).groupby("k")["v"] \
+        .nunique()
+    for k in range(4):
+        assert abs(out[k] - truth[k]) <= max(0.05 * truth[k], 3), \
+            (k, out[k], truth[k])
