@@ -1212,6 +1212,30 @@ def _q_transcripts_from_events(sf_dir: str):
     return turns.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_lag_values(sf_dir: str):
+    """General windowed LAG (stages/running.py lag_columns): previous
+    row's value AND event_type per user — one sort, O(1) per-block
+    summaries, driver carry chain, vectorized shift. Values are copied,
+    not computed, so the compare is hash-exact; partition heads coalesce
+    to sentinels on both sides."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import lag_columns
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value",
+                        "event_type"])
+    out = lag_columns(ev, "user_id", ["ts", "event_id"],
+                      ["value", "event_type"], keep=["event_id"])
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    t = pa.table({
+        "event_id": t["event_id"],
+        "prev_value": pc.fill_null(t["prev_value"], -1.0),
+        "prev_event_type": pc.fill_null(t["prev_event_type"], ""),
+    })
+    return t.take(pc.sort_indices(t, sort_keys=[("event_id",
+                                                 "ascending")]))
+
+
 def _q_conv_stats(sf_dir: str):
     """Per-conversation turn statistics over the conversationalized event
     log (the north-star transcript shape): n_turns, total text bytes,
@@ -2544,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_skew_join": _q_events_customer_skew_join,
         "events_zorder_page": _q_events_zorder_page,
         "conv_stats": _q_conv_stats,
+        "events_lag_values": _q_events_lag_values,
         "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -3791,6 +3816,15 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS turn_idx,
                    event_type AS role, props AS text
             FROM s
+        """,
+        "events_lag_values": """
+            SELECT event_id,
+                   COALESCE(LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id), -1.0) AS prev_value,
+                   COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id), '')
+                       AS prev_event_type
+            FROM events ORDER BY event_id
         """,
         "conv_stats": """
             WITH x AS (

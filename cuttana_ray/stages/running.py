@@ -314,3 +314,119 @@ def rank_windows(ds: "ray.data.Dataset", key: str, order: list[str],
         return out.append_column("prank", pa.array(prank, pa.float64()))
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote
+def _lag_summary_task(t: pa.Table, lcols: list[str]) -> dict:
+    """O(1) carry info for LAG: the block's last key and last row's
+    lag-column values (a 1-row table)."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return {"empty": True}
+    k = t["k"].to_numpy(zero_copy_only=False)
+    return {"empty": False, "first_key": int(k[0]), "last_key": int(k[-1]),
+            "tail_row": t.select(lcols).slice(n - 1, 1)}
+
+
+@ray.remote
+def _lag_scan_task(t: pa.Table, carry: "tuple | None", lcols: list[str],
+                   ccols: list[str]) -> pa.Table:
+    """Per-block vectorized LAG within key runs; ``carry`` holds the
+    previous block's (key, last-row table) entering this block."""
+    out_fields = [(c, t.schema.field(c).type) for c in ccols] + \
+        [(f"prev_{c[2:]}", t.schema.field(c).type) for c in lcols]
+    schema = pa.schema(out_fields)
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    run_start = _run_starts(k)
+    is_start = run_start == np.arange(n)
+    # take index i-1 everywhere; run starts take themselves, then null out
+    idx = np.arange(n, dtype=np.int64) - 1
+    idx[is_start] = np.nonzero(is_start)[0]
+    valid = pa.array(~is_start)
+    cols = {c: t[c] for c in ccols}
+    carry_match = carry is not None and carry[0] == int(k[0]) \
+        and is_start[0]
+    for c in lcols:
+        col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) \
+            else t[c]
+        prev = pc.if_else(valid, col.take(pa.array(idx)),
+                          pa.nulls(1, col.type)[0])
+        if carry_match:
+            head = carry[1][c]
+            head = head.combine_chunks() if isinstance(head,
+                                                       pa.ChunkedArray) \
+                else head
+            prev = pa.concat_arrays(
+                [head.cast(col.type), prev.slice(1)])
+        cols[f"prev_{c[2:]}"] = prev
+    return pa.table(cols).cast(schema)
+
+
+def lag_columns(ds: "ray.data.Dataset", key: str, order: list[str],
+                cols: list[str],
+                keep: list[str] | None = None) -> "ray.data.Dataset":
+    """General per-key LAG: for every row, the PREVIOUS row's values of
+    ``cols`` under ``(key, *order)`` ordering — SQL ``LAG(col) OVER
+    (PARTITION BY key ORDER BY order)``, null at each partition head.
+
+    Same plan as ``running_agg``: one global sort, O(1)-sized per-block
+    summaries (the last row only), a driver carry chain over #blocks
+    entries, then a fully vectorized per-block shift — no per-group
+    Python, no second exchange. Values are COPIED, not computed, so the
+    output is hash-exact with no float hazards. Output columns:
+    ``keep`` (default key + order) plus ``prev_<col>`` per lag column.
+    """
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+    ltypes = {c: schema.types[schema.names.index(c)] for c in cols}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep] + \
+            [(f"l_{c}", ltypes[c]) for c in cols]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        out = {"k": pc.cast(t[key], pa.int64())}
+        for c in order:
+            out[f"o_{c}"] = t[c]
+        for c in keep:
+            out[f"c_{c}"] = t[c]
+        for c in cols:
+            out[f"l_{c}"] = t[c]
+        return pa.table(out).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+    refs = merged.to_arrow_refs()
+    lcols = [f"l_{c}" for c in cols]
+    summaries = ray.get([_lag_summary_task.remote(r, lcols) for r in refs])
+
+    carries: list[tuple | None] = []
+    state: tuple | None = None           # (key, 1-row table of lcols)
+    for s in summaries:
+        carries.append(state)
+        if s.get("empty"):
+            continue
+        state = (s["last_key"], s["tail_row"])
+
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_lag_scan_task.remote(r, c, lcols, ccols)
+                for r, c in zip(refs, carries)]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1124,3 +1124,28 @@ def test_zorder_write_shrinks_file_bounding_boxes(tmp_path):
     # random-order files each span ~the full square; zordered files
     # cover small curve segments
     assert bbox_area_sum(z_dir) < bbox_area_sum(plain_dir) / 4
+
+
+@pytest.mark.parametrize("num_blocks", [1, 7])
+def test_lag_columns_matches_pandas_shift(num_blocks):
+    from cuttana_ray.stages.running import lag_columns
+    rng = np.random.default_rng(12)
+    n = 3000
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "seq": pa.array(rng.permutation(n), pa.int64()),
+        "val": pa.array(rng.normal(size=n), pa.float64()),
+        "tag": pa.array(rng.choice(["x", "y", "z"], n)),
+    })
+    got = lag_columns(rd.from_arrow(t).repartition(num_blocks),
+                      "u", ["seq"], ["val", "tag"],
+                      keep=["u", "seq"]).to_pandas() \
+        .sort_values(["u", "seq"]).reset_index(drop=True)
+    pdf = t.to_pandas().sort_values(["u", "seq"]).reset_index(drop=True)
+    g = pdf.groupby("u")
+    exp_val = g["val"].shift(1)
+    exp_tag = g["tag"].shift(1)
+    assert np.array_equal(got["prev_val"].to_numpy(),
+                          exp_val.to_numpy(), equal_nan=True)
+    assert got["prev_tag"].where(got["prev_tag"].notna(), None).tolist() \
+        == exp_tag.where(exp_tag.notna(), None).tolist()
