@@ -1236,6 +1236,59 @@ def _q_events_lag_values(sf_dir: str):
                                                  "ascending")]))
 
 
+def _q_user_time_weighted_value(sf_dir: str):
+    """Time-weighted average value per user — each reading weighted by
+    how long it was 'current' (until the next event): LAG via
+    lag_columns, then exact int64 dwell sums + one small groupby;
+    single-event users drop out on both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.windows import ts_to_us
+    ev = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "t_us": pc.cast(ts_to_us(t["ts"]), pa.int64()),
+            "event_id": t["event_id"], "value": t["value"]})
+
+    lagged = lag_columns(ev.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"],
+                         ["t_us", "value"], keep=["user_id", "t_us"])
+
+    def weights(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "contrib": pa.array([], pa.float64())})
+        ok = pc.is_valid(t["prev_t_us"])
+        t = t.filter(ok)
+        w = pc.subtract(t["t_us"], t["prev_t_us"])
+        return pa.table({
+            "user_id": t["user_id"],
+            "w": pc.cast(w, pa.int64()),
+            "contrib": pc.multiply(pc.cast(t["prev_value"], pa.float64()),
+                                   pc.cast(w, pa.float64())),
+        })
+
+    agg = lagged.map_batches(weights, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("w", alias_name="dwell_us"),
+                                      Sum("contrib", alias_name="c"))
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow")])
+    t = pa.table({
+        "user_id": t["user_id"],
+        "dwell_us": pc.cast(t["dwell_us"], pa.int64()),
+        "twa_value": pc.round(pc.divide(t["c"],
+                                        pc.cast(t["dwell_us"],
+                                                pa.float64())), 6),
+    })
+    return t.take(pc.sort_indices(t, sort_keys=[("user_id",
+                                                 "ascending")]))
+
+
 def _q_conv_stats(sf_dir: str):
     """Per-conversation turn statistics over the conversationalized event
     log (the north-star transcript shape): n_turns, total text bytes,
@@ -2569,6 +2622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder_page": _q_events_zorder_page,
         "conv_stats": _q_conv_stats,
         "events_lag_values": _q_events_lag_values,
+        "user_time_weighted_value": _q_user_time_weighted_value,
         "orders_price_histogram": _q_orders_price_histogram,
         "user_last_event": _q_user_last_event,
         "events_pairs_intersect": _q_events_pairs_intersect,
@@ -3816,6 +3870,19 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS turn_idx,
                    event_type AS role, props AS text
             FROM s
+        """,
+        "user_time_weighted_value": """
+            WITH x AS (
+                SELECT user_id, epoch_us(ts) AS t, value,
+                       LAG(epoch_us(ts)) OVER w AS pt,
+                       LAG(value) OVER w AS pv
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id,
+                   CAST(SUM(t - pt) AS BIGINT) AS dwell_us,
+                   ROUND(SUM(pv * (t - pt)) / SUM(t - pt), 6) AS twa_value
+            FROM x WHERE pt IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "events_lag_values": """
             SELECT event_id,
