@@ -13,10 +13,15 @@ from cuttana_ray.functions.multimodal import (
     sample_frames,
     synth_media_table,
 )
-from cuttana_ray.functions.quantiles import float_quantiles
+from cuttana_ray.functions.chunking import chunk_documents
+from cuttana_ray.functions.quantiles import (
+    float_quantiles,
+    grouped_float_quantiles,
+)
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.terms import (
     bigram_counts,
+    build_postings,
     doc_term_counts,
     doc_tfidf_topk,
     pmi_bigrams,
@@ -25,8 +30,22 @@ from cuttana_ray.functions.terms import (
     top_terms,
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
-from cuttana_ray.functions.sketches import approx_distinct, heavy_hitters
-from cuttana_ray.functions.embeddings import kmeans, label_centroids
+from cuttana_ray.functions.sketches import (
+    QuantileSketch,
+    approx_distinct,
+    grouped_approx_distinct,
+    heavy_hitters,
+    quantile_sketch,
+)
+from cuttana_ray.functions.embeddings import (
+    covariance_matrix,
+    kmeans,
+    knn_quantized,
+    label_centroids,
+    pca_scores,
+    quantize_embeddings,
+    standardize_embeddings,
+)
 from cuttana_ray.functions.packing import sequence_pack
 from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
@@ -40,7 +59,18 @@ from cuttana_ray.functions.textstats import (
 )
 
 __all__ = [
+    "QuantileSketch",
     "approx_distinct",
+    "build_postings",
+    "chunk_documents",
+    "covariance_matrix",
+    "grouped_approx_distinct",
+    "grouped_float_quantiles",
+    "knn_quantized",
+    "pca_scores",
+    "quantile_sketch",
+    "quantize_embeddings",
+    "standardize_embeddings",
     "benchmark_shingles",
     "decontaminate",
     "embedding_cosine_pairs",

@@ -10,9 +10,12 @@ from cuttana_ray.stages.joins import (
     cross_join_broadcast,
     bloom_filter_build,
     bloom_prune,
+    interval_overlap_join,
     range_join,
+    skew_join,
 )
 from cuttana_ray.stages.jsoncol import json_extract_scalars
+from cuttana_ray.stages.layout import zorder_key, zorder_sort
 from cuttana_ray.stages.nested import explode_list
 from cuttana_ray.stages.relational import (
     anti_join,
@@ -38,7 +41,12 @@ from cuttana_ray.stages.partition_stage import (
     hash_partition_baseline,
     run_cuttana_partition,
 )
-from cuttana_ray.stages.running import moving_agg, rank_windows, running_agg
+from cuttana_ray.stages.running import (
+    lag_columns,
+    moving_agg,
+    rank_windows,
+    running_agg,
+)
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
 from cuttana_ray.stages.windows import (
     funnel_counts,
@@ -53,7 +61,12 @@ __all__ = [
     "bloom_filter_build",
     "bloom_prune",
     "cross_join_broadcast",
+    "interval_overlap_join",
     "range_join",
+    "skew_join",
+    "zorder_key",
+    "zorder_sort",
+    "lag_columns",
     "assignment_array",
     "grouped_topk",
     "pivot_agg",
