@@ -1566,6 +1566,29 @@ def _q_events_zorder_page(sf_dir: str):
         t, sort_keys=[("zkey", "ascending"), ("event_id", "ascending")]))
 
 
+def _q_docs_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup — the daily-increment pattern: the
+    incoming batch keeps only docs whose text does not appear in the
+    already-ingested corpus (here: doc_id < split; the incoming batch is
+    the whole table so the drop path provably fires). Pure composition:
+    the tagged-union cogroup anti-join keyed on the text itself
+    (stages/relational.py anti_join), no driver-side text set."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import anti_join
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    split = 250
+
+    def seen_part(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], split))
+
+    seen = docs.map_batches(seen_part, batch_format="pyarrow")
+    out = anti_join(docs, seen, "text", "text")
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]) \
+        .select(["doc_id"])
+    return t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+
+
 def _q_events_customer_skew_join(sf_dir: str):
     """Skew-aware inner join (stages/joins.py skew_join): Count-Min-
     detected heavy user_ids join against broadcast customer rows inside
@@ -2619,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_standardize": _q_embedding_standardize,
         "events_by_dow": _q_events_by_dow,
         "events_customer_skew_join": _q_events_customer_skew_join,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "events_zorder_page": _q_events_zorder_page,
         "conv_stats": _q_conv_stats,
         "events_lag_values": _q_events_lag_values,
@@ -4068,6 +4092,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.vec_id, e.pos
         """,
         "events_zorder_page": _zorder_page_sql(),
+        "docs_incremental_dedup": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN (SELECT text FROM documents
+                               WHERE doc_id < 250)
+            ORDER BY doc_id
+        """,
         "events_customer_skew_join": """
             SELECT c.c_mktsegment AS c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n,
