@@ -125,3 +125,43 @@ def load_latest_iteration(workdir: str, algo: str) -> tuple[int, np.ndarray, dic
     state = np.empty(t.num_rows, dtype=t["value"].type.to_pandas_dtype())
     state[t["vertex"].to_numpy()] = t["value"].to_numpy(zero_copy_only=False)
     return i, state, read_manifest(d)
+
+
+def compact_stage(dirpath: str, target_rows_per_file: int = 1 << 20) -> int:
+    """Compact a completed stage directory's small parquet files into
+    ~``target_rows_per_file``-row files — the small-files problem: a
+    many-block write (or many incremental appends) leaves hundreds of
+    tiny files whose open/footer overhead dominates re-reads at scale.
+
+    One streaming read → ``repartition(ceil(rows/target))`` → atomic
+    rewrite (same temp-dir + rename discipline as ``write_stage``); the
+    manifest is regenerated with the original lineage plus a
+    ``compacted_from`` count. Row count comes from parquet footers (no
+    data pass). Returns the new file count.
+    """
+    if not is_complete(dirpath):
+        raise ValueError(f"stage {dirpath} is not complete")
+    meta = read_manifest(dirpath)
+    files = sorted(f for f in os.listdir(dirpath) if f.endswith(".parquet"))
+    total = sum(pq.read_metadata(os.path.join(dirpath, f)).num_rows
+                for f in files)
+    n_out = max(1, -(-total // target_rows_per_file))
+    if n_out >= len(files):
+        return len(files)                      # nothing to gain
+    ds = ray.data.read_parquet(
+        [os.path.join(dirpath, f) for f in files])
+    parent = os.path.dirname(os.path.abspath(dirpath))
+    tmp = tempfile.mkdtemp(prefix=".compact_", dir=parent)
+    try:
+        ds.repartition(n_out).write_parquet(tmp)
+        meta = dict(meta)
+        meta["compacted_from"] = len(files)
+        _write_manifest(tmp, meta)
+        back = tempfile.mkdtemp(prefix=".old_", dir=parent)
+        os.rename(dirpath, os.path.join(back, "d"))
+        os.rename(tmp, dirpath)
+        shutil.rmtree(back)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return len([f for f in os.listdir(dirpath) if f.endswith(".parquet")])

@@ -182,3 +182,26 @@ def test_components_and_lpa_resume(tiny_graph, tmp_path):
     rl = label_propagation(tiny_graph, max_iters=5,
                            workdir=str(tmp_path / "lpi"), resume=True)
     assert (rl.values == fl.values).all()
+
+
+def test_compact_stage_merges_small_files(tmp_path):
+    import glob
+
+    import pyarrow as pa
+
+    from cuttana_ray.pipelines import checkpoint as ckpt
+    d = str(tmp_path / "stage")
+    ckpt.write_stage(rd.range(5000).repartition(40), d,
+                     meta={"note": "orig"})
+    before = glob.glob(f"{d}/*.parquet")
+    assert len(before) > 4
+    n = ckpt.compact_stage(d, target_rows_per_file=2500)
+    after = glob.glob(f"{d}/*.parquet")
+    assert n == len(after) == 2
+    # content identical, manifest keeps lineage + compaction record
+    t = ckpt.read_table(d)
+    assert sorted(t["id"].to_pylist()) == list(range(5000))
+    m = ckpt.read_manifest(d)
+    assert m["note"] == "orig" and m["compacted_from"] == len(before)
+    # already-compact stages are left untouched
+    assert ckpt.compact_stage(d, target_rows_per_file=2500) == 2
