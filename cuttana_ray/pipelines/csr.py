@@ -24,6 +24,7 @@ the filter keeps the sandbox path shuffle-free.
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -73,6 +74,20 @@ class CSRShard:
             self.w = np.empty(0, np.float64)
             self.starts = np.empty(0, np.int64)
             self.owned = np.empty(0, np.int64)
+
+
+    def dump(self, path: str) -> int:
+        """Persist this shard's CSR as its (src, dst, weight) edge rows —
+        loading skips the global edge shuffle entirely."""
+        import pyarrow.parquet as pq
+        counts = np.diff(np.concatenate([self.starts, [len(self.src)]])) \
+            if len(self.starts) else np.empty(0, np.int64)
+        dst = np.repeat(self.owned, counts.astype(np.int64))
+        t = pa.table({"src": pa.array(self.src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64()),
+                      "weight": pa.array(self.w, pa.float64())})
+        pq.write_table(t, path)
+        return len(t)
 
     def ready(self) -> int:
         return len(self.owned)
@@ -244,6 +259,8 @@ class CSRPool:
     def __init__(self, graph: Graph, part_of: np.ndarray, num_partitions: int,
                  num_cpus_per_shard: float | None = None):
         self.graph = graph
+        self._outw = None
+        self.part_of = np.asarray(part_of, dtype=np.int32)
         self.V = graph.num_vertices
         block_refs = graph.edges.to_arrow_refs()
         part_ref = ray.put(part_of.astype(np.int32))
@@ -264,6 +281,65 @@ class CSRPool:
         ]
         ray.get([s.ready.remote() for s in self.shards])
 
+
+    def _out_weights(self) -> np.ndarray:
+        return self._outw if self._outw is not None \
+            else self.graph.out_weights()
+
+    def save(self, dirpath: str) -> None:
+        """Persist the built index: per-shard CSR edge files + the O(V)
+        out-weight and partition vectors + a manifest. A later ``load``
+        skips BOTH the edge shuffle and the out-weight pass — the
+        repeated-analytics path (same discipline as the persisted IVF
+        index in functions/simsearch.py)."""
+        import json
+        import pyarrow.parquet as pq
+        os.makedirs(dirpath, exist_ok=True)
+        rows = ray.get([s.dump.remote(os.path.join(dirpath,
+                                                   f"shard-{p:04d}.parquet"))
+                        for p, s in enumerate(self.shards)])
+        pq.write_table(pa.table({
+            "outw": pa.array(self._out_weights(), pa.float64()),
+            "part": pa.array(self.part_of.astype(np.int32), pa.int32()),
+        }), os.path.join(dirpath, "vertex_state.parquet"))
+        with open(os.path.join(dirpath, "manifest.json"), "w") as f:
+            json.dump({"V": int(self.V), "k": len(self.shards),
+                       "shard_rows": rows}, f)
+
+    @classmethod
+    def load(cls, dirpath: str,
+             num_cpus_per_shard: float | None = None) -> "CSRPool":
+        """Reconstruct a pool from ``save`` output without a Graph (and
+        without any shuffle): each shard reads only its own file."""
+        import json
+        import pyarrow.parquet as pq
+        with open(os.path.join(dirpath, "manifest.json")) as f:
+            meta = json.load(f)
+        vs = pq.read_table(os.path.join(dirpath, "vertex_state.parquet"))
+        pool = object.__new__(cls)
+        pool.graph = None
+        pool._outw = vs["outw"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pool.part_of = vs["part"].to_numpy(zero_copy_only=False) \
+            .astype(np.int32)
+        pool.V = int(meta["V"])
+        k = int(meta["k"])
+        part_ref = ray.put(pool.part_of)
+        if num_cpus_per_shard is None:
+            try:
+                total = int(ray.cluster_resources().get("CPU", k))
+            except Exception:
+                total = k
+            num_cpus_per_shard = max(0.05, min(1.0, total / k / 1.5))
+        scls = CSRShard.options(num_cpus=num_cpus_per_shard)
+        pool.shards = []
+        for p in range(k):
+            t = pq.read_table(os.path.join(dirpath,
+                                           f"shard-{p:04d}.parquet"))
+            pool.shards.append(scls.remote([ray.put(t)], part_ref, p))
+        ray.get([s.ready.remote() for s in pool.shards])
+        return pool
+
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
@@ -273,7 +349,7 @@ class CSRPool:
     def pagerank(self, damping: float = 0.85, tol: float = 1e-6,
                  max_iters: int = 100) -> IterativeResult:
         V = self.V
-        outw = self.graph.out_weights()
+        outw = self._out_weights()
         dangling = outw == 0.0
         outw_ref = ray.put(np.where(dangling, 1.0, outw))
         ray.get([s.prepare_pagerank.remote(outw_ref) for s in self.shards])
@@ -363,7 +439,7 @@ class CSRPool:
         return res
 
     def _sharded_prepare(self, damping: float = 0.85) -> np.ndarray:
-        outw = self.graph.out_weights()  # one-time setup pass
+        outw = self._out_weights()  # one-time setup pass
         outw_ref = ray.put(outw)
         needs = ray.get([
             s.sharded_prepare1.remote(outw_ref, damping, self.V)

@@ -732,3 +732,31 @@ def test_mis_rounds_valid_maximal_and_layout_invariant():
         assert not (adj[v] & mis)                # independent
     for v in np.flatnonzero(st == REMOVED):
         assert adj[int(v)] & mis                 # removal is justified
+
+
+def test_csr_pool_save_load_identical_results(er_graph, tmp_path):
+    """Persisted CSR index: load skips the edge shuffle AND the
+    out-weight pass yet reproduces bit-identical PageRank (both modes)
+    and min-label results."""
+    g, n = er_graph
+    part = (np.arange(n) % 4).astype(np.int32)
+    pool = CSRPool(g, part, 4)
+    d = str(tmp_path / "csr_index")
+    try:
+        pr0 = pool.pagerank()
+        pool.save(d)
+    finally:
+        pool.shutdown()
+    loaded = CSRPool.load(d)
+    try:
+        assert loaded.graph is None          # no Graph / shuffle involved
+        pr1 = loaded.pagerank()
+        assert pr1.iterations == pr0.iterations
+        assert np.array_equal(pr1.values, pr0.values)
+        src, dst, w = arrays(g)
+        cc = loaded.connected_components()
+        assert (cc.values == oracle.components_oracle(src, dst, n)).all()
+        prs = loaded.pagerank_sharded()
+        assert np.allclose(prs.values, pr0.values, atol=1e-9)
+    finally:
+        loaded.shutdown()
