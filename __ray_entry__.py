@@ -1566,6 +1566,40 @@ def _q_events_zorder_page(sf_dir: str):
         t, sort_keys=[("zkey", "ascending"), ("event_id", "ascending")]))
 
 
+def _q_orders_upserted(sf_dir: str):
+    """Latest-wins upsert MERGE (the dataset-versioning primitive next to
+    table_diff): a deterministic update batch (every 10th order, price
+    +100, version 2) unions with the base (version 1) and the per-key
+    newest row wins via the grouped_topk k=1 combiner path — no driver
+    key set, one exchange."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import grouped_topk
+    base = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_totalprice"])
+
+    def tag_base(t: pa.Table) -> pa.Table:
+        return t.append_column("version",
+                               pa.array(np.ones(len(t), np.int64)))
+
+    def updates(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(keys % 10 == 0))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_totalprice": pc.add(t["o_totalprice"], 100.0),
+            "version": pa.array(np.full(len(t), 2, np.int64)),
+        })
+
+    both = base.map_batches(tag_base, batch_format="pyarrow").union(
+        base.map_batches(updates, batch_format="pyarrow"))
+    out = grouped_topk(both, ["o_orderkey"],
+                       [("version", "descending")], k=1)
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")])
+    return t.take(pc.sort_indices(t, sort_keys=[("o_orderkey",
+                                                 "ascending")]))
+
+
 def _q_docs_incremental_dedup(sf_dir: str):
     """Incremental exact dedup — the daily-increment pattern: the
     incoming batch keeps only docs whose text does not appear in the
@@ -2643,6 +2677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_dow": _q_events_by_dow,
         "events_customer_skew_join": _q_events_customer_skew_join,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "orders_upserted": _q_orders_upserted,
         "events_zorder_page": _q_events_zorder_page,
         "conv_stats": _q_conv_stats,
         "events_lag_values": _q_events_lag_values,
@@ -4092,6 +4127,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.vec_id, e.pos
         """,
         "events_zorder_page": _zorder_page_sql(),
+        "orders_upserted": """
+            WITH u AS (
+                SELECT o_orderkey, o_totalprice, 1 AS version FROM orders
+                UNION ALL
+                SELECT o_orderkey, o_totalprice + 100.0, 2
+                FROM orders WHERE o_orderkey % 10 = 0),
+            r AS (
+                SELECT o_orderkey, o_totalprice,
+                       CAST(version AS BIGINT) AS version,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                          ORDER BY version DESC) AS rn
+                FROM u)
+            SELECT o_orderkey, o_totalprice, version FROM r
+            WHERE rn = 1 ORDER BY o_orderkey
+        """,
         "docs_incremental_dedup": """
             SELECT doc_id FROM documents
             WHERE text NOT IN (SELECT text FROM documents
