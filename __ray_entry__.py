@@ -1566,6 +1566,35 @@ def _q_events_zorder_page(sf_dir: str):
         t, sort_keys=[("zkey", "ascending"), ("event_id", "ascending")]))
 
 
+def _q_customer_active_ranges(sf_dir: str):
+    """Gaps-and-islands interval coalescing (stages/running.py
+    coalesce_intervals): per-customer 30-day order windows merged into
+    maximal activity ranges — exclusive prefix max of window ends via
+    the running-max block-carry chain, island ids via the running-sum
+    chain, one final groupby. Oracle is the classic MAX() OVER ... 1
+    PRECEDING islands query."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import coalesce_intervals
+    from cuttana_ray.stages.windows import ts_to_us
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate"])
+
+    def iv(t: pa.Table) -> pa.Table:
+        s = pc.cast(ts_to_us(t["o_orderdate"]), pa.int64())
+        return pa.table({
+            "o_custkey": t["o_custkey"], "s": s,
+            "e": pc.add(s, pa.scalar(30 * 86400 * 1_000_000, pa.int64()))})
+
+    out = coalesce_intervals(orders.map_batches(iv, batch_format="pyarrow"),
+                             "o_custkey", "s", "e")
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]) \
+        .rename_columns(["o_custkey", "island", "island_start",
+                         "island_end", "n_intervals"])
+    return t.take(pc.sort_indices(
+        t, sort_keys=[("o_custkey", "ascending"), ("island", "ascending")]))
+
+
 def _q_orders_upserted(sf_dir: str):
     """Latest-wins upsert MERGE (the dataset-versioning primitive next to
     table_diff): a deterministic update batch (every 10th order, price
@@ -2678,6 +2707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_customer_skew_join": _q_events_customer_skew_join,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "orders_upserted": _q_orders_upserted,
+        "customer_active_ranges": _q_customer_active_ranges,
         "events_zorder_page": _q_events_zorder_page,
         "conv_stats": _q_conv_stats,
         "events_lag_values": _q_events_lag_values,
@@ -4127,6 +4157,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY e.vec_id, e.pos
         """,
         "events_zorder_page": _zorder_page_sql(),
+        "customer_active_ranges": """
+            WITH iv AS (
+                SELECT o_custkey AS k, epoch_us(o_orderdate) AS s,
+                       epoch_us(o_orderdate + INTERVAL 30 DAY) AS e
+                FROM orders),
+            x AS (
+                SELECT k, s, e,
+                       MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                FROM iv),
+            y AS (
+                SELECT k, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax
+                            THEN 1 ELSE 0 END AS brk
+                FROM x),
+            z AS (
+                SELECT k, s, e,
+                       SUM(brk) OVER (PARTITION BY k ORDER BY s, e
+                                      ROWS UNBOUNDED PRECEDING) AS island
+                FROM y)
+            SELECT k AS o_custkey, CAST(island AS BIGINT) AS island,
+                   CAST(MIN(s) AS BIGINT) AS island_start,
+                   CAST(MAX(e) AS BIGINT) AS island_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM z GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "orders_upserted": """
             WITH u AS (
                 SELECT o_orderkey, o_totalprice, 1 AS version FROM orders

@@ -430,3 +430,148 @@ def lag_columns(ds: "ray.data.Dataset", key: str, order: list[str],
 
     return out.map_batches(strip, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+@ray.remote
+def _max_summary_task(t: pa.Table) -> dict:
+    """O(1) carry info for a prefix max: last key + the trailing key
+    run's max of ``v``."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return {"empty": True}
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    last = k[-1]
+    brk = np.nonzero(k != last)[0]
+    start = (brk[-1] + 1) if len(brk) else 0
+    return {"empty": False, "first_key": int(k[0]), "last_key": int(last),
+            "tail_max": int(v[start:].max())}
+
+
+@ray.remote
+def _max_scan_task(t: pa.Table, carry: "tuple | None",
+                   out_cols: list[str]) -> pa.Table:
+    """Per-block EXCLUSIVE prefix max within key runs (value of the max
+    over all STRICTLY EARLIER rows of the key; null at run heads with no
+    carry)."""
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("prev_max", pa.int64())])
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    run_start = _run_starts(k)
+    # inclusive prefix max per key run (pandas grouped cummax: C kernel,
+    # value-range safe — an offset trick would overflow int64 on epoch-µs
+    # data), then shift right by one for the exclusive form
+    import pandas as pd
+    seg = np.zeros(n, np.int64)
+    seg[run_start] = 1
+    run_id = np.cumsum(seg) - 1
+    incl = pd.Series(v).groupby(run_id).cummax().to_numpy()
+    is_start = run_start == np.arange(n)
+    prev = np.empty(n, np.int64)
+    prev[1:] = incl[:-1]
+    prev[0] = 0
+    valid = ~is_start
+    if carry is not None and n and carry[0] == int(k[0]) and is_start[0]:
+        prev[0] = carry[1]
+        valid[0] = True
+    cols = {c: t[c] for c in out_cols}
+    cols["prev_max"] = pa.array(
+        np.where(valid, prev, 0), pa.int64())
+    out = pa.table(cols).cast(schema)
+    # null out run heads without carry
+    return out.set_column(
+        out.schema.get_field_index("prev_max"), "prev_max",
+        pc.if_else(pa.array(valid), out["prev_max"],
+                   pa.nulls(1, pa.int64())[0]))
+
+
+def coalesce_intervals(ds: "ray.data.Dataset", key: str, start: str,
+                       end: str) -> "ray.data.Dataset":
+    """Merge overlapping/touching intervals per key — SQL's
+    gaps-and-islands: an interval starts a new island iff its start
+    exceeds the max end of every earlier interval of the key.
+
+    Plan: one sort by (key, start, end); the block-carry chain computes
+    the EXCLUSIVE prefix max of ``end`` (a prefix max is carry-friendly —
+    unlike island ids it never depends on break decisions); break flags
+    then feed the existing ``running_agg`` sum chain for island ids; one
+    final ``groupby(key, island)`` aggregate emits (island_start,
+    island_end, n_intervals). Values must be int64 (timestamps via
+    ``ts_to_us`` upstream).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    schema = ds.schema()
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                         ("s_", pa.int64()), ("e_", pa.int64())])
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "k": pc.cast(t[key], pa.int64()),
+            "v": pc.cast(t[end], pa.int64()),
+            "s_": pc.cast(t[start], pa.int64()),
+            "e_": pc.cast(t[end], pa.int64()),
+        }).cast(sch)
+
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["k", "s_", "e_"]).materialize()
+    refs = merged.to_arrow_refs()
+    summaries = ray.get([_max_summary_task.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    state: tuple | None = None               # (key, running max)
+    for s in summaries:
+        carries.append(state)
+        if s.get("empty"):
+            continue
+        if state is not None and state[0] == s["first_key"] \
+                and s["first_key"] == s["last_key"]:
+            state = (s["last_key"], max(state[1], s["tail_max"]))
+        else:
+            state = (s["last_key"], s["tail_max"])
+    out_refs = [_max_scan_task.remote(r, c, ["k", "s_", "e_"])
+                for r, c in zip(refs, carries)]
+    with_max = ray.data.from_arrow_refs(out_refs)
+
+    def brk(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("s_", pa.int64()),
+                         ("e_", pa.int64()), ("brk", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        pm = t["prev_max"]
+        new_island = pc.or_kleene(
+            pc.is_null(pm), pc.greater(t["s_"], pm))
+        return pa.table({
+            "k": t["k"], "s_": t["s_"], "e_": t["e_"],
+            "brk": pc.cast(pc.fill_null(new_island, True), pa.int64()),
+        }).cast(sch)
+
+    islands = running_agg(with_max.map_batches(brk, batch_format="pyarrow"),
+                          "k", ["s_", "e_"], "brk",
+                          keep=["k", "s_", "e_"])
+
+    agg = islands.groupby(["k", "running_sum"]).aggregate(
+        Min("s_", alias_name="island_start"),
+        Max("e_", alias_name="island_end"),
+        Count(alias_name="n_intervals"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key, pa.int64()), ("island", pa.int64()),
+                         ("island_start", pa.int64()),
+                         ("island_end", pa.int64()),
+                         ("n_intervals", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            key: t["k"], "island": t["running_sum"],
+            "island_start": t["island_start"],
+            "island_end": t["island_end"],
+            "n_intervals": pc.cast(t["n_intervals"], pa.int64()),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1149,3 +1149,38 @@ def test_lag_columns_matches_pandas_shift(num_blocks):
                           exp_val.to_numpy(), equal_nan=True)
     assert got["prev_tag"].where(got["prev_tag"].notna(), None).tolist() \
         == exp_tag.where(exp_tag.notna(), None).tolist()
+
+
+@pytest.mark.parametrize("num_blocks", [1, 9])
+def test_coalesce_intervals_matches_brute_force(num_blocks):
+    from cuttana_ray.stages.running import coalesce_intervals
+    rng = np.random.default_rng(14)
+    n = 2000
+    k = rng.integers(0, 12, n)
+    s = rng.integers(0, 10_000, n).astype(np.int64)
+    e = s + rng.integers(0, 400, n)
+    ds = rd.from_arrow(pa.table({"k": pa.array(k, pa.int64()),
+                                 "s": pa.array(s, pa.int64()),
+                                 "e": pa.array(e, pa.int64())})) \
+        .repartition(num_blocks)
+    got = coalesce_intervals(ds, "k", "s", "e").to_pandas() \
+        .sort_values(["k", "island"]).reset_index(drop=True)
+    # brute-force islands per key
+    exp_rows = []
+    for key in np.unique(k):
+        ivs = sorted(zip(s[k == key], e[k == key]))
+        cur_s, cur_e, cnt, isl = None, None, 0, 0
+        for a, b in ivs:
+            if cur_s is None or a > cur_e:
+                if cur_s is not None:
+                    exp_rows.append((key, isl, cur_s, cur_e, cnt))
+                isl += 1
+                cur_s, cur_e, cnt = a, b, 1
+            else:
+                cur_e = max(cur_e, b)
+                cnt += 1
+        exp_rows.append((key, isl, cur_s, cur_e, cnt))
+    exp = pd.DataFrame(exp_rows, columns=["k", "island", "island_start",
+                                          "island_end", "n_intervals"]) \
+        .astype("int64").sort_values(["k", "island"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
