@@ -2318,6 +2318,29 @@ def _q_triangles_events(sf_dir: str):
     })
 
 
+def _q_graph_diameter_events(sf_dir: str):
+    """Double-sweep diameter lower bound (the standard 2-BFS heuristic —
+    exact on trees, a certified lower bound in general): BFS from vertex
+    0, hop to the farthest reached vertex (ties to the smallest id),
+    BFS again; the second eccentricity is the bound. Pure composition of
+    the frontier-pruned bfs_distances; oracle runs the same two sweeps
+    as chained recursive CTEs."""
+    from cuttana_ray.pipelines.bfs import bfs_distances
+    g = _events_graph(sf_dir)
+    d1 = bfs_distances(g, [0]).values
+    reached = d1 >= 0
+    far = int(np.nonzero(d1 == d1[reached].max())[0].min())
+    d2 = bfs_distances(g, [far]).values
+    diameter_lb = int(d2[d2 >= 0].max())
+    far_end = int(np.nonzero(d2 == diameter_lb)[0].min())
+    return pa.table({
+        "start_vertex": pa.array([0], pa.int64()),
+        "far_vertex": pa.array([far], pa.int64()),
+        "diameter_lb": pa.array([diameter_lb], pa.int64()),
+        "far_end": pa.array([far_end], pa.int64()),
+    })
+
+
 def _q_bfs_events(sf_dir: str):
     """Multi-source BFS hop distances from every 29th vertex (frontier
     map_batches + min-combine per round, pipelines/bfs.py); -1 =
@@ -2762,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
+        "graph_diameter_events": _q_graph_diameter_events,
         "kcore_events": _q_kcore_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -3104,6 +3128,32 @@ _BFS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     FROM nodes n LEFT JOIN walk w ON w.v = n.node_id GROUP BY 1
 """
 
+
+
+_DIAMETER_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    w1(v, d) AS (
+        SELECT node_id, 0 FROM nodes WHERE node_id = 0
+        UNION
+        SELECT e.dst, w.d + 1 FROM w1 w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    d1 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM w1 GROUP BY 1),
+    far AS MATERIALIZED (
+        SELECT v FROM d1 WHERE d = (SELECT MAX(d) FROM d1)
+        ORDER BY v LIMIT 1),
+    w2(v, d) AS (
+        SELECT v, 0 FROM far
+        UNION
+        SELECT e.dst, w.d + 1 FROM w2 w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    d2 AS MATERIALIZED (SELECT v, MIN(d) AS d FROM w2 GROUP BY 1)
+    SELECT CAST(0 AS BIGINT) AS start_vertex,
+           (SELECT CAST(v AS BIGINT) FROM far) AS far_vertex,
+           (SELECT CAST(MAX(d) AS BIGINT) FROM d2) AS diameter_lb,
+           (SELECT CAST(MIN(v) AS BIGINT) FROM d2
+            WHERE d = (SELECT MAX(d) FROM d2)) AS far_end
+"""
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
     de AS MATERIALIZED (
@@ -3537,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_events": _CLUSTERING_SQL,
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
+        "graph_diameter_events": _DIAMETER_SQL,
         "eccentricity_events": _ECC_SQL,
         "harmonic_events": _HARMONIC_SQL,
         "betweenness_events": _betweenness_oracle_sql(),
