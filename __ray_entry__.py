@@ -852,6 +852,29 @@ def _q_events_running_total(sf_dir: str):
                        keep=["user_id", "event_id"])
 
 
+def _q_events_running_max(sf_dir: str):
+    """Per-user running MAX (high-water mark) ordered by (ts, event_id)
+    — the MAX sibling of events_running_total on the same carry chain
+    (stages/running.py running_max_agg), in exact int64 cents."""
+    import pyarrow.compute as _pc
+    from cuttana_ray.stages.running import running_max_agg
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column("cents", _pc.cast(
+            _pc.floor(_pc.multiply(t["value"], 100.0)), pa.int64()))
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"]) \
+        .map_batches(cents, batch_format="pyarrow")
+    out = running_max_agg(ds, "user_id", ["ts", "event_id"], "cents",
+                          keep=["user_id", "event_id", "cents"])
+    t = pa.concat_tables(
+        [b for b in out.iter_batches(batch_format="pyarrow")]) \
+        .select(["user_id", "event_id", "running_max"])
+    return t.take(_pc.sort_indices(t, sort_keys=[("event_id",
+                                                  "ascending")]))
+
+
 def _q_events_moving_sum(sf_dir: str):
     """Per-user moving 4-row window (SUM + COUNT, ROWS BETWEEN 3 PRECEDING
     AND CURRENT ROW) ordered by (ts, event_id) — bounded-frame variant of
@@ -2716,6 +2739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": _q_events_hourly_windows,
         "events_hopping_windows": _q_events_hopping_windows,
         "events_running_total": _q_events_running_total,
+        "events_running_max": _q_events_running_max,
         "events_moving_sum": _q_events_moving_sum,
         "events_asof_value": _q_events_asof_value,
         "events_range_join": _q_events_range_join,
@@ -4354,6 +4378,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # windowed SUM over BIGINT returns HUGEINT in DuckDB — cast back
         # (the degree_topk dtype lesson).
+        "events_running_max": """
+            SELECT user_id, event_id,
+                   MAX(CAST(FLOOR(value * 100.0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS running_max
+            FROM events ORDER BY event_id
+        """,
         "events_running_total": """
             SELECT user_id, event_id,
                    CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (

@@ -42,10 +42,12 @@ from cuttana_ray.stages.partition_stage import (
     run_cuttana_partition,
 )
 from cuttana_ray.stages.running import (
+    coalesce_intervals,
     lag_columns,
     moving_agg,
     rank_windows,
     running_agg,
+    running_max_agg,
 )
 from cuttana_ray.stages.vocab import build_vocab, decode_column, encode_edges
 from cuttana_ray.stages.windows import (
@@ -67,6 +69,8 @@ __all__ = [
     "zorder_key",
     "zorder_sort",
     "lag_columns",
+    "coalesce_intervals",
+    "running_max_agg",
     "assignment_array",
     "grouped_topk",
     "pivot_agg",

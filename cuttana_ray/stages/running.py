@@ -475,9 +475,15 @@ def _max_scan_task(t: pa.Table, carry: "tuple | None",
     prev[1:] = incl[:-1]
     prev[0] = 0
     valid = ~is_start
-    if carry is not None and n and carry[0] == int(k[0]) and is_start[0]:
-        prev[0] = carry[1]
-        valid[0] = True
+    if carry is not None and n and carry[0] == int(k[0]):
+        # the carry max applies to EVERY row of the block's leading key
+        # run, not just the first row (same leading-run patch as the
+        # running-sum scan)
+        lead = run_start == 0
+        prev = np.where(lead, np.maximum(prev, carry[1]), prev)
+        if is_start[0]:
+            prev[0] = carry[1]
+            valid[0] = True
     cols = {c: t[c] for c in out_cols}
     cols["prev_max"] = pa.array(
         np.where(valid, prev, 0), pa.int64())
@@ -575,3 +581,78 @@ def coalesce_intervals(ds: "ray.data.Dataset", key: str, start: str,
         }).cast(sch)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def running_max_agg(ds: "ray.data.Dataset", key: str, order: list[str],
+                    value: str,
+                    keep: list[str] | None = None) -> "ray.data.Dataset":
+    """Cumulative MAX per key (SQL ``MAX(value) OVER (PARTITION BY key
+    ORDER BY order ROWS UNBOUNDED PRECEDING)``, current row inclusive) —
+    the MAX sibling of ``running_agg``, on the same one-sort +
+    O(#blocks) carry chain. ``value`` must be int64-castable."""
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("v", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "v": pc.cast(t[value], pa.int64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+    refs = merged.to_arrow_refs()
+    summaries = ray.get([_max_summary_task.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    state: tuple | None = None
+    for s in summaries:
+        carries.append(state)
+        if s.get("empty"):
+            continue
+        if state is not None and state[0] == s["first_key"] \
+                and s["first_key"] == s["last_key"]:
+            state = (s["last_key"], max(state[1], s["tail_max"]))
+        else:
+            state = (s["last_key"], s["tail_max"])
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_max_scan_task.remote(r, c, ccols)
+                for r, c in zip(refs, carries)]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        # inclusive running max = max(exclusive prev_max, own value);
+        # _max_scan_task keeps the tagged v? it does not — recompute from
+        # the carried copy of the value column, which callers must include
+        # in keep; enforced below.
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    stripped = out.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def inclusive(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("running_max",
+                                   pa.array([], pa.int64()))
+        v = pc.cast(t[value], pa.int64())
+        rm = pc.max_element_wise(pc.fill_null(t["prev_max"],
+                                              np.iinfo(np.int64).min), v)
+        return t.drop_columns(["prev_max"]) \
+            .append_column("running_max", pc.cast(rm, pa.int64()))
+    if value not in keep:
+        raise ValueError("include the value column in keep")
+    return stripped.map_batches(inclusive, batch_format="pyarrow")
