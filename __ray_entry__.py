@@ -2179,6 +2179,17 @@ def _q_approx_distinct_users(sf_dir: str):
                            "user_id", hash_fn="duckdb_int")
 
 
+def _q_bpe_merges_docs(sf_dir: str):
+    """BPE tokenizer training (functions/bpe.py learn_bpe): the
+    corpus-sized work (tokenize + word counts + top-cap) is the existing
+    distributed term-count path; the merge loop runs on the capped word
+    table. Rows-only (the iterative merge loop is not SQL-expressible);
+    known-answer + layout-invariance pytest."""
+    from cuttana_ray.functions.bpe import learn_bpe
+    return learn_bpe(_read(sf_dir, "documents"), num_merges=10,
+                     max_words=20_000)
+
+
 def _q_type_distinct_users_hll(sf_dir: str):
     """Grouped HyperLogLog (functions/sketches.py grouped_approx_distinct,
     p=12): one 4096-byte register row per (block, key), ONE exchange
@@ -2832,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters_docs": _q_neardup_clusters,
         "approx_distinct_users": _q_approx_distinct_users,
         "type_distinct_users_hll": _q_type_distinct_users_hll,
+        "bpe_merges_docs": _q_bpe_merges_docs,
         "embedding_neardup": _q_embedding_neardup,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "lang_id_docs": _q_lang_id_docs,

@@ -13,6 +13,7 @@ from cuttana_ray.functions.multimodal import (
     sample_frames,
     synth_media_table,
 )
+from cuttana_ray.functions.bpe import learn_bpe
 from cuttana_ray.functions.chunking import chunk_documents
 from cuttana_ray.functions.quantiles import (
     float_quantiles,
@@ -63,6 +64,7 @@ __all__ = [
     "approx_distinct",
     "build_postings",
     "chunk_documents",
+    "learn_bpe",
     "covariance_matrix",
     "grouped_approx_distinct",
     "grouped_float_quantiles",

@@ -859,3 +859,25 @@ def test_grouped_approx_distinct_accuracy():
     for k in range(4):
         assert abs(out[k] - truth[k]) <= max(0.05 * truth[k], 3), \
             (k, out[k], truth[k])
+
+
+def test_learn_bpe_known_answer_and_determinism():
+    from cuttana_ray.functions.bpe import _merge_loop, learn_bpe
+    # classic Sennrich example: first merge on this corpus is ('e','s')
+    words = [tuple("low") + ("</w>",), tuple("lower") + ("</w>",),
+             tuple("newest") + ("</w>",), tuple("widest") + ("</w>",)]
+    freqs = [5, 2, 6, 3]
+    merges = _merge_loop([list(w) for w in words], freqs, 3)
+    assert merges[0] == ("e", "s", 9)         # newest(6) + widest(3)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("est", "</w>", 9)
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["low low low low low lower lower "
+                                    "newest newest newest newest newest "
+                                    "newest widest widest widest", ""])})
+    out1 = learn_bpe(rd.from_arrow(t).repartition(2), num_merges=3)
+    out2 = learn_bpe(rd.from_arrow(t), num_merges=3)
+    assert out1.equals(out2)                  # layout-invariant
+    assert out1["left"].to_pylist() == ["e", "es", "est"]
+    assert out1["right"].to_pylist() == ["s", "t", "</w>"]
