@@ -2714,6 +2714,57 @@ def _q_transcript_passthrough(sf_dir: str):
         .select_columns(["conv_id", "turn_idx", "text"])
 
 
+def _q_user_value_ewma(sf_dir: str):
+    """Per-user exponentially-weighted moving average of event value
+    (alpha=0.25) under (ts, event_id) order — one sort + key-aligned
+    re-block + jagged-transposed scan (stages/keyblocks.py grouped_ewma);
+    bit-identical to the SQL recursive-CTE recurrence, no rounding."""
+    from cuttana_ray.stages.keyblocks import grouped_ewma
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return grouped_ewma(ds, "user_id", ["ts", "event_id"], "value",
+                        alpha=0.25, keep=["event_id", "user_id"]) \
+        .select_columns(["event_id", "user_id", "ewma"])
+
+
+def _q_lineitem_regression(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity (slope / intercept /
+    r2 = SQL REGR_*): finisher over the one-exchange partial-moment plan
+    (stages/stats.py grouped_linreg), rounded 6 dp on both sides."""
+    from cuttana_ray.stages.stats import grouped_linreg
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_linreg(ds, ["l_returnflag"], "l_quantity",
+                          "l_extendedprice")
+
+
+def _q_events_value_outliers(sf_dir: str):
+    """Events whose value exceeds their user's mean + 3·sample-stddev:
+    grouped moments → per-key threshold → distributed hash join back onto
+    the rows (stages/stats.py grouped_outliers). Output columns are copied
+    input values, so the check is hash-exact."""
+    from cuttana_ray.stages.stats import grouped_outliers
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    return grouped_outliers(ds, "user_id", "value",
+                            keep=["event_id", "user_id", "value"])
+
+
+def _q_part_cooccurrence(sf_dir: str):
+    """Item–item collaborative-filtering pairs: parts bought by ≥2 common
+    customers with cosine over the binary customer–part incidence.
+    Quadratic pair expansion runs vectorized inside key-aligned blocks and
+    pre-combines before the one (p1,p2) exchange
+    (functions/cooccur.py cooccurrence_cosine)."""
+    from cuttana_ray.functions.cooccur import cooccurrence_cosine
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    cp = orders.join(line, join_type="inner", num_partitions=8,
+                     on=("o_orderkey",))
+    return cooccurrence_cosine(cp, "o_custkey", "l_partkey", min_support=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2851,6 +2902,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,
         "transcript_passthrough": _q_transcript_passthrough,
+        # seventh round-2 batch (all SQL-checked)
+        "user_value_ewma": _q_user_value_ewma,
+        "lineitem_regression": _q_lineitem_regression,
+        "events_value_outliers": _q_events_value_outliers,
+        "part_cooccurrence": _q_part_cooccurrence,
     }
 
 
@@ -4868,4 +4924,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         # nprobe == nlist probes every bucket, so IVF is exact and shares the
         # brute-force oracle (same top-5 per query by construction).
+        "user_value_ewma": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            e AS (
+                SELECT user_id, rn, event_id, value AS ewma
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.event_id,
+                       0.25 * b.value + 0.75 * e.ewma
+                FROM base b JOIN e
+                  ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+            SELECT event_id, user_id, ewma FROM e
+        """,
+        "lineitem_regression": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6)
+                       AS slope,
+                   ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6)
+                       AS intercept,
+                   ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY 1
+        """,
+        "events_value_outliers": """
+            SELECT e.event_id, e.user_id, e.value
+            FROM events e JOIN (
+                SELECT user_id, AVG(value) AS m,
+                       STDDEV_SAMP(value) AS s, COUNT(*) AS c
+                FROM events GROUP BY 1) u USING (user_id)
+            WHERE u.c > 1 AND e.value > u.m + 3 * u.s
+        """,
+        "part_cooccurrence": """
+            WITH cp AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+            pcnt AS (SELECT p, COUNT(*) AS n FROM cp GROUP BY 1),
+            pairs AS (
+                SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co
+                FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT pairs.p1, pairs.p2, pairs.co,
+                   pairs.co / SQRT(c1.n * c2.n) AS cosine
+            FROM pairs JOIN pcnt c1 ON c1.p = pairs.p1
+                       JOIN pcnt c2 ON c2.p = pairs.p2
+        """,
     }

@@ -47,6 +47,7 @@ from cuttana_ray.functions.embeddings import (
     quantize_embeddings,
     standardize_embeddings,
 )
+from cuttana_ray.functions.cooccur import cooccurrence_cosine
 from cuttana_ray.functions.packing import sequence_pack
 from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
@@ -110,4 +111,5 @@ __all__ = [
     "top_terms",
     "doc_term_counts",
     "doc_tfidf_topk",
+    "cooccurrence_cosine",
 ]

@@ -34,7 +34,17 @@ from cuttana_ray.stages.relational import (
     union_distinct,
     unpivot,
 )
-from cuttana_ray.stages.stats import grouped_entropy, grouped_moments
+from cuttana_ray.stages.stats import (
+    grouped_entropy,
+    grouped_linreg,
+    grouped_moments,
+    grouped_outliers,
+)
+from cuttana_ray.stages.keyblocks import (
+    grouped_ewma,
+    key_aligned_refs,
+    within_group_pairs,
+)
 from cuttana_ray.stages.metrics import assignment_array, partition_quality
 from cuttana_ray.stages.profile import profile
 from cuttana_ray.stages.partition_stage import (
@@ -81,6 +91,11 @@ __all__ = [
     "explode_list",
     "grouped_entropy",
     "grouped_moments",
+    "grouped_linreg",
+    "grouped_outliers",
+    "grouped_ewma",
+    "key_aligned_refs",
+    "within_group_pairs",
     "grouping_sets_agg",
     "intersect_distinct",
     "json_extract_scalars",

@@ -1,0 +1,258 @@
+"""Key-aligned block layout + order-dependent scans that need WHOLE key
+runs (exponentially-weighted moving average, within-group pair expansion).
+
+The carry-chain scans in ``stages/running.py`` handle operators whose
+cross-block patch is associative (sum, max, lag). An EWMA is different: its
+recurrence ``s_i = a*x_i + (1-a)*s_{i-1}`` is affine, and re-expressing the
+boundary patch as ``A*s_in + B`` changes the floating-point rounding order,
+so the result would no longer be bit-identical to a row-at-a-time oracle.
+The fix used here is layout, not algebra: after the one global sort, blocks
+are REALIGNED so every key's run lives wholly inside one block — each block
+donates its leading run to the block that first saw the key (an O(#blocks)
+driver plan over O(1) per-block metadata; the moved bytes are only the
+straddling runs). Inside an aligned block the scan is then "jagged
+transposed": one vectorized step per position-within-run, updating ALL runs
+of the block simultaneously, so the per-element arithmetic is the literal
+recurrence (bit-identical to a sequential evaluation and to a SQL recursive
+CTE) while the Python-level loop count is max-run-length, not rows.
+
+Scale note: a single hot key becomes a single block; that is inherent to
+"whole run in one place" semantics (same contract as SQL's PARTITION BY).
+Callers with adversarial key skew should pre-split hot keys upstream.
+
+The reference engine has no window/scan operators at all (its state is the
+partitioner's counters, ``/root/reference/src/state.rs``); this module is
+part of the SURVEY.md §2.4 windows family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+@ray.remote
+def _key_meta(t: pa.Table) -> dict:
+    """O(1) metadata: first/last value of the int64 ``k`` column."""
+    if len(t) == 0 or "k" not in t.column_names:
+        return {"empty": True}
+    k = t["k"]
+    return {"empty": False, "first": int(k[0].as_py()),
+            "last": int(k[-1].as_py())}
+
+
+@ray.remote
+def _assemble_block(t: pa.Table, drop_leading_key: "int | None",
+                    take_key: "int | None", *cont: pa.Table) -> pa.Table:
+    """Own rows minus the donated leading run, plus the leading runs of
+    the continuation blocks (each sliced to ``take_key``)."""
+    parts: list[pa.Table] = []
+    if len(t):
+        if drop_leading_key is not None:
+            k = t["k"].to_numpy(zero_copy_only=False)
+            cut = int(np.searchsorted(k, drop_leading_key, side="right"))
+            t = t.slice(cut)
+        if len(t):
+            parts.append(t)
+    for c in cont:
+        if len(c) == 0:
+            continue
+        k = c["k"].to_numpy(zero_copy_only=False)
+        cut = int(np.searchsorted(k, take_key, side="right"))
+        if cut:
+            parts.append(c.slice(0, cut))
+    if not parts:
+        return t.schema.empty_table()
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def key_aligned_refs(sorted_refs: list) -> list:
+    """Given the arrow refs of a dataset already sorted with leading int64
+    column ``k``, return refs of the same rows re-blocked so no key run
+    straddles a block boundary (runs claimed by the first block that saw
+    the key). Pure plan: O(1) metadata per block on the driver, block
+    payloads never leave the object store."""
+    metas = ray.get([_key_meta.remote(r) for r in sorted_refs])
+    n = len(sorted_refs)
+    out = []
+    prev_last: "int | None" = None
+    for i, m in enumerate(metas):
+        if m.get("empty"):
+            out.append(_assemble_block.remote(sorted_refs[i], None, None))
+            continue
+        drop = m["first"] if prev_last == m["first"] else None
+        # a block whose entire content is a continuation of an earlier
+        # owner does not own its last run either — it must not also grab
+        # the continuation blocks the true owner already claimed
+        owns_last = not (drop is not None and m["first"] == m["last"])
+        conts = []
+        j = i + 1
+        while owns_last and j < n:
+            mj = metas[j]
+            if mj.get("empty"):
+                j += 1
+                continue
+            if mj["first"] != m["last"]:
+                break
+            conts.append(sorted_refs[j])
+            if mj["last"] != mj["first"]:
+                break           # run ends inside block j
+            j += 1
+        out.append(_assemble_block.remote(
+            sorted_refs[i], drop, m["last"] if conts else None, *conts))
+        prev_last = m["last"]
+    return out
+
+
+def _runs(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of equal-value runs in sorted ``k``."""
+    n = len(k)
+    if n == 0:
+        return (np.zeros(0, np.int64),) * 2
+    brk = np.nonzero(k[1:] != k[:-1])[0] + 1
+    starts = np.concatenate([[0], brk]).astype(np.int64)
+    lens = np.diff(np.concatenate([starts, [n]])).astype(np.int64)
+    return starts, lens
+
+
+@ray.remote
+def _ewma_scan(t: pa.Table, alpha: float, out_cols: list[str]) -> pa.Table:
+    """Jagged-transposed EWMA over an aligned block: vectorized across all
+    runs, sequential only in position-within-run; per-element arithmetic is
+    exactly ``alpha*x + (1-alpha)*s`` (same three IEEE roundings as the SQL
+    recursive-CTE oracle), with ``s_head = x_head``."""
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("ewma", pa.float64())])
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    x = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+    starts, lens = _runs(k)
+    out = np.empty(n, np.float64)
+    state = x[starts].copy()
+    out[starts] = state
+    beta = 1.0 - alpha          # exact for dyadic alpha (0.25, 0.5, ...)
+    r = 1
+    alive = lens > r
+    while alive.any():
+        idx = starts[alive] + r
+        st = alpha * x[idx] + beta * state[alive]
+        state[alive] = st
+        out[idx] = st
+        r += 1
+        alive = lens > r
+    cols = {c: t[c] for c in out_cols}
+    cols["ewma"] = pa.array(out, pa.float64())
+    return pa.table(cols).cast(schema)
+
+
+def grouped_ewma(ds: "ray.data.Dataset", key: str, order: list[str],
+                 value: str, alpha: float = 0.25,
+                 keep: list[str] | None = None) -> "ray.data.Dataset":
+    """Per-key exponentially-weighted moving average under ``(key,
+    *order)`` ordering: ``s_1 = x_1``, ``s_i = alpha*x_i +
+    (1-alpha)*s_{i-1}`` — the pandas ``ewm(adjust=False)`` recurrence,
+    distributed. One global sort, a key-aligned re-block (O(1) metadata
+    per block on the driver), then a fully in-block vectorized scan; the
+    result is BIT-identical to evaluating the recurrence row-at-a-time, so
+    it hash-matches a SQL recursive-CTE oracle with no rounding. Use a
+    dyadic ``alpha`` (k/2^m) so ``1-alpha`` is exact.
+
+    Output: ``keep`` (default key + order) plus float64 ``ewma``.
+    """
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("v", pa.float64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "v": pc.cast(t[value], pa.float64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+    aligned = key_aligned_refs(merged.to_arrow_refs())
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_ewma_scan.remote(r, float(alpha), ccols) for r in aligned]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@ray.remote
+def _pair_expand(t: pa.Table, item_col: str) -> pa.Table:
+    """All within-run unordered pairs (p1 < p2 by run order) over an
+    aligned block, fully vectorized: element q of a k-run is 'first' in
+    (k-1-q) pairs; the flat pair index arithmetic below builds every
+    (first, second) index with no Python loop."""
+    schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                        ("co", pa.int64())])
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return schema.empty_table()
+    k = t["k"].to_numpy(zero_copy_only=False)
+    p = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, lens = _runs(k)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    rep = np.repeat(lens, lens) - 1 - pos      # pairs each element leads
+    total = int(rep.sum())
+    if total == 0:
+        return schema.empty_table()
+    first = np.repeat(np.arange(n, dtype=np.int64), rep)
+    off = np.arange(total, dtype=np.int64) - \
+        np.repeat(np.concatenate([[0], np.cumsum(rep)[:-1]]), rep) + 1
+    second = first + off
+    p1, p2 = p[first], p[second]
+    lo = np.minimum(p1, p2)
+    hi = np.maximum(p1, p2)
+    # block-local combine before the pair shuffle
+    out = pa.table({"p1": lo, "p2": hi}).group_by(["p1", "p2"]) \
+        .aggregate([([], "count_all")]) \
+        .rename_columns(["p1", "p2", "co"])
+    return out.cast(schema)
+
+
+def within_group_pairs(ds: "ray.data.Dataset", group: str, item: str
+                       ) -> "ray.data.Dataset":
+    """Co-occurrence pair counts: for every unordered item pair, the number
+    of groups containing both. Input rows must be DISTINCT (group, item).
+    One sort + key-aligned re-block; pair expansion is vectorized across
+    all runs of a block and pre-combined before the one pair groupby."""
+    from ray.data.aggregate import Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("i_", pa.int64())])
+        if len(t) == 0 or group not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"k": pc.cast(t[group], pa.int64()),
+                         "i_": pc.cast(t[item], pa.int64())}).cast(sch)
+
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["k", "i_"]).materialize()
+    aligned = key_aligned_refs(merged.to_arrow_refs())
+    pairs = ray.data.from_arrow_refs(
+        [_pair_expand.remote(r, "i_") for r in aligned])
+    return pairs.groupby(["p1", "p2"]).aggregate(Sum("co", alias_name="co"))

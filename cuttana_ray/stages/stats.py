@@ -105,6 +105,92 @@ def grouped_moments(ds: "ray.data.Dataset", keys: list[str], x: str,
         _merge_partials, batch_format="pandas")
 
 
+def grouped_linreg(ds: "ray.data.Dataset", keys: list[str], x: str, y: str,
+                   round_to: int = 6) -> "ray.data.Dataset":
+    """Per-group ordinary least squares of ``y`` on ``x``: ``slope =
+    cov(x,y)/var(x)``, ``intercept = mean_y − slope·mean_x``, ``r2 =
+    corr²`` — SQL's ``REGR_SLOPE / REGR_INTERCEPT / REGR_R2``. A pure
+    finisher over ``grouped_moments`` (same one-exchange partial-moment
+    plan); rounded so Chan-merge reassociation noise (~1e-12 relative)
+    can't flip the last digit vs a single-pass SQL oracle."""
+    out = grouped_moments(ds, keys, x, y)
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(k, t.schema.field(k).type) for k in keys] +
+            [("n", pa.int64()), ("slope", pa.float64()),
+             ("intercept", pa.float64()), ("r2", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        sd_x = t["sd_x"].to_numpy(zero_copy_only=False)
+        mean_x = t["mean_x"].to_numpy(zero_copy_only=False)
+        mean_y = t["mean_y"].to_numpy(zero_copy_only=False)
+        covar = t["covar"].to_numpy(zero_copy_only=False)
+        corr = t["corr"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = covar / (sd_x * sd_x)
+            intercept = mean_y - slope * mean_x
+            r2 = corr * corr
+        cols = {k: t[k] for k in keys}
+        cols["n"] = pc.cast(t["n"], pa.int64())
+        cols["slope"] = pa.array(np.round(slope, round_to))
+        cols["intercept"] = pa.array(np.round(intercept, round_to))
+        cols["r2"] = pa.array(np.round(r2, round_to))
+        return pa.table(cols).cast(schema)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_outliers(ds: "ray.data.Dataset", key: str, value: str,
+                     keep: list[str], z: float = 3.0) -> "ray.data.Dataset":
+    """Rows whose ``value`` exceeds their group's ``mean + z·stddev``
+    (sample stddev; groups of one row never flag). Two passes, no
+    materialization: the one-exchange ``grouped_moments`` plan computes
+    per-key thresholds, a distributed hash join carries them back onto the
+    rows, and the filter is a vectorized comparison. Output columns are
+    copied input values (``keep``), so the result is hash-exact — the only
+    float in play is the threshold itself, and a row flips only if it sits
+    within merge-order noise (~1e-12 relative) of it."""
+    def dup(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key, t.schema.field(key).type if len(t)
+                          else pa.int64()), (value, pa.float64()),
+                         ("_y2", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = pc.cast(t[value], pa.float64())
+        return pa.table({key: t[key], value: v, "_y2": v}).cast(sch)
+
+    stats = grouped_moments(
+        ds.select_columns([key, value]).map_batches(
+            dup, batch_format="pyarrow"),
+        [key], value, "_y2")
+
+    def thr(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(key, t.schema.field(key).type if len(t)
+                             else pa.int64()), ("_thr", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        m = t["mean_x"].to_numpy(zero_copy_only=False)
+        s = t["sd_x"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        lim = np.where(n > 1, m + z * s, np.inf)
+        return pa.table({key: t[key], "_thr": pa.array(lim)}).cast(schema)
+
+    from cuttana_ray.util import drop_empty_blocks
+    limits = drop_empty_blocks(
+        stats.map_batches(thr, batch_format="pyarrow"))
+    joined = ds.select_columns(sorted(set(keep) | {key, value})) \
+        .join(limits, join_type="inner", num_partitions=8, on=(key,))
+
+    def pick(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(keep)
+        mask = pc.greater(pc.cast(t[value], pa.float64()), t["_thr"])
+        return t.filter(pc.fill_null(mask, False)).select(keep)
+
+    return joined.map_batches(pick, batch_format="pyarrow")
+
+
 def grouped_entropy(ds: "ray.data.Dataset", key: str, value: str,
                     round_to: int = 6) -> "ray.data.Dataset":
     """Shannon entropy (bits) of ``value``'s distribution within each

@@ -29,6 +29,28 @@ def strip_schema_metadata(ds):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def drop_empty_blocks(ds):
+    """Remove zero-row blocks from a dataset (cheap: block METADATA only,
+    payloads never move).
+
+    ``groupby().map_groups`` emits a schema-less empty block for every
+    input partition that held no groups, and empty blocks BYPASS later
+    ``map_batches`` UDFs (the batcher yields no batches for them), so they
+    cannot be normalized in-stream. Downstream hash joins then fail with
+    ``No match for key field reference ... on right side``. Call this
+    between a ``map_groups`` and a ``join``."""
+    import ray.data
+    m = ds.materialize()
+    refs = []
+    for bundle in m.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return m
+    return ray.data.from_arrow_refs(refs)
+
+
 def pool_size(cap: int = 8) -> tuple[int, int]:
     """Actor-pool ``concurrency`` range ``(1, max)`` that leaves CPU headroom
     for the read/shuffle stages around it: max = half the cluster CPUs, at

@@ -1,0 +1,140 @@
+"""Key-aligned block layout + EWMA + within-group pair expansion
+(cuttana_ray/stages/keyblocks.py) against pure-Python references, across
+adversarial block layouts (runs straddling many blocks, empty blocks,
+single-key inputs)."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _split_refs(k: np.ndarray, v: np.ndarray, cuts: list[int]):
+    """Handcrafted sorted blocks with explicit boundaries (may be empty)."""
+    import ray
+    bounds = [0] + sorted(cuts) + [len(k)]
+    tables = [pa.table({"k": k[a:b], "v": v[a:b]})
+              for a, b in zip(bounds[:-1], bounds[1:])]
+    return [ray.put(t) for t in tables]
+
+
+LAYOUTS = [
+    # (keys, cut points) — runs straddle 2, 3 and 4 blocks; empty blocks
+    ([1, 1, 1, 1, 2, 2, 3], [2, 4, 4, 6]),
+    ([5] * 10, [1, 2, 3, 3, 7]),                 # one key over 6 blocks
+    ([1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 5]),        # one row per block
+    ([1, 1, 2, 2, 2, 3, 3, 9], [0, 2, 5, 5, 8]),  # empty head/tail blocks
+    ([7], [0, 0, 1, 1]),
+]
+
+
+@pytest.mark.parametrize("keys,cuts", LAYOUTS)
+def test_key_aligned_refs_rows_preserved_and_runs_whole(keys, cuts):
+    import ray
+
+    from cuttana_ray.stages.keyblocks import key_aligned_refs
+
+    k = np.asarray(keys, dtype=np.int64)
+    v = np.arange(len(k), dtype=np.int64) * 10
+    refs = _split_refs(k, v, cuts)
+    out = ray.get(key_aligned_refs(refs))
+    rows = [(int(a), int(b)) for t in out
+            for a, b in zip(t["k"].to_pylist(), t["v"].to_pylist())]
+    assert Counter(rows) == Counter(zip(keys, v.tolist()))
+    # every key's rows land wholly inside ONE output block
+    owner = {}
+    for i, t in enumerate(out):
+        for kk in set(t["k"].to_pylist()):
+            assert owner.setdefault(kk, i) == i, (kk, owner[kk], i)
+    # and in-block order is still sorted by (k, v)
+    for t in out:
+        kk = np.asarray(t["k"].to_pylist())
+        vv = np.asarray(t["v"].to_pylist())
+        if len(kk) > 1:
+            assert ((kk[1:] > kk[:-1]) |
+                    ((kk[1:] == kk[:-1]) & (vv[1:] > vv[:-1]))).all()
+
+
+def _ewma_ref(groups: dict[int, list[float]], alpha: float
+              ) -> dict[int, list[float]]:
+    out = {}
+    for g, xs in groups.items():
+        s = xs[0]
+        acc = [s]
+        for x in xs[1:]:
+            s = alpha * x + (1.0 - alpha) * s
+            acc.append(s)
+        out[g] = acc
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 4, 17])
+def test_grouped_ewma_bitwise_vs_sequential_reference(nblocks):
+    import ray.data as rd
+
+    from cuttana_ray.stages.keyblocks import grouped_ewma
+
+    rng = np.random.default_rng(7)
+    n = 600
+    key = rng.integers(0, 12, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)
+    val = np.round(rng.uniform(0.01, 500.0, n), 2)
+    ds = rd.from_arrow(pa.table({"g": key, "o": order, "x": val})) \
+        .repartition(nblocks)
+    got = grouped_ewma(ds, "g", ["o"], "x", alpha=0.25,
+                       keep=["g", "o"]).to_pandas() \
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    idx = np.lexsort((order, key))
+    groups: dict[int, list[float]] = {}
+    for i in idx:
+        groups.setdefault(int(key[i]), []).append(float(val[i]))
+    ref = _ewma_ref(groups, 0.25)
+    exp = np.concatenate([ref[g] for g in sorted(ref)])
+    np.testing.assert_array_equal(got["ewma"].to_numpy(), exp)
+
+
+def test_within_group_pairs_matches_itertools():
+    import ray.data as rd
+
+    from cuttana_ray.stages.keyblocks import within_group_pairs
+
+    rng = np.random.default_rng(3)
+    rows = {(int(g), int(i))
+            for g, i in zip(rng.integers(0, 40, 500),
+                            rng.integers(0, 25, 500))}
+    g = np.array([r[0] for r in rows], np.int64)
+    i = np.array([r[1] for r in rows], np.int64)
+    ds = rd.from_arrow(pa.table({"g": g, "i": i})).repartition(9)
+    got = within_group_pairs(ds, "g", "i").to_pandas()
+    exp: Counter = Counter()
+    by_g: dict[int, list[int]] = {}
+    for gg, ii in rows:
+        by_g.setdefault(gg, []).append(ii)
+    for items in by_g.values():
+        for a, b in itertools.combinations(sorted(items), 2):
+            exp[(a, b)] += 1
+    assert {(int(r.p1), int(r.p2)): int(r.co)
+            for r in got.itertuples()} == dict(exp)
+
+
+def test_drop_empty_blocks_unblocks_join_after_map_groups():
+    import ray.data as rd
+
+    from cuttana_ray.util import drop_empty_blocks
+
+    ds = rd.from_items([{"k": i % 3, "v": i} for i in range(30)]) \
+        .repartition(8)
+    import pandas as pd
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["k"]].assign(tag=1)
+
+    right = drop_empty_blocks(
+        ds.groupby("k").map_groups(head, batch_format="pandas"))
+    j = ds.join(right, join_type="inner", num_partitions=4, on=("k",))
+    assert j.count() == 30
