@@ -2765,6 +2765,41 @@ def _q_part_cooccurrence(sf_dir: str):
     return cooccurrence_cosine(cp, "o_custkey", "l_partkey", min_support=2)
 
 
+def _q_editdist_pairs_docs(sf_dir: str):
+    """Edit-distance near-dup verify: document pairs sharing a 16-char
+    prefix block with Levenshtein ≤ 24 over the first 128 chars —
+    prefix-bucket candidates expand vectorized inside key-aligned blocks,
+    texts join back distributedly, the DP row update is fully vectorized
+    (functions/editdist.py edit_distance_pairs)."""
+    from cuttana_ray.functions.editdist import edit_distance_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(ds, "doc_id", "text")
+
+
+def _q_returnflag_price_mad(sf_dir: str):
+    """Median absolute deviation of extendedprice per returnflag — two
+    chained exact grouped medians with a hash join carrying each key's
+    median back between them (functions/quantiles.py grouped_mad)."""
+    from cuttana_ray.functions.quantiles import grouped_mad
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_mad(ds, "l_returnflag", "l_extendedprice")
+
+
+def _q_returnflag_weighted_median(sf_dir: str):
+    """Quantity-weighted (lower) median price per returnflag: block-carry
+    running weight sums + per-key totals + crossing-row MIN — exact int64
+    arithmetic end to end (functions/quantiles.py
+    grouped_weighted_median)."""
+    from cuttana_ray.functions.quantiles import grouped_weighted_median
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity",
+                        "l_orderkey", "l_linenumber"])
+    return grouped_weighted_median(ds, "l_returnflag", "l_extendedprice",
+                                   "l_quantity",
+                                   ["l_orderkey", "l_linenumber"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2907,6 +2942,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_regression": _q_lineitem_regression,
         "events_value_outliers": _q_events_value_outliers,
         "part_cooccurrence": _q_part_cooccurrence,
+        # eighth round-2 batch (all SQL-checked)
+        "editdist_pairs_docs": _q_editdist_pairs_docs,
+        "returnflag_price_mad": _q_returnflag_price_mad,
+        "returnflag_weighted_median": _q_returnflag_weighted_median,
     }
 
 
@@ -4972,5 +5011,40 @@ def oracle_sql() -> dict[str, str]:
                    pairs.co / SQRT(c1.n * c2.n) AS cosine
             FROM pairs JOIN pcnt c1 ON c1.p = pairs.p1
                        JOIN pcnt c2 ON c2.p = pairs.p2
+        """,
+        "editdist_pairs_docs": """
+            WITH d AS (
+                SELECT doc_id, substr(text, 1, 16) AS pfx,
+                       substr(text, 1, 128) AS t
+                FROM documents)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.t, b.t) <= 24
+        """,
+        "returnflag_price_mad": """
+            WITH med AS (
+                SELECT l_returnflag AS k, MEDIAN(l_extendedprice) AS m
+                FROM lineitem GROUP BY 1)
+            SELECT t.l_returnflag,
+                   ROUND(ANY_VALUE(med.m), 6) AS med,
+                   ROUND(MEDIAN(ABS(t.l_extendedprice - med.m)), 6) AS mad
+            FROM lineitem t JOIN med ON med.k = t.l_returnflag
+            GROUP BY 1
+        """,
+        "returnflag_weighted_median": """
+            WITH w AS (
+                SELECT l_returnflag AS k, l_extendedprice AS v,
+                       CAST(l_quantity AS BIGINT) AS wt,
+                       l_orderkey AS o1, l_linenumber AS o2
+                FROM lineitem),
+            c AS (
+                SELECT k, v,
+                       SUM(wt) OVER (PARTITION BY k ORDER BY v, o1, o2
+                                     ROWS UNBOUNDED PRECEDING) AS run,
+                       SUM(wt) OVER (PARTITION BY k) AS tot
+                FROM w)
+            SELECT k AS l_returnflag, MIN(v) AS wmedian
+            FROM c WHERE 2 * run >= tot GROUP BY k
         """,
     }

@@ -16,6 +16,8 @@ from cuttana_ray.functions.multimodal import (
 from cuttana_ray.functions.bpe import learn_bpe
 from cuttana_ray.functions.chunking import chunk_documents
 from cuttana_ray.functions.quantiles import (
+    grouped_mad,
+    grouped_weighted_median,
     float_quantiles,
     grouped_float_quantiles,
 )
@@ -48,6 +50,7 @@ from cuttana_ray.functions.embeddings import (
     standardize_embeddings,
 )
 from cuttana_ray.functions.cooccur import cooccurrence_cosine
+from cuttana_ray.functions.editdist import edit_distance_pairs
 from cuttana_ray.functions.packing import sequence_pack
 from cuttana_ray.functions.pii import scrub_pii
 from cuttana_ray.functions.textstats import (
@@ -112,4 +115,7 @@ __all__ = [
     "doc_term_counts",
     "doc_tfidf_topk",
     "cooccurrence_cosine",
+    "edit_distance_pairs",
+    "grouped_mad",
+    "grouped_weighted_median",
 ]

@@ -215,3 +215,115 @@ def grouped_float_quantiles(ds: "ray.data.Dataset", key: str, col: str,
 
     return ds.select_columns([key, col]).groupby(key) \
         .map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
+                round_to: int = 6) -> "ray.data.Dataset":
+    """Per-key median absolute deviation — the robust-statistics sibling
+    of ``grouped_moments``' stddev: ``mad = median(|x − median(x)|)``.
+
+    Two chained ``grouped_float_quantiles`` passes (exact quantile_cont
+    interpolation, identical to DuckDB's MEDIAN) with a distributed hash
+    join carrying each key's median back onto its rows in between; the
+    deviations are a vectorized map, nothing materializes on the driver.
+    Output: ``(key, med, mad)``, rounded so join/merge order can't wiggle
+    the last bit. Same bounded-rows-per-key partitioning assumption as
+    ``grouped_float_quantiles``."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.util import drop_empty_blocks
+
+    med = drop_empty_blocks(
+        grouped_float_quantiles(ds.select_columns([key, col]), key, col,
+                                [0.5]).drop_columns(["q"])
+        .rename_columns({"value": "_med"}))
+    joined = ds.select_columns([key, col]) \
+        .join(med, join_type="inner", num_partitions=8, on=(key,))
+
+    def dev(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key, t.schema.field(key).type if len(t)
+                          else pa.int64()), ("_dev", pa.float64()),
+                         ("_med", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t["_med"].to_numpy(zero_copy_only=False)
+        return pa.table({key: t[key], "_dev": pa.array(np.abs(x - m)),
+                         "_med": t["_med"]}).cast(sch)
+
+    devs = joined.map_batches(dev, batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    meds = devs.groupby(key).aggregate(Min("_med", alias_name="_med"))
+    mad = drop_empty_blocks(
+        grouped_float_quantiles(devs, key, "_dev", [0.5])
+        .drop_columns(["q"]).rename_columns({"value": "_mad"}))
+    out = drop_empty_blocks(meds).join(mad, join_type="inner",
+                                       num_partitions=8, on=(key,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key, t.schema.field(key).type if len(t)
+                          else pa.int64()), ("med", pa.float64()),
+                         ("mad", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            key: t[key],
+            "med": pc.round(t["_med"], round_to),
+            "mad": pc.round(t["_mad"], round_to)}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_weighted_median(ds: "ray.data.Dataset", key: str, value: str,
+                            weight: str, tiebreak: "list[str]"
+                            ) -> "ray.data.Dataset":
+    """Per-key weighted (lower) median: the smallest ``value`` whose
+    cumulative integer ``weight`` (ordered by value, then ``tiebreak`` —
+    which must complete a total order) reaches half the key's total.
+
+    Plan: the one-sort block-carry running sum (``stages/running.py
+    running_agg``) computes cumulative weights; a tiny per-key total rides
+    a groupby; a hash join + vectorized filter + grouped MIN select the
+    crossing value. Everything that decides is exact int64 arithmetic and
+    the output value is a copied input, so the result is hash-exact vs a
+    SQL window oracle."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.stages.running import running_agg
+    from ray.data.aggregate import Min, Sum
+
+    # the carry chain keys on int64; encode non-integer keys by hash
+    # (the original key column rides through ``keep`` for the output)
+    def add_k(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or key not in t.column_names:
+            return t.append_column("_k", pa.array([], pa.int64()))
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            return t.append_column("_k", pc.cast(col, pa.int64()))
+        import polars as pl
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        h = pl.from_arrow(arr).hash(seed=11).to_numpy() \
+            & np.uint64((1 << 62) - 1)
+        return t.append_column("_k", pa.array(h.astype(np.int64)))
+
+    from cuttana_ray.util import drop_empty_blocks
+
+    keyed = ds.map_batches(add_k, batch_format="pyarrow")
+    run = drop_empty_blocks(
+        running_agg(keyed, "_k", [value, *tiebreak], weight,
+                    keep=[key, value]))
+    totals = drop_empty_blocks(
+        ds.groupby(key).aggregate(Sum(weight, alias_name="_tot")))
+    joined = run.join(totals, join_type="inner", num_partitions=8,
+                      on=(key,))
+
+    def crossing(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        run_w = pc.multiply(pc.cast(t["running_sum"], pa.int64()), 2)
+        return t.filter(pc.greater_equal(
+            run_w, pc.cast(t["_tot"], pa.int64())))
+
+    return joined.map_batches(crossing, batch_format="pyarrow") \
+        .groupby(key).aggregate(Min(value, alias_name="wmedian"))

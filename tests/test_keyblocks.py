@@ -138,3 +138,31 @@ def test_drop_empty_blocks_unblocks_join_after_map_groups():
         ds.groupby("k").map_groups(head, batch_format="pandas"))
     j = ds.join(right, join_type="inner", num_partitions=4, on=("k",))
     assert j.count() == 30
+
+
+def _lev_ref(a: str, b: str) -> int:
+    """Textbook O(len a × len b) DP."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_kernel_matches_textbook_dp():
+    from cuttana_ray.functions.editdist import _codes, _lev
+
+    rng = np.random.default_rng(11)
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+             ("kitten", "sitting"), ("flaw", "lawn")]
+    alpha = "abcde"
+    for _ in range(60):
+        la, lb = rng.integers(0, 20, 2)
+        a = "".join(rng.choice(list(alpha), la))
+        b = "".join(rng.choice(list(alpha), lb))
+        cases.append((a, b))
+    for a, b in cases:
+        assert _lev(_codes(a), _codes(b)) == _lev_ref(a, b), (a, b)
