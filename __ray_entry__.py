@@ -2800,6 +2800,140 @@ def _q_returnflag_weighted_median(sf_dir: str):
                                    ["l_orderkey", "l_linenumber"])
 
 
+def _q_events_value_locf(sf_dir: str):
+    """Forward-fill (LAST_VALUE IGNORE NULLS) per user: values at
+    event_id % 5 == 0 are nulled deterministically, then carried forward
+    under (ts, event_id) order via the key-aligned vectorized fill
+    (stages/keyblocks.py locf_fill). Copied values → hash-exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import locf_fill
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        out = pc.if_else(pa.array(eid % 5 == 0),
+                         pa.nulls(1, pa.float64())[0], pa.array(v))
+        return t.set_column(t.schema.get_field_index("value"), "value", out)
+
+    masked = ds.map_batches(mask, batch_format="pyarrow")
+    return locf_fill(masked, "user_id", ["ts", "event_id"], "value",
+                     keep=["event_id", "user_id"]) \
+        .select_columns(["event_id", "user_id", "filled"])
+
+
+def _q_cumulative_unique_users(sf_dir: str):
+    """Cumulative distinct users by day: first-seen day per user (one
+    groupby), per-day new-user counts, then the block-carry running total
+    (stages/running.py running_agg with a constant key). Day is int64
+    epoch-days so dtypes match the oracle exactly."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+    from cuttana_ray.stages.running import running_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "d": pc.divide(us, 86_400_000_000)}).cast(sch)
+
+    first = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("d", alias_name="d"))
+    per_day = first.groupby("d").aggregate(Count(alias_name="new_users"))
+
+    def tag_const(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("new_users", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0 or "d" not in t.column_names:
+            return sch.empty_table()
+        import numpy as np
+        return pa.table({
+            "d": pc.cast(t["d"], pa.int64()),
+            "new_users": pc.cast(t["new_users"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    run = running_agg(per_day.map_batches(tag_const,
+                                          batch_format="pyarrow"),
+                      "_k", ["d"], "new_users", keep=["d", "new_users"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("new_users", pa.int64()),
+                         ("cum_users", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({"d": t["d"], "new_users": t["new_users"],
+                         "cum_users": t["running_sum"]}).cast(sch)
+
+    return run.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_doc_unigram_logprob(sf_dir: str):
+    """Unigram language-model quality score per document: mean
+    ln P(term) under the corpus unigram distribution — per-doc term
+    counts and global term counts (both pre-combined exchanges) meet in a
+    hash join keyed on term; the vocabulary never touches the driver
+    (functions/terms.py doc_term_counts)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.functions.terms import doc_term_counts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    dt = doc_term_counts(ds).materialize()
+    g = dt.groupby("term").aggregate(Sum("tf", alias_name="tfg"))
+    total = float(g.sum("tfg"))
+    joined = dt.join(g, join_type="inner", num_partitions=8, on=("term",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("tf", pa.int64()),
+                         ("lp", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfg = t["tfg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "tf": pc.cast(t["tf"], pa.int64()),
+            "lp": pa.array(tf * np.log(tfg / total))}).cast(sch)
+
+    agg = joined.map_batches(contrib, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("tf", alias_name="n_tokens"),
+                                     Sum("lp", alias_name="slp"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                         ("logprob", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        n = t["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = t["slp"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "logprob": pa.array(np.round(s / n, 6))}).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_user_type_dense_rank(sf_dir: str):
+    """DENSE_RANK of event_type per user mapped back onto every event —
+    rank the distinct (user, type) pairs with the block-carry row number,
+    then one distributed hash join (stages/relational.py
+    grouped_dense_rank). Exact ints → hash-exact."""
+    from cuttana_ray.stages.relational import grouped_dense_rank
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    return grouped_dense_rank(ds, "user_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -2946,6 +3080,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs_docs": _q_editdist_pairs_docs,
         "returnflag_price_mad": _q_returnflag_price_mad,
         "returnflag_weighted_median": _q_returnflag_weighted_median,
+        # ninth round-2 batch (all SQL-checked)
+        "events_value_locf": _q_events_value_locf,
+        "cumulative_unique_users": _q_cumulative_unique_users,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "user_type_dense_rank": _q_user_type_dense_rank,
     }
 
 
@@ -5046,5 +5185,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM w)
             SELECT k AS l_returnflag, MIN(v) AS wmedian
             FROM c WHERE 2 * run >= tot GROUP BY k
+        """,
+        "events_value_locf": """
+            WITH b AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 5 = 0 THEN NULL
+                            ELSE value END AS v
+                FROM events)
+            SELECT event_id, user_id,
+                   LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS filled
+            FROM b
+        """,
+        "cumulative_unique_users": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                AS BIGINT)) AS d
+                FROM events GROUP BY 1),
+            c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT d, new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM c
+        """,
+        "doc_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            dt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            g AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tfg
+                  FROM dt GROUP BY 1),
+            tot AS (SELECT CAST(SUM(tfg) AS DOUBLE) AS T FROM g)
+            SELECT dt.doc_id, CAST(SUM(dt.tf) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(dt.tf * LN(g.tfg / tot.T)) / SUM(dt.tf), 6)
+                       AS logprob
+            FROM dt JOIN g USING (term), tot GROUP BY 1
+        """,
+        "user_type_dense_rank": """
+            SELECT event_id, user_id, event_type,
+                   CAST(DENSE_RANK() OVER (PARTITION BY user_id
+                        ORDER BY event_type) AS BIGINT) AS drank
+            FROM events
         """,
     }

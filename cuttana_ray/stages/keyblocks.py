@@ -124,11 +124,11 @@ def _ewma_scan(t: pa.Table, alpha: float, out_cols: list[str]) -> pa.Table:
     runs, sequential only in position-within-run; per-element arithmetic is
     exactly ``alpha*x + (1-alpha)*s`` (same three IEEE roundings as the SQL
     recursive-CTE oracle), with ``s_head = x_head``."""
-    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
-                       [("ewma", pa.float64())])
     n = len(t)
     if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("ewma", pa.float64())])
     k = t["k"].to_numpy(zero_copy_only=False)
     x = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
     starts, lens = _runs(k)
@@ -190,6 +190,84 @@ def grouped_ewma(ds: "ray.data.Dataset", key: str, order: list[str],
     aligned = key_aligned_refs(merged.to_arrow_refs())
     ccols = [f"c_{c}" for c in keep]
     out_refs = [_ewma_scan.remote(r, float(alpha), ccols) for r in aligned]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@ray.remote
+def _locf_scan(t: pa.Table, fill_col: str, out_cols: list[str]) -> pa.Table:
+    """Forward-fill ``fill_col`` within each key run of an aligned block
+    (SQL ``LAST_VALUE(col IGNORE NULLS) OVER (PARTITION BY key ORDER BY
+    order ROWS UNBOUNDED PRECEDING)``). Fully vectorized: the fill index
+    is a ``maximum.accumulate`` of valid positions, and a filled value is
+    accepted only when that index falls inside the row's own run."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return pa.schema([]).empty_table()
+    ftype = t.schema.field(fill_col).type
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("filled", ftype)])
+    k = t["k"].to_numpy(zero_copy_only=False)
+    starts, lens = _runs(k)
+    run_start = np.repeat(starts, lens)
+    col = t[fill_col].combine_chunks() if \
+        isinstance(t[fill_col], pa.ChunkedArray) else t[fill_col]
+    valid = np.asarray(pc.is_valid(col))
+    pos = np.arange(n, dtype=np.int64)
+    fidx = np.where(valid, pos, -1)
+    np.maximum.accumulate(fidx, out=fidx)
+    in_run = fidx >= run_start
+    take = np.where(in_run, fidx, 0)
+    filled = pc.if_else(pa.array(in_run), col.take(pa.array(take)),
+                        pa.nulls(1, col.type)[0])
+    cols = {c: t[c] for c in out_cols}
+    cols["filled"] = filled
+    return pa.table(cols).cast(schema)
+
+
+def locf_fill(ds: "ray.data.Dataset", key: str, order: list[str],
+              col: str, keep: list[str] | None = None
+              ) -> "ray.data.Dataset":
+    """Last-observation-carried-forward per key: each row's ``filled`` is
+    the most recent non-null ``col`` at or before it under ``(key,
+    *order)`` ordering (null until the key's first observation). One
+    global sort + the key-aligned re-block, then a fully vectorized
+    in-block fill — values are COPIED, so the result is hash-exact."""
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+    ftype = schema.types[schema.names.index(col)]
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep] + [("f_", ftype)]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        cols["f_"] = t[col]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+    aligned = key_aligned_refs(merged.to_arrow_refs())
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_locf_scan.remote(r, "f_", ccols) for r in aligned]
     out = ray.data.from_arrow_refs(out_refs)
 
     def strip(t: pa.Table) -> pa.Table:

@@ -492,3 +492,43 @@ def table_diff(left: "ray.data.Dataset", right: "ray.data.Dataset",
             .cast(schema)
 
     return agg.map_batches(project, batch_format="pyarrow")
+
+
+def grouped_dense_rank(ds: "ray.data.Dataset", key: str, col: str
+                       ) -> "ray.data.Dataset":
+    """``DENSE_RANK() OVER (PARTITION BY key ORDER BY col)`` — re-expressed
+    as: distinct (key, col) pairs (one pre-combined exchange) ranked by the
+    block-carry running count (``stages/running.py running_agg`` over a
+    ones column, the same one-sort plan as ROW_NUMBER — on the DISTINCT
+    pairs row number IS the dense rank), then a distributed hash join maps
+    the rank back onto every input row. Output: input columns + ``drank``.
+    Ranks are exact int64, so the result is hash-exact."""
+    from ray.data.aggregate import Count
+
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.util import drop_empty_blocks
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key, pa.int64()),
+                         (col, t.schema.field(col).type if len(t)
+                          else pa.string())])
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        return t.select([key, col]).group_by([key, col]).aggregate([]) \
+            .cast(sch)
+
+    distinct = ds.map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby([key, col]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_one",
+                               pa.array(np.ones(len(t), np.int64)))
+
+    ranks = drop_empty_blocks(
+        running_agg(distinct.map_batches(ones, batch_format="pyarrow"),
+                    key, [col], "_one", keep=[key, col])
+        .drop_columns(["running_sum"])
+        .rename_columns({"rn": "drank"}))
+    return ds.join(ranks, join_type="inner", num_partitions=8,
+                   on=(key, col))

@@ -58,11 +58,12 @@ def _scan_task(t: pa.Table, carry: "tuple | None",
                out_cols: list[str]) -> pa.Table:
     """Per-block vectorized prefix scan within key runs; ``carry`` is the
     (key, sum, count) state entering the block's first row."""
-    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
-                       [("running_sum", pa.int64()), ("rn", pa.int64())])
     n = len(t)
     if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
+        # zero-column empties bypass upstream map_batches; keep them inert
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("running_sum", pa.int64()), ("rn", pa.int64())])
     k = t["k"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
     run_start = _run_starts(k)
@@ -176,11 +177,11 @@ def _mscan_task(t: pa.Table, carry: "tuple | None", frame: int,
     """Per-block moving-frame scan: ``window_sum`` / ``window_n`` over the
     last ``frame`` rows of the key run (current row inclusive); ``carry``
     is (key, tail values) entering the block's first row."""
-    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
-                       [("window_sum", pa.int64()), ("window_n", pa.int64())])
     n = len(t)
     if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("window_sum", pa.int64()), ("window_n", pa.int64())])
     k = t["k"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
     run_start = _run_starts(k)
@@ -333,12 +334,12 @@ def _lag_scan_task(t: pa.Table, carry: "tuple | None", lcols: list[str],
                    ccols: list[str]) -> pa.Table:
     """Per-block vectorized LAG within key runs; ``carry`` holds the
     previous block's (key, last-row table) entering this block."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return pa.schema([]).empty_table()
     out_fields = [(c, t.schema.field(c).type) for c in ccols] + \
         [(f"prev_{c[2:]}", t.schema.field(c).type) for c in lcols]
     schema = pa.schema(out_fields)
-    n = len(t)
-    if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
     k = t["k"].to_numpy(zero_copy_only=False)
     run_start = _run_starts(k)
     is_start = run_start == np.arange(n)
@@ -454,11 +455,11 @@ def _max_scan_task(t: pa.Table, carry: "tuple | None",
     """Per-block EXCLUSIVE prefix max within key runs (value of the max
     over all STRICTLY EARLIER rows of the key; null at run heads with no
     carry)."""
-    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
-                       [("prev_max", pa.int64())])
     n = len(t)
     if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("prev_max", pa.int64())])
     k = t["k"].to_numpy(zero_copy_only=False)
     v = t["v"].to_numpy(zero_copy_only=False)
     run_start = _run_starts(k)

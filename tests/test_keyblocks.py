@@ -166,3 +166,29 @@ def test_levenshtein_kernel_matches_textbook_dp():
         cases.append((a, b))
     for a, b in cases:
         assert _lev(_codes(a), _codes(b)) == _lev_ref(a, b), (a, b)
+
+
+@pytest.mark.parametrize("nblocks", [1, 5, 13])
+def test_locf_fill_matches_pandas_ffill(nblocks):
+    import pandas as pd
+    import ray.data as rd
+
+    from cuttana_ray.stages.keyblocks import locf_fill
+
+    rng = np.random.default_rng(23)
+    n = 400
+    key = rng.integers(0, 9, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)
+    val = rng.uniform(0, 100, n)
+    val[rng.random(n) < 0.4] = np.nan
+    t = pa.table({"g": key, "o": order,
+                  "x": pa.array(val, pa.float64(), from_pandas=True)})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = locf_fill(ds, "g", ["o"], "x", keep=["g", "o"]).to_pandas() \
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    df = pd.DataFrame({"g": key, "o": order, "x": val}) \
+        .sort_values(["g", "o"])
+    exp = df.groupby("g")["x"].ffill().to_numpy()
+    exp_sorted = df.assign(f=exp).sort_values(["g", "o"])["f"].to_numpy()
+    np.testing.assert_array_equal(got["filled"].to_numpy(), exp_sorted)
