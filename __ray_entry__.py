@@ -2934,6 +2934,131 @@ def _q_user_type_dense_rank(sf_dir: str):
     return grouped_dense_rank(ds, "user_id", "event_type")
 
 
+def _q_closeness_events(sf_dir: str):
+    """Per-seed closeness centrality (reachable-set Bavelas form) from
+    every 41st vertex — same frontier-bounded BFS as eccentricity
+    (pipelines/bfs.py closeness); the ratio is one int/int division on
+    both sides, so the check is bit-exact with no rounding."""
+    from cuttana_ray.pipelines.bfs import closeness
+    g = _events_graph(sf_dir)
+    seeds = np.arange(0, g.num_vertices, 41, dtype=np.int64)
+    return closeness(g, seeds)
+
+
+def _q_events_trailing_hour_sum(sf_dir: str):
+    """Time-RANGE window: per user, the sum/count of value-cents over the
+    trailing 3600 s (peers at equal ts included, exact SQL RANGE
+    semantics) — one sort + key-aligned re-block + a composite-key
+    searchsorted prefix-sum scan (stages/keyblocks.py
+    trailing_range_agg)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import trailing_range_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+        }).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return trailing_range_agg(prepped, "user_id", "t_us", "cents",
+                              width=3_600_000_000,
+                              keep=["event_id", "user_id"]) \
+        .select_columns(["event_id", "user_id", "range_sum", "range_n"])
+
+
+def _q_session_type_pairs(sf_dir: str):
+    """Market-basket pairs over sessions: event-type pairs co-occurring in
+    the same (user, session) basket, sessions from the same gap > 3600 s
+    rule as event_session_ids. Types dictionary-encode against the tiny
+    sorted type vocabulary; baskets expand vectorized inside key-aligned
+    blocks (stages/keyblocks.py within_group_pairs)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import within_group_pairs
+
+    sess = _q_event_session_ids(sf_dir)     # (user_id, event_id, session_id)
+    types = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    joined = sess.join(types, join_type="inner", num_partitions=8,
+                       on=("event_id",))
+    vocab = sorted(_read(sf_dir, "events", columns=["event_type"])
+                   .unique("event_type"))   # tiny dimension (few types)
+    varr = pa.array(vocab, pa.string())
+
+    def encode(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("g", pa.int64()), ("i", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        g = pc.add(pc.multiply(pc.cast(t["user_id"], pa.int64()),
+                               1_000_000),
+                   pc.cast(t["session_id"], pa.int64()))
+        i = pc.index_in(t["event_type"], value_set=varr)
+        return pa.table({"g": g, "i": pc.cast(i, pa.int64())}).cast(sch)
+
+    baskets = joined.map_batches(encode, batch_format="pyarrow") \
+        .groupby(["g", "i"]).count().drop_columns(["count()"])
+    pairs = within_group_pairs(baskets, "g", "i")
+
+    def decode(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                         ("co", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "t1": varr.take(t["p1"].combine_chunks()
+                            if isinstance(t["p1"], pa.ChunkedArray)
+                            else t["p1"]),
+            "t2": varr.take(t["p2"].combine_chunks()
+                            if isinstance(t["p2"], pa.ChunkedArray)
+                            else t["p2"]),
+            "co": pc.cast(t["co"], pa.int64())}).cast(sch)
+
+    return pairs.map_batches(decode, batch_format="pyarrow")
+
+
+def _q_customer_order_powerlaw(sf_dir: str):
+    """Log-log OLS fit of the customer order-count distribution (the
+    power-law exponent check every web-scale degree distribution gets):
+    two pre-combined groupbys build the histogram, then the one-exchange
+    regression finisher over (ln n_orders, ln n_customers)
+    (stages/stats.py grouped_linreg)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.stages.stats import grouped_linreg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    oc = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"))
+    hist = oc.groupby("n_orders").aggregate(
+        Count(alias_name="n_customers"))
+
+    def lns(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("fit", pa.string()), ("lx", pa.float64()),
+                         ("ly", pa.float64())])
+        if len(t) == 0 or "n_orders" not in t.column_names:
+            return sch.empty_table()
+        x = t["n_orders"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = t["n_customers"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "fit": pa.array(["customer_orders"] * len(t), pa.string()),
+            "lx": pa.array(np.log(x)), "ly": pa.array(np.log(y))
+        }).cast(sch)
+
+    return grouped_linreg(hist.map_batches(lns, batch_format="pyarrow"),
+                          ["fit"], "lx", "ly")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3085,6 +3210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_unique_users": _q_cumulative_unique_users,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "user_type_dense_rank": _q_user_type_dense_rank,
+        # tenth round-2 batch (all SQL-checked)
+        "closeness_events": _q_closeness_events,
+        "events_trailing_hour_sum": _q_events_trailing_hour_sum,
+        "session_type_pairs": _q_session_type_pairs,
+        "customer_order_powerlaw": _q_customer_order_powerlaw,
     }
 
 
@@ -3423,6 +3553,20 @@ _DIAMETER_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
            (SELECT CAST(MAX(d) AS BIGINT) FROM d2) AS diameter_lb,
            (SELECT CAST(MIN(v) AS BIGINT) FROM d2
             WHERE d = (SELECT MAX(d) FROM d2)) AS far_end
+"""
+
+_CLOSENESS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    walk(seed, v, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes WHERE node_id % 41 = 0
+        UNION
+        SELECT w.seed, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    md AS (SELECT seed, v, MIN(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_d,
+           COUNT(*) / CAST(SUM(d) AS DOUBLE) AS closeness
+    FROM md WHERE d > 0 GROUP BY 1
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -5231,5 +5375,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (PARTITION BY user_id
                         ORDER BY event_type) AS BIGINT) AS drank
             FROM events
+        """,
+        "closeness_events": _CLOSENESS_SQL,
+        "events_trailing_hour_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS range_sum,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS range_n
+            FROM events
+        """,
+        "session_type_pairs": """
+            WITH x AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (
+                SELECT user_id, event_type,
+                       SUM(CASE WHEN pt IS NOT NULL
+                                 AND t - pt > 3600000000
+                           THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM x),
+            b AS (SELECT DISTINCT user_id, session_id, event_type FROM s)
+            SELECT a.event_type AS t1, c.event_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS co
+            FROM b a JOIN b c
+              ON a.user_id = c.user_id AND a.session_id = c.session_id
+             AND a.event_type < c.event_type
+            GROUP BY 1, 2
+        """,
+        "customer_order_powerlaw": """
+            WITH oc AS (
+                SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1),
+            h AS (SELECT n_orders,
+                         CAST(COUNT(*) AS BIGINT) AS n_customers
+                  FROM oc GROUP BY 1)
+            SELECT 'customer_orders' AS fit,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(REGR_SLOPE(LN(n_customers), LN(n_orders)), 6)
+                       AS slope,
+                   ROUND(REGR_INTERCEPT(LN(n_customers), LN(n_orders)), 6)
+                       AS intercept,
+                   ROUND(REGR_R2(LN(n_customers), LN(n_orders)), 6) AS r2
+            FROM h
         """,
     }

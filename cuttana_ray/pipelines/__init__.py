@@ -1,5 +1,10 @@
 from cuttana_ray.pipelines.betweenness import betweenness
-from cuttana_ray.pipelines.bfs import bfs_distances, eccentricity, harmonic_centrality
+from cuttana_ray.pipelines.bfs import (
+    bfs_distances,
+    closeness,
+    eccentricity,
+    harmonic_centrality,
+)
 from cuttana_ray.pipelines.components import connected_components
 from cuttana_ray.pipelines.mis import mis_rounds
 from cuttana_ray.pipelines.graph import (
@@ -26,6 +31,7 @@ __all__ = [
     "TriangleResult",
     "betweenness",
     "bfs_distances",
+    "closeness",
     "build_graph_from_events",
     "build_graph_from_transcripts",
     "common_neighbor_pairs",

@@ -153,3 +153,31 @@ def harmonic_centrality(graph: Graph, seeds: "np.ndarray | list[int]",
         "seed": pa.array(out_seed, pa.int64()),
         "harmonic": pa.array(out_h, pa.float64()),
         "n_reached": pa.array(out_n, pa.int64())})
+
+
+def closeness(graph: Graph, seeds: "np.ndarray | list[int]",
+              max_iters: int = 200) -> pa.Table:
+    """Per-seed closeness centrality restricted to the reachable set:
+    ``C(s) = n_reached / Σ d(s,v)`` over ``v ≠ s`` (Bavelas form; the
+    disconnected-safe alternative is ``harmonic_centrality``). Same
+    frontier-bounded BFS per seed as ``eccentricity``. The ratio is ONE
+    int/int division on both engine and oracle sides, so no rounding is
+    needed for hash parity. Seeds reaching nothing are omitted (matching
+    the SQL GROUP BY over d > 0 rows)."""
+    out_seed, out_n, out_s, out_c = [], [], [], []
+    for s in np.asarray(seeds, dtype=np.int64):
+        d = bfs_distances(graph, [int(s)], max_iters=max_iters).values
+        mask = d > 0
+        n = int(mask.sum())
+        if n == 0:
+            continue
+        sd = int(d[mask].sum())
+        out_seed.append(int(s))
+        out_n.append(n)
+        out_s.append(sd)
+        out_c.append(float(np.float64(n) / np.float64(sd)))
+    return pa.table({
+        "seed": pa.array(out_seed, pa.int64()),
+        "n_reached": pa.array(out_n, pa.int64()),
+        "sum_d": pa.array(out_s, pa.int64()),
+        "closeness": pa.array(out_c, pa.float64())})

@@ -281,6 +281,97 @@ def locf_fill(ds: "ray.data.Dataset", key: str, order: list[str],
 
 
 @ray.remote
+def _range_scan(t: pa.Table, width: int, out_cols: list[str]) -> pa.Table:
+    """Trailing time-RANGE sum over an aligned block: for each row, the
+    sum of ``v`` over rows of its key with ``t ∈ [t_i − width, t_i]``
+    (peers at equal t included, SQL RANGE semantics). Fully vectorized:
+    both window boundaries come from ONE ``searchsorted`` over a composite
+    ``run_id·R + (t − t_min)`` key that makes every run's time axis
+    disjoint, and the sum is a prefix-sum difference."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("range_sum", pa.int64()), ("range_n", pa.int64())])
+    k = t["k"].to_numpy(zero_copy_only=False)
+    tv = t["t_"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    starts, lens = _runs(k)
+    run_id = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+    tmin = int(tv.min())
+    tn = tv - tmin
+    R = int(tn.max()) + int(width) + 2
+    if R * len(starts) > (1 << 62):        # composite would overflow —
+        # fall back to a per-run loop (rare: astronomic spans × many runs)
+        wsum = np.empty(n, np.int64)
+        wn = np.empty(n, np.int64)
+        for s, ln in zip(starts, lens):
+            tt = tv[s:s + ln]
+            cs = np.cumsum(v[s:s + ln])
+            lo = np.searchsorted(tt, tt - width, side="left")
+            hi = np.searchsorted(tt, tt, side="right")
+            wsum[s:s + ln] = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0)
+            wn[s:s + ln] = hi - lo
+    else:
+        comp = run_id * R + tn
+        cs = np.cumsum(v)
+        lo = np.searchsorted(comp,
+                             run_id * R + np.maximum(tn - width, 0),
+                             side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        wsum = cs[hi - 1] - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        wn = hi - lo
+    cols = {c: t[c] for c in out_cols}
+    cols["range_sum"] = pa.array(wsum.astype(np.int64))
+    cols["range_n"] = pa.array(wn.astype(np.int64))
+    return pa.table(cols).cast(schema)
+
+
+def trailing_range_agg(ds: "ray.data.Dataset", key: str, time_col: str,
+                       value: str, width: int,
+                       keep: list[str] | None = None) -> "ray.data.Dataset":
+    """SQL ``SUM/COUNT(value) OVER (PARTITION BY key ORDER BY time RANGE
+    BETWEEN width PRECEDING AND CURRENT ROW)`` — the time-based sibling of
+    ``stages/running.py moving_agg`` (which is ROWS-based). ``time_col``
+    and ``value`` must be int64-castable (µs timestamps / pre-scaled
+    cents); peers at equal time are included exactly as SQL RANGE does.
+    One sort + key-aligned re-block + a searchsorted prefix-sum scan."""
+    keep = keep if keep is not None else [key, time_col]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("t_", pa.int64()),
+                  ("v", pa.int64())] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "t_": pc.cast(t[time_col], pa.int64()),
+                "v": pc.cast(t[value], pa.int64())}
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(["k", "t_"]).materialize()
+    aligned = key_aligned_refs(merged.to_arrow_refs())
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_range_scan.remote(r, int(width), ccols) for r in aligned]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@ray.remote
 def _pair_expand(t: pa.Table, item_col: str) -> pa.Table:
     """All within-run unordered pairs (p1 < p2 by run order) over an
     aligned block, fully vectorized: element q of a k-run is 'first' in

@@ -192,3 +192,32 @@ def test_locf_fill_matches_pandas_ffill(nblocks):
     exp = df.groupby("g")["x"].ffill().to_numpy()
     exp_sorted = df.assign(f=exp).sort_values(["g", "o"])["f"].to_numpy()
     np.testing.assert_array_equal(got["filled"].to_numpy(), exp_sorted)
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_trailing_range_agg_matches_bruteforce(nblocks):
+    import ray.data as rd
+
+    from cuttana_ray.stages.keyblocks import trailing_range_agg
+
+    rng = np.random.default_rng(5)
+    n = 500
+    key = rng.integers(0, 8, n).astype(np.int64)
+    # coarse times force plenty of equal-timestamp peers
+    tt = rng.integers(0, 40, n).astype(np.int64) * 10
+    val = rng.integers(-50, 100, n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"g": key, "t": tt, "x": val,
+                                 "rid": rid})).repartition(nblocks)
+    W = 35
+    got = trailing_range_agg(ds, "g", "t", "x", width=W,
+                             keep=["rid"]).to_pandas() \
+        .sort_values("rid").reset_index(drop=True)
+    exp_sum = np.empty(n, np.int64)
+    exp_n = np.empty(n, np.int64)
+    for i in range(n):
+        m = (key == key[i]) & (tt >= tt[i] - W) & (tt <= tt[i])
+        exp_sum[i] = val[m].sum()
+        exp_n[i] = m.sum()
+    np.testing.assert_array_equal(got["range_sum"].to_numpy(), exp_sum)
+    np.testing.assert_array_equal(got["range_n"].to_numpy(), exp_n)
