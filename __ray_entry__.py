@@ -3059,6 +3059,116 @@ def _q_customer_order_powerlaw(sf_dir: str):
                           ["fit"], "lx", "ly")
 
 
+def _q_user_balance_floor(sf_dir: str):
+    """Clamped running balance per user (inventory/queue-depth semantics):
+    signed cents (sign by event_id parity), ``s_i = max(s_{i-1}+x_i, 0)``
+    — non-associative, so it runs as the key-aligned jagged-transposed
+    int64 recurrence (stages/keyblocks.py clamped_running_sum);
+    bit-identical to the SQL recursive-CTE oracle."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import clamped_running_sum
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64()), ("x", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        x = np.where(eid % 2 == 0, cents, -cents)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+            "x": pa.array(x)}).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return clamped_running_sum(prepped, "user_id", ["t_us", "event_id"],
+                               "x", floor=0,
+                               keep=["event_id", "user_id"]) \
+        .select_columns(["event_id", "user_id", "balance"])
+
+
+def _q_user_running_distinct_types(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user at each event: flag
+    each (user, type)'s first occurrence (grouped top-1 combiner), join
+    the flag back, and run the block-carry running sum over it — exact
+    ints end to end."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import grouped_topk
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.stages.windows import ts_to_us
+    from cuttana_ray.util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("event_type", pa.string()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    firsts = grouped_topk(prepped, ["user_id", "event_type"],
+                          [("t_us", "ascending"),
+                           ("event_id", "ascending")], 1)
+
+    def flag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("_f", pa.int64())])
+        if len(t) == 0 or "event_id" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "_f": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    flags = drop_empty_blocks(
+        firsts.map_batches(flag, batch_format="pyarrow"))
+    joined = prepped.join(flags, join_type="left_outer", num_partitions=8,
+                          on=("event_id",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        return t.set_column(t.schema.get_field_index("_f"), "_f",
+                            pc.fill_null(pc.cast(t["_f"], pa.int64()), 0))
+
+    run = running_agg(joined.map_batches(fill, batch_format="pyarrow"),
+                      "user_id", ["t_us", "event_id"], "_f",
+                      keep=["event_id", "user_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("n_types", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "n_types": pc.cast(t["running_sum"], pa.int64())}).cast(sch)
+
+    return run.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_returnflag_qty_means(sf_dir: str):
+    """Harmonic and geometric means of quantity per returnflag — the
+    reciprocal/log-sum combiner plan (stages/stats.py
+    grouped_ratio_means), rounded against summation-order noise."""
+    from cuttana_ray.stages.stats import grouped_ratio_means
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+    return grouped_ratio_means(ds, ["l_returnflag"], "l_quantity")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3215,6 +3325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_hour_sum": _q_events_trailing_hour_sum,
         "session_type_pairs": _q_session_type_pairs,
         "customer_order_powerlaw": _q_customer_order_powerlaw,
+        # eleventh round-2 batch (all SQL-checked)
+        "user_balance_floor": _q_user_balance_floor,
+        "user_running_distinct_types": _q_user_running_distinct_types,
+        "returnflag_qty_means": _q_returnflag_qty_means,
     }
 
 
@@ -5426,5 +5540,47 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept,
                    ROUND(REGR_R2(LN(n_customers), LN(n_orders)), 6) AS r2
             FROM h
+        """,
+        "user_balance_floor": """
+            WITH RECURSIVE base AS (
+                SELECT user_id, event_id,
+                       CASE WHEN event_id % 2 = 0
+                            THEN CAST(FLOOR(value*100) AS BIGINT)
+                            ELSE -CAST(FLOOR(value*100) AS BIGINT)
+                       END AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events),
+            r AS (
+                SELECT user_id, rn, event_id,
+                       GREATEST(x, 0) AS balance
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.rn, b.event_id,
+                       GREATEST(r.balance + b.x, 0)
+                FROM base b JOIN r
+                  ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+            SELECT event_id, user_id, CAST(balance AS BIGINT) AS balance
+            FROM r
+        """,
+        "user_running_distinct_types": """
+            WITH z AS (
+                SELECT user_id, event_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rnt
+                FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN rnt = 1 THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types
+            FROM z
+        """,
+        "returnflag_qty_means": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(COUNT(*) / SUM(1.0 / l_quantity), 6) AS harmonic,
+                   ROUND(EXP(SUM(LN(l_quantity)) / COUNT(*)), 6)
+                       AS geometric
+            FROM lineitem GROUP BY 1
         """,
     }

@@ -372,6 +372,88 @@ def trailing_range_agg(ds: "ray.data.Dataset", key: str, time_col: str,
 
 
 @ray.remote
+def _clamped_scan(t: pa.Table, floor: int, out_cols: list[str]
+                  ) -> pa.Table:
+    """Jagged-transposed clamped running sum over an aligned block:
+    ``s_i = max(s_{i-1} + x_i, floor)`` with ``s_0 = floor`` — the
+    inventory/queue-depth recurrence. Like EWMA it is NON-associative
+    (the clamp destroys the sum's mergeability), so it needs whole runs;
+    arithmetic is exact int64, bit-identical to a SQL recursive CTE."""
+    n = len(t)
+    if n == 0 or "k" not in t.column_names:
+        return pa.schema([]).empty_table()
+    schema = pa.schema([(c, t.schema.field(c).type) for c in out_cols] +
+                       [("balance", pa.int64())])
+    k = t["k"].to_numpy(zero_copy_only=False)
+    x = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, lens = _runs(k)
+    out = np.empty(n, np.int64)
+    state = np.maximum(x[starts] + floor, floor)
+    out[starts] = state
+    r = 1
+    alive = lens > r
+    while alive.any():
+        idx = starts[alive] + r
+        st = np.maximum(state[alive] + x[idx], floor)
+        state[alive] = st
+        out[idx] = st
+        r += 1
+        alive = lens > r
+    cols = {c: t[c] for c in out_cols}
+    cols["balance"] = pa.array(out)
+    return pa.table(cols).cast(schema)
+
+
+def clamped_running_sum(ds: "ray.data.Dataset", key: str,
+                        order: list[str], value: str, floor: int = 0,
+                        keep: list[str] | None = None
+                        ) -> "ray.data.Dataset":
+    """Per-key running balance clamped below at ``floor``: ``s_0 =
+    floor``, ``s_i = max(s_{i-1} + x_i, floor)`` under ``(key, *order)``
+    ordering — inventory level / queue depth / drawdown-reset semantics.
+    The clamp makes the scan non-associative (no carry algebra exists),
+    so it runs on the key-aligned layout with the jagged-transposed
+    int64 recurrence — bit-identical to a SQL recursive-CTE oracle."""
+    keep = keep if keep is not None else [key, *order]
+    schema = ds.schema()
+    ktypes = {c: schema.types[schema.names.index(c)] for c in keep}
+
+    def tag(t: pa.Table) -> pa.Table:
+        fields = [("k", pa.int64()), ("v", pa.int64())] + \
+            [(f"o_{c}", t.schema.field(c).type if c in t.column_names
+              else pa.int64()) for c in order] + \
+            [(f"c_{c}", ktypes[c]) for c in keep]
+        sch = pa.schema(fields)
+        if len(t) == 0 or key not in t.column_names:
+            return sch.empty_table()
+        cols = {"k": pc.cast(t[key], pa.int64()),
+                "v": pc.cast(t[value], pa.int64())}
+        for c in order:
+            cols[f"o_{c}"] = t[c]
+        for c in keep:
+            cols[f"c_{c}"] = t[c]
+        return pa.table(cols).cast(sch)
+
+    sort_keys = ["k"] + [f"o_{c}" for c in order]
+    merged = ds.map_batches(tag, batch_format="pyarrow") \
+        .sort(sort_keys).materialize()
+    aligned = key_aligned_refs(merged.to_arrow_refs())
+    ccols = [f"c_{c}" for c in keep]
+    out_refs = [_clamped_scan.remote(r, int(floor), ccols)
+                for r in aligned]
+    out = ray.data.from_arrow_refs(out_refs)
+
+    def strip(t: pa.Table) -> pa.Table:
+        if len(t.column_names) == 0:
+            return t
+        return t.rename_columns(
+            [c[2:] if c.startswith("c_") else c for c in t.column_names])
+
+    return out.map_batches(strip, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@ray.remote
 def _pair_expand(t: pa.Table, item_col: str) -> pa.Table:
     """All within-run unordered pairs (p1 < p2 by run order) over an
     aligned block, fully vectorized: element q of a k-run is 'first' in

@@ -247,3 +247,52 @@ def grouped_entropy(ds: "ray.data.Dataset", key: str, value: str,
                          "entropy": pa.array(h)}).cast(schema)
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_ratio_means(ds: "ray.data.Dataset", keys: list[str], x: str,
+                        round_to: int = 6) -> "ray.data.Dataset":
+    """Per-group harmonic and geometric means of a positive column —
+    ``n / Σ(1/x)`` and ``exp(Σ ln x / n)``. Both are mergeable once
+    re-expressed through their reciprocal/log sums, so the plan is the
+    usual combiner discipline: one partial row per (block, key) before a
+    single groupby exchange. Rounded against summation-order noise."""
+    partial_schema_tail = [("n", pa.int64()), ("s_inv", pa.float64()),
+                           ("s_ln", pa.float64())]
+
+    def partials(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(k, t.schema.field(k).type if len(t)
+                             else pa.int64()) for k in keys] +
+                           partial_schema_tail)
+        if len(t) == 0:
+            return schema.empty_table()
+        df = t.select(keys + [x]).to_pandas()
+        v = df[x].to_numpy().astype(np.float64)
+        df["_inv"] = 1.0 / v
+        df["_ln"] = np.log(v)
+        agg = df.groupby(keys, sort=False, as_index=False).agg(
+            n=(x, "size"), s_inv=("_inv", "sum"), s_ln=("_ln", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False).cast(schema)
+
+    from ray.data.aggregate import Sum
+
+    merged = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby(keys).aggregate(Sum("n", alias_name="n"),
+                                 Sum("s_inv", alias_name="s_inv"),
+                                 Sum("s_ln", alias_name="s_ln"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(k, t.schema.field(k).type) for k in keys] +
+                           [("n", pa.int64()), ("harmonic", pa.float64()),
+                            ("geometric", pa.float64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        si = t["s_inv"].to_numpy(zero_copy_only=False)
+        sl = t["s_ln"].to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = pc.cast(t["n"], pa.int64())
+        cols["harmonic"] = pa.array(np.round(n / si, round_to))
+        cols["geometric"] = pa.array(np.round(np.exp(sl / n), round_to))
+        return pa.table(cols).cast(schema)
+
+    return merged.map_batches(finish, batch_format="pyarrow")

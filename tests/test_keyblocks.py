@@ -221,3 +221,33 @@ def test_trailing_range_agg_matches_bruteforce(nblocks):
         exp_n[i] = m.sum()
     np.testing.assert_array_equal(got["range_sum"].to_numpy(), exp_sum)
     np.testing.assert_array_equal(got["range_n"].to_numpy(), exp_n)
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_clamped_running_sum_matches_sequential(nblocks):
+    import ray.data as rd
+
+    from cuttana_ray.stages.keyblocks import clamped_running_sum
+
+    rng = np.random.default_rng(17)
+    n = 400
+    key = rng.integers(0, 7, n).astype(np.int64)
+    order = np.arange(n, dtype=np.int64)
+    rng.shuffle(order)
+    val = rng.integers(-80, 60, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"g": key, "o": order, "x": val})) \
+        .repartition(nblocks)
+    got = clamped_running_sum(ds, "g", ["o"], "x", floor=0,
+                              keep=["g", "o"]).to_pandas() \
+        .sort_values(["g", "o"]).reset_index(drop=True)
+    idx = np.lexsort((order, key))
+    exp = []
+    state = {}
+    for i in idx:
+        g = int(key[i])
+        s = max(state.get(g, 0) + int(val[i]), 0)
+        state[g] = s
+        exp.append(s)
+    # exp is in (g, o) order already via lexsort
+    np.testing.assert_array_equal(got["balance"].to_numpy(),
+                                  np.array(exp, np.int64))
