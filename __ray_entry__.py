@@ -3169,6 +3169,172 @@ def _q_returnflag_qty_means(sf_dir: str):
     return grouped_ratio_means(ds, ["l_returnflag"], "l_quantity")
 
 
+def _q_term_zipf_fit(sf_dir: str):
+    """Zipf-law fit of the corpus term distribution: ln(freq) regressed on
+    ln(rank) over the top-100 terms (rank ties broken by term asc, both
+    sides). Term counts ride the pre-combined term exchange
+    (functions/terms.py top_terms); the 100-row tail is a driver-trivial
+    constant; the regression reuses the one-exchange finisher."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.terms import top_terms
+    from cuttana_ray.stages.stats import grouped_linreg
+    import ray.data as rd
+
+    top = top_terms(_read(sf_dir, "documents"), k=100)  # tiny pa.Table
+    # rank by (tf desc, term asc) — same total order as the SQL window
+    df = top.to_pandas().sort_values(["tf", "term"],
+                                     ascending=[False, True])
+    lx = np.log(np.arange(1, len(df) + 1, dtype=np.float64))
+    ly = np.log(df["tf"].to_numpy().astype(np.float64))
+    fit_in = rd.from_arrow(pa.table({
+        "fit": pa.array(["zipf_terms"] * len(df), pa.string()),
+        "lx": pa.array(lx), "ly": pa.array(ly)})).repartition(4)
+    return grouped_linreg(fit_in, ["fit"], "lx", "ly")
+
+
+def _q_top_event_trigrams(sf_dir: str):
+    """Sequence mining: the 25 most common 3-step event-type paths across
+    user timelines — two chained block-carry LAGs build (prev2, prev,
+    cur) without any per-group Python, then a pre-combined count exchange
+    and the grouped top-k combiner with total-order ties."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.relational import grouped_topk
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("event_type", pa.string()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    one = lag_columns(prepped, "user_id", ["t_us", "event_id"],
+                      ["event_type"],
+                      keep=["user_id", "t_us", "event_id", "event_type"])
+    two = lag_columns(one, "user_id", ["t_us", "event_id"],
+                      ["prev_event_type"],
+                      keep=["user_id", "t_us", "event_id", "event_type",
+                            "prev_event_type"])
+    # after the second pass: prev_prev_event_type = lag of prev_event_type
+
+    def count_local(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("e1", pa.string()), ("e2", pa.string()),
+                         ("e3", pa.string()), ("cnt", pa.int64())])
+        if len(t) == 0 or "prev_prev_event_type" not in t.column_names:
+            return sch.empty_table()
+        tab = pa.table({"e1": t["prev_prev_event_type"],
+                        "e2": t["prev_event_type"],
+                        "e3": t["event_type"]})
+        tab = tab.filter(pc.and_(pc.is_valid(tab["e1"]),
+                                 pc.is_valid(tab["e2"])))
+        out = tab.group_by(["e1", "e2", "e3"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["e1", "e2", "e3", "cnt"])
+        return out.cast(sch)
+
+    counts = two.map_batches(count_local, batch_format="pyarrow") \
+        .groupby(["e1", "e2", "e3"]).aggregate(Sum("cnt",
+                                                   alias_name="cnt"))
+
+    def const_key(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "cnt" not in t.column_names:
+            return pa.schema([("k", pa.int64()), ("e1", pa.string()),
+                              ("e2", pa.string()), ("e3", pa.string()),
+                              ("cnt", pa.int64())]).empty_table()
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "e1": t["e1"], "e2": t["e2"], "e3": t["e3"],
+            "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    return grouped_topk(counts.map_batches(const_key,
+                                           batch_format="pyarrow"),
+                        ["k"],
+                        [("cnt", "descending"), ("e1", "ascending"),
+                         ("e2", "ascending"), ("e3", "ascending")], 25) \
+        .drop_columns(["k"])
+
+
+def _q_monthly_repeat_rate(sf_dir: str):
+    """Month-over-month customer retention: per month, how many ordering
+    customers also ordered the previous month, and the repeat share.
+    Distinct (customer, month) pairs self-join shifted by one month —
+    exact ints plus ONE int/int division, so the check is bit-exact."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def to_month(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("m", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        mo = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        return pa.table({
+            "c": pc.cast(t["o_custkey"], pa.int64()),
+            "m": pc.add(pc.multiply(y, 12), mo)}).cast(sch)
+
+    cm = ds.map_batches(to_month, batch_format="pyarrow") \
+        .groupby(["c", "m"]).aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"]).materialize()
+
+    def shift(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("m", pa.int64()),
+                         ("_r", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({"c": t["c"],
+                         "m": pc.add(pc.cast(t["m"], pa.int64()), 1),
+                         "_r": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    prev = cm.map_batches(shift, batch_format="pyarrow")
+    joined = cm.join(prev, join_type="left_outer", num_partitions=8,
+                     on=("c", "m"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("_r", pa.int64()),
+                         ("_one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "m": pc.cast(t["m"], pa.int64()),
+            "_r": pc.fill_null(pc.cast(t["_r"], pa.int64()), 0),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(fold, batch_format="pyarrow") \
+        .groupby("m").aggregate(Sum("_one", alias_name="n_customers"),
+                                Sum("_r", alias_name="n_repeat"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("n_customers", pa.int64()),
+                         ("n_repeat", pa.int64()),
+                         ("repeat_share", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        n = t["n_customers"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = t["n_repeat"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pc.cast(t["m"], pa.int64()),
+            "n_customers": pa.array(n), "n_repeat": pa.array(r),
+            "repeat_share": pa.array(r / n.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3329,6 +3495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_balance_floor": _q_user_balance_floor,
         "user_running_distinct_types": _q_user_running_distinct_types,
         "returnflag_qty_means": _q_returnflag_qty_means,
+        # twelfth round-2 batch (all SQL-checked)
+        "term_zipf_fit": _q_term_zipf_fit,
+        "top_event_trigrams": _q_top_event_trigrams,
+        "monthly_repeat_rate": _q_monthly_repeat_rate,
     }
 
 
@@ -5582,5 +5752,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(EXP(SUM(LN(l_quantity)) / COUNT(*)), 6)
                        AS geometric
             FROM lineitem GROUP BY 1
+        """,
+        "term_zipf_fit": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1),
+            top AS (SELECT term, tf,
+                           ROW_NUMBER() OVER (ORDER BY tf DESC, term)
+                               AS rank
+                    FROM tc ORDER BY tf DESC, term LIMIT 100)
+            SELECT 'zipf_terms' AS fit, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(REGR_SLOPE(LN(tf), LN(rank)), 6) AS slope,
+                   ROUND(REGR_INTERCEPT(LN(tf), LN(rank)), 6)
+                       AS intercept,
+                   ROUND(REGR_R2(LN(tf), LN(rank)), 6) AS r2
+            FROM top
+        """,
+        "top_event_trigrams": """
+            WITH seq AS (
+                SELECT user_id, event_type AS e3,
+                       LAG(event_type) OVER w AS e2,
+                       LAG(event_type, 2) OVER w AS e1
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            tri AS (
+                SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+                GROUP BY 1, 2, 3)
+            SELECT e1, e2, e3, cnt FROM tri
+            ORDER BY cnt DESC, e1, e2, e3 LIMIT 25
+        """,
+        "monthly_repeat_rate": """
+            WITH cm AS (
+                SELECT DISTINCT o_custkey AS c,
+                       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                            AS BIGINT) AS m
+                FROM orders)
+            SELECT a.m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN p.c IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repeat,
+                   SUM(CASE WHEN p.c IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS repeat_share
+            FROM cm a LEFT JOIN cm p
+              ON p.c = a.c AND p.m = a.m - 1
+            GROUP BY 1
         """,
     }
