@@ -3335,6 +3335,141 @@ def _q_monthly_repeat_rate(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Average neighbor degree per vertex (the degree-correlation curve
+    behind assortativity): degrees from one pre-combined groupby join
+    back onto the edge table by dst, then a per-src Sum/Count — exact
+    ints plus one division, bit-exact vs the SQL oracle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.util import drop_empty_blocks
+
+    g = _events_graph(sf_dir)
+    edges = g.edges.select_columns(["src", "dst"])
+    deg = drop_empty_blocks(
+        edges.groupby("src").aggregate(Count(alias_name="d"))
+        .rename_columns({"src": "dst"}))
+    joined = edges.join(deg, join_type="inner", num_partitions=8,
+                        on=("dst",))
+    agg = joined.groupby("src").aggregate(Sum("d", alias_name="s_d"),
+                                          Count(alias_name="degree"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("vertex", pa.int64()), ("degree", pa.int64()),
+                         ("avg_nbr_degree", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        s = t["s_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["degree"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vertex": pc.cast(t["src"], pa.int64()),
+            "degree": pa.array(d),
+            "avg_nbr_degree": pa.array(s / d.astype(np.float64)),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_graph_reciprocity(sf_dir: str):
+    """Reciprocity of the DIRECTED events graph: the share of distinct
+    directed edges whose reverse also exists — distinct-edge groupby,
+    self-join against the swapped copy, one exact int/int division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.util import drop_empty_blocks
+
+    de, _ = _events_digraph(sf_dir)
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"src": pc.cast(t["src"], pa.int64()),
+                        "dst": pc.cast(t["dst"], pa.int64())})
+        return out.filter(pc.not_equal(out["src"], out["dst"])).cast(sch)
+
+    dedges = de.map_batches(clean, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).materialize()
+    n_edges = dedges.count()
+    swapped = dedges.map_batches(
+        lambda t: pa.table({"src": t["dst"], "dst": t["src"],
+                            "_r": pa.array(np.ones(len(t), np.int64))})
+        if len(t) else pa.schema([("src", pa.int64()),
+                                  ("dst", pa.int64()),
+                                  ("_r", pa.int64())]).empty_table(),
+        batch_format="pyarrow")
+    matched = dedges.join(drop_empty_blocks(swapped), join_type="inner",
+                          num_partitions=8, on=("src", "dst"))
+    n_recip = matched.count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_recip": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array(
+            [float(np.float64(n_recip) / np.float64(n_edges))],
+            pa.float64())})
+
+
+def _q_customer_pareto_classes(sf_dir: str):
+    """ABC / Pareto analysis: customers ranked by revenue, cumulative
+    revenue share, classed A (≤80%), B (≤95%), C — the global ranking is
+    the one-sort block-carry running sum on a constant key; thresholds
+    compare the identical exact division on both sides."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import running_agg
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v)}).cast(sch)
+
+    rev = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="rev")) \
+        .materialize()
+    total = int(rev.sum("rev"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("rev", pa.int64()),
+                         ("negrev", pa.int64()), ("_k", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        r = pc.cast(t["rev"], pa.int64())
+        return pa.table({
+            "c": pc.cast(t["c"], pa.int64()), "rev": r,
+            "negrev": pc.negate_checked(r),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    run = running_agg(rev.map_batches(tag, batch_format="pyarrow"),
+                      "_k", ["negrev", "c"], "rev", keep=["c", "rev"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()),
+                         ("revenue_cents", pa.int64()),
+                         ("cum_cents", pa.int64()),
+                         ("pareto_class", pa.string())])
+        if len(t) == 0:
+            return sch.empty_table()
+        cum = t["running_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        share = cum / np.float64(total)
+        cls = np.where(share <= 0.8, "A",
+                       np.where(share <= 0.95, "B", "C"))
+        return pa.table({
+            "o_custkey": t["c"], "revenue_cents": t["rev"],
+            "cum_cents": pa.array(cum),
+            "pareto_class": pa.array(cls.astype(object), pa.string()),
+        }).cast(sch)
+
+    return run.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3499,6 +3634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_zipf_fit": _q_term_zipf_fit,
         "top_event_trigrams": _q_top_event_trigrams,
         "monthly_repeat_rate": _q_monthly_repeat_rate,
+        # thirteenth round-2 batch (all SQL-checked)
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "graph_reciprocity": _q_graph_reciprocity,
+        "customer_pareto_classes": _q_customer_pareto_classes,
     }
 
 
@@ -3851,6 +3990,28 @@ _CLOSENESS_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
            CAST(SUM(d) AS BIGINT) AS sum_d,
            COUNT(*) / CAST(SUM(d) AS DOUBLE) AS closeness
     FROM md WHERE d > 0 GROUP BY 1
+"""
+
+_AVG_NBR_DEG_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY 1)
+    SELECT e.src AS vertex, CAST(COUNT(*) AS BIGINT) AS degree,
+           SUM(dd.d) / CAST(COUNT(*) AS DOUBLE) AS avg_nbr_degree
+    FROM e JOIN deg dd ON dd.v = e.dst
+    GROUP BY 1
+"""
+
+_RECIPROCITY_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    de AS (SELECT DISTINCT ns.node_id AS s, nd.node_id AS d
+           FROM alle a JOIN nodes ns ON a.src = ns.name
+                       JOIN nodes nd ON a.dst = nd.name
+           WHERE a.src != a.dst)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_recip,
+           SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+    FROM de LEFT JOIN de r ON r.s = de.d AND r.d = de.s
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -5799,5 +5960,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cm a LEFT JOIN cm p
               ON p.c = a.c AND p.m = a.m - 1
             GROUP BY 1
+        """,
+        "avg_neighbor_degree": _AVG_NBR_DEG_SQL,
+        "graph_reciprocity": _RECIPROCITY_SQL,
+        "customer_pareto_classes": """
+            WITH r AS (
+                SELECT o_custkey AS c,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+            w AS (
+                SELECT c, rev,
+                       SUM(rev) OVER (ORDER BY rev DESC, c
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(rev) OVER () AS tot
+                FROM r)
+            SELECT c AS o_custkey, rev AS revenue_cents,
+                   CAST(cum AS BIGINT) AS cum_cents,
+                   CASE WHEN cum / CAST(tot AS DOUBLE) <= 0.8 THEN 'A'
+                        WHEN cum / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
+                        ELSE 'C' END AS pareto_class
+            FROM w
         """,
     }
