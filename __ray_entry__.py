@@ -3004,9 +3004,8 @@ def _q_session_type_pairs(sf_dir: str):
         i = pc.index_in(t["event_type"], value_set=varr)
         return pa.table({"g": g, "i": pc.cast(i, pa.int64())}).cast(sch)
 
-    baskets = joined.map_batches(encode, batch_format="pyarrow") \
-        .groupby(["g", "i"]).count().drop_columns(["count()"])
-    pairs = within_group_pairs(baskets, "g", "i")
+    baskets = joined.map_batches(encode, batch_format="pyarrow")
+    pairs = within_group_pairs(baskets, "g", "i")  # dedups in-plan
 
     def decode(t: pa.Table) -> pa.Table:
         sch = pa.schema([("t1", pa.string()), ("t2", pa.string()),

@@ -26,7 +26,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from cuttana_ray.stages.keyblocks import within_group_pairs
 
 
 def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
@@ -35,25 +34,11 @@ def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
     groups; ``cosine = co / sqrt(n_p1 · n_p2)`` with n = the item's
     distinct-group count. Input need not be distinct — a pre-combined
     (group, item) distinct is the first step."""
-    from ray.data.aggregate import Count
+    from cuttana_ray.stages.keyblocks import _pairs_and_counts
 
-    def local_distinct(t: pa.Table) -> pa.Table:
-        sch = pa.schema([("g", pa.int64()), ("i", pa.int64())])
-        if len(t) == 0 or group not in t.column_names:
-            return sch.empty_table()
-        out = pa.table({"g": pc.cast(t[group], pa.int64()),
-                        "i": pc.cast(t[item], pa.int64())})
-        return out.group_by(["g", "i"]).aggregate([]).cast(sch)
-
-    distinct = ds.map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby(["g", "i"]).aggregate(Count(alias_name="_c")) \
-        .drop_columns(["_c"]).materialize()
-
-    co = within_group_pairs(distinct, "g", "i")
+    co, counts = _pairs_and_counts(ds, group, item)
     if min_support > 1:
         co = co.filter(expr=f"co >= {int(min_support)}")
-
-    counts = distinct.groupby("i").aggregate(Count(alias_name="n_g"))
 
     c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
     c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})

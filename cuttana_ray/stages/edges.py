@@ -129,11 +129,18 @@ def dedup_weighted(edges: "ray.data.Dataset") -> "ray.data.Dataset":
 
     complete = combined.map_batches(keep_complete, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    # boundary runs (≤2 per block) merged driver-side
+    # boundary runs (≤2 per block) merged driver-side — extracted by a
+    # remote task per block so only those rows move, never whole blocks
     import ray as _ray
-    ptabs = [t.filter(pc.equal(t["partial"], True))
-             for t in _ray.get(combined.to_arrow_refs())
-             if len(t) and "partial" in t.column_names]
+
+    @_ray.remote
+    def _partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "partial" not in t.column_names:
+            return pa.table({})
+        return t.filter(pc.equal(t["partial"], True))
+
+    ptabs = _ray.get([_partials.remote(r)
+                      for r in combined.to_arrow_refs()])
     ptabs = [t for t in ptabs if len(t)]
     if not ptabs:
         return complete

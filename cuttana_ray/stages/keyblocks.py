@@ -453,25 +453,39 @@ def clamped_running_sum(ds: "ray.data.Dataset", key: str,
                            zero_copy_batch=True)
 
 
-@ray.remote
-def _pair_expand(t: pa.Table, item_col: str) -> pa.Table:
+@ray.remote(num_returns=2)
+def _pair_expand(t: pa.Table, item_col: str) -> tuple:
     """All within-run unordered pairs (p1 < p2 by run order) over an
     aligned block, fully vectorized: element q of a k-run is 'first' in
     (k-1-q) pairs; the flat pair index arithmetic below builds every
-    (first, second) index with no Python loop."""
-    schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
-                        ("co", pa.int64())])
+    (first, second) index with no Python loop. Duplicate (k, item) rows
+    are dropped first (the block is sorted, so dedup is one comparison
+    mask) — callers need NOT pre-distinct. Returns (pairs, item-count
+    partials); pairs are block-combined as (src, dst, weight) rows ready
+    for the sort-based ``dedup_weighted`` exchange."""
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                             ("weight", pa.int64())])
+    cnt_schema = pa.schema([("i", pa.int64()), ("c", pa.int64())])
     n = len(t)
     if n == 0 or "k" not in t.column_names:
-        return schema.empty_table()
+        return pair_schema.empty_table(), cnt_schema.empty_table()
     k = t["k"].to_numpy(zero_copy_only=False)
     p = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if n > 1:   # sorted → duplicates are consecutive
+        keep = np.concatenate([[True],
+                               (k[1:] != k[:-1]) | (p[1:] != p[:-1])])
+        if not keep.all():
+            k, p = k[keep], p[keep]
+            n = len(k)
     starts, lens = _runs(k)
+    cnt = pa.table({"i": p}).group_by(["i"]) \
+        .aggregate([([], "count_all")]).rename_columns(["i", "c"]) \
+        .cast(cnt_schema)
     pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
     rep = np.repeat(lens, lens) - 1 - pos      # pairs each element leads
     total = int(rep.sum())
     if total == 0:
-        return schema.empty_table()
+        return pair_schema.empty_table(), cnt
     first = np.repeat(np.arange(n, dtype=np.int64), rep)
     off = np.arange(total, dtype=np.int64) - \
         np.repeat(np.concatenate([[0], np.cumsum(rep)[:-1]]), rep) + 1
@@ -479,31 +493,60 @@ def _pair_expand(t: pa.Table, item_col: str) -> pa.Table:
     p1, p2 = p[first], p[second]
     lo = np.minimum(p1, p2)
     hi = np.maximum(p1, p2)
-    # block-local combine before the pair shuffle
-    out = pa.table({"p1": lo, "p2": hi}).group_by(["p1", "p2"]) \
+    # block-local combine before the pair exchange
+    out = pa.table({"src": lo, "dst": hi}).group_by(["src", "dst"]) \
         .aggregate([([], "count_all")]) \
-        .rename_columns(["p1", "p2", "co"])
-    return out.cast(schema)
+        .rename_columns(["src", "dst", "weight"])
+    return out.cast(pair_schema), cnt
 
 
-def within_group_pairs(ds: "ray.data.Dataset", group: str, item: str
-                       ) -> "ray.data.Dataset":
-    """Co-occurrence pair counts: for every unordered item pair, the number
-    of groups containing both. Input rows must be DISTINCT (group, item).
-    One sort + key-aligned re-block; pair expansion is vectorized across
-    all runs of a block and pre-combined before the one pair groupby."""
+def _pairs_and_counts(ds: "ray.data.Dataset", group: str, item: str
+                      ) -> tuple:
+    """Shared plan: ONE sort by (group, item) + key-aligned re-block;
+    each block dedups its rows, expands pairs and emits per-item count
+    partials. Pair counts combine through the sort-based
+    ``dedup_weighted`` exchange (Ray's hash aggregate is ~30× slower when
+    most keys are distinct — measured 120 s+ vs seconds on 12M pair
+    rows); item counts are a small groupby over per-block partials."""
     from ray.data.aggregate import Sum
+
+    from cuttana_ray.stages.edges import dedup_weighted
 
     def tag(t: pa.Table) -> pa.Table:
         sch = pa.schema([("k", pa.int64()), ("i_", pa.int64())])
         if len(t) == 0 or group not in t.column_names:
             return sch.empty_table()
-        return pa.table({"k": pc.cast(t[group], pa.int64()),
-                         "i_": pc.cast(t[item], pa.int64())}).cast(sch)
+        out = pa.table({"k": pc.cast(t[group], pa.int64()),
+                        "i_": pc.cast(t[item], pa.int64())})
+        # local distinct: cheap, shrinks the sort
+        return out.group_by(["k", "i_"]).aggregate([]).cast(sch)
 
     merged = ds.map_batches(tag, batch_format="pyarrow") \
         .sort(["k", "i_"]).materialize()
     aligned = key_aligned_refs(merged.to_arrow_refs())
-    pairs = ray.data.from_arrow_refs(
-        [_pair_expand.remote(r, "i_") for r in aligned])
-    return pairs.groupby(["p1", "p2"]).aggregate(Sum("co", alias_name="co"))
+    outs = [_pair_expand.remote(r, "i_") for r in aligned]
+    pair_refs = [o[0] for o in outs]
+    cnt_refs = [o[1] for o in outs]
+    pairs = dedup_weighted(ray.data.from_arrow_refs(pair_refs))
+
+    def rename(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                         ("co", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return t.rename_columns(["p1", "p2", "co"]).cast(sch)
+
+    pairs = pairs.map_batches(rename, batch_format="pyarrow")
+    counts = ray.data.from_arrow_refs(cnt_refs) \
+        .groupby("i").aggregate(Sum("c", alias_name="n_g"))
+    return pairs, counts
+
+
+def within_group_pairs(ds: "ray.data.Dataset", group: str, item: str
+                       ) -> "ray.data.Dataset":
+    """Co-occurrence pair counts: for every unordered item pair, the
+    number of groups containing both. Duplicate (group, item) rows are
+    deduped inside the plan (one sort, no hash-distinct needed
+    upstream)."""
+    pairs, _ = _pairs_and_counts(ds, group, item)
+    return pairs
