@@ -3469,6 +3469,158 @@ def _q_customer_pareto_classes(sf_dir: str):
     return run.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_customer_revenue_gini(sf_dir: str):
+    """Gini coefficient of customer revenue (the inequality summary for
+    any web-scale weight distribution): ascending revenue ranks from the
+    constant-key block-carry row number, then three exact int64 sums;
+    only the final expression touches floats, evaluated in the same
+    operand order as the SQL. Σ rn·rev stays < 2^62 up to ~1e9 customers
+    at cent scale; beyond that the product term needs a float fold."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.running import running_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v)}).cast(sch)
+
+    rev = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="rev"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("rev", pa.int64()),
+                         ("_k", pa.int64()), ("_one", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "c": pc.cast(t["c"], pa.int64()),
+            "rev": pc.cast(t["rev"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64)),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    run = running_agg(rev.map_batches(tag, batch_format="pyarrow"),
+                      "_k", ["rev", "c"], "_one", keep=["rev"])
+
+    def prod(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("rev", pa.int64()), ("rnrev", pa.int64()),
+                         ("_one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = t["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"rev": pa.array(rv),
+                         "rnrev": pa.array(rn * rv),
+                         "_one": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    parts = run.map_batches(prod, batch_format="pyarrow").materialize()
+    n = parts.count()
+    sx = int(parts.sum("rev"))
+    s1 = int(parts.sum("rnrev"))
+    gini = 2.0 * np.float64(s1) / (np.float64(n) * np.float64(sx)) \
+        - np.float64(n + 1) / np.float64(n)
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([sx], pa.int64()),
+        "gini": pa.array([float(gini)], pa.float64())})
+
+
+def _q_also_bought_top3(sf_dir: str):
+    """'Customers also bought': for each part, the 3 strongest co-purchase
+    partners by shared-customer count (ties by partner id) — the
+    key-aligned pair expansion both directions, then the grouped top-k
+    combiner. Exact ints → hash-exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import within_group_pairs
+    from cuttana_ray.stages.relational import grouped_topk
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    cp = orders.join(line, join_type="inner", num_partitions=8,
+                     on=("o_orderkey",))
+    pairs = within_group_pairs(cp, "o_custkey", "l_partkey") \
+        .filter(expr="co >= 2")
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("part", pa.int64()), ("other", pa.int64()),
+                         ("co", pa.int64())])
+        if len(t) == 0 or "p1" not in t.column_names:
+            return sch.empty_table()
+        fwd = pa.table({"part": t["p1"], "other": t["p2"],
+                        "co": pc.cast(t["co"], pa.int64())})
+        rev = pa.table({"part": t["p2"], "other": t["p1"],
+                        "co": pc.cast(t["co"], pa.int64())})
+        return pa.concat_tables([fwd, rev]).cast(sch)
+
+    return grouped_topk(pairs.map_batches(both_dirs,
+                                          batch_format="pyarrow"),
+                        ["part"],
+                        [("co", "descending"), ("other", "ascending")], 3)
+
+
+def _q_session_pair_jaccard(sf_dir: str):
+    """Jaccard affinity between event types over gap-session baskets:
+    ``co / (n1 + n2 − co)`` with n = the type's session count — same
+    one-sort pair plan as the cosine variant, exact ints + one
+    division."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import _pairs_and_counts
+
+    sess = _q_event_session_ids(sf_dir)
+    types = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    joined = sess.join(types, join_type="inner", num_partitions=8,
+                       on=("event_id",))
+    vocab = sorted(_read(sf_dir, "events", columns=["event_type"])
+                   .unique("event_type"))
+    varr = pa.array(vocab, pa.string())
+
+    def encode(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("g", pa.int64()), ("i", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        g = pc.add(pc.multiply(pc.cast(t["user_id"], pa.int64()),
+                               1_000_000),
+                   pc.cast(t["session_id"], pa.int64()))
+        i = pc.index_in(t["event_type"], value_set=varr)
+        return pa.table({"g": g, "i": pc.cast(i, pa.int64())}).cast(sch)
+
+    from cuttana_ray.util import drop_empty_blocks
+    baskets = joined.map_batches(encode, batch_format="pyarrow")
+    pairs, counts = _pairs_and_counts(baskets, "g", "i")
+    pairs = drop_empty_blocks(pairs)
+    counts = drop_empty_blocks(counts)
+    c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
+    c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})
+    j = pairs.join(c1, join_type="inner", num_partitions=4, on=("p1",)) \
+        .join(c2, join_type="inner", num_partitions=4, on=("p2",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                         ("co", pa.int64()), ("jaccard", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        co = t["co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n1 = t["_n1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = t["_n2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jac = co / (n1 + n2 - co).astype(np.float64)
+        take = lambda col: varr.take(col.combine_chunks() if
+                                     isinstance(col, pa.ChunkedArray)
+                                     else col)
+        return pa.table({"t1": take(t["p1"]), "t2": take(t["p2"]),
+                         "co": pa.array(co), "jaccard": pa.array(jac)
+                         }).cast(sch)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3637,6 +3789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_neighbor_degree": _q_avg_neighbor_degree,
         "graph_reciprocity": _q_graph_reciprocity,
         "customer_pareto_classes": _q_customer_pareto_classes,
+        # fourteenth round-2 batch (all SQL-checked)
+        "customer_revenue_gini": _q_customer_revenue_gini,
+        "also_bought_top3": _q_also_bought_top3,
+        "session_pair_jaccard": _q_session_pair_jaccard,
     }
 
 
@@ -5980,5 +6136,70 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cum / CAST(tot AS DOUBLE) <= 0.95 THEN 'B'
                         ELSE 'C' END AS pareto_class
             FROM w
+        """,
+        "customer_revenue_gini": """
+            WITH r AS (
+                SELECT o_custkey AS c,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+            w AS (SELECT c, rev,
+                         ROW_NUMBER() OVER (ORDER BY rev, c) AS rn
+                  FROM r)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev) AS BIGINT) AS total_cents,
+                   2.0 * SUM(rn * rev)
+                       / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+                     - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE) AS gini
+            FROM w
+        """,
+        "also_bought_top3": """
+            WITH cp AS (
+                SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+            pairs AS (
+                SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS co
+                FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            bidir AS (
+                SELECT p1 AS part, p2 AS other, co FROM pairs
+                UNION ALL SELECT p2, p1, co FROM pairs),
+            rk AS (SELECT part, other, co,
+                          ROW_NUMBER() OVER (PARTITION BY part
+                              ORDER BY co DESC, other) AS rn
+                   FROM bidir)
+            SELECT part, other, co FROM rk WHERE rn <= 3
+        """,
+        "session_pair_jaccard": """
+            WITH x AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (
+                SELECT user_id, event_type,
+                       SUM(CASE WHEN pt IS NOT NULL
+                                 AND t - pt > 3600000000
+                           THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM x),
+            b AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+            tc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM b GROUP BY 1),
+            pairs AS (
+                SELECT a.event_type AS t1, c.event_type AS t2,
+                       CAST(COUNT(*) AS BIGINT) AS co
+                FROM b a JOIN b c
+                  ON a.user_id = c.user_id
+                 AND a.session_id = c.session_id
+                 AND a.event_type < c.event_type
+                GROUP BY 1, 2)
+            SELECT pairs.t1, pairs.t2, pairs.co,
+                   pairs.co / CAST(c1.n + c2.n - pairs.co AS DOUBLE)
+                       AS jaccard
+            FROM pairs JOIN tc c1 ON c1.event_type = pairs.t1
+                       JOIN tc c2 ON c2.event_type = pairs.t2
         """,
     }

@@ -35,10 +35,13 @@ def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
     distinct-group count. Input need not be distinct — a pre-combined
     (group, item) distinct is the first step."""
     from cuttana_ray.stages.keyblocks import _pairs_and_counts
+    from cuttana_ray.util import drop_empty_blocks
 
     co, counts = _pairs_and_counts(ds, group, item)
     if min_support > 1:
         co = co.filter(expr=f"co >= {int(min_support)}")
+    co = drop_empty_blocks(co)
+    counts = drop_empty_blocks(counts)
 
     c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
     c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})

@@ -94,12 +94,13 @@ def edit_distance_pairs(ds: "ray.data.Dataset", id_col: str, text_col: str,
                          ("_t", pa.string())])
         if len(t) == 0 or id_col not in t.column_names:
             return sch.empty_table()
-        import polars as pl
+        import pandas as pd
         capped = pc.utf8_slice_codeunits(t[text_col], 0, text_cap)
         pfx = pc.utf8_slice_codeunits(t[text_col], 0, prefix_len)
-        h = pl.from_arrow(pfx.combine_chunks()
-                          if isinstance(pfx, pa.ChunkedArray) else pfx) \
-            .hash(seed=7).to_numpy() & np.uint64((1 << 62) - 1)
+        # pandas' siphash: stable across processes, no lazy-import race
+        h = pd.util.hash_pandas_object(
+            pd.Series(pfx.to_pandas()), index=False).to_numpy() \
+            & np.uint64((1 << 62) - 1)
         g = pa.array(h.astype(np.int64))
         return pa.table({"g": g, "i": pc.cast(t[id_col], pa.int64()),
                          "_t": capped}).cast(sch)

@@ -300,10 +300,11 @@ def grouped_weighted_median(ds: "ray.data.Dataset", key: str, value: str,
         col = t[key]
         if pa.types.is_integer(col.type):
             return t.append_column("_k", pc.cast(col, pa.int64()))
-        import polars as pl
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
-            else col
-        h = pl.from_arrow(arr).hash(seed=11).to_numpy() \
+        # pandas' siphash: stable across processes, vectorized, and free
+        # of polars' lazy-import race under concurrent worker start-up
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(col.to_pandas()), index=False).to_numpy() \
             & np.uint64((1 << 62) - 1)
         return t.append_column("_k", pa.array(h.astype(np.int64)))
 
