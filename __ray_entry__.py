@@ -3621,6 +3621,148 @@ def _q_session_pair_jaccard(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_two_hop_counts(sf_dir: str):
+    """Friend-of-friend reach: per vertex, the number of distinct vertices
+    within ≤2 hops (self excluded) — one edge-edge hash join, then the
+    sort-based distinct/count (Ray's hash aggregate melts on
+    mostly-distinct pair keys). Partitioning note: at web scale the
+    2-hop expansion is bucketed by hub vertex upstream; the events graph
+    is hub-light."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.edges import dedup_weighted
+
+    g = _events_graph(sf_dir)
+    edges = g.edges.select_columns(["src", "dst"]).materialize()
+    hop2 = edges.join(edges.rename_columns({"src": "dst", "dst": "d2"}),
+                      join_type="inner", num_partitions=8, on=("dst",))
+
+    def pairs2(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "d2" not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"src": pc.cast(t["src"], pa.int64()),
+                        "dst": pc.cast(t["d2"], pa.int64())})
+        out = out.filter(pc.not_equal(out["src"], out["dst"]))
+        out = out.group_by(["src", "dst"]).aggregate([([], "count_all")]) \
+            .rename_columns(["src", "dst", "weight"])
+        return pa.table({"src": out["src"], "dst": out["dst"],
+                         "weight": pa.array(
+                             np.ones(len(out), np.int64))}).cast(sch)
+
+    def pairs1(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"src": pc.cast(t["src"], pa.int64()),
+                         "dst": pc.cast(t["dst"], pa.int64()),
+                         "weight": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    reach = hop2.map_batches(pairs2, batch_format="pyarrow") \
+        .union(edges.map_batches(pairs1, batch_format="pyarrow"))
+    distinct = dedup_weighted(reach)        # sort-based distinct pairs
+
+    def ones(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("vertex", pa.int64()), ("_one", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"vertex": pc.cast(t["src"], pa.int64()),
+                         "_one": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    return distinct.map_batches(ones, batch_format="pyarrow") \
+        .groupby("vertex").aggregate(Sum("_one", alias_name="n_within_2"))
+
+
+def _q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth: monthly cents (pre-combined
+    groupby), previous month via the block-carry LAG on a constant key,
+    growth = ONE exact division — hash-exact ints plus one float col."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import lag_columns
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        mo = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"m": pc.add(pc.multiply(y, 12), mo),
+                         "cents": pa.array(v)}).cast(sch)
+
+    monthly = ds.map_batches(cents, batch_format="pyarrow") \
+        .groupby("m").aggregate(Sum("cents", alias_name="revenue_cents"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("revenue_cents", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0 or "m" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "m": pc.cast(t["m"], pa.int64()),
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    lagged = lag_columns(monthly.map_batches(tag, batch_format="pyarrow"),
+                         "_k", ["m"], ["revenue_cents"],
+                         keep=["m", "revenue_cents"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("revenue_cents", pa.int64()),
+                         ("prev_cents", pa.int64()),
+                         ("growth", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        cur = t["revenue_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        prev = t["prev_revenue_cents"]
+        pv = prev.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            growth = (cur - pv) / pv
+        return pa.table({
+            "m": t["m"], "revenue_cents": t["revenue_cents"],
+            "prev_cents": prev,
+            "growth": pa.array(growth, from_pandas=True)}).cast(sch)
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_price_percentile(sf_dir: str):
+    """Global percent rank of every order's price (quantile
+    normalization): the constant-key block-carry row number + one tiny
+    count — exact integer rank, one exact division
+    (stages/running.py rank_windows on a constant key)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import rank_windows
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()),
+                         ("o_totalprice", pa.float64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    out = rank_windows(ds.map_batches(tag, batch_format="pyarrow"),
+                       "_k", ["o_totalprice", "o_orderkey"], tiles=10,
+                       keep=["_k", "o_orderkey", "o_totalprice"])
+    return out.drop_columns(["_k"]) \
+        .rename_columns({"prank": "pct_rank", "ntile": "decile"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3793,6 +3935,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": _q_customer_revenue_gini,
         "also_bought_top3": _q_also_bought_top3,
         "session_pair_jaccard": _q_session_pair_jaccard,
+        # fifteenth round-2 batch (all SQL-checked)
+        "two_hop_counts": _q_two_hop_counts,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "orders_price_percentile": _q_orders_price_percentile,
     }
 
 
@@ -4167,6 +4313,17 @@ _RECIPROCITY_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            SUM(CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END)
                / CAST(COUNT(*) AS DOUBLE) AS reciprocity
     FROM de LEFT JOIN de r ON r.s = de.d AND r.d = de.s
+"""
+
+_TWO_HOP_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    reach AS (
+        SELECT e1.src AS src, e2.dst AS dst
+        FROM e e1 JOIN e e2 ON e2.src = e1.dst
+        WHERE e1.src != e2.dst
+        UNION
+        SELECT src, dst FROM e)
+    SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS n_within_2
+    FROM reach GROUP BY 1
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -6201,5 +6358,30 @@ def oracle_sql() -> dict[str, str]:
                        AS jaccard
             FROM pairs JOIN tc c1 ON c1.event_type = pairs.t1
                        JOIN tc c2 ON c2.event_type = pairs.t2
+        """,
+        "two_hop_counts": _TWO_HOP_SQL,
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                            AS BIGINT) AS m,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT m, revenue_cents,
+                   LAG(revenue_cents) OVER (ORDER BY m) AS prev_cents,
+                   (CAST(revenue_cents AS DOUBLE)
+                    - CAST(LAG(revenue_cents) OVER (ORDER BY m)
+                           AS DOUBLE))
+                   / CAST(LAG(revenue_cents) OVER (ORDER BY m) AS DOUBLE)
+                       AS growth
+            FROM m
+        """,
+        "orders_price_percentile": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS BIGINT) AS decile,
+                   PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS pct_rank
+            FROM orders
         """,
     }

@@ -295,10 +295,14 @@ def rank_windows(ds: "ray.data.Dataset", key: str, order: list[str],
         return t.append_column("_one", pa.array(
             np.ones(len(t), np.int64)))
 
-    rn_ds = running_agg(ds.map_batches(add_one, batch_format="pyarrow"),
-                        key, order, "_one", keep=keep) \
-        .drop_columns(["running_sum"])
-    counts = ds.groupby(key).aggregate(Count(alias_name="_nk"))
+    from cuttana_ray.util import drop_empty_blocks
+
+    rn_ds = drop_empty_blocks(
+        running_agg(ds.map_batches(add_one, batch_format="pyarrow"),
+                    key, order, "_one", keep=keep)
+        .drop_columns(["running_sum"]))
+    counts = drop_empty_blocks(
+        ds.groupby(key).aggregate(Count(alias_name="_nk")))
     joined = rn_ds.join(counts, join_type="inner", num_partitions=8,
                         on=(key,))
 
