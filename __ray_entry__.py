@@ -3763,6 +3763,113 @@ def _q_orders_price_percentile(sf_dir: str):
         .rename_columns({"prank": "pct_rank", "ntile": "decile"})
 
 
+def _q_docs_jsonl_roundtrip(sf_dir: str):
+    """Second source format: documents exported to newline-delimited JSON
+    and read back with ``ray.data.read_json`` (multi-file, so the read
+    parallelizes), projected to (doc_id, n_chars). The oracle is the
+    parquet identity — the round trip must be lossless."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    src = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    outdir = os.path.join("/tmp", "cuttana_jsonl",
+                          os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(outdir, exist_ok=True)
+
+    def dump(t: pa.Table, i: int) -> None:
+        rows = t.to_pylist()
+        with open(os.path.join(outdir, f"part-{i:05d}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r, sort_keys=True) + "\n")
+
+    for i, b in enumerate(src.iter_batches(batch_format="pyarrow",
+                                           batch_size=2048)):
+        dump(b, i)
+    back = rd.read_json(outdir)
+
+    def project(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())
+                         }).cast(sch)
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+def _q_docs_train_val_test(sf_dir: str):
+    """Deterministic train/val/test split by stable hash — the standard
+    corpus-splitting primitive: split = murmur64(doc_id) % 10 (train <8,
+    val 8, test 9), bit-identical to DuckDB ``hash()`` so the assignment
+    replays exactly in SQL."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import murmur64_int
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("bucket", pa.int64()),
+                         ("split", pa.string())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (murmur64_int(ids) % np.uint64(10)).astype(np.int64)
+        split = np.where(b < 8, "train", np.where(b == 8, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(ids), "bucket": pa.array(b),
+            "split": pa.array(split.astype(object), pa.string()),
+        }).cast(sch)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _q_user_max_drawdown(sf_dir: str):
+    """Max drawdown per user: the largest drop of value-cents below its
+    per-user running maximum under (ts, event_id) order — the running-MAX
+    carry chain composed with one grouped MAX; exact ints end to end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+    from cuttana_ray.stages.running import running_max_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+            "cents": pa.array(v)}).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    rm = running_max_agg(prepped, "user_id", ["t_us", "event_id"],
+                         "cents", keep=["user_id", "cents"])
+
+    def dd(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("_dd", pa.int64())])
+        if len(t) == 0 or "running_max" not in t.column_names:
+            return sch.empty_table()
+        run = t["running_max"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cur = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "_dd": pa.array(run - cur)}).cast(sch)
+
+    return rm.map_batches(dd, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("_dd",
+                                          alias_name="max_drawdown_cents"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -3939,6 +4046,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_counts": _q_two_hop_counts,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "orders_price_percentile": _q_orders_price_percentile,
+        # sixteenth round-2 batch (all SQL-checked)
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
+        "docs_train_val_test": _q_docs_train_val_test,
+        "user_max_drawdown": _q_user_max_drawdown,
     }
 
 
@@ -6383,5 +6494,29 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)
                        AS pct_rank
             FROM orders
+        """,
+        "docs_jsonl_roundtrip": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "docs_train_val_test": """
+            SELECT doc_id,
+                   CAST(hash(doc_id) % 10 AS BIGINT) AS bucket,
+                   CASE WHEN hash(doc_id) % 10 < 8 THEN 'train'
+                        WHEN hash(doc_id) % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "user_max_drawdown": """
+            WITH r AS (
+                SELECT user_id,
+                       MAX(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run,
+                       CAST(FLOOR(value*100) AS BIGINT) AS cur
+                FROM events)
+            SELECT user_id,
+                   CAST(MAX(run - cur) AS BIGINT) AS max_drawdown_cents
+            FROM r GROUP BY 1
         """,
     }
