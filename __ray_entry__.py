@@ -3870,6 +3870,175 @@ def _q_user_max_drawdown(sf_dir: str):
                                           alias_name="max_drawdown_cents"))
 
 
+def _q_returnflag_trimmed_mean(sf_dir: str):
+    """10%-trimmed mean of extendedprice-cents per returnflag: drop the
+    n//10 lowest and highest rows under a total (value, orderkey,
+    linenumber) order — ranks from the block-carry row number, per-key
+    sizes from a tiny groupby, trim bounds and the final mean all exact
+    int arithmetic plus one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.util import drop_empty_blocks
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_orderkey",
+                        "l_linenumber"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("cents", pa.int64()),
+                         ("o1", pa.int64()), ("o2", pa.int64()),
+                         ("flag", pa.string())])
+        if len(t) == 0:
+            return sch.empty_table()
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["l_returnflag"].to_pandas()),
+            index=False).to_numpy() & np.uint64((1 << 62) - 1)
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "k": pa.array(h.astype(np.int64)), "cents": pa.array(cents),
+            "o1": pc.cast(t["l_orderkey"], pa.int64()),
+            "o2": pc.cast(t["l_linenumber"], pa.int64()),
+            "flag": t["l_returnflag"]}).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    run = drop_empty_blocks(
+        running_agg(prepped, "k", ["cents", "o1", "o2"], "cents",
+                    keep=["flag", "cents"]))
+    sizes = drop_empty_blocks(
+        ds.groupby("l_returnflag").aggregate(Count(alias_name="_n"))
+        .rename_columns({"l_returnflag": "flag"}))
+    joined = run.join(sizes, join_type="inner", num_partitions=4,
+                      on=("flag",))
+
+    def trim(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("flag", pa.string()), ("cents", pa.int64()),
+                         ("_one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cut = n // 10
+        keep = (rn > cut) & (rn <= n - cut)
+        out = pa.table({"flag": t["flag"],
+                        "cents": pc.cast(t["cents"], pa.int64()),
+                        "_one": pa.array(np.ones(len(t), np.int64))})
+        return out.filter(pa.array(keep)).cast(sch)
+
+    agg = joined.map_batches(trim, batch_format="pyarrow") \
+        .groupby("flag").aggregate(Sum("cents", alias_name="s"),
+                                   Sum("_one", alias_name="n_kept"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("l_returnflag", pa.string()),
+                         ("n_kept", pa.int64()),
+                         ("trimmed_mean_cents", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_kept"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["flag"],
+            "n_kept": pa.array(n),
+            "trimmed_mean_cents": pa.array(s / n.astype(np.float64)),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_lang_top_terms(sf_dir: str):
+    """Top-5 terms per language: per-(lang, term) counts ride the
+    pre-combined term exchange, then the grouped top-k combiner with
+    total-order ties — exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.relational import grouped_topk
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        import polars as pl
+        sch = pa.schema([("lang", pa.string()), ("term", pa.string()),
+                         ("tf", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        df = pl.from_arrow(pa.table({
+            "lang": pc.cast(t["lang"], pa.string()),
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), "")}))
+        toks = df.with_columns(
+            pl.col("text").str.to_lowercase()
+            .str.extract_all("[a-z]+").alias("term")) \
+            .drop("text").explode("term").drop_nulls("term")
+        counts = toks.group_by(["lang", "term"]).len(name="tf").to_arrow()
+        return pa.table({"lang": pc.cast(counts["lang"], pa.string()),
+                         "term": pc.cast(counts["term"], pa.string()),
+                         "tf": pc.cast(counts["tf"], pa.int64())
+                         }).cast(sch)
+
+    counts = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby(["lang", "term"]).aggregate(Sum("tf", alias_name="tf"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("lang", pa.string()), ("term", pa.string()),
+                         ("tf", pa.int64())])
+        if len(t) == 0 or "tf" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"lang": t["lang"], "term": t["term"],
+                         "tf": pc.cast(t["tf"], pa.int64())}).cast(sch)
+
+    return grouped_topk(counts.map_batches(clean, batch_format="pyarrow"),
+                        ["lang"],
+                        [("tf", "descending"), ("term", "ascending")], 5)
+
+
+def _q_user_transition_entropy(sf_dir: str):
+    """Predictability of each user's event sequence: Shannon entropy of
+    the (prev_type → type) transition distribution — one block-carry LAG
+    builds the bigrams, then the mergeable entropy decomposition
+    (stages/stats.py grouped_entropy)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.stats import grouped_entropy
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("event_type", pa.string()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"], ["event_type"],
+                         keep=["user_id", "event_type"])
+
+    def bigram(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("tr", pa.string())])
+        if len(t) == 0 or "prev_event_type" not in t.column_names:
+            return sch.empty_table()
+        mask = pc.is_valid(t["prev_event_type"])
+        tt = t.filter(mask)
+        tr = pc.binary_join_element_wise(
+            pc.cast(tt["prev_event_type"], pa.string()),
+            pc.cast(tt["event_type"], pa.string()), ">")
+        return pa.table({"user_id": pc.cast(tt["user_id"], pa.int64()),
+                         "tr": tr}).cast(sch)
+
+    return grouped_entropy(lagged.map_batches(bigram,
+                                              batch_format="pyarrow"),
+                           "user_id", "tr")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4050,6 +4219,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_train_val_test": _q_docs_train_val_test,
         "user_max_drawdown": _q_user_max_drawdown,
+        # seventeenth round-2 batch (all SQL-checked)
+        "returnflag_trimmed_mean": _q_returnflag_trimmed_mean,
+        "lang_top_terms": _q_lang_top_terms,
+        "user_transition_entropy": _q_user_transition_entropy,
     }
 
 
@@ -6518,5 +6691,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(MAX(run - cur) AS BIGINT) AS max_drawdown_cents
             FROM r GROUP BY 1
+        """,
+        "returnflag_trimmed_mean": """
+            WITH b AS (
+                SELECT l_returnflag AS flag,
+                       CAST(FLOOR(l_extendedprice*100) AS BIGINT) AS cents,
+                       l_orderkey AS o1, l_linenumber AS o2
+                FROM lineitem),
+            w AS (
+                SELECT flag, cents,
+                       ROW_NUMBER() OVER (PARTITION BY flag
+                           ORDER BY cents, o1, o2) AS rn,
+                       COUNT(*) OVER (PARTITION BY flag) AS n
+                FROM b)
+            SELECT flag AS l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   SUM(cents) / CAST(COUNT(*) AS DOUBLE)
+                       AS trimmed_mean_cents
+            FROM w WHERE rn > n // 10 AND rn <= n - n // 10
+            GROUP BY 1
+        """,
+        "lang_top_terms": """
+            WITH toks AS (
+                SELECT lang, unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            tc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            rk AS (SELECT lang, term, tf,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY tf DESC, term) AS rn
+                   FROM tc)
+            SELECT lang, term, tf FROM rk WHERE rn <= 5
+        """,
+        "user_transition_entropy": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            c AS (SELECT user_id, pt || '>' || event_type AS tr,
+                         COUNT(*) AS c
+                  FROM s WHERE pt IS NOT NULL GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6)
+                       AS entropy
+            FROM c GROUP BY 1
         """,
     }
