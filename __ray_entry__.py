@@ -4039,6 +4039,184 @@ def _q_user_transition_entropy(sf_dir: str):
                            "user_id", "tr")
 
 
+def _q_user_longest_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands composition: distinct (user, epoch-day) pairs feed
+    `coalesce_intervals` with [d, d+1) intervals (touching days merge),
+    then one grouped MAX of island length. Exact ints end to end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max
+    from cuttana_ray.stages.running import coalesce_intervals
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("d", pa.int64()),
+                         ("d1", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        d = pc.divide(us, 86_400_000_000)
+        out = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                        "d": d})
+        out = out.group_by(["user_id", "d"]).aggregate([])
+        return out.append_column(
+            "d1", pc.add(out["d"], 1)).cast(sch)
+
+    du = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby(["user_id", "d"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+
+    def redo_d1(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("d", pa.int64()),
+                         ("d1", pa.int64())])
+        if len(t) == 0 or "d" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "d": pc.cast(t["d"], pa.int64()),
+                         "d1": pc.add(pc.cast(t["d"], pa.int64()), 1)
+                         }).cast(sch)
+
+    islands = coalesce_intervals(
+        du.map_batches(redo_d1, batch_format="pyarrow"),
+        "user_id", "d", "d1")
+
+    def lengths(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("_len", pa.int64())])
+        if len(t) == 0 or "island_start" not in t.column_names:
+            return sch.empty_table()
+        ln = pc.subtract(pc.cast(t["island_end"], pa.int64()),
+                         pc.cast(t["island_start"], pa.int64()))
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "_len": ln}).cast(sch)
+
+    return islands.map_batches(lengths, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("_len",
+                                          alias_name="longest_streak"))
+
+
+def _q_user_value_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each user's value series: one block-carry
+    LAG builds (prev, cur) pairs, then the one-exchange partial-moment
+    Pearson correlation (stages/stats.py grouped_moments), rounded 6 dp
+    both sides."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.stats import grouped_moments
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("value", pa.float64()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "value": pc.cast(t["value"], pa.float64()),
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"], ["value"],
+                         keep=["user_id", "value"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("x", pa.float64()),
+                         ("y", pa.float64())])
+        if len(t) == 0 or "prev_value" not in t.column_names:
+            return sch.empty_table()
+        tt = t.filter(pc.is_valid(t["prev_value"]))
+        return pa.table({"user_id": pc.cast(tt["user_id"], pa.int64()),
+                         "x": pc.cast(tt["prev_value"], pa.float64()),
+                         "y": pc.cast(tt["value"], pa.float64())
+                         }).cast(sch)
+
+    out = grouped_moments(lagged.map_batches(pairs,
+                                             batch_format="pyarrow"),
+                          ["user_id"], "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                         ("autocorr", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "autocorr": pc.round(t["corr"], 6)}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct users per active day: each distinct
+    (user, day) replicates to the 7 days it covers (a bounded flat map),
+    dedups through the sort-based exchange, and joins the active-day set
+    so only observed days report. Exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.edges import dedup_weighted
+    from cuttana_ray.util import drop_empty_blocks
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        out = pa.table({"u": pc.cast(t["user_id"], pa.int64()),
+                        "d": pc.divide(us, 86_400_000_000)})
+        return out.group_by(["u", "d"]).aggregate([]).cast(sch)
+
+    du = ds.map_batches(to_day, batch_format="pyarrow").materialize()
+
+    def replicate(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "u" not in t.column_names:
+            return sch.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uu = np.repeat(u, 7)
+        dd = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64),
+                                       len(u))
+        return pa.table({"src": pa.array(uu), "dst": pa.array(dd),
+                         "weight": pa.array(np.ones(len(uu), np.int64))
+                         }).cast(sch)
+
+    covered = dedup_weighted(du.map_batches(replicate,
+                                            batch_format="pyarrow"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("_one", pa.int64())])
+        if len(t) == 0 or "dst" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"d": pc.cast(t["dst"], pa.int64()),
+                         "_one": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    wau = covered.map_batches(fold, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("_one", alias_name="wau"))
+    active_days = drop_empty_blocks(
+        du.groupby("d").aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"]))
+    out = drop_empty_blocks(wau).join(active_days, join_type="inner",
+                                      num_partitions=4, on=("d",))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("wau", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({"d": pc.cast(t["d"], pa.int64()),
+                         "wau": pc.cast(t["wau"], pa.int64())}).cast(sch)
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4223,6 +4401,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_trimmed_mean": _q_returnflag_trimmed_mean,
         "lang_top_terms": _q_lang_top_terms,
         "user_transition_entropy": _q_user_transition_entropy,
+        # eighteenth round-2 batch (all SQL-checked)
+        "user_longest_streak": _q_user_longest_streak,
+        "user_value_autocorr": _q_user_value_autocorr,
+        "weekly_active_users": _q_weekly_active_users,
     }
 
 
@@ -6739,5 +6921,44 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6)
                        AS entropy
             FROM c GROUP BY 1
+        """,
+        "user_longest_streak": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d
+                FROM events),
+            g AS (SELECT user_id, d,
+                         d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY d) AS grp
+                  FROM d),
+            s AS (SELECT user_id, grp, COUNT(*) AS cnt
+                  FROM g GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS longest_streak
+            FROM s GROUP BY 1
+        """,
+        "user_value_autocorr": """
+            WITH s AS (
+                SELECT user_id, value,
+                       LAG(value) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pv
+                FROM events),
+            p AS (SELECT user_id, pv AS x, value AS y
+                  FROM s WHERE pv IS NOT NULL)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CORR(x, y), 6) AS autocorr
+            FROM p GROUP BY 1
+        """,
+        "weekly_active_users": """
+            WITH du AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d
+                FROM events),
+            days AS (SELECT DISTINCT d FROM du)
+            SELECT days.d,
+                   CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+            FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+            GROUP BY 1
         """,
     }
