@@ -4217,6 +4217,110 @@ def _q_weekly_active_users(sf_dir: str):
     return out.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_customer_value_hhi(sf_dir: str):
+    """Herfindahl concentration of each customer's spend across their
+    orders: ``HHI = Σ cents² / (Σ cents)²`` — two exact int64 partial
+    sums per key, one exchange, floats only in the final ratio (squares
+    stay < 2^62 for order values at cent scale)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64()),
+                         ("sq", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v),
+                         "sq": pa.array(v * v)}).cast(sch)
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="s"),
+                                Sum("sq", alias_name="ssq"),
+                                Count(alias_name="n_orders"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()),
+                         ("n_orders", pa.int64()), ("hhi", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ssq = t["ssq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_custkey": pc.cast(t["c"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "hhi": pa.array(ssq / (s * s))}).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_embedding_dim_quantiles(sf_dir: str):
+    """Winsorization bounds for the embedding column: exact p01/p50/p99
+    per dimension — UNNEST WITH ORDINALITY (stages/nested.py
+    explode_list) into the exact per-key continuous quantiles
+    (functions/quantiles.py grouped_float_quantiles); same interpolation
+    formula as DuckDB's quantile_cont."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.quantiles import grouped_float_quantiles
+    from cuttana_ray.stages.nested import explode_list
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ex = explode_list(ds, "embedding", keep_cols=[], value_name="v",
+                      pos_name="pos")
+
+    def widen(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("pos", pa.int64()), ("v", pa.float64())])
+        if len(t) == 0 or "v" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"pos": pc.cast(t["pos"], pa.int64()),
+                         "v": pc.cast(t["v"], pa.float64())}).cast(sch)
+
+    out = grouped_float_quantiles(
+        ex.map_batches(widen, batch_format="pyarrow"), "pos", "v",
+        [0.01, 0.5, 0.99])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dim", pa.int64()), ("q", pa.float64()),
+                         ("value", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({"dim": pc.cast(t["pos"], pa.int64()),
+                         "q": t["q"],
+                         "value": pc.round(t["value"], 6)}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_session_length_quantiles(sf_dir: str):
+    """Median and p90 of session sizes (events per gap-session): session
+    ids from the carry-chain rule, per-session counts, then the exact
+    discrete quantile on a constant key (functions/textstats.py
+    grouped_int_quantiles)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+
+    sess = _q_event_session_ids(sf_dir)
+    sizes = sess.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("n_events", pa.int64())])
+        if len(t) == 0 or "n_events" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "n_events": pc.cast(t["n_events"], pa.int64())}).cast(sch)
+
+    return grouped_int_quantiles(
+        sizes.map_batches(tag, batch_format="pyarrow"), "k", "n_events",
+        (0.5, 0.9)).drop_columns(["k"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4405,6 +4509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_longest_streak": _q_user_longest_streak,
         "user_value_autocorr": _q_user_value_autocorr,
         "weekly_active_users": _q_weekly_active_users,
+        # nineteenth round-2 batch (all SQL-checked)
+        "customer_value_hhi": _q_customer_value_hhi,
+        "embedding_dim_quantiles": _q_embedding_dim_quantiles,
+        "session_length_quantiles": _q_session_length_quantiles,
     }
 
 
@@ -6960,5 +7068,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
             FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
             GROUP BY 1
+        """,
+        "customer_value_hhi": """
+            WITH b AS (
+                SELECT o_custkey AS c,
+                       CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT c AS o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents*cents) AS DOUBLE)
+                       / (CAST(SUM(cents) AS DOUBLE)
+                          * CAST(SUM(cents) AS DOUBLE)) AS hhi
+            FROM b GROUP BY 1
+        """,
+        "embedding_dim_quantiles": """
+            WITH ex AS (
+                SELECT UNNEST(embedding) AS v,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+            e2 AS (SELECT CAST(pos AS BIGINT) AS dim,
+                          CAST(v AS DOUBLE) AS v FROM ex)
+            SELECT dim, CAST(0.01 AS DOUBLE) AS q,
+                   ROUND(quantile_cont(v, 0.01), 6) AS value
+            FROM e2 GROUP BY dim
+            UNION ALL
+            SELECT dim, CAST(0.5 AS DOUBLE),
+                   ROUND(quantile_cont(v, 0.5), 6) FROM e2 GROUP BY dim
+            UNION ALL
+            SELECT dim, CAST(0.99 AS DOUBLE),
+                   ROUND(quantile_cont(v, 0.99), 6) FROM e2 GROUP BY dim
+        """,
+        "session_length_quantiles": """
+            WITH x AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       SUM(CASE WHEN pt IS NOT NULL
+                                 AND t - pt > 3600000000
+                           THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM x),
+            c AS (SELECT user_id, session_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM s GROUP BY 1, 2)
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(n_events, 0.5) AS BIGINT) AS value
+            FROM c
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(n_events, 0.9) AS BIGINT) FROM c
         """,
     }
