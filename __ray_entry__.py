@@ -4321,6 +4321,158 @@ def _q_session_length_quantiles(sf_dir: str):
         (0.5, 0.9)).drop_columns(["k"])
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-flavoured multi-join chain: lineitem revenue pre-aggregated
+    per order BEFORE any join (the combiner-first discipline — the big
+    fact table collapses to one row per order), then order→customer→
+    nation hash joins and one final groupby. Exact int cents."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        out = pa.table({"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                        "cents": pa.array(v)})
+        return out.group_by(["o_orderkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["o_orderkey", "cents"]).cast(sch)
+
+    per_order = line.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("cents", alias_name="cents"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .rename_columns({"c_custkey": "o_custkey"})
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
+        .rename_columns({"n_nationkey": "c_nationkey"})
+
+    from cuttana_ray.util import drop_empty_blocks
+    j = drop_empty_blocks(per_order) \
+        .join(orders, join_type="inner", num_partitions=8,
+              on=("o_orderkey",)) \
+        .join(cust, join_type="inner", num_partitions=8,
+              on=("o_custkey",)) \
+        .join(nation, join_type="inner", num_partitions=4,
+              on=("c_nationkey",))
+
+    agg = j.groupby("n_name").aggregate(Sum("cents",
+                                            alias_name="revenue_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_name", pa.string()),
+                         ("revenue_cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+        }).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_strongest_neighbors_top2(sf_dir: str):
+    """Per-vertex top-2 neighbors by edge weight (ties by neighbor id) —
+    the grouped top-k combiner straight over the symmetrized edge table;
+    exact ints."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import grouped_topk
+
+    g = _events_graph(sf_dir)
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"src": pc.cast(t["src"], pa.int64()),
+                         "dst": pc.cast(t["dst"], pa.int64()),
+                         "weight": pc.cast(t["weight"], pa.int64())
+                         }).cast(sch)
+
+    edges = g.edges.map_batches(clean, batch_format="pyarrow")
+    return grouped_topk(edges, ["src"],
+                        [("weight", "descending"), ("dst", "ascending")],
+                        2)
+
+
+def _q_revenue_decile_profile(sf_dir: str):
+    """Customer lifetime-value decile table: customers ranked into
+    revenue deciles (NTILE(10) over the constant-key carry chain), then
+    per-decile count / total / mean — the segmentation profile every
+    marketing pipeline computes. Exact ints + one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.running import rank_windows
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v)}).cast(sch)
+
+    rev = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="rev"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("rev", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "c": pc.cast(t["c"], pa.int64()),
+            "rev": pc.cast(t["rev"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    ranked = rank_windows(rev.map_batches(tag, batch_format="pyarrow"),
+                          "_k", ["rev", "c"], tiles=10,
+                          keep=["_k", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("decile", pa.int64()), ("rev", pa.int64()),
+                         ("_one", pa.int64())])
+        if len(t) == 0 or "ntile" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "decile": pc.cast(t["ntile"], pa.int64()),
+            "rev": pc.cast(t["rev"], pa.int64()),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    agg = ranked.map_batches(fold, batch_format="pyarrow") \
+        .groupby("decile").aggregate(Count(alias_name="n_customers"),
+                                     Sum("rev", alias_name="total_cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("decile", pa.int64()),
+                         ("n_customers", pa.int64()),
+                         ("total_cents", pa.int64()),
+                         ("mean_cents", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        n = t["n_customers"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t["total_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "decile": pc.cast(t["decile"], pa.int64()),
+            "n_customers": pa.array(n), "total_cents": pa.array(s),
+            "mean_cents": pa.array(s / n.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4513,6 +4665,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_value_hhi": _q_customer_value_hhi,
         "embedding_dim_quantiles": _q_embedding_dim_quantiles,
         "session_length_quantiles": _q_session_length_quantiles,
+        # twentieth round-2 batch (all SQL-checked)
+        "nation_revenue": _q_nation_revenue,
+        "strongest_neighbors_top2": _q_strongest_neighbors_top2,
+        "revenue_decile_profile": _q_revenue_decile_profile,
     }
 
 
@@ -4898,6 +5054,15 @@ _TWO_HOP_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
         SELECT src, dst FROM e)
     SELECT src AS vertex, CAST(COUNT(*) AS BIGINT) AS n_within_2
     FROM reach GROUP BY 1
+"""
+
+_STRONGEST_NBR_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    rk AS (
+        SELECT src, dst, CAST(weight AS BIGINT) AS weight,
+               ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY weight DESC, dst) AS rn
+        FROM e)
+    SELECT src, dst, weight FROM rk WHERE rn <= 2
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -7120,5 +7285,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(0.9 AS DOUBLE),
                    CAST(quantile_disc(n_events, 0.9) AS BIGINT) FROM c
+        """,
+        "nation_revenue": """
+            WITH po AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1)
+            SELECT n.n_name,
+                   CAST(SUM(po.cents) AS BIGINT) AS revenue_cents
+            FROM po JOIN orders o ON o.o_orderkey = po.o_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY 1
+        """,
+        "strongest_neighbors_top2": _STRONGEST_NBR_SQL,
+        "revenue_decile_profile": """
+            WITH r AS (
+                SELECT o_custkey AS c,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+            w AS (SELECT rev,
+                         CAST(NTILE(10) OVER (ORDER BY rev, c) AS BIGINT)
+                             AS decile
+                  FROM r)
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev) AS BIGINT) AS total_cents,
+                   SUM(rev) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
+            FROM w GROUP BY 1
         """,
     }
