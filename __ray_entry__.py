@@ -4473,6 +4473,125 @@ def _q_revenue_decile_profile(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_bounce_rate(sf_dir: str):
+    """Bounce rate per user: share of gap-sessions containing exactly one
+    event — session sizes from the carry-chain rule, a vectorized
+    indicator, one groupby, one exact division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    sess = _q_event_session_ids(sf_dir)
+    sizes = sess.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("_b", pa.int64()),
+                         ("_one", pa.int64())])
+        if len(t) == 0 or "n_events" not in t.column_names:
+            return sch.empty_table()
+        n = t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "_b": pa.array((n == 1).astype(np.int64)),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    agg = sizes.map_batches(fold, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("_b", alias_name="n_bounces"),
+                                      Sum("_one", alias_name="n_sessions"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()),
+                         ("n_sessions", pa.int64()),
+                         ("n_bounces", pa.int64()),
+                         ("bounce_rate", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        b = t["n_bounces"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_sessions"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_sessions": pa.array(n), "n_bounces": pa.array(b),
+            "bounce_rate": pa.array(b / n.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_next_value(sf_dir: str):
+    """LEAD(value) per user — the forward sibling of the block-carry LAG,
+    obtained by running the same chain over the REVERSED total order
+    (negated sort keys); values are copied, so hash-exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("value", pa.float64()), ("neg_t", pa.int64()),
+                         ("neg_id", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "value": pc.cast(t["value"], pa.float64()),
+            "neg_t": pa.array(-tus), "neg_id": pa.array(-eid),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["neg_t", "neg_id"], ["value"],
+                         keep=["event_id", "user_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("next_value", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "next_value": t["prev_value"]}).cast(sch)
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_doc_length_prank_by_lang(sf_dir: str):
+    """Percent rank of each document's length within its language —
+    rank_windows per lang (block-carry row number + per-key counts);
+    exact integer ranks, one exact division."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import rank_windows
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("doc_id", pa.int64()),
+                         ("lang", pa.string()), ("n_chars", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["lang"].to_pandas()), index=False).to_numpy() \
+            & np.uint64((1 << 62) - 1)
+        return pa.table({
+            "k": pa.array(h.astype(np.int64)),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pc.cast(t["lang"], pa.string()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64())}).cast(sch)
+
+    out = rank_windows(ds.map_batches(tag, batch_format="pyarrow"),
+                       "k", ["n_chars", "doc_id"], tiles=4,
+                       keep=["k", "doc_id", "lang", "n_chars"])
+    return out.drop_columns(["k", "ntile"]) \
+        .rename_columns({"prank": "pct_rank"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4669,6 +4788,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "strongest_neighbors_top2": _q_strongest_neighbors_top2,
         "revenue_decile_profile": _q_revenue_decile_profile,
+        # twenty-first round-2 batch (all SQL-checked)
+        "user_bounce_rate": _q_user_bounce_rate,
+        "events_next_value": _q_events_next_value,
+        "doc_length_prank_by_lang": _q_doc_length_prank_by_lang,
     }
 
 
@@ -7314,5 +7437,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rev) AS BIGINT) AS total_cents,
                    SUM(rev) / CAST(COUNT(*) AS DOUBLE) AS mean_cents
             FROM w GROUP BY 1
+        """,
+        "user_bounce_rate": """
+            WITH x AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (
+                SELECT user_id,
+                       SUM(CASE WHEN pt IS NOT NULL
+                                 AND t - pt > 3600000000
+                           THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) + 1 AS session_id
+                FROM x),
+            c AS (SELECT user_id, session_id, COUNT(*) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+            FROM c GROUP BY 1
+        """,
+        "events_next_value": """
+            SELECT event_id, user_id,
+                   LEAD(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_value
+            FROM events
+        """,
+        "doc_length_prank_by_lang": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                   PERCENT_RANK() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS pct_rank
+            FROM documents
         """,
     }
