@@ -4592,6 +4592,73 @@ def _q_doc_length_prank_by_lang(sf_dir: str):
         .rename_columns({"prank": "pct_rank"})
 
 
+def _q_ngram_containment_docs(sf_dir: str):
+    """Max-containment near-dup verification (sub-document detection):
+    ``|A∩B| / min(|A|,|B|)`` over MinHash-LSH candidates — same
+    distributed shingle-verify plan as ngram_jaccard_docs with the
+    asymmetric-robust score (functions/dedup.py, measure='containment')."""
+    from cuttana_ray.functions.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5, measure="containment")
+
+
+def _q_revenue_lorenz_deciles(sf_dir: str):
+    """Lorenz curve of customer revenue at decile resolution: NTILE(10)
+    over the constant-key carry chain, per-decile totals, then the
+    cumulative share — deciles are a fixed 10-row dimension, so the final
+    cumsum is driver-trivial; everything before it is exact int64."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import rank_windows
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v)}).cast(sch)
+
+    rev = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="rev"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("rev", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "c": pc.cast(t["c"], pa.int64()),
+            "rev": pc.cast(t["rev"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    ranked = rank_windows(rev.map_batches(tag, batch_format="pyarrow"),
+                          "_k", ["rev", "c"], tiles=10,
+                          keep=["_k", "rev"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("decile", pa.int64()), ("rev", pa.int64())])
+        if len(t) == 0 or "ntile" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"decile": pc.cast(t["ntile"], pa.int64()),
+                         "rev": pc.cast(t["rev"], pa.int64())}).cast(sch)
+
+    per_dec = ranked.map_batches(fold, batch_format="pyarrow") \
+        .groupby("decile").aggregate(Sum("rev", alias_name="total_cents"))
+    tab = per_dec.to_pandas().sort_values("decile")   # 10-row dimension
+    total = int(tab["total_cents"].sum())
+    cum = tab["total_cents"].astype(np.int64).cumsum().to_numpy()
+    return pa.table({
+        "decile": pa.array(tab["decile"].astype(np.int64)),
+        "total_cents": pa.array(tab["total_cents"].astype(np.int64)),
+        "cum_cents": pa.array(cum.astype(np.int64)),
+        "cum_share": pa.array(cum.astype(np.float64) / np.float64(total)),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4792,6 +4859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_bounce_rate": _q_user_bounce_rate,
         "events_next_value": _q_events_next_value,
         "doc_length_prank_by_lang": _q_doc_length_prank_by_lang,
+        # twenty-second round-2 batch (all SQL-checked)
+        "ngram_containment_docs": _q_ngram_containment_docs,
+        "revenue_lorenz_deciles": _q_revenue_lorenz_deciles,
     }
 
 
@@ -5519,6 +5589,24 @@ def _ngram_jaccard_sql() -> str:
     WHERE i.ci / (ca.nh + cb.nh - i.ci) >= 0.5""")
 
 
+def _ngram_containment_sql() -> str:
+    """Same candidate replay as _ngram_jaccard_sql with the
+    max-containment score |A∩B| / min(|A|, |B|)."""
+    return ("WITH " + _minhash_prelude_sql(0.25) + """,
+    cnt AS (SELECT doc_id, COUNT(*) AS nh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS ci
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           i.ci / LEAST(ca.nh, cb.nh) AS containment
+    FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+                 JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.ci / LEAST(ca.nh, cb.nh) >= 0.5""")
+
+
 # simhash_pairs: exact SQL mirror of functions/dedup.py::_SimHasher —
 # FNV-1a per token occurrence via list_reduce over the token's characters
 # (HUGEINT mod-2^64 fold), per-bit majority vote (strictly positive sum →
@@ -5594,6 +5682,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
         "minhash_pairs_docs": _minhash_pairs_sql(),
         "ngram_jaccard_docs": _ngram_jaccard_sql(),
+        "ngram_containment_docs": _ngram_containment_sql(),
         "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
@@ -7472,5 +7561,26 @@ def oracle_sql() -> dict[str, str]:
                    PERCENT_RANK() OVER (PARTITION BY lang
                        ORDER BY n_chars, doc_id) AS pct_rank
             FROM documents
+        """,
+        "revenue_lorenz_deciles": """
+            WITH r AS (
+                SELECT o_custkey AS c,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+            w AS (SELECT rev,
+                         CAST(NTILE(10) OVER (ORDER BY rev, c) AS BIGINT)
+                             AS decile
+                  FROM r),
+            d AS (SELECT decile, CAST(SUM(rev) AS BIGINT) AS total_cents
+                  FROM w GROUP BY 1)
+            SELECT decile, total_cents,
+                   CAST(SUM(total_cents) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   CAST(SUM(total_cents) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / CAST(SUM(total_cents) OVER () AS DOUBLE)
+                       AS cum_share
+            FROM d
         """,
     }

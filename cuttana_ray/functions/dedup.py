@@ -328,8 +328,15 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", text_col: str = "text",
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 5,
                         num_perm: int = 64, bands: int = 16,
-                        threshold: float = 0.5) -> "ray.data.Dataset":
+                        threshold: float = 0.5,
+                        measure: str = "jaccard") -> "ray.data.Dataset":
     """Exact shingle-set Jaccard for MinHash-LSH candidate pairs.
+
+    ``measure="containment"`` scores the max-containment
+    ``|A∩B| / min(|A|, |B|)`` instead (sub-document / quotation
+    detection); candidates still come from the Jaccard-biased LSH, so
+    high-containment pairs of very different sizes may be missed
+    (documented recall caveat of containment-over-LSH).
 
     The candidate id set (small side) is broadcast so only candidate docs
     are re-shingled; the verify is a distributed join of shingle blobs onto
@@ -387,7 +394,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     def verify(batch: pa.Table) -> pa.Table:
         out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
                               "doc_b": pa.array([], pa.int64()),
-                              "jaccard": pa.array([], pa.float64())})
+                              measure: pa.array([], pa.float64())})
         if len(batch) == 0:
             return out_empty
         sh = ray.get(sh_ref)
@@ -410,13 +417,16 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         keys.sort(kind="stable")
         dup = keys[1:] == keys[:-1]
         inter = np.bincount(keys[1:][dup] // U, minlength=len(batch))
-        union = len_a + len_b - inter
-        jac = inter / np.maximum(union, 1)
-        keep = jac >= threshold
+        if measure == "containment":
+            score = inter / np.maximum(np.minimum(len_a, len_b), 1)
+        else:
+            union = len_a + len_b - inter
+            score = inter / np.maximum(union, 1)
+        keep = score >= threshold
         return pa.table({
             "doc_a": pa.array(da[keep], pa.int64()),
             "doc_b": pa.array(db[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep].astype(np.float64)),
+            measure: pa.array(score[keep].astype(np.float64)),
         })
 
     out = cand.map_batches(verify, batch_format="pyarrow", batch_size=2048)
@@ -424,7 +434,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     # only verified pairs reach this groupby, so it is small
     from ray.data.aggregate import Max
     return out.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard"))
+        Max(measure, alias_name=measure))
 
 
 # -- SimHash ----------------------------------------------------------------
