@@ -13,12 +13,12 @@ stage ever compares all pairs:
   those buckets (never 16× per doc), where the estimate is computed
   vectorized and filtered before anything re-enters a shuffle — a hot
   bucket's n² candidates never leave it.
-* ``ngram_jaccard_pairs`` — the exact-verify tier on top of MinHash LSH:
-  candidate docs' shingle blobs (the dup-bearing subset, small by
-  construction) are broadcast once, and candidate pairs are verified
-  DISTRIBUTED with a fully vectorized per-batch set intersection
-  (compressed-hash keys + one sort) — no driver-side verification, no
-  per-pair Python loop, no per-pair blob shipping.
+* ``ngram_jaccard_pairs`` — the exact-verify tier on top of MinHash LSH,
+  fully distributed: cross-band candidate repeats dedup through the
+  sort-based exchange, candidate docs are selected by a hash join against
+  the distinct endpoint ids (nothing per-dataset ever sits on the
+  driver), shingle blobs hash-join onto the pairs, and each batch's set
+  intersections run as ONE vectorized compressed-hash sort/count.
 * ``simhash_pairs`` — 64-bit SimHash per doc, melted to ONE (doc_id, band,
   key) table → a single groupby shuffle over (band, key) → within-bucket
   vectorized Hamming filter (popcount via byte-table lookup).
@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min
@@ -338,58 +339,95 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     high-containment pairs of very different sizes may be missed
     (documented recall caveat of containment-over-LSH).
 
-    The candidate id set (small side) is broadcast so only candidate docs
-    are re-shingled; the verify is a distributed join of shingle blobs onto
-    the pairs, intersected vectorized per batch. Output:
-    ``(doc_a, doc_b, jaccard)`` with jaccard ≥ threshold.
+    Fully distributed verify — NOTHING per-dataset touches the driver:
+    cross-band candidate repeats dedup through the sort-based exchange,
+    candidate docs are selected by a cogroup semi-join (no broadcast id
+    set), shingle blobs hash-join onto the pairs, and the per-batch
+    intersection is the vectorized compress/sort/count kernel. Output:
+    ``(doc_a, doc_b, <measure>)`` with score ≥ threshold.
     """
     empty = ray.data.from_arrow(pa.table({
         "doc_a": pa.array([], pa.int64()),
         "doc_b": pa.array([], pa.int64()),
-        "jaccard": pa.array([], pa.float64())}))
+        measure: pa.array([], pa.float64())}))
     cand = _lsh_candidates(ds, text_col, id_col, num_perm, bands,
                            shingle_k, threshold * 0.5)
     if cand is None:
         return empty
-    # raw candidates (repeated across bands) — exact-verify doesn't need
-    # the est, and deduping ~600k near-unique keys costs more than the few
-    # percent of repeated verifications it would save
-    cand = cand.select_columns(["doc_a", "doc_b"]).materialize()
-    n_cand = cand.count()
-    if n_cand == 0:
+
+    from cuttana_ray.stages.edges import dedup_weighted
+    from cuttana_ray.util import drop_empty_blocks
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "doc_a" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"src": pc.cast(t["doc_a"], pa.int64()),
+                         "dst": pc.cast(t["doc_b"], pa.int64()),
+                         "weight": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    pairs = dedup_weighted(
+        cand.select_columns(["doc_a", "doc_b"])
+        .map_batches(as_edges, batch_format="pyarrow"))         .drop_columns(["weight"])         .rename_columns({"src": "doc_a", "dst": "doc_b"}).materialize()
+    if pairs.count() == 0:
         return empty
 
-    # candidate id set: bounded by the (already LSH-pruned) pair count —
-    # the legitimate broadcast-small-side case
-    need: set[int] = set()
-    for b in cand.iter_batches(batch_size=None, batch_format="pyarrow"):
-        need.update(b["doc_a"].to_pylist())
-        need.update(b["doc_b"].to_pylist())
-    need_ref = ray.put(need)
+    # candidate doc ids, distributed: melt pair endpoints and dedup
+    # through the same sort-based exchange
+    def melt_ids(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "doc_a" not in t.column_names:
+            return sch.empty_table()
+        ids = pa.concat_arrays([
+            pc.cast(t["doc_a"], pa.int64()).combine_chunks(),
+            pc.cast(t["doc_b"], pa.int64()).combine_chunks()])
+        n = len(ids)
+        return pa.table({"src": ids,
+                         "dst": pa.array(np.zeros(n, np.int64)),
+                         "weight": pa.array(np.ones(n, np.int64))
+                         }).cast(sch)
+
+    ids = dedup_weighted(pairs.map_batches(melt_ids,
+                                           batch_format="pyarrow"))         .drop_columns(["dst", "weight"]).rename_columns({"src": "_cid"})
+
+    # ids are distinct post-dedup, so an inner hash join IS a semi-join
+    # here (and avoids the per-group cogroup overhead)
+    def keyed(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("_cid", pa.int64()), ("_t", pa.string())])
+        if len(t) == 0 or id_col not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "_cid": pc.cast(t[id_col], pa.int64()),
+            "_t": pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        }).cast(sch)
+
+    cand_docs = ds.map_batches(keyed, batch_format="pyarrow") \
+        .join(drop_empty_blocks(ids), join_type="inner",
+              num_partitions=8, on=("_cid",)) \
+        .rename_columns({"_cid": id_col, "_t": text_col})
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        ids, shs = [], []
+        sch = pa.schema([("doc_id", pa.int64()), ("sh", pa.binary())])
+        if len(batch) == 0 or id_col not in batch.column_names:
+            return sch.empty_table()
+        ids_, shs = [], []
         for doc_id, text in zip(batch[id_col].to_pylist(),
                                 batch[text_col].to_pylist()):
-            if doc_id in wanted:
-                ids.append(doc_id)
-                shs.append(_shingle_hashes(text or "", shingle_k).tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(shs, pa.binary())})
+            ids_.append(doc_id)
+            shs.append(_shingle_hashes(text or "", shingle_k).tobytes())
+        return pa.table({"doc_id": pa.array(ids_, pa.int64()),
+                         "sh": pa.array(shs, pa.binary())}).cast(sch)
 
-    # shingle blobs for candidate docs only, broadcast ONCE as one object
-    # (size = candidate docs × shingles — the dup-bearing subset; a pair-
-    # wise join would ship each blob once per pair instead). At a scale
-    # where even the candidate-doc table outgrows one object, partition the
-    # pairs by id range and broadcast per-range slices.
-    sh_map: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(shingles_of, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for doc_id, blob in zip(b["doc_id"].to_pylist(),
-                                b["sh"].to_pylist()):
-            sh_map[doc_id] = np.frombuffer(blob, dtype=np.uint64)
-    sh_ref = ray.put(sh_map)
+    blobs = drop_empty_blocks(
+        cand_docs.map_batches(shingles_of, batch_format="pyarrow"))
+    ba = blobs.rename_columns({"doc_id": "doc_a", "sh": "_sa"})
+    bb = blobs.rename_columns({"doc_id": "doc_b", "sh": "_sb"})
+    joined = drop_empty_blocks(pairs) \
+        .join(ba, join_type="inner", num_partitions=8, on=("doc_a",)) \
+        .join(bb, join_type="inner", num_partitions=8, on=("doc_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
         out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -397,11 +435,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
                               measure: pa.array([], pa.float64())})
         if len(batch) == 0:
             return out_empty
-        sh = ray.get(sh_ref)
         da = batch["doc_a"].to_numpy(zero_copy_only=False)
         db = batch["doc_b"].to_numpy(zero_copy_only=False)
-        sets_a = [sh[i] for i in da.tolist()]
-        sets_b = [sh[i] for i in db.tolist()]
+        sets_a = [np.frombuffer(b, dtype=np.uint64)
+                  for b in batch["_sa"].to_pylist()]
+        sets_b = [np.frombuffer(b, dtype=np.uint64)
+                  for b in batch["_sb"].to_pylist()]
         len_a = np.array([len(x) for x in sets_a], dtype=np.int64)
         len_b = np.array([len(x) for x in sets_b], dtype=np.int64)
         ha = np.concatenate(sets_a) if sets_a else np.empty(0, np.uint64)
@@ -429,12 +468,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
             measure: pa.array(score[keep].astype(np.float64)),
         })
 
-    out = cand.map_batches(verify, batch_format="pyarrow", batch_size=2048)
-    # drop cross-band candidate repeats (jaccard identical per repeat);
-    # only verified pairs reach this groupby, so it is small
-    from ray.data.aggregate import Max
-    return out.groupby(["doc_a", "doc_b"]).aggregate(
-        Max(measure, alias_name=measure))
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              batch_size=2048)
 
 
 # -- SimHash ----------------------------------------------------------------
