@@ -4659,6 +4659,83 @@ def _q_revenue_lorenz_deciles(sf_dir: str):
     })
 
 
+def _q_orders_csv_roundtrip(sf_dir: str):
+    """Third source format: orders exported to multi-file CSV and read
+    back with ``ray.data.read_csv`` (parallel per file), projected to
+    (o_orderkey, o_custkey). Oracle = the parquet identity."""
+    import csv
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    src = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    outdir = os.path.join("/tmp", "cuttana_csv",
+                          os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(outdir, exist_ok=True)
+    for i, b in enumerate(src.iter_batches(batch_format="pyarrow",
+                                           batch_size=4096)):
+        with open(os.path.join(outdir, f"part-{i:05d}.csv"), "w",
+                  newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["o_orderkey", "o_custkey"])
+            w.writerows(zip(b["o_orderkey"].to_pylist(),
+                            b["o_custkey"].to_pylist()))
+    back = rd.read_csv(outdir)
+
+    def project(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()),
+                         ("o_custkey", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64())}).cast(sch)
+
+    return back.map_batches(project, batch_format="pyarrow")
+
+
+def _q_events_chi2_type_dow(sf_dir: str):
+    """Chi-square independence statistic for event_type × ISO day-of-week:
+    observed cell counts from one pre-combined groupby; marginals are tiny
+    aggregates; ``Σ (o−e)²/e`` summed in a canonical cell order so the
+    float result matches the SQL oracle at 6 dp."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("et", pa.string()), ("dow", pa.int64()),
+                         ("c", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        import pandas as pd
+        dow = pd.Series(t["ts"].to_pandas()).dt.isocalendar().day \
+            .to_numpy().astype(np.int64)
+        out = pa.table({"et": pc.cast(t["event_type"], pa.string()),
+                        "dow": pa.array(dow)})
+        return out.group_by(["et", "dow"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["et", "dow", "c"]).cast(sch)
+
+    obs = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["et", "dow"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values(["et", "dow"])   # tiny cell table
+    n = float(obs["c"].sum())
+    row_tot = obs.groupby("et")["c"].transform("sum").to_numpy() \
+        .astype(np.float64)
+    col_tot = obs.groupby("dow")["c"].transform("sum").to_numpy() \
+        .astype(np.float64)
+    o = obs["c"].to_numpy().astype(np.float64)
+    e = row_tot * col_tot / n
+    chi2 = float(np.round(np.sum((o - e) * (o - e) / e), 6))
+    return pa.table({
+        "n_cells": pa.array([len(obs)], pa.int64()),
+        "n_events": pa.array([int(n)], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4862,6 +4939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-second round-2 batch (all SQL-checked)
         "ngram_containment_docs": _q_ngram_containment_docs,
         "revenue_lorenz_deciles": _q_revenue_lorenz_deciles,
+        # twenty-third round-2 batch (all SQL-checked)
+        "orders_csv_roundtrip": _q_orders_csv_roundtrip,
+        "events_chi2_type_dow": _q_events_chi2_type_dow,
     }
 
 
@@ -7582,5 +7662,27 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(SUM(total_cents) OVER () AS DOUBLE)
                        AS cum_share
             FROM d
+        """,
+        "orders_csv_roundtrip": """
+            SELECT o_orderkey, o_custkey FROM orders
+        """,
+        "events_chi2_type_dow": """
+            WITH o AS (
+                SELECT event_type AS et, CAST(isodow(ts) AS BIGINT) AS dow,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+            m AS (
+                SELECT et, dow, c,
+                       SUM(c) OVER (PARTITION BY et) AS rt,
+                       SUM(c) OVER (PARTITION BY dow) AS ct,
+                       SUM(c) OVER () AS n
+                FROM o)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   ROUND(SUM(
+                       (c - rt*ct/CAST(n AS DOUBLE))
+                       * (c - rt*ct/CAST(n AS DOUBLE))
+                       / (rt*ct/CAST(n AS DOUBLE))), 6) AS chi2
+            FROM m
         """,
     }

@@ -20,6 +20,11 @@ one-pass; ``/root/reference/src/cuttana.rs:30-56``).
 """
 
 from cuttana_ray.config import CuttanaConfig
+from cuttana_ray.util import harden_joins as _harden_joins
+
+# workaround for Ray's schema-less-empty-block join crash — see
+# util.drop_empty_blocks / util.harden_joins
+_harden_joins()
 
 __version__ = "0.1.0"
 __all__ = ["CuttanaConfig"]

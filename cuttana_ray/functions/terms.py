@@ -183,6 +183,9 @@ def doc_tfidf_topk(ds: "ray.data.Dataset", k: int = 3, *,
     df_tab = doc_tf.map_batches(ones, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("df", alias_name="df"))
 
+    from cuttana_ray.util import drop_empty_blocks
+    doc_tf = drop_empty_blocks(doc_tf)
+    df_tab = drop_empty_blocks(df_tab)
     joined = doc_tf.join(df_tab, join_type="inner", num_partitions=16,
                          on=("term",), right_suffix="_r")
 

@@ -30,17 +30,22 @@ def strip_schema_metadata(ds):
 
 
 def drop_empty_blocks(ds):
-    """Remove zero-row blocks from a dataset (cheap: block METADATA only,
-    payloads never move).
+    """Remove zero-row blocks from a dataset (block METADATA decides;
+    non-empty payloads pass through zero-copy).
 
-    ``groupby().map_groups`` emits a schema-less empty block for every
-    input partition that held no groups, and empty blocks BYPASS later
-    ``map_batches`` UDFs (the batcher yields no batches for them), so they
-    cannot be normalized in-stream. Downstream hash joins then fail with
-    ``No match for key field reference ... on right side``. Call this
-    between a ``map_groups`` and a ``join``."""
+    ``groupby().map_groups`` — and, intermittently, the native hash
+    aggregates — emit a SCHEMA-LESS empty block per input partition that
+    held no groups, and empty blocks BYPASS later ``map_batches`` UDFs
+    (the batcher yields no batches for them), so they cannot be
+    normalized in-stream. If such a block wins the dataset's schema
+    resolution, a downstream hash join fails with ``No match for key
+    field reference ...``. This drops them (and normalizes any remaining
+    pandas blocks to Arrow so ``from_arrow_refs`` is sound)."""
+    import pyarrow as _pa
+
     import ray.data
-    m = ds.materialize()
+    m = ds.map_batches(lambda t: t, batch_format="pyarrow",
+                       zero_copy_batch=True).materialize()
     refs = []
     for bundle in m.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
@@ -49,6 +54,26 @@ def drop_empty_blocks(ds):
     if not refs:
         return m
     return ray.data.from_arrow_refs(refs)
+
+
+def harden_joins() -> None:
+    """Workaround for the schema-less-empty-block join crash (see
+    ``drop_empty_blocks``): wrap ``ray.data.Dataset.join`` so both sides
+    are cleaned first. Ray's hash-shuffle join materializes both sides
+    into its aggregators anyway, so the extra pass is one zero-copy
+    identity map per side. Applied once at ``cuttana_ray`` import."""
+    import ray.data
+
+    if getattr(ray.data.Dataset.join, "_cuttana_hardened", False):
+        return
+    orig = ray.data.Dataset.join
+
+    def join(self, ds, *args, **kwargs):
+        return orig(drop_empty_blocks(self), drop_empty_blocks(ds),
+                    *args, **kwargs)
+
+    join._cuttana_hardened = True
+    ray.data.Dataset.join = join
 
 
 def pool_size(cap: int = 8) -> tuple[int, int]:
