@@ -251,3 +251,74 @@ def test_clamped_running_sum_matches_sequential(nblocks):
     # exp is in (g, o) order already via lexsort
     np.testing.assert_array_equal(got["balance"].to_numpy(),
                                   np.array(exp, np.int64))
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_grouped_outliers_matches_numpy(nblocks):
+    import ray.data as rd
+
+    from cuttana_ray.stages.stats import grouped_outliers
+
+    rng = np.random.default_rng(31)
+    n = 500
+    key = rng.integers(0, 10, n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    val = rng.uniform(0, 100, n)
+    # plant obvious outliers
+    val[rng.choice(n, 8, replace=False)] += 500
+    ds = rd.from_arrow(pa.table({"g": key, "rid": rid, "x": val})) \
+        .repartition(nblocks)
+    got = grouped_outliers(ds, "g", "x", keep=["rid"]).to_pandas()
+    exp = set()
+    for g in np.unique(key):
+        m = key == g
+        if m.sum() < 2:
+            continue
+        mu, sd = val[m].mean(), val[m].std(ddof=1)
+        exp.update(rid[m][val[m] > mu + 3 * sd].tolist())
+    assert set(got["rid"].tolist()) == exp
+    assert exp, "fixture should plant at least one outlier"
+
+
+def test_grouped_ratio_means_matches_numpy():
+    import ray.data as rd
+
+    from cuttana_ray.stages.stats import grouped_ratio_means
+
+    rng = np.random.default_rng(13)
+    n = 400
+    key = rng.integers(0, 5, n).astype(np.int64)
+    val = rng.uniform(1.0, 50.0, n)
+    ds = rd.from_arrow(pa.table({"g": key, "x": val})).repartition(7)
+    got = grouped_ratio_means(ds, ["g"], "x").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    for i, g in enumerate(np.unique(key)):
+        m = key == g
+        h = m.sum() / np.sum(1.0 / val[m])
+        geo = np.exp(np.log(val[m]).sum() / m.sum())
+        assert abs(got["harmonic"][i] - round(h, 6)) < 2e-6
+        assert abs(got["geometric"][i] - round(geo, 6)) < 2e-6
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_grouped_linreg_matches_numpy(nblocks):
+    import ray.data as rd
+
+    from cuttana_ray.stages.stats import grouped_linreg
+
+    rng = np.random.default_rng(19)
+    n = 600
+    key = rng.integers(0, 4, n).astype(np.int64)
+    x = rng.uniform(0, 10, n)
+    y = 3.0 * x + rng.normal(0, 1, n) + key
+    ds = rd.from_arrow(pa.table({"g": key, "x": x, "y": y})) \
+        .repartition(nblocks)
+    got = grouped_linreg(ds, ["g"], "x", "y").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    for i, g in enumerate(np.unique(key)):
+        m = key == g
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert abs(got["slope"][i] - slope) < 1e-4
+        assert abs(got["intercept"][i] - intercept) < 1e-4
+        r = np.corrcoef(x[m], y[m])[0, 1]
+        assert abs(got["r2"][i] - r * r) < 1e-4
