@@ -4736,6 +4736,124 @@ def _q_events_chi2_type_dow(sf_dir: str):
         "chi2": pa.array([chi2], pa.float64())})
 
 
+def _q_returnflag_weighted_avg_price(sf_dir: str):
+    """Quantity-weighted mean price per returnflag: ``Σ qty·cents /
+    Σ qty`` — exact int64 partial sums, ONE float division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("flag", pa.string()), ("wx", pa.int64()),
+                         ("w", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({"flag": t["l_returnflag"],
+                         "wx": pa.array(q * cents),
+                         "w": pa.array(q)}).cast(sch)
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("flag").aggregate(Sum("wx", alias_name="swx"),
+                                   Sum("w", alias_name="sw"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("l_returnflag", pa.string()),
+                         ("sum_qty", pa.int64()),
+                         ("wavg_cents", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        swx = t["swx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sw = t["sw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["flag"], "sum_qty": pa.array(sw),
+            "wavg_cents": pa.array(swx / sw.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_dow_seasonality(sf_dir: str):
+    """Day-of-week seasonality index of order value: per-dow mean over
+    the global mean, algebraically re-arranged to ``s_d·n / (n_d·s)`` so
+    every operand is an exact int64 and only ONE division happens."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dow", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        import pandas as pd
+        dow = pd.Series(t["o_orderdate"].to_pandas()) \
+            .dt.isocalendar().day.to_numpy().astype(np.int64)
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"dow": pa.array(dow),
+                         "cents": pa.array(v)}).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    agg = prepped.groupby("dow").aggregate(
+        Sum("cents", alias_name="s_d"), Count(alias_name="n_d"))
+    n = prepped.count()
+    s = int(prepped.sum("cents"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dow", pa.int64()), ("n_orders", pa.int64()),
+                         ("seasonality", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        sd = t["s_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (sd * n).astype(np.float64) / (nd * s).astype(np.float64)
+        return pa.table({
+            "dow": pc.cast(t["dow"], pa.int64()),
+            "n_orders": pa.array(nd),
+            "seasonality": pa.array(idx)}).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_events_value_winsor_mean(sf_dir: str):
+    """Winsorized mean of event value: values clipped to the exact global
+    [p01, p99] (histogram-refinement quantiles — identical interpolation
+    to the oracle), then one pass of exact partial sums; 6 dp both
+    sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.functions.quantiles import float_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"]).materialize()
+    qs = float_quantiles(ds, "value", (0.01, 0.99))
+    lo, hi = qs["value"][0].as_py(), qs["value"][1].as_py()
+
+    def clip(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("v", pa.float64()), ("_one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "v": pa.array(np.minimum(np.maximum(v, lo), hi)),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    parts = ds.map_batches(clip, batch_format="pyarrow").materialize()
+    n = parts.count()
+    s = float(parts.sum("v"))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "lo": pa.array([round(float(lo), 6)], pa.float64()),
+        "hi": pa.array([round(float(hi), 6)], pa.float64()),
+        "winsor_mean": pa.array([round(s / n, 6)], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -4942,6 +5060,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-third round-2 batch (all SQL-checked)
         "orders_csv_roundtrip": _q_orders_csv_roundtrip,
         "events_chi2_type_dow": _q_events_chi2_type_dow,
+        # twenty-fourth round-2 batch (all SQL-checked)
+        "returnflag_weighted_avg_price": _q_returnflag_weighted_avg_price,
+        "orders_dow_seasonality": _q_orders_dow_seasonality,
+        "events_value_winsor_mean": _q_events_value_winsor_mean,
     }
 
 
@@ -7684,5 +7806,44 @@ def oracle_sql() -> dict[str, str]:
                        * (c - rt*ct/CAST(n AS DOUBLE))
                        / (rt*ct/CAST(n AS DOUBLE))), 6) AS chi2
             FROM m
+        """,
+        "returnflag_weighted_avg_price": """
+            WITH b AS (
+                SELECT l_returnflag AS flag,
+                       CAST(l_quantity AS BIGINT) AS q,
+                       CAST(FLOOR(l_extendedprice*100) AS BIGINT) AS cents
+                FROM lineitem)
+            SELECT flag AS l_returnflag,
+                   CAST(SUM(q) AS BIGINT) AS sum_qty,
+                   CAST(SUM(q*cents) AS DOUBLE)
+                       / CAST(SUM(q) AS DOUBLE) AS wavg_cents
+            FROM b GROUP BY 1
+        """,
+        "orders_dow_seasonality": """
+            WITH b AS (
+                SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+                       CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+                FROM orders),
+            g AS (SELECT dow, CAST(SUM(cents) AS BIGINT) AS s_d,
+                         CAST(COUNT(*) AS BIGINT) AS n_d
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT g.dow, g.n_d AS n_orders,
+                   CAST(g.s_d * t.n AS DOUBLE)
+                       / CAST(g.n_d * t.s AS DOUBLE) AS seasonality
+            FROM g, t
+        """,
+        "events_value_winsor_mean": """
+            WITH q AS (
+                SELECT quantile_cont(value, 0.01) AS lo,
+                       quantile_cont(value, 0.99) AS hi
+                FROM events)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(ANY_VALUE(q.lo), 6) AS lo,
+                   ROUND(ANY_VALUE(q.hi), 6) AS hi,
+                   ROUND(SUM(LEAST(GREATEST(value, q.lo), q.hi))
+                         / COUNT(*), 6) AS winsor_mean
+            FROM events, q
         """,
     }
