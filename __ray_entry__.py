@@ -4854,6 +4854,126 @@ def _q_events_value_winsor_mean(sf_dir: str):
         "winsor_mean": pa.array([round(s / n, 6)], pa.float64())})
 
 
+def _q_customer_order_gap_median(sf_dir: str):
+    """Median days between consecutive orders per customer: the
+    block-carry LAG on order dates, then exact per-key discrete quantiles
+    (functions/textstats.py grouped_int_quantiles) — ints end to end."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+    from cuttana_ray.stages.running import lag_columns
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()), ("d", pa.int64()),
+                         ("o_orderkey", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "d": pc.cast(d, pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64())
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "o_custkey", ["d", "o_orderkey"], ["d"],
+                         keep=["o_custkey", "d"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()), ("gap_d", pa.int64())])
+        if len(t) == 0 or "prev_d" not in t.column_names:
+            return sch.empty_table()
+        tt = t.filter(pc.is_valid(t["prev_d"]))
+        return pa.table({
+            "o_custkey": pc.cast(tt["o_custkey"], pa.int64()),
+            "gap_d": pc.subtract(pc.cast(tt["d"], pa.int64()),
+                                 pc.cast(tt["prev_d"], pa.int64()))
+        }).cast(sch)
+
+    return grouped_int_quantiles(
+        lagged.map_batches(gaps, batch_format="pyarrow"), "o_custkey",
+        "gap_d", (0.5,))
+
+
+def _q_discount_band_revenue(sf_dir: str):
+    """Revenue by discount band (band = floor(discount·100), a computed
+    integer dimension): one pre-combined groupby; exact cents."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("band", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        b = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        v = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"band": pa.array(b),
+                         "cents": pa.array(v)}).cast(sch)
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("cents", alias_name="revenue_cents"),
+                                   Count(alias_name="n_items"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("band", pa.int64()),
+                         ("revenue_cents", pa.int64()),
+                         ("n_items", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "band": pc.cast(t["band"], pa.int64()),
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+            "n_items": pc.cast(t["n_items"], pa.int64())}).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_user_lifetime_quantiles(sf_dir: str):
+    """Distribution of user lifetimes (first→last event span in whole
+    days): per-user min/max timestamps (one groupby), then the exact
+    discrete quantile histogram on a constant key — ints end to end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+    from cuttana_ray.functions.textstats import grouped_int_quantiles
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    spans = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("t_us", alias_name="lo"),
+                                      Max("t_us", alias_name="hi"))
+
+    def days(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("life_d", pa.int64())])
+        if len(t) == 0 or "lo" not in t.column_names:
+            return sch.empty_table()
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "life_d": pa.array((hi - lo) // 86_400_000_000)}).cast(sch)
+
+    return grouped_int_quantiles(
+        spans.map_batches(days, batch_format="pyarrow"), "k", "life_d",
+        (0.5, 0.9)).drop_columns(["k"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5064,6 +5184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_weighted_avg_price": _q_returnflag_weighted_avg_price,
         "orders_dow_seasonality": _q_orders_dow_seasonality,
         "events_value_winsor_mean": _q_events_value_winsor_mean,
+        # twenty-fifth round-2 batch (all SQL-checked)
+        "customer_order_gap_median": _q_customer_order_gap_median,
+        "discount_band_revenue": _q_discount_band_revenue,
+        "user_lifetime_quantiles": _q_user_lifetime_quantiles,
     }
 
 
@@ -7845,5 +7969,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(LEAST(GREATEST(value, q.lo), q.hi))
                          / COUNT(*), 6) AS winsor_mean
             FROM events, q
+        """,
+        "customer_order_gap_median": """
+            WITH s AS (
+                SELECT o_custkey,
+                       CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1970-01-01' AS BIGINT) AS d,
+                       LAG(CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1970-01-01' AS BIGINT))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS pd
+                FROM orders),
+            g AS (SELECT o_custkey, d - pd AS gap_d
+                  FROM s WHERE pd IS NOT NULL)
+            SELECT o_custkey, CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS value
+            FROM g GROUP BY 1
+        """,
+        "discount_band_revenue": """
+            SELECT CAST(FLOOR(l_discount*100) AS BIGINT) AS band,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem GROUP BY 1
+        """,
+        "user_lifetime_quantiles": """
+            WITH s AS (
+                SELECT user_id,
+                       (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+                           // 86400000000 AS life_d
+                FROM events GROUP BY 1)
+            SELECT CAST(0.5 AS DOUBLE) AS q,
+                   CAST(quantile_disc(life_d, 0.5) AS BIGINT) AS value
+            FROM s
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   CAST(quantile_disc(life_d, 0.9) AS BIGINT) FROM s
         """,
     }

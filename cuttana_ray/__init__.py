@@ -26,5 +26,11 @@ from cuttana_ray.util import harden_joins as _harden_joins
 # util.drop_empty_blocks / util.harden_joins
 _harden_joins()
 
+# import polars EAGERLY (under the import lock) so its lazy attribute
+# registration can never race concurrently-starting Ray worker threads
+# (observed: "module 'polars._reexport' has no attribute 'Series'" in a
+# fused MapBatches chain at 32 cpus)
+import polars as _polars  # noqa: E402,F401
+
 __version__ = "0.1.0"
 __all__ = ["CuttanaConfig"]
