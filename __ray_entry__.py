@@ -4974,6 +4974,74 @@ def _q_user_lifetime_quantiles(sf_dir: str):
         (0.5, 0.9)).drop_columns(["k"])
 
 
+def _q_events_leading_hour_count(sf_dir: str):
+    """FORWARD time window — events within the next hour (inclusive, peers
+    at equal ts included): the trailing RANGE scan run over NEGATED
+    timestamps, so no new machinery (stages/keyblocks.py
+    trailing_range_agg). Exact ints."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.keyblocks import trailing_range_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("neg_t", pa.int64()), ("one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "neg_t": pa.array(-tus),
+            "one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    out = trailing_range_agg(prepped, "user_id", "neg_t", "one",
+                             width=3_600_000_000,
+                             keep=["event_id", "user_id"])
+    return out.select_columns(["event_id", "user_id", "range_n"]) \
+        .rename_columns({"range_n": "next_hour_n"})
+
+
+def _q_events_circular_mean_tod(sf_dir: str):
+    """Circular mean time of day (the correct average for wrap-around
+    clock data): mergeable Σsin/Σcos partial sums over the 24 h phase,
+    folded to a mean hour with one atan2 — 6 dp both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    DAY = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("s", pa.float64()), ("c", pa.float64()),
+                         ("one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        phase = (tus % DAY).astype(np.float64) / DAY * (2 * np.pi)
+        return pa.table({
+            "s": pa.array(np.sin(phase)), "c": pa.array(np.cos(phase)),
+            "one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    parts = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = parts.count()
+    ssum = float(parts.sum("s"))
+    csum = float(parts.sum("c"))
+    ang = np.arctan2(ssum, csum)
+    if ang < 0:
+        ang += 2 * np.pi
+    mean_hour = float(np.round(ang / (2 * np.pi) * 24.0, 6))
+    r = float(np.round(np.sqrt(ssum * ssum + csum * csum) / n, 6))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean_hour": pa.array([mean_hour], pa.float64()),
+        "resultant_r": pa.array([r], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5188,6 +5256,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_gap_median": _q_customer_order_gap_median,
         "discount_band_revenue": _q_discount_band_revenue,
         "user_lifetime_quantiles": _q_user_lifetime_quantiles,
+        # twenty-sixth round-2 batch (all SQL-checked)
+        "events_leading_hour_count": _q_events_leading_hour_count,
+        "events_circular_mean_tod": _q_events_circular_mean_tod,
     }
 
 
@@ -8005,5 +8076,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(0.9 AS DOUBLE),
                    CAST(quantile_disc(life_d, 0.9) AS BIGINT) FROM s
+        """,
+        "events_leading_hour_count": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN CURRENT ROW
+                             AND 3600000000 FOLLOWING) AS BIGINT)
+                       AS next_hour_n
+            FROM events
+        """,
+        "events_circular_mean_tod": """
+            WITH p AS (
+                SELECT (epoch_us(ts) % 86400000000)
+                       / 86400000000.0 * (2 * PI()) AS ph
+                FROM events),
+            s AS (SELECT SUM(SIN(ph)) AS ss, SUM(COS(ph)) AS cs,
+                         COUNT(*) AS n FROM p)
+            SELECT CAST(n AS BIGINT) AS n,
+                   ROUND((CASE WHEN ATAN2(ss, cs) < 0
+                               THEN ATAN2(ss, cs) + 2 * PI()
+                               ELSE ATAN2(ss, cs) END)
+                         / (2 * PI()) * 24.0, 6) AS mean_hour,
+                   ROUND(SQRT(ss*ss + cs*cs) / n, 6) AS resultant_r
+            FROM s
         """,
     }
