@@ -5042,6 +5042,99 @@ def _q_events_circular_mean_tod(sf_dir: str):
         "resultant_r": pa.array([r], pa.float64())})
 
 
+def _q_events_centered_ma(sf_dir: str):
+    """Centered ROWS frame (2 PRECEDING .. 2 FOLLOWING) per user —
+    composed from existing scans with exact int algebra: trailing
+    3-row window + leading 3-row window (the trailing scan over the
+    reversed order) − the current row, counted the same way. No new
+    machinery; hash-exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import moving_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64()), ("neg_t", pa.int64()),
+                         ("neg_id", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(tus), "neg_t": pa.array(-tus),
+            "neg_id": pa.array(-eid), "cents": pa.array(cents),
+        }).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    trail = moving_agg(prepped, "user_id", ["t_us", "event_id"], "cents",
+                       frame=3, keep=["event_id", "user_id", "cents"]) \
+        .rename_columns({"window_sum": "_ts", "window_n": "_tn"})
+    lead = moving_agg(prepped, "user_id", ["neg_t", "neg_id"], "cents",
+                      frame=3, keep=["event_id"]) \
+        .rename_columns({"window_sum": "_ls", "window_n": "_ln"}) \
+        .select_columns(["event_id", "_ls", "_ln"])
+    joined = trail.join(lead, join_type="inner", num_partitions=8,
+                        on=("event_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("window_sum", pa.int64()),
+                         ("window_n", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ts_ = t["_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ls = t["_ls"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tn = t["_tn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = t["_ln"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "window_sum": pa.array(ts_ + ls - cents),
+            "window_n": pa.array(tn + ln - 1)}).cast(sch)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_top_order_per_priority_month(sf_dir: str):
+    """Nested-key top-k: the single most expensive order per
+    (priority, order month) — the grouped top-k combiner over a
+    two-column key with total-order ties."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.relational import grouped_topk
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_orderdate",
+                        "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderpriority", pa.string()),
+                         ("m", pa.int64()), ("o_orderkey", pa.int64()),
+                         ("o_totalprice", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        mo = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "m": pc.add(pc.multiply(y, 12), mo),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+        }).cast(sch)
+
+    return grouped_topk(ds.map_batches(prep, batch_format="pyarrow"),
+                        ["o_orderpriority", "m"],
+                        [("o_totalprice", "descending"),
+                         ("o_orderkey", "ascending")], 1)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5259,6 +5352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-sixth round-2 batch (all SQL-checked)
         "events_leading_hour_count": _q_events_leading_hour_count,
         "events_circular_mean_tod": _q_events_circular_mean_tod,
+        # twenty-seventh round-2 batch (all SQL-checked)
+        "events_centered_ma": _q_events_centered_ma,
+        "top_order_per_priority_month": _q_top_order_per_priority_month,
     }
 
 
@@ -8100,5 +8196,32 @@ def oracle_sql() -> dict[str, str]:
                          / (2 * PI()) * 24.0, 6) AS mean_hour,
                    ROUND(SQRT(ss*ss + cs*cs) / n, 6) AS resultant_r
             FROM s
+        """,
+        "events_centered_ma": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS BIGINT) AS window_sum,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS BIGINT) AS window_n
+            FROM events
+        """,
+        "top_order_per_priority_month": """
+            WITH b AS (
+                SELECT o_orderpriority,
+                       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                            AS BIGINT) AS m,
+                       o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority,
+                                        YEAR(o_orderdate) * 12
+                                        + MONTH(o_orderdate)
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+            SELECT o_orderpriority, m, o_orderkey, o_totalprice
+            FROM b WHERE rn = 1
         """,
     }
