@@ -5135,6 +5135,116 @@ def _q_top_order_per_priority_month(sf_dir: str):
                          ("o_orderkey", "ascending")], 1)
 
 
+def _q_events_daily_fano(sf_dir: str):
+    """Burstiness of the event stream: the Fano factor (sample variance /
+    mean) of per-day event counts — per-day counts from one pre-combined
+    groupby, then the one-exchange moment partials on a constant key;
+    6 dp both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"d": pc.divide(us, 86_400_000_000)}).cast(sch)
+
+    daily = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby("d").aggregate(Count(alias_name="c"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("x", pa.float64()),
+                         ("y", pa.float64())])
+        if len(t) == 0 or "c" not in t.column_names:
+            return sch.empty_table()
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "x": pa.array(c), "y": pa.array(c)}).cast(sch)
+
+    out = grouped_moments(daily.map_batches(tag, batch_format="pyarrow"),
+                          ["k"], "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_days", pa.int64()), ("mean_c", pa.float64()),
+                         ("fano", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = t["mean_x"].to_numpy(zero_copy_only=False)
+        sd = t["sd_x"].to_numpy(zero_copy_only=False)
+        fano = sd * sd / mean
+        return pa.table({
+            "n_days": pa.array(n),
+            "mean_c": pa.array(np.round(mean, 6)),
+            "fano": pa.array(np.round(fano, 6))}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_event_type_stationary_k6(sf_dir: str):
+    """Six power-iteration steps toward the stationary distribution of the
+    event-type Markov chain: the transition-count matrix comes from the
+    distributed LAG bigrams (a tiny #types² dimension table); the 6-step
+    vector recurrence is exact-order float arithmetic replayed by an
+    unrolled SQL CTE; 6 dp."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("event_type", pa.string()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"], ["event_type"],
+                         keep=["user_id", "event_type"])
+
+    def bigram(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("a", pa.string()), ("b", pa.string()),
+                         ("c", pa.int64())])
+        if len(t) == 0 or "prev_event_type" not in t.column_names:
+            return sch.empty_table()
+        tt = t.filter(pc.is_valid(t["prev_event_type"]))
+        out = pa.table({"a": pc.cast(tt["prev_event_type"], pa.string()),
+                        "b": pc.cast(tt["event_type"], pa.string())})
+        return out.group_by(["a", "b"]).aggregate([([], "count_all")]) \
+            .rename_columns(["a", "b", "c"]).cast(sch)
+
+    counts = lagged.map_batches(bigram, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()                      # tiny #types² dimension table
+    types = sorted(set(counts["a"]) | set(counts["b"]))
+    idx = {t_: i for i, t_ in enumerate(types)}
+    m = len(types)
+    C = np.zeros((m, m), np.float64)
+    for a, b, c in counts.itertuples(index=False):
+        C[idx[a], idx[b]] = float(c)
+    row = C.sum(axis=1)
+    P = C / np.where(row > 0, row, 1.0)[:, None]
+    v = np.full(m, 1.0 / m)
+    for _ in range(6):
+        v = v @ P
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "prob": pa.array(np.round(v, 6), pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5355,6 +5465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-seventh round-2 batch (all SQL-checked)
         "events_centered_ma": _q_events_centered_ma,
         "top_order_per_priority_month": _q_top_order_per_priority_month,
+        # twenty-eighth round-2 batch (all SQL-checked)
+        "events_daily_fano": _q_events_daily_fano,
+        "event_type_stationary_k6": _q_event_type_stationary_k6,
     }
 
 
@@ -6168,6 +6281,36 @@ def _zorder_page_sql() -> str:
         FROM events
         ORDER BY zkey, event_id LIMIT 200
     """
+
+
+def _stationary_sql(k: int = 6) -> str:
+    """Unrolled k-step power iteration over the event-type transition
+    matrix (mirrors _q_event_type_stationary_k6's float order to ~1e-14;
+    both sides round 6)."""
+    parts = ["""
+        WITH s0 AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS pt
+            FROM events),
+        cnt AS (SELECT pt AS a, event_type AS b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM s0 WHERE pt IS NOT NULL GROUP BY 1, 2),
+        ty AS (SELECT DISTINCT a AS t FROM cnt
+               UNION SELECT DISTINCT b FROM cnt),
+        rs AS (SELECT a, SUM(c) AS r FROM cnt GROUP BY 1),
+        p AS (SELECT cnt.a, cnt.b, cnt.c / CAST(rs.r AS DOUBLE) AS p
+              FROM cnt JOIN rs USING (a)),
+        v0 AS (SELECT t, 1.0 / (SELECT COUNT(*) FROM ty) AS v FROM ty)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+        v{i} AS (SELECT p.b AS t, SUM(v{i-1}.v * p.p) AS v
+                 FROM v{i-1} JOIN p ON p.a = v{i-1}.t GROUP BY 1)""")
+    parts.append(f"""
+        SELECT ty.t AS event_type,
+               ROUND(COALESCE(v{k}.v, 0.0), 6) AS prob
+        FROM ty LEFT JOIN v{k} ON v{k}.t = ty.t""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8224,4 +8367,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, m, o_orderkey, o_totalprice
             FROM b WHERE rn = 1
         """,
+        "events_daily_fano": """
+            WITH d AS (
+                SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d,
+                       CAST(COUNT(*) AS DOUBLE) AS c
+                FROM events GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   ROUND(AVG(c), 6) AS mean_c,
+                   ROUND(VAR_SAMP(c) / AVG(c), 6) AS fano
+            FROM d
+        """,
+        "event_type_stationary_k6": _stationary_sql(6),
     }
