@@ -5245,6 +5245,149 @@ def _q_event_type_stationary_k6(sf_dir: str):
         "prob": pa.array(np.round(v, 6), pa.float64())})
 
 
+def _q_corpus_hapax_ratio(sf_dir: str):
+    """Corpus lexical-richness summary: hapax-legomena share (terms seen
+    exactly once / distinct terms) and type–token ratio — three exact int
+    aggregates over the pre-combined term-count exchange, two
+    divisions."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.terms import term_counts
+
+    tc = _read(sf_dir, "documents", columns=["text"])
+    counts = term_counts(tc).materialize()
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("h", pa.int64()), ("one", pa.int64()),
+                         ("tok", pa.int64())])
+        if len(t) == 0 or "tf" not in t.column_names:
+            return sch.empty_table()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "h": pa.array((tf == 1).astype(np.int64)),
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "tok": pa.array(tf)}).cast(sch)
+
+    parts = counts.map_batches(fold, batch_format="pyarrow") \
+        .materialize()
+    hapax = int(parts.sum("h"))
+    n_terms = int(parts.sum("one"))
+    n_tokens = int(parts.sum("tok"))
+    return pa.table({
+        "n_terms": pa.array([n_terms], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "hapax_ratio": pa.array(
+            [float(np.float64(hapax) / np.float64(n_terms))],
+            pa.float64()),
+        "type_token_ratio": pa.array(
+            [float(np.float64(n_terms) / np.float64(n_tokens))],
+            pa.float64())})
+
+
+def _q_source_doc_stats(sf_dir: str):
+    """Per-source corpus profile: document count and mean length — one
+    pre-combined groupby; exact ints + one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        Sum("n_chars", alias_name="s"), Count(alias_name="n_docs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                         ("mean_chars", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"], "n_docs": pa.array(n),
+            "mean_chars": pa.array(s / n.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_label_cohesion(sf_dir: str):
+    """Embedding-cluster cohesion per label: mean cosine similarity of
+    each vector to its label centroid. Centroids come from one
+    per-dimension partial-sum exchange (broadcast back as a tiny
+    #labels×d matrix); the per-vector cosine is one vectorized matmul
+    per batch; 6 dp both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"]).materialize()
+
+    def mats(t: pa.Table) -> np.ndarray:
+        return np.stack([np.asarray(v, np.float64)
+                         for v in t["embedding"].to_pylist()])
+
+    # centroid partials: per-batch per-label sums
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = mats(t)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq),
+            "s": pa.array([row.tobytes() for row in sums], pa.binary()),
+            "n": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    dim = len(np.frombuffer(parts["s"][0], np.float64))
+    labels = sorted(parts["label"].unique())
+    cen = {}
+    for lb in labels:
+        rows = parts[parts["label"] == lb]
+        tot = np.zeros(dim, np.float64)
+        for blob in rows["s"]:
+            tot += np.frombuffer(blob, np.float64)
+        cen[lb] = tot / float(rows["n"].sum())
+    cen_mat = np.stack([cen[lb] for lb in labels])
+    lab_idx = {lb: i for i, lb in enumerate(labels)}
+
+    def cos(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("label", pa.int64()), ("c", pa.float64()),
+                         ("one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = mats(t)
+        c = cen_mat[[lab_idx[int(x)] for x in lab]]
+        num = np.sum(m * c, axis=1)
+        den = np.sqrt(np.sum(m * m, axis=1)) \
+            * np.sqrt(np.sum(c * c, axis=1))
+        return pa.table({"label": pa.array(lab),
+                         "c": pa.array(num / den),
+                         "one": pa.array(np.ones(len(t), np.int64))
+                         }).cast(sch)
+
+    agg = ds.map_batches(cos, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("c", alias_name="sc"),
+                                    Sum("one", alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("label", pa.int64()), ("n", pa.int64()),
+                         ("cohesion", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        sc = t["sc"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "label": pc.cast(t["label"], pa.int64()), "n": pa.array(n),
+            "cohesion": pa.array(np.round(sc / n, 6))}).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5468,6 +5611,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-eighth round-2 batch (all SQL-checked)
         "events_daily_fano": _q_events_daily_fano,
         "event_type_stationary_k6": _q_event_type_stationary_k6,
+        # twenty-ninth round-2 batch (all SQL-checked)
+        "corpus_hapax_ratio": _q_corpus_hapax_ratio,
+        "source_doc_stats": _q_source_doc_stats,
+        "label_cohesion": _q_label_cohesion,
     }
 
 
@@ -8379,4 +8526,47 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "event_type_stationary_k6": _stationary_sql(6),
+        "corpus_hapax_ratio": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio,
+                   COUNT(*) / CAST(SUM(tf) AS DOUBLE) AS type_token_ratio
+            FROM tc
+        """,
+        "source_doc_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_chars
+            FROM documents GROUP BY 1
+        """,
+        "label_cohesion": """
+            WITH ex AS (
+                SELECT vec_id, label, UNNEST(embedding) AS v,
+                       UNNEST(range(1, len(embedding) + 1)) AS pos
+                FROM embeddings),
+            cen AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS c
+                    FROM ex GROUP BY 1, 2),
+            dots AS (
+                SELECT e.vec_id, e.label,
+                       SUM(CAST(e.v AS DOUBLE) * cen.c) AS num,
+                       SUM(CAST(e.v AS DOUBLE) * CAST(e.v AS DOUBLE))
+                           AS vv,
+                       SUM(cen.c * cen.c) AS cc
+                FROM ex e JOIN cen ON cen.label = e.label
+                                  AND cen.pos = e.pos
+                GROUP BY 1, 2),
+            cosv AS (SELECT label, num / (SQRT(vv) * SQRT(cc)) AS c
+                     FROM dots)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(c), 6) AS cohesion
+            FROM cosv GROUP BY 1
+        """,
     }
