@@ -5388,6 +5388,151 @@ def _q_label_cohesion(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_sessions_by_threshold(sf_dir: str):
+    """Session-count parameter sweep in ONE pass: per user, the number of
+    gap-sessions at 30 min / 1 h / 2 h thresholds — gaps come from a
+    single block-carry LAG; each threshold is a vectorized exceedance
+    count (sessions = exceedances + 1). Exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"], ["t_us"],
+                         keep=["user_id", "t_us"])
+    TH = {"s30m": 1_800_000_000, "s1h": 3_600_000_000,
+          "s2h": 7_200_000_000}
+
+    def exceed2(t: pa.Table) -> pa.Table:
+        fields = [("user_id", pa.int64())] + \
+            [(k, pa.int64()) for k in TH]
+        sch = pa.schema(fields)
+        if len(t) == 0 or "prev_t_us" not in t.column_names:
+            return sch.empty_table()
+        valid = pc.is_valid(t["prev_t_us"])
+        gap = pc.subtract(pc.cast(t["t_us"], pa.int64()),
+                          pc.fill_null(pc.cast(t["prev_t_us"],
+                                               pa.int64()), 0))
+        cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        for k, w in TH.items():
+            exc = pc.and_(valid, pc.greater(gap, w))
+            cols[k] = pc.cast(exc, pa.int64())
+        return pa.table(cols).cast(sch)
+
+    agg = lagged.map_batches(exceed2, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            *[Sum(k, alias_name=k) for k in TH])
+
+    def finish(t: pa.Table) -> pa.Table:
+        fields = [("user_id", pa.int64())] + \
+            [(k, pa.int64()) for k in TH]
+        sch = pa.schema(fields)
+        if len(t) == 0:
+            return sch.empty_table()
+        cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        for k in TH:
+            cols[k] = pc.add(pc.cast(t[k], pa.int64()), 1)
+        return pa.table(cols).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_order_ship_lag_stats(sf_dir: str):
+    """Order→ship lead time per priority: lineitem ship dates join their
+    orders (fact-to-fact hash join), lag in whole days, exact int
+    Sum/Max/Count + one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]) \
+        .rename_columns({"o_orderkey": "l_orderkey"})
+    joined = line.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",))
+
+    def lag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderpriority", pa.string()),
+                         ("lag_d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.date32()), pa.int32())
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "lag_d": pc.cast(pc.subtract(ship, od), pa.int64())
+        }).cast(sch)
+
+    agg = joined.map_batches(lag, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("lag_d", alias_name="s"), Count(alias_name="n"),
+            Max("lag_d", alias_name="max_lag_d"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderpriority", pa.string()),
+                         ("n", pa.int64()), ("mean_lag_d", pa.float64()),
+                         ("max_lag_d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"], "n": pa.array(n),
+            "mean_lag_d": pa.array(s / n.astype(np.float64)),
+            "max_lag_d": pc.cast(t["max_lag_d"], pa.int64())
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_edge_kind_mix(sf_dir: str):
+    """Homophily profile of the link graph: edge counts by (src kind, dst
+    kind) — node kinds are the vocab dimension table (broadcast once),
+    the mix is one vectorized take + groupby. Exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    g = _events_graph(sf_dir)
+    kinds = pa.array([n.split(":", 1)[0]
+                      for n in g.nodes["name"].to_pylist()], pa.string())
+    kinds_ref = None
+    import ray as _ray
+    kinds_ref = _ray.put(kinds)
+
+    def mix(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src_kind", pa.string()),
+                         ("dst_kind", pa.string()), ("c", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        k = _ray.get(kinds_ref)
+        sk = k.take(t["src"].combine_chunks()
+                    if isinstance(t["src"], pa.ChunkedArray) else t["src"])
+        dk = k.take(t["dst"].combine_chunks()
+                    if isinstance(t["dst"], pa.ChunkedArray) else t["dst"])
+        out = pa.table({"src_kind": sk, "dst_kind": dk})
+        return out.group_by(["src_kind", "dst_kind"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["src_kind", "dst_kind", "c"]).cast(sch)
+
+    return g.edges.map_batches(mix, batch_format="pyarrow") \
+        .groupby(["src_kind", "dst_kind"]) \
+        .aggregate(Sum("c", alias_name="n_edges"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5615,6 +5760,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hapax_ratio": _q_corpus_hapax_ratio,
         "source_doc_stats": _q_source_doc_stats,
         "label_cohesion": _q_label_cohesion,
+        # thirtieth round-2 batch (all SQL-checked)
+        "user_sessions_by_threshold": _q_user_sessions_by_threshold,
+        "order_ship_lag_stats": _q_order_ship_lag_stats,
+        "edge_kind_mix": _q_edge_kind_mix,
     }
 
 
@@ -6009,6 +6158,16 @@ _STRONGEST_NBR_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
                    ORDER BY weight DESC, dst) AS rn
         FROM e)
     SELECT src, dst, weight FROM rk WHERE rn <= 2
+"""
+
+_EDGE_KIND_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    kn AS (SELECT node_id, string_split(name, ':')[1] AS kind
+           FROM nodes)
+    SELECT ks.kind AS src_kind, kd.kind AS dst_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM e JOIN kn ks ON ks.node_id = e.src
+           JOIN kn kd ON kd.node_id = e.dst
+    GROUP BY 1, 2
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -8569,4 +8728,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(c), 6) AS cohesion
             FROM cosv GROUP BY 1
         """,
+        "user_sessions_by_threshold": """
+            WITH s AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap > 1800000000
+                            THEN 1 ELSE 0 END) + 1 AS BIGINT) AS s30m,
+                   CAST(SUM(CASE WHEN gap > 3600000000
+                            THEN 1 ELSE 0 END) + 1 AS BIGINT) AS s1h,
+                   CAST(SUM(CASE WHEN gap > 7200000000
+                            THEN 1 ELSE 0 END) + 1 AS BIGINT) AS s2h
+            FROM s GROUP BY 1
+        """,
+        "order_ship_lag_stats": """
+            WITH b AS (
+                SELECT o.o_orderpriority,
+                       CAST(CAST(l.l_shipdate AS DATE)
+                            - CAST(o.o_orderdate AS DATE) AS BIGINT)
+                           AS lag_d
+                FROM lineitem l JOIN orders o
+                  ON o.o_orderkey = l.l_orderkey)
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(lag_d) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_lag_d,
+                   CAST(MAX(lag_d) AS BIGINT) AS max_lag_d
+            FROM b GROUP BY 1
+        """,
+        "edge_kind_mix": _EDGE_KIND_SQL,
     }
