@@ -5533,6 +5533,128 @@ def _q_edge_kind_mix(sf_dir: str):
         .aggregate(Sum("c", alias_name="n_edges"))
 
 
+def _q_customer_rfm_segments(sf_dir: str):
+    """RFM segmentation, the classic marketing composition: per-customer
+    recency (days since last order vs the corpus max date), frequency and
+    monetary from ONE groupby; each dimension then gets an NTILE(5) score
+    from the constant-key carry chain (three independent rank passes).
+    Exact ints end to end."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+    from cuttana_ray.stages.running import rank_windows
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("d", pa.int64()),
+                         ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "c": pc.cast(t["o_custkey"], pa.int64()),
+            "d": pc.cast(d, pa.int64()),
+            "cents": pa.array(cents)}).cast(sch)
+
+    prepped = orders.map_batches(prep, batch_format="pyarrow") \
+        .materialize()
+    max_d = int(prepped.max("d"))
+    base = prepped.groupby("c").aggregate(
+        Max("d", alias_name="last_d"), Count(alias_name="freq"),
+        Sum("cents", alias_name="monetary"))
+
+    def add_rec(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("recency", pa.int64()),
+                         ("freq", pa.int64()), ("monetary", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(t) == 0 or "last_d" not in t.column_names:
+            return sch.empty_table()
+        last = t["last_d"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "c": pc.cast(t["c"], pa.int64()),
+            "recency": pa.array(max_d - last),
+            "freq": pc.cast(t["freq"], pa.int64()),
+            "monetary": pc.cast(t["monetary"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    rfm = base.map_batches(add_rec, batch_format="pyarrow").materialize()
+
+    def score(ds_in, col, alias):
+        ranked = rank_windows(ds_in, "_k", [col, "c"], tiles=5,
+                              keep=["_k", "c"])
+        out = ranked.select_columns(["c", "ntile"]) \
+            .rename_columns({"ntile": alias})
+        return out
+
+    r = score(rfm, "recency", "r_score")
+    f = score(rfm, "freq", "f_score")
+    m = score(rfm, "monetary", "m_score")
+    joined = rfm.select_columns(["c", "recency", "freq", "monetary"]) \
+        .join(r, join_type="inner", num_partitions=8, on=("c",)) \
+        .join(f, join_type="inner", num_partitions=8, on=("c",)) \
+        .join(m, join_type="inner", num_partitions=8, on=("c",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()),
+                         ("recency", pa.int64()), ("freq", pa.int64()),
+                         ("monetary", pa.int64()), ("r_score", pa.int64()),
+                         ("f_score", pa.int64()), ("m_score", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "o_custkey": t["c"], "recency": t["recency"],
+            "freq": t["freq"], "monetary": t["monetary"],
+            "r_score": pc.cast(t["r_score"], pa.int64()),
+            "f_score": pc.cast(t["f_score"], pa.int64()),
+            "m_score": pc.cast(t["m_score"], pa.int64())}).cast(sch)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_type_hour_heatmap(sf_dir: str):
+    """Activity heatmap: event counts by (event_type, hour of day) — one
+    pre-combined groupby over computed integer dimensions."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_type", pa.string()),
+                         ("hour", pa.int64()), ("c", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        hour = (tus % 86_400_000_000) // 3_600_000_000
+        out = pa.table({"event_type": pc.cast(t["event_type"],
+                                              pa.string()),
+                        "hour": pa.array(hour)})
+        return out.group_by(["event_type", "hour"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["event_type", "hour", "c"]).cast(sch)
+
+    agg = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("c", alias_name="n_events"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_type", pa.string()),
+                         ("hour", pa.int64()), ("n_events", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.cast(t["hour"], pa.int64()),
+            "n_events": pc.cast(t["n_events"], pa.int64())}).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5764,6 +5886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions_by_threshold": _q_user_sessions_by_threshold,
         "order_ship_lag_stats": _q_order_ship_lag_stats,
         "edge_kind_mix": _q_edge_kind_mix,
+        # thirty-first round-2 batch (all SQL-checked)
+        "customer_rfm_segments": _q_customer_rfm_segments,
+        "type_hour_heatmap": _q_type_hour_heatmap,
     }
 
 
@@ -8759,4 +8884,34 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY 1
         """,
         "edge_kind_mix": _EDGE_KIND_SQL,
+        "customer_rfm_segments": """
+            WITH b AS (
+                SELECT o_custkey AS c,
+                       CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1970-01-01' AS BIGINT) AS d,
+                       CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+                FROM orders),
+            base AS (
+                SELECT c,
+                       (SELECT MAX(d) FROM b) - MAX(d) AS recency,
+                       CAST(COUNT(*) AS BIGINT) AS freq,
+                       CAST(SUM(cents) AS BIGINT) AS monetary
+                FROM b GROUP BY 1)
+            SELECT c AS o_custkey, CAST(recency AS BIGINT) AS recency,
+                   freq, monetary,
+                   CAST(NTILE(5) OVER (ORDER BY recency, c) AS BIGINT)
+                       AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY freq, c) AS BIGINT)
+                       AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary, c) AS BIGINT)
+                       AS m_score
+            FROM base
+        """,
+        "type_hour_heatmap": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) % 86400000000) // 3600000000
+                        AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
     }
