@@ -5655,6 +5655,107 @@ def _q_type_hour_heatmap(sf_dir: str):
     return agg.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_customer_spend_trend(sf_dir: str):
+    """Spend-trend detection per customer: OLS slope of order value
+    (cents) on order day — the one-exchange regression finisher grouped
+    by customer; customers with a single order report null slope like
+    SQL. 6 dp both sides."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.stats import grouped_linreg
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()), ("x", pa.float64()),
+                         ("y", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100)
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "x": pc.cast(d, pa.float64()),
+            "y": pa.array(cents.astype(np.float64))}).cast(sch)
+
+    return grouped_linreg(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["o_custkey"], "x", "y") \
+        .select_columns(["o_custkey", "n", "slope"])
+
+
+def _q_daily_revenue_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the daily revenue series (consecutive
+    calendar days only): per-day totals from one groupby; the tiny day
+    series pairs with itself at d−1 and feeds the exact Pearson formula.
+    6 dp both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"d": pc.cast(d, pa.int64()),
+                         "cents": pa.array(cents)}).cast(sch)
+
+    daily = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("cents", alias_name="s")) \
+        .to_pandas().sort_values("d")       # day dimension (small)
+    d = daily["d"].to_numpy()
+    s = daily["s"].to_numpy().astype(np.float64)
+    nxt = {int(dd): i for i, dd in enumerate(d)}
+    xs, ys = [], []
+    for i, dd in enumerate(d):
+        j = nxt.get(int(dd) + 1)
+        if j is not None:
+            xs.append(s[i])
+            ys.append(s[j])
+    x = np.asarray(xs)
+    y = np.asarray(ys)
+    n = len(x)
+    mx, my = x.mean(), y.mean()
+    cxy = float(np.sum((x - mx) * (y - my)))
+    den = float(np.sqrt(np.sum((x - mx) ** 2) * np.sum((y - my) ** 2)))
+    corr = round(cxy / den, 6) if den > 0 else None
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "autocorr": pa.array([corr], pa.float64())})
+
+
+def _q_neardup_cluster_sizes(sf_dir: str):
+    """Size distribution of the near-duplicate clusters: cluster ids from
+    the SQL-checked LSH + union-find pipeline, one groupby to sizes, one
+    to the histogram — exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    clusters = _q_neardup_clusters(sf_dir)
+    if not hasattr(clusters, "groupby"):
+        import ray.data as rd
+        clusters = rd.from_arrow(clusters)
+    sizes = clusters.groupby("cluster_rep").aggregate(
+        Count(alias_name="size"))
+    hist = sizes.groupby("size").aggregate(Count(alias_name="n_clusters"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("size", pa.int64()),
+                         ("n_clusters", pa.int64())])
+        if len(t) == 0 or "size" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "size": pc.cast(t["size"], pa.int64()),
+            "n_clusters": pc.cast(t["n_clusters"], pa.int64())
+        }).cast(sch)
+
+    return hist.map_batches(clean, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5889,6 +5990,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thirty-first round-2 batch (all SQL-checked)
         "customer_rfm_segments": _q_customer_rfm_segments,
         "type_hour_heatmap": _q_type_hour_heatmap,
+        # thirty-second round-2 batch (all SQL-checked)
+        "customer_spend_trend": _q_customer_spend_trend,
+        "daily_revenue_autocorr": _q_daily_revenue_autocorr,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
     }
 
 
@@ -6742,6 +6847,18 @@ def _stationary_sql(k: int = 6) -> str:
                ROUND(COALESCE(v{k}.v, 0.0), 6) AS prob
         FROM ty LEFT JOIN v{k} ON v{k}.t = ty.t""")
     return "".join(parts)
+
+
+def _neardup_cluster_sizes_sql() -> str:
+    """Histogram of cluster sizes over the same cluster replay as
+    _neardup_clusters_sql (nested as a derived table)."""
+    inner = _neardup_clusters_sql()
+    return f"""
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM (
+            SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS size
+            FROM ({inner}) c GROUP BY 1) s
+        GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8914,4 +9031,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY 1, 2
         """,
+        "customer_spend_trend": """
+            WITH b AS (
+                SELECT o_custkey,
+                       CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1970-01-01' AS DOUBLE) AS x,
+                       CAST(FLOOR(o_totalprice*100) AS DOUBLE) AS y
+                FROM orders)
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(REGR_SLOPE(y, x), 6) AS slope
+            FROM b GROUP BY 1
+        """,
+        "daily_revenue_autocorr": """
+            WITH daily AS (
+                SELECT CAST(CAST(o_orderdate AS DATE)
+                            - DATE '1970-01-01' AS BIGINT) AS d,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS s
+                FROM orders GROUP BY 1),
+            pairs AS (
+                SELECT a.s AS x, b.s AS y
+                FROM daily a JOIN daily b ON b.d = a.d + 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(CORR(x, y), 6) AS autocorr
+            FROM pairs
+        """,
+        "neardup_cluster_sizes": _neardup_cluster_sizes_sql(),
     }
