@@ -5756,6 +5756,111 @@ def _q_neardup_cluster_sizes(sf_dir: str):
     return hist.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_user_gap_cv(sf_dir: str):
+    """Per-user burstiness: coefficient of variation (sample sd / mean)
+    of inter-event gaps in seconds — one block-carry LAG into the
+    one-exchange moment partials; users with < 2 gaps report null like
+    SQL. 6 dp."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import lag_columns
+    from cuttana_ray.stages.stats import grouped_moments
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                         ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    lagged = lag_columns(ds.map_batches(prep, batch_format="pyarrow"),
+                         "user_id", ["t_us", "event_id"], ["t_us"],
+                         keep=["user_id", "t_us"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("x", pa.float64()),
+                         ("y", pa.float64())])
+        if len(t) == 0 or "prev_t_us" not in t.column_names:
+            return sch.empty_table()
+        tt = t.filter(pc.is_valid(t["prev_t_us"]))
+        g = pc.divide(pc.cast(pc.subtract(
+            pc.cast(tt["t_us"], pa.int64()),
+            pc.cast(tt["prev_t_us"], pa.int64())), pa.float64()),
+            1_000_000.0)
+        return pa.table({"user_id": pc.cast(tt["user_id"], pa.int64()),
+                         "x": g, "y": g}).cast(sch)
+
+    out = grouped_moments(lagged.map_batches(gaps,
+                                             batch_format="pyarrow"),
+                          ["user_id"], "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("n_gaps", pa.int64()),
+                         ("cv", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        mean = t["mean_x"].to_numpy(zero_copy_only=False)
+        sd = t["sd_x"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_gaps": pc.cast(t["n"], pa.int64()),
+            "cv": pa.array(np.round(sd / mean, 6))}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_brand_price_stats(sf_dir: str):
+    """Per-brand retail-price profile over the part dimension table:
+    the mean is computed from exact integer cents (Σcents/n/100 — ONE
+    division chain, bit-identical to the oracle, no rounding-boundary
+    hazard); the stddev rides the moment partials at 6 dp."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+    from cuttana_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def dup(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("p_brand", pa.string()), ("x", pa.float64()),
+                         ("y", pa.float64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = pc.cast(t["p_retailprice"], pa.float64())
+        cents = np.floor(t["p_retailprice"]
+                         .to_numpy(zero_copy_only=False) * 100)             .astype(np.int64)
+        return pa.table({"p_brand": t["p_brand"], "x": v, "y": v,
+                         "cents": pa.array(cents)}).cast(sch)
+
+    prepped = ds.map_batches(dup, batch_format="pyarrow").materialize()
+    out = grouped_moments(prepped.select_columns(["p_brand", "x", "y"]),
+                          ["p_brand"], "x", "y")
+    sums = prepped.groupby("p_brand").aggregate(
+        Sum("cents", alias_name="sc"), Count(alias_name="nc"))
+    joined = out.join(sums, join_type="inner", num_partitions=4,
+                      on=("p_brand",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("p_brand", pa.string()), ("n", pa.int64()),
+                         ("mean_price", pa.float64()),
+                         ("sd_price", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        sc = t["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = t["nc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mean = sc / nc.astype(np.float64) / 100.0
+        return pa.table({
+            "p_brand": t["p_brand"], "n": pc.cast(t["n"], pa.int64()),
+            "mean_price": pa.array(mean),
+            "sd_price": pc.round(t["sd_x"], 6)}).cast(sch)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -5994,6 +6099,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_trend": _q_customer_spend_trend,
         "daily_revenue_autocorr": _q_daily_revenue_autocorr,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
+        # thirty-third round-2 batch (all SQL-checked)
+        "user_gap_cv": _q_user_gap_cv,
+        "brand_price_stats": _q_brand_price_stats,
     }
 
 
@@ -9057,4 +9165,24 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
         "neardup_cluster_sizes": _neardup_cluster_sizes_sql(),
+        "user_gap_cv": """
+            WITH g AS (
+                SELECT user_id,
+                       (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0 AS gap_s
+                FROM events),
+            gg AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   ROUND(STDDEV_SAMP(gap_s) / AVG(gap_s), 6) AS cv
+            FROM gg GROUP BY 1
+        """,
+        "brand_price_stats": """
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(p_retailprice*100) AS BIGINT))
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0
+                       AS mean_price,
+                   ROUND(STDDEV_SAMP(p_retailprice), 6) AS sd_price
+            FROM part GROUP BY 1
+        """,
     }
