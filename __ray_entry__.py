@@ -5861,6 +5861,96 @@ def _q_brand_price_stats(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_window_distinct_users_hll(sf_dir: str):
+    """Sketches × windows: approximate distinct users per hour window via
+    one HyperLogLog per window (functions/sketches.py
+    grouped_approx_distinct, p=12) — murmur64 == DuckDB hash(), so the
+    oracle replays every register and lands on the same integers."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.sketches import grouped_approx_distinct
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def win(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("w", pa.int64()), ("user_id", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tus = np.asarray(ts_to_us(t["ts"]), np.int64)
+        w = (tus // 3_600_000_000) * 3600
+        return pa.table({"w": pa.array(w),
+                         "user_id": pc.cast(t["user_id"], pa.int64())
+                         }).cast(sch)
+
+    out = grouped_approx_distinct(
+        ds.map_batches(win, batch_format="pyarrow"), "w", "user_id",
+        p=12)
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("w", pa.int64()),
+                         ("approx_distinct", pa.int64()),
+                         ("precision_p", pa.int64())])
+        if len(t) == 0 or "w" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "w": pc.cast(t["w"], pa.int64()),
+            "approx_distinct": pc.cast(t["approx_distinct"], pa.int64()),
+            "precision_p": pc.cast(t["precision_p"], pa.int64()),
+        }).cast(sch)
+
+    return out.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_modularity_by_kind(sf_dir: str):
+    """Newman modularity of the user/event KIND partition of the link
+    graph — the natural 2-community baseline for the bipartite-ish
+    build: per-batch (community, degree, in-weight) partials against the
+    broadcast vocab kinds, one tiny groupby, the standard Q formula;
+    6 dp."""
+    import pyarrow.compute as pc
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    g = _events_graph(sf_dir)
+    kind_arr = np.array(
+        [0 if n.startswith("user:") else 1
+         for n in g.nodes["name"].to_pylist()], np.int64)
+    kref = _ray.put(kind_arr)
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("d_c", pa.int64()),
+                         ("w_in", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        k = _ray.get(kref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs, cd = k[src], k[dst]
+        rows = []
+        for c in (0, 1):
+            m = cs == c
+            rows.append((c, int(w[m].sum()),
+                         int(w[m & (cd == c)].sum())))
+        return pa.table({
+            "c": pa.array([r[0] for r in rows], pa.int64()),
+            "d_c": pa.array([r[1] for r in rows], pa.int64()),
+            "w_in": pa.array([r[2] for r in rows], pa.int64())
+        }).cast(sch)
+
+    agg = g.edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("d_c", alias_name="d_c"),
+                                Sum("w_in", alias_name="w_in")) \
+        .to_pandas().sort_values("c")
+    m2 = float(agg["d_c"].sum())
+    q = float(np.round(np.sum(
+        agg["w_in"].to_numpy() / m2
+        - (agg["d_c"].to_numpy() / m2) ** 2), 6))
+    return pa.table({
+        "n_clusters": pa.array([len(agg)], pa.int64()),
+        "modularity": pa.array([q], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6102,6 +6192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thirty-third round-2 batch (all SQL-checked)
         "user_gap_cv": _q_user_gap_cv,
         "brand_price_stats": _q_brand_price_stats,
+        # thirty-fourth round-2 batch (all SQL-checked)
+        "window_distinct_users_hll": _q_window_distinct_users_hll,
+        "modularity_by_kind": _q_modularity_by_kind,
     }
 
 
@@ -6506,6 +6599,24 @@ _EDGE_KIND_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
     FROM e JOIN kn ks ON ks.node_id = e.src
            JOIN kn kd ON kd.node_id = e.dst
     GROUP BY 1, 2
+"""
+
+_MODULARITY_KIND_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    kn AS (SELECT node_id,
+                  CASE WHEN name LIKE 'user:%' THEN 0 ELSE 1 END AS kind
+           FROM nodes),
+    agg AS (
+        SELECT ks.kind AS c, SUM(e.weight) AS d_c,
+               SUM(CASE WHEN ks.kind = kd.kind
+                   THEN e.weight ELSE 0 END) AS w_in
+        FROM e JOIN kn ks ON ks.node_id = e.src
+               JOIN kn kd ON kd.node_id = e.dst
+        GROUP BY 1),
+    tot AS (SELECT CAST(SUM(d_c) AS DOUBLE) AS m2 FROM agg)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
+               AS modularity
+    FROM agg, tot
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -9185,4 +9296,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(STDDEV_SAMP(p_retailprice), 6) AS sd_price
             FROM part GROUP BY 1
         """,
+        "window_distinct_users_hll": """
+            -- hourly-window HLL replay at p=12 (same construction as
+            -- type_distinct_users_hll with the window as the key)
+            WITH h AS (SELECT w AS k, hash(user_id) AS hv FROM (
+                           SELECT DISTINCT
+                               (epoch_us(ts) // 3600000000) * 3600 AS w,
+                               user_id
+                           FROM events)),
+            r0 AS (SELECT k, CAST(hv >> 52 AS BIGINT) AS idx,
+                          hv & 4503599627370495 AS rest FROM h),
+            regs AS (SELECT k, idx,
+                            MAX(CASE WHEN rest = 0 THEN 53
+                                ELSE 52 - CAST(FLOOR(LOG2(CAST(rest AS
+                                     DOUBLE))) AS BIGINT) END) AS rank
+                     FROM r0 GROUP BY 1, 2),
+            s AS (SELECT k, SUM(POWER(2.0, -rank)) AS sp,
+                         COUNT(*) AS present FROM regs GROUP BY 1),
+            est AS (SELECT k,
+                           0.7213 / (1 + 1.079 / 4096.0) * 4096.0
+                           * 4096.0 / (sp + (4096 - present)) AS e,
+                           (4096 - present) AS zeros FROM s)
+            SELECT CAST(k AS BIGINT) AS w,
+                   CAST(ROUND(CASE WHEN e <= 2.5 * 4096 AND zeros > 0
+                              THEN 4096.0 * LN(4096.0 / zeros)
+                              ELSE e END, 0) AS BIGINT) AS approx_distinct,
+                   CAST(12 AS BIGINT) AS precision_p
+            FROM est
+        """,
+        "modularity_by_kind": _MODULARITY_KIND_SQL,
     }
