@@ -5951,6 +5951,121 @@ def _q_modularity_by_kind(sf_dir: str):
         "modularity": pa.array([q], pa.float64())})
 
 
+def _q_order_fanout_histogram(sf_dir: str):
+    """Join fan-out profile: distribution of lineitems per order — two
+    pre-combined groupbys (order sizes, then the histogram). Exact
+    ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    sizes = line.groupby("l_orderkey").aggregate(
+        Count(alias_name="n_lines"))
+    hist = sizes.groupby("n_lines").aggregate(
+        Count(alias_name="n_orders"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_lines", pa.int64()),
+                         ("n_orders", pa.int64())])
+        if len(t) == 0 or "n_lines" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "n_lines": pc.cast(t["n_lines"], pa.int64()),
+            "n_orders": pc.cast(t["n_orders"], pa.int64())}).cast(sch)
+
+    return hist.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_orders_benford(sf_dir: str):
+    """Benford's-law data-quality check on order prices: leading digit
+    taken from the exact integer-cents STRING (no log10 boundary
+    hazard), observed share vs the log10(1+1/d) expectation; shares are
+    single exact divisions."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"]).materialize()
+    total = ds.count()
+
+    def digit(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("digit", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        s = pc.cast(pa.array(cents), pa.string())
+        d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())
+        return pa.table({"digit": d}).cast(sch)
+
+    agg = ds.map_batches(digit, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Count(alias_name="n"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("digit", pa.int64()), ("n", pa.int64()),
+                         ("share", pa.float64()),
+                         ("benford_expected", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = t["digit"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        exp = np.round(np.log10(1.0 + 1.0 / d.astype(np.float64)), 6)
+        return pa.table({
+            "digit": pa.array(d), "n": pa.array(n),
+            "share": pa.array(n / np.float64(total)),
+            "benford_expected": pa.array(exp)}).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_edge_weight_gini(sf_dir: str):
+    """Concentration of link-graph edge weights (are a few hot edges
+    carrying the graph?): the same exact-int Gini plan as
+    customer_revenue_gini over the canonical (src, dst, weight) table."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import running_agg
+
+    g = _events_graph(sf_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("w", pa.int64()), ("eid", pa.int64()),
+                         ("_k", pa.int64()), ("_one", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = src < dst                       # one row per undirected edge
+        w = t["weight"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        eid = (src[keep] << np.int64(32)) | dst[keep]
+        return pa.table({
+            "w": pa.array(w), "eid": pa.array(eid),
+            "_k": pa.array(np.zeros(len(w), np.int64)),
+            "_one": pa.array(np.ones(len(w), np.int64))}).cast(sch)
+
+    tagged = g.edges.map_batches(tag, batch_format="pyarrow")
+    run = running_agg(tagged, "_k", ["w", "eid"], "_one", keep=["w"])
+
+    def prod(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("w", pa.int64()), ("rnw", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array(w),
+                         "rnw": pa.array(rn * w)}).cast(sch)
+
+    parts = run.map_batches(prod, batch_format="pyarrow").materialize()
+    n = parts.count()
+    sw = int(parts.sum("w"))
+    s1 = int(parts.sum("rnw"))
+    gini = 2.0 * np.float64(s1) / (np.float64(n) * np.float64(sw)) \
+        - np.float64(n + 1) / np.float64(n)
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "total_weight": pa.array([sw], pa.int64()),
+        "gini": pa.array([float(gini)], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6195,6 +6310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thirty-fourth round-2 batch (all SQL-checked)
         "window_distinct_users_hll": _q_window_distinct_users_hll,
         "modularity_by_kind": _q_modularity_by_kind,
+        # thirty-fifth round-2 batch (all SQL-checked)
+        "order_fanout_histogram": _q_order_fanout_histogram,
+        "orders_benford": _q_orders_benford,
+        "edge_weight_gini": _q_edge_weight_gini,
     }
 
 
@@ -6617,6 +6736,20 @@ _MODULARITY_KIND_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                AS modularity
     FROM agg, tot
+"""
+
+_EDGE_GINI_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    und AS (SELECT src, dst, CAST(weight AS BIGINT) AS w
+            FROM e WHERE src < dst),
+    r AS (SELECT w,
+                 ROW_NUMBER() OVER (
+                     ORDER BY w, (src << 32) | dst) AS rn
+          FROM und)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(w) AS BIGINT) AS total_weight,
+           2.0 * SUM(rn * w) / (COUNT(*) * CAST(SUM(w) AS DOUBLE))
+             - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE) AS gini
+    FROM r
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -9325,4 +9458,26 @@ def oracle_sql() -> dict[str, str]:
             FROM est
         """,
         "modularity_by_kind": _MODULARITY_KIND_SQL,
+        "order_fanout_histogram": """
+            WITH s AS (SELECT l_orderkey,
+                              CAST(COUNT(*) AS BIGINT) AS n_lines
+                       FROM lineitem GROUP BY 1)
+            SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM s GROUP BY 1
+        """,
+        "orders_benford": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice*100)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+                   COUNT(*) / CAST(ANY_VALUE(t.total) AS DOUBLE)
+                       AS share,
+                   ROUND(LOG10(1.0 + 1.0 / digit), 6)
+                       AS benford_expected
+            FROM d, t GROUP BY digit
+        """,
+        "edge_weight_gini": _EDGE_GINI_SQL,
     }
