@@ -6066,6 +6066,88 @@ def _q_edge_weight_gini(sf_dir: str):
         "gini": pa.array([float(gini)], pa.float64())})
 
 
+def _q_orders_possible_dupes(sf_dir: str):
+    """Duplicate-record report (entity-resolution smoke): customers
+    placing more than one order within a calendar month — one
+    pre-combined groupby + HAVING. Exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def key(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("m", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        mo = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        return pa.table({
+            "c": pc.cast(t["o_custkey"], pa.int64()),
+            "m": pc.add(pc.multiply(y, 12), mo)}).cast(sch)
+
+    agg = ds.map_batches(key, batch_format="pyarrow") \
+        .groupby(["c", "m"]).aggregate(Count(alias_name="n")) \
+        .filter(expr="n >= 2")
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_custkey", pa.int64()), ("m", pa.int64()),
+                         ("n", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "o_custkey": pc.cast(t["c"], pa.int64()),
+            "m": pc.cast(t["m"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64())}).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_user_activity_density(sf_dir: str):
+    """Calendar completeness per user: distinct active days over lifetime
+    span days (+1, inclusive) — two exact aggregates from one groupby
+    over (user, day) distincts, one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        out = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                        "d": pc.divide(us, 86_400_000_000)})
+        return out.group_by(["user_id", "d"]).aggregate([]).cast(sch)
+
+    du = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby(["user_id", "d"]).aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"])
+    agg = du.groupby("user_id").aggregate(
+        Count(alias_name="active_days"), Min("d", alias_name="lo"),
+        Max("d", alias_name="hi"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()),
+                         ("active_days", pa.int64()),
+                         ("span_days", pa.int64()),
+                         ("density", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        a = t["active_days"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        span = hi - lo + 1
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "active_days": pa.array(a), "span_days": pa.array(span),
+            "density": pa.array(a / span.astype(np.float64))
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6314,6 +6396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fanout_histogram": _q_order_fanout_histogram,
         "orders_benford": _q_orders_benford,
         "edge_weight_gini": _q_edge_weight_gini,
+        # thirty-sixth round-2 batch (all SQL-checked)
+        "orders_possible_dupes": _q_orders_possible_dupes,
+        "user_activity_density": _q_user_activity_density,
     }
 
 
@@ -9480,4 +9565,24 @@ def oracle_sql() -> dict[str, str]:
             FROM d, t GROUP BY digit
         """,
         "edge_weight_gini": _EDGE_GINI_SQL,
+        "orders_possible_dupes": """
+            SELECT o_custkey,
+                   CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                        AS BIGINT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "user_activity_density": """
+            WITH du AS (
+                SELECT DISTINCT user_id,
+                       CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d
+                FROM events)
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS active_days,
+                   CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_days,
+                   COUNT(*) / CAST(MAX(d) - MIN(d) + 1 AS DOUBLE)
+                       AS density
+            FROM du GROUP BY 1
+        """,
     }
