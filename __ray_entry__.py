@@ -6148,6 +6148,111 @@ def _q_user_activity_density(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_purchase_view_asof(sf_dir: str):
+    """Funnel latency: each purchase matched to the user's latest
+    PRECEDING view (backward as-of over two filtered event streams,
+    stages/joins.py asof_join), gap in whole seconds — exact ints,
+    unmatched purchases report null like SQL ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.joins import asof_join
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def split(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            sch = pa.schema([("user_id", pa.int64()),
+                             ("t_us", pa.int64()),
+                             ("event_id", pa.int64())])
+            if len(t) == 0:
+                return sch.empty_table()
+            tt = t.filter(pc.equal(t["event_type"], kind))
+            return pa.table({
+                "user_id": pc.cast(tt["user_id"], pa.int64()),
+                "t_us": pa.array(np.asarray(ts_to_us(tt["ts"]),
+                                            np.int64)),
+                "event_id": pc.cast(tt["event_id"], pa.int64()),
+            }).cast(sch)
+        return fn
+
+    purchases = ds.map_batches(split("purchase"), batch_format="pyarrow")
+
+    def copy_t(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("v_t_us", pa.array([], pa.int64()))
+        return t.append_column("v_t_us", t["t_us"])
+
+    views = ds.map_batches(split("view"), batch_format="pyarrow") \
+        .rename_columns({"event_id": "view_id"}) \
+        .map_batches(copy_t, batch_format="pyarrow")
+    joined = asof_join(purchases, views, "user_id", "t_us",
+                       ["view_id", "v_t_us"],
+                       left_cols=["user_id", "t_us", "event_id"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("purchase_id", pa.int64()),
+                         ("user_id", pa.int64()),
+                         ("view_id", pa.int64()),
+                         ("gap_s", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        gap = pc.divide(pc.subtract(pc.cast(t["t_us"], pa.int64()),
+                                    pc.cast(t["r_v_t_us"], pa.int64())),
+                        1_000_000)
+        return pa.table({
+            "purchase_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "view_id": pc.cast(t["r_view_id"], pa.int64()),
+            "gap_s": gap}).cast(sch)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_hub_edge_share(sf_dir: str):
+    """Hub concentration: the share of total (weighted) degree held by
+    the 10 highest-degree vertices — degrees from one groupby, the top
+    10 via the grouped top-k combiner on a constant key, exact int sums
+    + one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.relational import grouped_topk
+
+    g = _events_graph(sf_dir)
+
+    def wdeg(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("v", pa.int64()), ("w", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"v": pc.cast(t["src"], pa.int64()),
+                        "w": pc.cast(t["weight"], pa.int64())})
+        return out.group_by(["v"]).aggregate([("w", "sum")]) \
+            .rename_columns(["v", "w"]).cast(sch)
+
+    deg = g.edges.map_batches(wdeg, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("w", alias_name="w")).materialize()
+    total = int(deg.sum("w"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                         ("w", pa.int64())])
+        if len(t) == 0 or "w" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"k": pa.array(np.zeros(len(t), np.int64)),
+                         "v": pc.cast(t["v"], pa.int64()),
+                         "w": pc.cast(t["w"], pa.int64())}).cast(sch)
+
+    top = grouped_topk(deg.map_batches(tag, batch_format="pyarrow"),
+                       ["k"], [("w", "descending"), ("v", "ascending")],
+                       10).to_pandas()
+    hub = int(top["w"].sum())
+    return pa.table({
+        "total_degree": pa.array([total], pa.int64()),
+        "hub_degree": pa.array([hub], pa.int64()),
+        "hub_share": pa.array(
+            [float(np.float64(hub) / np.float64(total))], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6399,6 +6504,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thirty-sixth round-2 batch (all SQL-checked)
         "orders_possible_dupes": _q_orders_possible_dupes,
         "user_activity_density": _q_user_activity_density,
+        # thirty-seventh round-2 batch (all SQL-checked)
+        "purchase_view_asof": _q_purchase_view_asof,
+        "hub_edge_share": _q_hub_edge_share,
     }
 
 
@@ -6835,6 +6943,16 @@ _EDGE_GINI_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            2.0 * SUM(rn * w) / (COUNT(*) * CAST(SUM(w) AS DOUBLE))
              - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE) AS gini
     FROM r
+"""
+
+_HUB_SHARE_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, CAST(SUM(weight) AS BIGINT) AS w
+            FROM e GROUP BY 1),
+    top AS (SELECT w FROM deg ORDER BY w DESC, v LIMIT 10)
+    SELECT (SELECT CAST(SUM(w) AS BIGINT) FROM deg) AS total_degree,
+           (SELECT CAST(SUM(w) AS BIGINT) FROM top) AS hub_degree,
+           (SELECT CAST(SUM(w) AS DOUBLE) FROM top)
+               / (SELECT CAST(SUM(w) AS DOUBLE) FROM deg) AS hub_share
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -9585,4 +9703,18 @@ def oracle_sql() -> dict[str, str]:
                        AS density
             FROM du GROUP BY 1
         """,
+        "purchase_view_asof": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id,
+                       epoch_us(ts) AS t
+                FROM events WHERE event_type = 'purchase'),
+            v AS (
+                SELECT event_id AS view_id, user_id, epoch_us(ts) AS t
+                FROM events WHERE event_type = 'view')
+            SELECT p.purchase_id, p.user_id, v.view_id,
+                   CAST((p.t - v.t) // 1000000 AS BIGINT) AS gap_s
+            FROM p ASOF LEFT JOIN v
+              ON v.user_id = p.user_id AND v.t <= p.t
+        """,
+        "hub_edge_share": _HUB_SHARE_SQL,
     }
