@@ -6253,6 +6253,132 @@ def _q_hub_edge_share(sf_dir: str):
             [float(np.float64(hub) / np.float64(total))], pa.float64())})
 
 
+def _q_region_revenue(sf_dir: str):
+    """Full TPC-H dimension chain: revenue rolled up to REGION —
+    the nation_revenue plan plus one more dimension hash join
+    (nation→region). Exact int cents; covers the region table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.util import drop_empty_blocks
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        out = pa.table({"o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                        "cents": pa.array(v)})
+        return out.group_by(["o_orderkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["o_orderkey", "cents"]).cast(sch)
+
+    per_order = line.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("cents", alias_name="cents"))
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .rename_columns({"c_custkey": "o_custkey"})
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"]) \
+        .rename_columns({"n_nationkey": "c_nationkey"})
+    region = _read(sf_dir, "region",
+                   columns=["r_regionkey", "r_name"]) \
+        .rename_columns({"r_regionkey": "n_regionkey"})
+
+    j = drop_empty_blocks(per_order) \
+        .join(orders, join_type="inner", num_partitions=8,
+              on=("o_orderkey",)) \
+        .join(cust, join_type="inner", num_partitions=8,
+              on=("o_custkey",)) \
+        .join(nation, join_type="inner", num_partitions=4,
+              on=("c_nationkey",)) \
+        .join(region, join_type="inner", num_partitions=4,
+              on=("n_regionkey",))
+    agg = j.groupby("r_name").aggregate(Sum("cents",
+                                            alias_name="revenue_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("r_name", pa.string()),
+                         ("revenue_cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "r_name": t["r_name"],
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+        }).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_part_supplier_diversity(sf_dir: str):
+    """Supply-chain diversity: distribution of distinct suppliers per
+    part — distinct (part, supplier) pairs through the sort-based
+    exchange, then two groupbys. Exact ints; covers l_suppkey."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.stages.edges import dedup_weighted
+
+    line = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "src": pc.cast(t["l_partkey"], pa.int64()),
+            "dst": pc.cast(t["l_suppkey"], pa.int64()),
+            "weight": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    distinct = dedup_weighted(line.map_batches(pairs,
+                                               batch_format="pyarrow"))
+    per_part = distinct.groupby("src").aggregate(
+        Count(alias_name="n_suppliers"))
+    hist = per_part.groupby("n_suppliers").aggregate(
+        Count(alias_name="n_parts"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_suppliers", pa.int64()),
+                         ("n_parts", pa.int64())])
+        if len(t) == 0 or "n_suppliers" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "n_parts": pc.cast(t["n_parts"], pa.int64())}).cast(sch)
+
+    return hist.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_nation_supplier_counts(sf_dir: str):
+    """Dimension-chain completeness: suppliers per nation name (supplier
+    ⋈ nation, one groupby) — covers the supplier table."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]) \
+        .rename_columns({"n_nationkey": "s_nationkey"})
+    j = sup.join(nation, join_type="inner", num_partitions=4,
+                 on=("s_nationkey",))
+    agg = j.groupby("n_name").aggregate(Count(alias_name="n_suppliers"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_name", pa.string()),
+                         ("n_suppliers", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64())
+        }).cast(sch)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6507,6 +6633,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # thirty-seventh round-2 batch (all SQL-checked)
         "purchase_view_asof": _q_purchase_view_asof,
         "hub_edge_share": _q_hub_edge_share,
+        # thirty-eighth round-2 batch (all SQL-checked)
+        "region_revenue": _q_region_revenue,
+        "part_supplier_diversity": _q_part_supplier_diversity,
+        "nation_supplier_counts": _q_nation_supplier_counts,
     }
 
 
@@ -9717,4 +9847,33 @@ def oracle_sql() -> dict[str, str]:
               ON v.user_id = p.user_id AND v.t <= p.t
         """,
         "hub_edge_share": _HUB_SHARE_SQL,
+        "region_revenue": """
+            WITH po AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1)
+            SELECT r.r_name,
+                   CAST(SUM(po.cents) AS BIGINT) AS revenue_cents
+            FROM po JOIN orders o ON o.o_orderkey = po.o_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n ON n.n_nationkey = c.c_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1
+        """,
+        "part_supplier_diversity": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem),
+            per AS (SELECT l_partkey,
+                           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                    FROM ps GROUP BY 1)
+            SELECT n_suppliers, CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM per GROUP BY 1
+        """,
+        "nation_supplier_counts": """
+            SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            FROM supplier s JOIN nation n
+              ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1
+        """,
     }
