@@ -6379,6 +6379,78 @@ def _q_nation_supplier_counts(sf_dir: str):
     return agg.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_lineitem_spearman(sf_dir: str):
+    """Spearman rank correlation between quantity and price — Pearson
+    over exact integer ranks: two constant-key carry-chain rank passes
+    (total order via the orderkey/linenumber tiebreak, so ranks are
+    distinct integers on both sides), one join, the one-exchange moment
+    fold; 6 dp."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.stages.stats import grouped_moments
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice"]).materialize()
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("q", pa.int64()), ("cents", pa.int64()),
+                         ("_k", pa.int64()), ("_one", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(t["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "q": pa.array(q), "cents": pa.array(cents),
+            "_k": pa.array(np.zeros(len(t), np.int64)),
+            "_one": pa.array(np.ones(len(t), np.int64))}).cast(sch)
+
+    # chained rank passes — no unique natural key needed: pass 1's row
+    # number becomes pass 2's tiebreak, so the (rank_q, rank_p) pairing
+    # is a deterministic multiset even with duplicate (q, cents) rows
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    r1 = running_agg(prepped, "_k", ["q", "cents"], "_one",
+                     keep=["_k", "q", "cents"]) \
+        .rename_columns({"rn": "rank_q"}).drop_columns(["running_sum"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "rank_q" not in t.column_names:
+            return t
+        return t.append_column("_one",
+                               pa.array(np.ones(len(t), np.int64)))
+
+    r2 = running_agg(r1.map_batches(ones, batch_format="pyarrow"),
+                     "_k", ["cents", "q", "rank_q"], "_one",
+                     keep=["_k", "rank_q"]) \
+        .rename_columns({"rn": "rank_p"})
+
+    def xy(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("x", pa.float64()),
+                         ("y", pa.float64())])
+        if len(t) == 0 or "rank_q" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "k": pa.array(np.zeros(len(t), np.int64)),
+            "x": pc.cast(t["rank_q"], pa.float64()),
+            "y": pc.cast(t["rank_p"], pa.float64())}).cast(sch)
+
+    out = grouped_moments(r2.map_batches(xy, batch_format="pyarrow"),
+                          ["k"], "x", "y")
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n", pa.int64()), ("spearman", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "n": pc.cast(t["n"], pa.int64()),
+            "spearman": pc.round(t["corr"], 6)}).cast(sch)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6637,6 +6709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": _q_region_revenue,
         "part_supplier_diversity": _q_part_supplier_diversity,
         "nation_supplier_counts": _q_nation_supplier_counts,
+        # thirty-ninth round-2 batch (SQL-checked)
+        "lineitem_spearman": _q_lineitem_spearman,
     }
 
 
@@ -9875,5 +9949,24 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s JOIN nation n
               ON n.n_nationkey = s.s_nationkey
             GROUP BY 1
+        """,
+        "lineitem_spearman": """
+            WITH b AS (
+                SELECT CAST(l_quantity AS BIGINT) AS q,
+                       CAST(FLOOR(l_extendedprice*100) AS BIGINT)
+                           AS cents
+                FROM lineitem),
+            r1 AS (
+                SELECT q, cents,
+                       ROW_NUMBER() OVER (ORDER BY q, cents) AS rank_q
+                FROM b),
+            r2 AS (
+                SELECT rank_q,
+                       ROW_NUMBER() OVER (ORDER BY cents, q, rank_q)
+                           AS rank_p
+                FROM r1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CORR(rank_q, rank_p), 6) AS spearman
+            FROM r2
         """,
     }
