@@ -6451,6 +6451,127 @@ def _q_lineitem_spearman(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_degree_log2_histogram(sf_dir: str):
+    """Log-binned degree distribution: bucket = floor(log2(degree))
+    computed EXACTLY from the float exponent (np.frexp; the oracle uses
+    the binary-string length) — no libm log2 boundary hazard at powers
+    of two. Exact ints."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    g = _events_graph(sf_dir)
+
+    def deg(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("v", pa.int64()), ("d", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"v": pc.cast(t["src"], pa.int64()),
+                        "d": pa.array(np.ones(len(t), np.int64))})
+        return out.group_by(["v"]).aggregate([("d", "sum")]) \
+            .rename_columns(["v", "d"]).cast(sch)
+
+    degrees = g.edges.map_batches(deg, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("d", alias_name="d"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("log2_bucket", pa.int64())])
+        if len(t) == 0 or "d" not in t.column_names:
+            return sch.empty_table()
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact: exponent of the float64 representation (d < 2^53)
+        b = np.frexp(d.astype(np.float64))[1] - 1
+        return pa.table({"log2_bucket": pa.array(b.astype(np.int64))
+                         }).cast(sch)
+
+    hist = degrees.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("log2_bucket").aggregate(Count(alias_name="n_vertices"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("log2_bucket", pa.int64()),
+                         ("n_vertices", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "log2_bucket": pc.cast(t["log2_bucket"], pa.int64()),
+            "n_vertices": pc.cast(t["n_vertices"], pa.int64())
+        }).cast(sch)
+
+    return hist.map_batches(clean, batch_format="pyarrow")
+
+
+def _q_value_ks_view_purchase(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between 'view' and
+    'purchase' value distributions: per-distinct-value type counts (one
+    groupby), constant-key running sums in value order, then the max CDF
+    gap — evaluated at distinct-value boundaries so ties are
+    deterministic. Exact ints until the one division per row; 6 dp."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.running import running_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cents", pa.int64()), ("c1", pa.int64()),
+                         ("c2", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        m1 = et == "view"
+        m2 = et == "purchase"
+        keep = m1 | m2
+        return pa.table({
+            "cents": pa.array(cents[keep]),
+            "c1": pa.array(m1[keep].astype(np.int64)),
+            "c2": pa.array(m2[keep].astype(np.int64))}).cast(sch)
+
+    counts = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                    Sum("c2", alias_name="c2")) \
+        .materialize()
+    n1 = int(counts.sum("c1"))
+    n2 = int(counts.sum("c2"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cents", pa.int64()), ("c1", pa.int64()),
+                         ("c2", pa.int64()), ("_k", pa.int64())])
+        if len(t) == 0 or "cents" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "c1": pc.cast(t["c1"], pa.int64()),
+            "c2": pc.cast(t["c2"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow") \
+        .materialize()
+    r1 = running_agg(tagged, "_k", ["cents"], "c1",
+                     keep=["cents"]) \
+        .rename_columns({"running_sum": "cum1"}).drop_columns(["rn"])
+    r2 = running_agg(tagged, "_k", ["cents"], "c2",
+                     keep=["cents"]) \
+        .rename_columns({"running_sum": "cum2"}).drop_columns(["rn"])
+    j = r1.join(r2, join_type="inner", num_partitions=4, on=("cents",))
+
+    def gap(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("g", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        c1 = t["cum1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["cum2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.abs(c1 / np.float64(n1) - c2 / np.float64(n2))
+        return pa.table({"g": pa.array(d)}).cast(sch)
+
+    gaps = j.map_batches(gap, batch_format="pyarrow").materialize()
+    ks = float(np.round(gaps.max("g"), 6))
+    return pa.table({
+        "n_view": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "ks": pa.array([ks], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6711,6 +6832,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_supplier_counts": _q_nation_supplier_counts,
         # thirty-ninth round-2 batch (SQL-checked)
         "lineitem_spearman": _q_lineitem_spearman,
+        # fortieth round-2 batch (all SQL-checked)
+        "degree_log2_histogram": _q_degree_log2_histogram,
+        "value_ks_view_purchase": _q_value_ks_view_purchase,
     }
 
 
@@ -7157,6 +7281,14 @@ _HUB_SHARE_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            (SELECT CAST(SUM(w) AS BIGINT) FROM top) AS hub_degree,
            (SELECT CAST(SUM(w) AS DOUBLE) FROM top)
                / (SELECT CAST(SUM(w) AS DOUBLE) FROM deg) AS hub_share
+"""
+
+_DEG_LOG2_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY 1)
+    SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY 1
 """
 
 _SCC_SQL = "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
@@ -9968,5 +10100,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(CORR(rank_q, rank_p), 6) AS spearman
             FROM r2
+        """,
+        "degree_log2_histogram": _DEG_LOG2_SQL,
+        "value_ks_view_purchase": """
+            WITH b AS (
+                SELECT CAST(FLOOR(value*100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                           AS c1,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END AS c2
+                FROM events
+                WHERE event_type IN ('view', 'purchase')),
+            g AS (SELECT cents, CAST(SUM(c1) AS BIGINT) AS c1,
+                         CAST(SUM(c2) AS BIGINT) AS c2
+                  FROM b GROUP BY 1),
+            t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                         CAST(SUM(c2) AS BIGINT) AS n2 FROM g),
+            cum AS (
+                SELECT SUM(c1) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+                       SUM(c2) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cum2
+                FROM g)
+            SELECT t.n1 AS n_view, t.n2 AS n_purchase,
+                   ROUND(MAX(ABS(cum1 / CAST(t.n1 AS DOUBLE)
+                                 - cum2 / CAST(t.n2 AS DOUBLE))), 6)
+                       AS ks
+            FROM cum, t GROUP BY t.n1, t.n2
         """,
     }
