@@ -6572,6 +6572,127 @@ def _q_value_ks_view_purchase(sf_dir: str):
         "ks": pa.array([ks], pa.float64())})
 
 
+def _q_monthly_top_customer_share(sf_dir: str):
+    """Market concentration by month: the top customer's share of each
+    month's revenue — per (month, customer) cents (one pre-combined
+    groupby), grouped top-1 via the combiner, month totals via a second
+    tiny groupby, one exact division after a hash join."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.stages.relational import grouped_topk
+    from cuttana_ray.util import drop_empty_blocks
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("c", pa.int64()),
+                         ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        y = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        mo = pc.cast(pc.month(t["o_orderdate"]), pa.int64())
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "m": pc.add(pc.multiply(y, 12), mo),
+            "c": pc.cast(t["o_custkey"], pa.int64()),
+            "cents": pa.array(cents)}).cast(sch)
+
+    mc = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["m", "c"]).aggregate(Sum("cents", alias_name="rev")) \
+        .materialize()
+
+    def clean_mc(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("c", pa.int64()),
+                         ("rev", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"m": pc.cast(t["m"], pa.int64()),
+                         "c": pc.cast(t["c"], pa.int64()),
+                         "rev": pc.cast(t["rev"], pa.int64())}).cast(sch)
+
+    mc2 = mc.map_batches(clean_mc, batch_format="pyarrow")
+    top = grouped_topk(mc2, ["m"],
+                       [("rev", "descending"), ("c", "ascending")], 1) \
+        .rename_columns({"c": "top_custkey", "rev": "top_rev"})
+    totals = drop_empty_blocks(
+        mc2.groupby("m").aggregate(Sum("rev", alias_name="month_rev")))
+    j = drop_empty_blocks(top).join(totals, join_type="inner",
+                                    num_partitions=4, on=("m",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("top_custkey", pa.int64()),
+                         ("top_rev", pa.int64()),
+                         ("month_rev", pa.int64()),
+                         ("top_share", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tr = t["top_rev"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        mr = t["month_rev"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "m": pc.cast(t["m"], pa.int64()),
+            "top_custkey": pc.cast(t["top_custkey"], pa.int64()),
+            "top_rev": pa.array(tr), "month_rev": pa.array(mr),
+            "top_share": pa.array(tr / mr.astype(np.float64))
+        }).cast(sch)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_source_dup_rate(sf_dir: str):
+    """Exact-duplicate rate per corpus source: distinct contents per
+    source (64-bit content hash keys the exchange, text never does) over
+    total docs, dup rate = 1 − distinct/total. Exact ints + one
+    division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("h", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["text"].to_pandas()), index=False).to_numpy() \
+            .astype(np.int64)
+        out = pa.table({"source": pc.cast(t["source"], pa.string()),
+                        "h": pa.array(h)})
+        return out.cast(sch)
+
+    hs = ds.map_batches(hashed, batch_format="pyarrow").materialize()
+    totals = hs.groupby("source").aggregate(Count(alias_name="n_docs"))
+    distinct = hs.groupby(["source", "h"]).aggregate(
+        Count(alias_name="_c")).drop_columns(["_c"])
+    dcounts = distinct.groupby("source").aggregate(
+        Count(alias_name="n_distinct"))
+    from cuttana_ray.util import drop_empty_blocks
+    j = drop_empty_blocks(totals).join(drop_empty_blocks(dcounts),
+                                       join_type="inner",
+                                       num_partitions=4, on=("source",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                         ("n_distinct", pa.int64()),
+                         ("dup_rate", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["n_distinct"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "source": t["source"], "n_docs": pa.array(n),
+            "n_distinct": pa.array(d),
+            "dup_rate": pa.array(1.0 - d / n.astype(np.float64))
+        }).cast(sch)
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6835,6 +6956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fortieth round-2 batch (all SQL-checked)
         "degree_log2_histogram": _q_degree_log2_histogram,
         "value_ks_view_purchase": _q_value_ks_view_purchase,
+        # forty-first round-2 batch (all SQL-checked)
+        "monthly_top_customer_share": _q_monthly_top_customer_share,
+        "source_dup_rate": _q_source_dup_rate,
     }
 
 
@@ -10102,6 +10226,31 @@ def oracle_sql() -> dict[str, str]:
             FROM r2
         """,
         "degree_log2_histogram": _DEG_LOG2_SQL,
+        "monthly_top_customer_share": """
+            WITH mc AS (
+                SELECT CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate)
+                            AS BIGINT) AS m,
+                       o_custkey AS c,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1, 2),
+            rk AS (SELECT m, c, rev,
+                          ROW_NUMBER() OVER (PARTITION BY m
+                              ORDER BY rev DESC, c) AS rn,
+                          SUM(rev) OVER (PARTITION BY m) AS month_rev
+                   FROM mc)
+            SELECT m, c AS top_custkey, rev AS top_rev,
+                   CAST(month_rev AS BIGINT) AS month_rev,
+                   rev / CAST(month_rev AS DOUBLE) AS top_share
+            FROM rk WHERE rn = 1
+        """,
+        "source_dup_rate": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+                   1.0 - COUNT(DISTINCT text)
+                       / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+            FROM documents GROUP BY 1
+        """,
         "value_ks_view_purchase": """
             WITH b AS (
                 SELECT CAST(FLOOR(value*100) AS BIGINT) AS cents,
