@@ -6693,6 +6693,53 @@ def _q_source_dup_rate(sf_dir: str):
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_source_term_lift(sf_dir: str):
+    """Domain-vocabulary detection: the 20 terms most over-represented in
+    source 'src0' vs the whole corpus — lift = (tf_s/T_s)/(tf/T) over the
+    pre-combined term exchanges, joined on term (vocabulary never on the
+    driver), min corpus tf 5, ties by term. Lift is exact-int ratios in
+    one float expression; 6 dp."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+    from cuttana_ray.functions.terms import term_counts
+    from cuttana_ray.stages.relational import grouped_topk
+    from cuttana_ray.util import drop_empty_blocks
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    sub = docs.filter(expr="source == 'src0'")
+    tc_all = term_counts(docs).materialize()
+    tc_sub = term_counts(sub).materialize()
+    T = int(tc_all.sum("tf"))
+    Ts = int(tc_sub.sum("tf"))
+    sub_named = drop_empty_blocks(
+        tc_sub.rename_columns({"tf": "tf_s"}))
+    j = drop_empty_blocks(tc_all).join(sub_named, join_type="inner",
+                                       num_partitions=8, on=("term",))
+
+    def lift(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("k", pa.int64()), ("term", pa.string()),
+                         ("tf_s", pa.int64()), ("tf", pa.int64()),
+                         ("lift", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = t["tf_s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = tf >= 5
+        lf = np.round(
+            (tfs[keep] / np.float64(Ts)) / (tf[keep] / np.float64(T)), 6)
+        tt = t.filter(pa.array(keep))
+        return pa.table({
+            "k": pa.array(np.zeros(len(tt), np.int64)),
+            "term": pc.cast(tt["term"], pa.string()),
+            "tf_s": pa.array(tfs[keep]), "tf": pa.array(tf[keep]),
+            "lift": pa.array(lf)}).cast(sch)
+
+    lifted = j.map_batches(lift, batch_format="pyarrow")
+    return grouped_topk(lifted, ["k"],
+                        [("lift", "descending"), ("term", "ascending")],
+                        20).drop_columns(["k"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -6959,6 +7006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # forty-first round-2 batch (all SQL-checked)
         "monthly_top_customer_share": _q_monthly_top_customer_share,
         "source_dup_rate": _q_source_dup_rate,
+        # forty-second round-2 batch (SQL-checked)
+        "source_term_lift": _q_source_term_lift,
     }
 
 
@@ -10250,6 +10299,29 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - COUNT(DISTINCT text)
                        / CAST(COUNT(*) AS DOUBLE) AS dup_rate
             FROM documents GROUP BY 1
+        """,
+        "source_term_lift": """
+            WITH toks AS (
+                SELECT source, unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1),
+            ts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_s
+                   FROM toks WHERE source = 'src0' GROUP BY 1),
+            tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS T FROM tc),
+            tot_s AS (SELECT CAST(SUM(tf_s) AS DOUBLE) AS Ts FROM ts),
+            lifted AS (
+                SELECT tc.term, ts.tf_s, tc.tf,
+                       ROUND((ts.tf_s / tot_s.Ts) / (tc.tf / tot.T), 6)
+                           AS lift
+                FROM tc JOIN ts USING (term), tot, tot_s
+                WHERE tc.tf >= 5),
+            rk AS (SELECT term, tf_s, tf, lift,
+                          ROW_NUMBER() OVER (ORDER BY lift DESC, term)
+                              AS rn
+                   FROM lifted)
+            SELECT term, tf_s, tf, lift FROM rk WHERE rn <= 20
         """,
         "value_ks_view_purchase": """
             WITH b AS (
