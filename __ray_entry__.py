@@ -6740,6 +6740,130 @@ def _q_source_term_lift(sf_dir: str):
                         20).drop_columns(["k"])
 
 
+def _q_churned_users(sf_dir: str):
+    """Churn cohort: users whose LAST event precedes the corpus cutoff
+    (max ts − 25% of the observed span) — per-user max from one groupby
+    against two tiny global aggregates; exact int µs arithmetic."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("t_us", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+        }).cast(sch)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    lo = int(prepped.min("t_us"))
+    hi = int(prepped.max("t_us"))
+    cutoff = hi - (hi - lo) // 4
+    last = prepped.groupby("user_id").aggregate(
+        Max("t_us", alias_name="last_t"))
+
+    def flag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("last_t", pa.int64()),
+                         ("churned", pa.int64())])
+        if len(t) == 0 or "last_t" not in t.column_names:
+            return sch.empty_table()
+        lt = t["last_t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "last_t": pa.array(lt),
+            "churned": pa.array((lt < cutoff).astype(np.int64))
+        }).cast(sch)
+
+    return last.map_batches(flag, batch_format="pyarrow")
+
+
+def _q_order_total_audit(sf_dir: str):
+    """Fact-reconciliation audit: does each order's totalprice match the
+    sum of its lineitem extendedprices? Per-order lineitem cents
+    pre-collapse before the one hash join; exact integer diffs. Output:
+    order counts, mismatch count, total absolute drift."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()),
+                         ("line_cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        out = pa.table({"o_orderkey": pc.cast(t["l_orderkey"],
+                                              pa.int64()),
+                        "line_cents": pa.array(v)})
+        return out.group_by(["o_orderkey"]) \
+            .aggregate([("line_cents", "sum")]) \
+            .rename_columns(["o_orderkey", "line_cents"]).cast(sch)
+
+    per_order = line.map_batches(cents, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(
+            Sum("line_cents", alias_name="line_cents"))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+
+    def ocents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("o_orderkey", pa.int64()),
+                         ("total_cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "total_cents": pa.array(v)}).cast(sch)
+
+    from cuttana_ray.util import drop_empty_blocks
+    j = drop_empty_blocks(
+        orders.map_batches(ocents, batch_format="pyarrow")) \
+        .join(drop_empty_blocks(per_order), join_type="left_outer",
+              num_partitions=8, on=("o_orderkey",))
+
+    def fold(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("one", pa.int64()), ("mismatch", pa.int64()),
+                         ("absdiff", pa.int64()),
+                         ("no_lines", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        tot = t["total_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lc_col = t["line_cents"]
+        missing = np.asarray(pc.is_null(
+            lc_col.combine_chunks() if isinstance(lc_col,
+                                                  pa.ChunkedArray)
+            else lc_col))
+        lc = np.where(missing, 0,
+                      np.nan_to_num(lc_col.to_numpy(
+                          zero_copy_only=False).astype(np.float64))) \
+            .astype(np.int64)
+        diff = np.where(missing, 0, np.abs(tot - lc))
+        return pa.table({
+            "one": pa.array(np.ones(len(t), np.int64)),
+            "mismatch": pa.array(
+                ((diff != 0) & ~missing).astype(np.int64)),
+            "absdiff": pa.array(diff),
+            "no_lines": pa.array(missing.astype(np.int64))
+        }).cast(sch)
+
+    parts = j.map_batches(fold, batch_format="pyarrow").materialize()
+    return pa.table({
+        "n_orders": pa.array([parts.sum("one")], pa.int64()),
+        "n_mismatched": pa.array([parts.sum("mismatch")], pa.int64()),
+        "n_without_lines": pa.array([parts.sum("no_lines")], pa.int64()),
+        "total_abs_drift_cents": pa.array([parts.sum("absdiff")],
+                                          pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -7008,6 +7132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dup_rate": _q_source_dup_rate,
         # forty-second round-2 batch (SQL-checked)
         "source_term_lift": _q_source_term_lift,
+        # forty-third round-2 batch (all SQL-checked)
+        "churned_users": _q_churned_users,
+        "order_total_audit": _q_order_total_audit,
     }
 
 
@@ -10322,6 +10449,42 @@ def oracle_sql() -> dict[str, str]:
                               AS rn
                    FROM lifted)
             SELECT term, tf_s, tf, lift FROM rk WHERE rn <= 20
+        """,
+        "churned_users": """
+            WITH b AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            g AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM b),
+            last AS (SELECT user_id, CAST(MAX(t) AS BIGINT) AS last_t
+                     FROM b GROUP BY 1)
+            SELECT user_id, last_t,
+                   CAST(CASE WHEN last_t <
+                             g.hi - (g.hi - g.lo) // 4
+                        THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM last, g
+        """,
+        "order_total_audit": """
+            WITH po AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                            AS BIGINT) AS line_cents
+                FROM lineitem GROUP BY 1),
+            j AS (
+                SELECT CAST(FLOOR(o.o_totalprice*100) AS BIGINT)
+                           AS total_cents,
+                       po.line_cents
+                FROM orders o LEFT JOIN po
+                  ON po.o_orderkey = o.o_orderkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                             AND total_cents != line_cents
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_mismatched,
+                   CAST(SUM(CASE WHEN line_cents IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_without_lines,
+                   CAST(SUM(CASE WHEN line_cents IS NULL THEN 0
+                            ELSE ABS(total_cents - line_cents) END)
+                        AS BIGINT) AS total_abs_drift_cents
+            FROM j
         """,
         "value_ks_view_purchase": """
             WITH b AS (
