@@ -6864,6 +6864,40 @@ def _q_order_total_audit(sf_dir: str):
                                           pa.int64())})
 
 
+def _q_chunk_dup_rate(sf_dir: str):
+    """Chunk-level dedup pressure — the number LLM-pretraining pipelines
+    actually budget by: after context-window chunking, the share of
+    chunk texts that are exact duplicates. Chunk hashes key the distinct
+    exchange (chunk text never does); exact ints + one division."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from cuttana_ray.functions.chunking import chunk_documents
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(docs).materialize()
+    total = chunks.count()
+
+    def hashed(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("h", pa.int64())])
+        if len(t) == 0 or "chunk_text" not in t.column_names:
+            return sch.empty_table()
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(t["chunk_text"].to_pandas()),
+            index=False).to_numpy().astype(np.int64)
+        return pa.table({"h": pa.array(h)}).cast(sch)
+
+    distinct = chunks.map_batches(hashed, batch_format="pyarrow") \
+        .groupby("h").aggregate(Count(alias_name="_c")) \
+        .drop_columns(["_c"]).count()
+    return pa.table({
+        "n_chunks": pa.array([total], pa.int64()),
+        "n_distinct": pa.array([distinct], pa.int64()),
+        "dup_rate": pa.array(
+            [1.0 - np.float64(distinct) / np.float64(total)],
+            pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -7135,6 +7169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # forty-third round-2 batch (all SQL-checked)
         "churned_users": _q_churned_users,
         "order_total_audit": _q_order_total_audit,
+        # forty-fourth round-2 batch (SQL-checked)
+        "chunk_dup_rate": _q_chunk_dup_rate,
     }
 
 
@@ -10449,6 +10485,36 @@ def oracle_sql() -> dict[str, str]:
                               AS rn
                    FROM lifted)
             SELECT term, tf_s, tf, lift FROM rk WHERE rn <= 20
+        """,
+        "chunk_dup_rate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '') AS tok
+                FROM documents),
+            c AS (
+                SELECT doc_id, tok, len(tok) AS n,
+                       CASE WHEN len(tok) = 0 THEN 0
+                            WHEN len(tok) <= 64 THEN 1
+                            ELSE 1 + (len(tok) - 64 + 47) // 48 END
+                           AS n_chunks
+                FROM toks),
+            g AS (
+                SELECT doc_id, tok, n,
+                       UNNEST(range(0, n_chunks)) AS chunk_idx
+                FROM c),
+            ch AS (
+                SELECT array_to_string(
+                       tok[chunk_idx * 48 + 1 :
+                           LEAST(chunk_idx * 48 + 64, n)], ' ')
+                       AS chunk_text
+                FROM g)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(DISTINCT chunk_text) AS BIGINT)
+                       AS n_distinct,
+                   1.0 - COUNT(DISTINCT chunk_text)
+                       / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+            FROM ch
         """,
         "churned_users": """
             WITH b AS (SELECT user_id, epoch_us(ts) AS t FROM events),
