@@ -20,6 +20,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from cuttana_ray.util import safe_join
+
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
@@ -476,7 +478,7 @@ def _q_orders_customer_join(sf_dir: str):
         ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer").select_columns(
         ["c_custkey", "c_nationkey"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = safe_join(orders, cust, join_type="inner", num_partitions=8,
                          on=("o_custkey",), right_on=("c_custkey",))
     agg = joined.groupby("c_nationkey").aggregate(
         Count(alias_name="n_orders"),
@@ -498,7 +500,7 @@ def _q_customer_order_counts_left(sf_dir: str):
     cust = _read(sf_dir, "customer").select_columns(["c_custkey"])
     orders = _read(sf_dir, "orders").select_columns(
         ["o_custkey", "o_orderkey"])
-    joined = cust.join(orders, join_type="left_outer", num_partitions=8,
+    joined = safe_join(cust, orders, join_type="left_outer", num_partitions=8,
                        on=("c_custkey",), right_on=("o_custkey",))
 
     def indicator(t: pa.Table) -> pa.Table:
@@ -627,7 +629,7 @@ def _q_user_customer_full_join(sf_dir: str):
             lambda t: t.append_column(
                 "cust_flag", pa.array(np.ones(len(t), np.int64))),
             batch_format="pyarrow")
-    j = users.join(cust, join_type="full_outer", num_partitions=8,
+    j = safe_join(users, cust, join_type="full_outer", num_partitions=8,
                    on=("user_id",), right_on=("c_custkey",))
 
     def emit(t: pa.Table) -> pa.Table:
@@ -2760,7 +2762,7 @@ def _q_part_cooccurrence(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
         .rename_columns({"l_orderkey": "o_orderkey"})
-    cp = orders.join(line, join_type="inner", num_partitions=8,
+    cp = safe_join(orders, line, join_type="inner", num_partitions=8,
                      on=("o_orderkey",))
     return cooccurrence_cosine(cp, "o_custkey", "l_partkey", min_support=2)
 
@@ -2889,7 +2891,7 @@ def _q_doc_unigram_logprob(sf_dir: str):
     dt = doc_term_counts(ds).materialize()
     g = dt.groupby("term").aggregate(Sum("tf", alias_name="tfg"))
     total = float(g.sum("tfg"))
-    joined = dt.join(g, join_type="inner", num_partitions=8, on=("term",))
+    joined = safe_join(dt, g, join_type="inner", num_partitions=8, on=("term",))
 
     def contrib(t: pa.Table) -> pa.Table:
         sch = pa.schema([("doc_id", pa.int64()), ("tf", pa.int64()),
@@ -2988,7 +2990,7 @@ def _q_session_type_pairs(sf_dir: str):
 
     sess = _q_event_session_ids(sf_dir)     # (user_id, event_id, session_id)
     types = _read(sf_dir, "events", columns=["event_id", "event_type"])
-    joined = sess.join(types, join_type="inner", num_partitions=8,
+    joined = safe_join(sess, types, join_type="inner", num_partitions=8,
                        on=("event_id",))
     vocab = sorted(_read(sf_dir, "events", columns=["event_type"])
                    .unique("event_type"))   # tiny dimension (few types)
@@ -3133,7 +3135,7 @@ def _q_user_running_distinct_types(sf_dir: str):
 
     flags = drop_empty_blocks(
         firsts.map_batches(flag, batch_format="pyarrow"))
-    joined = prepped.join(flags, join_type="left_outer", num_partitions=8,
+    joined = safe_join(prepped, flags, join_type="left_outer", num_partitions=8,
                           on=("event_id",))
 
     def fill(t: pa.Table) -> pa.Table:
@@ -3298,7 +3300,7 @@ def _q_monthly_repeat_rate(sf_dir: str):
                          }).cast(sch)
 
     prev = cm.map_batches(shift, batch_format="pyarrow")
-    joined = cm.join(prev, join_type="left_outer", num_partitions=8,
+    joined = safe_join(cm, prev, join_type="left_outer", num_partitions=8,
                      on=("c", "m"))
 
     def fold(t: pa.Table) -> pa.Table:
@@ -3348,7 +3350,7 @@ def _q_avg_neighbor_degree(sf_dir: str):
     deg = drop_empty_blocks(
         edges.groupby("src").aggregate(Count(alias_name="d"))
         .rename_columns({"src": "dst"}))
-    joined = edges.join(deg, join_type="inner", num_partitions=8,
+    joined = safe_join(edges, deg, join_type="inner", num_partitions=8,
                         on=("dst",))
     agg = joined.groupby("src").aggregate(Sum("d", alias_name="s_d"),
                                           Count(alias_name="degree"))
@@ -3398,7 +3400,7 @@ def _q_graph_reciprocity(sf_dir: str):
                                   ("dst", pa.int64()),
                                   ("_r", pa.int64())]).empty_table(),
         batch_format="pyarrow")
-    matched = dedges.join(drop_empty_blocks(swapped), join_type="inner",
+    matched = safe_join(dedges, drop_empty_blocks(swapped), join_type="inner",
                           num_partitions=8, on=("src", "dst"))
     n_recip = matched.count()
     return pa.table({
@@ -3544,7 +3546,7 @@ def _q_also_bought_top3(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
         .rename_columns({"l_orderkey": "o_orderkey"})
-    cp = orders.join(line, join_type="inner", num_partitions=8,
+    cp = safe_join(orders, line, join_type="inner", num_partitions=8,
                      on=("o_orderkey",))
     pairs = within_group_pairs(cp, "o_custkey", "l_partkey") \
         .filter(expr="co >= 2")
@@ -3576,7 +3578,7 @@ def _q_session_pair_jaccard(sf_dir: str):
 
     sess = _q_event_session_ids(sf_dir)
     types = _read(sf_dir, "events", columns=["event_id", "event_type"])
-    joined = sess.join(types, join_type="inner", num_partitions=8,
+    joined = safe_join(sess, types, join_type="inner", num_partitions=8,
                        on=("event_id",))
     vocab = sorted(_read(sf_dir, "events", columns=["event_type"])
                    .unique("event_type"))
@@ -3599,8 +3601,7 @@ def _q_session_pair_jaccard(sf_dir: str):
     counts = drop_empty_blocks(counts)
     c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
     c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})
-    j = pairs.join(c1, join_type="inner", num_partitions=4, on=("p1",)) \
-        .join(c2, join_type="inner", num_partitions=4, on=("p2",))
+    j = safe_join(safe_join(pairs, c1, join_type="inner", num_partitions=4, on=("p1",)), c2, join_type="inner", num_partitions=4, on=("p2",))
 
     def finish(t: pa.Table) -> pa.Table:
         sch = pa.schema([("t1", pa.string()), ("t2", pa.string()),
@@ -3634,7 +3635,7 @@ def _q_two_hop_counts(sf_dir: str):
 
     g = _events_graph(sf_dir)
     edges = g.edges.select_columns(["src", "dst"]).materialize()
-    hop2 = edges.join(edges.rename_columns({"src": "dst", "dst": "d2"}),
+    hop2 = safe_join(edges, edges.rename_columns({"src": "dst", "dst": "d2"}),
                       join_type="inner", num_partitions=8, on=("dst",))
 
     def pairs2(t: pa.Table) -> pa.Table:
@@ -3911,7 +3912,7 @@ def _q_returnflag_trimmed_mean(sf_dir: str):
     sizes = drop_empty_blocks(
         ds.groupby("l_returnflag").aggregate(Count(alias_name="_n"))
         .rename_columns({"l_returnflag": "flag"}))
-    joined = run.join(sizes, join_type="inner", num_partitions=4,
+    joined = safe_join(run, sizes, join_type="inner", num_partitions=4,
                       on=("flag",))
 
     def trim(t: pa.Table) -> pa.Table:
@@ -4204,7 +4205,7 @@ def _q_weekly_active_users(sf_dir: str):
     active_days = drop_empty_blocks(
         du.groupby("d").aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"]))
-    out = drop_empty_blocks(wau).join(active_days, join_type="inner",
+    out = safe_join(drop_empty_blocks(wau), active_days, join_type="inner",
                                       num_partitions=4, on=("d",))
 
     def clean(t: pa.Table) -> pa.Table:
@@ -4353,12 +4354,9 @@ def _q_nation_revenue(sf_dir: str):
         .rename_columns({"n_nationkey": "c_nationkey"})
 
     from cuttana_ray.util import drop_empty_blocks
-    j = drop_empty_blocks(per_order) \
-        .join(orders, join_type="inner", num_partitions=8,
-              on=("o_orderkey",)) \
-        .join(cust, join_type="inner", num_partitions=8,
-              on=("o_custkey",)) \
-        .join(nation, join_type="inner", num_partitions=4,
+    j = safe_join(safe_join(safe_join(drop_empty_blocks(per_order), orders, join_type="inner", num_partitions=8,
+              on=("o_orderkey",)), cust, join_type="inner", num_partitions=8,
+              on=("o_custkey",)), nation, join_type="inner", num_partitions=4,
               on=("c_nationkey",))
 
     agg = j.groupby("n_name").aggregate(Sum("cents",
@@ -5080,7 +5078,7 @@ def _q_events_centered_ma(sf_dir: str):
                       frame=3, keep=["event_id"]) \
         .rename_columns({"window_sum": "_ls", "window_n": "_ln"}) \
         .select_columns(["event_id", "_ls", "_ln"])
-    joined = trail.join(lead, join_type="inner", num_partitions=8,
+    joined = safe_join(trail, lead, join_type="inner", num_partitions=8,
                         on=("event_id",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -5462,7 +5460,7 @@ def _q_order_ship_lag_stats(sf_dir: str):
                    columns=["o_orderkey", "o_orderdate",
                             "o_orderpriority"]) \
         .rename_columns({"o_orderkey": "l_orderkey"})
-    joined = line.join(orders, join_type="inner", num_partitions=8,
+    joined = safe_join(line, orders, join_type="inner", num_partitions=8,
                        on=("l_orderkey",))
 
     def lag(t: pa.Table) -> pa.Table:
@@ -5593,10 +5591,7 @@ def _q_customer_rfm_segments(sf_dir: str):
     r = score(rfm, "recency", "r_score")
     f = score(rfm, "freq", "f_score")
     m = score(rfm, "monetary", "m_score")
-    joined = rfm.select_columns(["c", "recency", "freq", "monetary"]) \
-        .join(r, join_type="inner", num_partitions=8, on=("c",)) \
-        .join(f, join_type="inner", num_partitions=8, on=("c",)) \
-        .join(m, join_type="inner", num_partitions=8, on=("c",))
+    joined = safe_join(safe_join(safe_join(rfm.select_columns(["c", "recency", "freq", "monetary"]), r, join_type="inner", num_partitions=8, on=("c",)), f, join_type="inner", num_partitions=8, on=("c",)), m, join_type="inner", num_partitions=8, on=("c",))
 
     def finish(t: pa.Table) -> pa.Table:
         sch = pa.schema([("o_custkey", pa.int64()),
@@ -5841,7 +5836,7 @@ def _q_brand_price_stats(sf_dir: str):
                           ["p_brand"], "x", "y")
     sums = prepped.groupby("p_brand").aggregate(
         Sum("cents", alias_name="sc"), Count(alias_name="nc"))
-    joined = out.join(sums, join_type="inner", num_partitions=4,
+    joined = safe_join(out, sums, join_type="inner", num_partitions=4,
                       on=("p_brand",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -6288,14 +6283,10 @@ def _q_region_revenue(sf_dir: str):
                    columns=["r_regionkey", "r_name"]) \
         .rename_columns({"r_regionkey": "n_regionkey"})
 
-    j = drop_empty_blocks(per_order) \
-        .join(orders, join_type="inner", num_partitions=8,
-              on=("o_orderkey",)) \
-        .join(cust, join_type="inner", num_partitions=8,
-              on=("o_custkey",)) \
-        .join(nation, join_type="inner", num_partitions=4,
-              on=("c_nationkey",)) \
-        .join(region, join_type="inner", num_partitions=4,
+    j = safe_join(safe_join(safe_join(safe_join(drop_empty_blocks(per_order), orders, join_type="inner", num_partitions=8,
+              on=("o_orderkey",)), cust, join_type="inner", num_partitions=8,
+              on=("o_custkey",)), nation, join_type="inner", num_partitions=4,
+              on=("c_nationkey",)), region, join_type="inner", num_partitions=4,
               on=("n_regionkey",))
     agg = j.groupby("r_name").aggregate(Sum("cents",
                                             alias_name="revenue_cents"))
@@ -6362,7 +6353,7 @@ def _q_nation_supplier_counts(sf_dir: str):
     nation = _read(sf_dir, "nation",
                    columns=["n_nationkey", "n_name"]) \
         .rename_columns({"n_nationkey": "s_nationkey"})
-    j = sup.join(nation, join_type="inner", num_partitions=4,
+    j = safe_join(sup, nation, join_type="inner", num_partitions=4,
                  on=("s_nationkey",))
     agg = j.groupby("n_name").aggregate(Count(alias_name="n_suppliers"))
 
@@ -6553,7 +6544,7 @@ def _q_value_ks_view_purchase(sf_dir: str):
     r2 = running_agg(tagged, "_k", ["cents"], "c2",
                      keep=["cents"]) \
         .rename_columns({"running_sum": "cum2"}).drop_columns(["rn"])
-    j = r1.join(r2, join_type="inner", num_partitions=4, on=("cents",))
+    j = safe_join(r1, r2, join_type="inner", num_partitions=4, on=("cents",))
 
     def gap(t: pa.Table) -> pa.Table:
         sch = pa.schema([("g", pa.float64())])
@@ -6618,7 +6609,7 @@ def _q_monthly_top_customer_share(sf_dir: str):
         .rename_columns({"c": "top_custkey", "rev": "top_rev"})
     totals = drop_empty_blocks(
         mc2.groupby("m").aggregate(Sum("rev", alias_name="month_rev")))
-    j = drop_empty_blocks(top).join(totals, join_type="inner",
+    j = safe_join(drop_empty_blocks(top), totals, join_type="inner",
                                     num_partitions=4, on=("m",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -6671,7 +6662,7 @@ def _q_source_dup_rate(sf_dir: str):
     dcounts = distinct.groupby("source").aggregate(
         Count(alias_name="n_distinct"))
     from cuttana_ray.util import drop_empty_blocks
-    j = drop_empty_blocks(totals).join(drop_empty_blocks(dcounts),
+    j = safe_join(drop_empty_blocks(totals), drop_empty_blocks(dcounts),
                                        join_type="inner",
                                        num_partitions=4, on=("source",))
 
@@ -6713,7 +6704,7 @@ def _q_source_term_lift(sf_dir: str):
     Ts = int(tc_sub.sum("tf"))
     sub_named = drop_empty_blocks(
         tc_sub.rename_columns({"tf": "tf_s"}))
-    j = drop_empty_blocks(tc_all).join(sub_named, join_type="inner",
+    j = safe_join(drop_empty_blocks(tc_all), sub_named, join_type="inner",
                                        num_partitions=8, on=("term",))
 
     def lift(t: pa.Table) -> pa.Table:
@@ -6824,9 +6815,8 @@ def _q_order_total_audit(sf_dir: str):
             "total_cents": pa.array(v)}).cast(sch)
 
     from cuttana_ray.util import drop_empty_blocks
-    j = drop_empty_blocks(
-        orders.map_batches(ocents, batch_format="pyarrow")) \
-        .join(drop_empty_blocks(per_order), join_type="left_outer",
+    j = safe_join(drop_empty_blocks(
+        orders.map_batches(ocents, batch_format="pyarrow")), drop_empty_blocks(per_order), join_type="left_outer",
               num_partitions=8, on=("o_orderkey",))
 
     def fold(t: pa.Table) -> pa.Table:

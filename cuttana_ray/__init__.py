@@ -20,17 +20,16 @@ one-pass; ``/root/reference/src/cuttana.rs:30-56``).
 """
 
 from cuttana_ray.config import CuttanaConfig
-from cuttana_ray.util import harden_joins as _harden_joins
-
-# workaround for Ray's schema-less-empty-block join crash — see
-# util.drop_empty_blocks / util.harden_joins
-_harden_joins()
 
 # import polars EAGERLY (under the import lock) so its lazy attribute
 # registration can never race concurrently-starting Ray worker threads
 # (observed: "module 'polars._reexport' has no attribute 'Series'" in a
-# fused MapBatches chain at 32 cpus)
-import polars as _polars  # noqa: E402,F401
+# fused MapBatches chain at 32 cpus); optional — only the siphash-based
+# kernels need it, and they raise their own ImportError if reached
+try:
+    import polars as _polars  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __version__ = "0.1.0"
 __all__ = ["CuttanaConfig"]

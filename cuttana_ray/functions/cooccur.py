@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from cuttana_ray.util import safe_join
+
 
 
 def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
@@ -45,8 +47,7 @@ def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
 
     c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
     c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})
-    joined = co.join(c1, join_type="inner", num_partitions=8, on=("p1",)) \
-        .join(c2, join_type="inner", num_partitions=8, on=("p2",))
+    joined = safe_join(safe_join(co, c1, join_type="inner", num_partitions=8, on=("p1",)), c2, join_type="inner", num_partitions=8, on=("p2",))
 
     def finish(t: pa.Table) -> pa.Table:
         schema = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),

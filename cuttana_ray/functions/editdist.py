@@ -31,6 +31,8 @@ import ray.data
 
 from cuttana_ray.stages.keyblocks import within_group_pairs
 
+from cuttana_ray.util import safe_join
+
 
 def _lev(a: np.ndarray, b: np.ndarray) -> int:
     """Exact Levenshtein distance between two int32 codepoint arrays;
@@ -63,14 +65,25 @@ class _PairDistance:
     """Actor-pool stage: Levenshtein over (t1, t2) columns of a pair
     batch (setup-free today, but model-shaped for a learned verifier)."""
 
-    def __init__(self, max_dist: int):
+    def __init__(self, max_dist: int, prefix_len: int = 0):
         self.max_dist = max_dist
+        self.prefix_len = prefix_len
 
     def __call__(self, t: pa.Table) -> pa.Table:
         schema = pa.schema([("d1", pa.int64()), ("d2", pa.int64()),
                             ("dist", pa.int64())])
         if len(t) == 0:
             return schema.empty_table()
+        if self.prefix_len:
+            # candidate buckets are keyed by a 62-bit prefix hash; re-check
+            # the actual prefixes so a hash collision can only cost compute,
+            # never add a wrong pair (hash-exact semantics)
+            same = pc.equal(
+                pc.utf8_slice_codeunits(t["_t1"], 0, self.prefix_len),
+                pc.utf8_slice_codeunits(t["_t2"], 0, self.prefix_len))
+            t = t.filter(same)
+            if len(t) == 0:
+                return schema.empty_table()
         t1 = t["_t1"].to_pylist()
         t2 = t["_t2"].to_pylist()
         dist = np.fromiter(
@@ -95,8 +108,12 @@ def edit_distance_pairs(ds: "ray.data.Dataset", id_col: str, text_col: str,
         if len(t) == 0 or id_col not in t.column_names:
             return sch.empty_table()
         import pandas as pd
-        capped = pc.utf8_slice_codeunits(t[text_col], 0, text_cap)
-        pfx = pc.utf8_slice_codeunits(t[text_col], 0, prefix_len)
+        # null text → empty string (ngram_jaccard_pairs.keyed does the
+        # same); otherwise null prefixes hash into one shared bucket and
+        # _PairDistance._codes(None) raises
+        text = pc.fill_null(t[text_col], "")
+        capped = pc.utf8_slice_codeunits(text, 0, text_cap)
+        pfx = pc.utf8_slice_codeunits(text, 0, prefix_len)
         # pandas' siphash: stable across processes, no lazy-import race
         h = pd.util.hash_pandas_object(
             pd.Series(pfx.to_pandas()), index=False).to_numpy() \
@@ -112,11 +129,12 @@ def edit_distance_pairs(ds: "ray.data.Dataset", id_col: str, text_col: str,
         .rename_columns({"i": "p1", "_t": "_t1"})
     texts2 = projected.select_columns(["i", "_t"]) \
         .rename_columns({"i": "p2", "_t": "_t2"})
-    joined = pairs.join(texts1, join_type="inner", num_partitions=8,
-                        on=("p1",)) \
-        .join(texts2, join_type="inner", num_partitions=8, on=("p2",)) \
+    joined = safe_join(safe_join(pairs, texts1, join_type="inner", num_partitions=8,
+                        on=("p1",)), texts2, join_type="inner", num_partitions=8, on=("p2",)) \
         .rename_columns({"p1": "d1", "p2": "d2"})
     return joined.map_batches(_PairDistance,
-                              fn_constructor_kwargs={"max_dist": max_dist},
+                              fn_constructor_kwargs={
+                                  "max_dist": max_dist,
+                                  "prefix_len": min(prefix_len, text_cap)},
                               batch_format="pyarrow",
                               concurrency=pool_size(4))

@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from cuttana_ray.util import safe_join
+
 _BUCKETS = 4096
 _COLLECT_CAP = 1 << 20  # max values pulled for the final exact selection
 
@@ -237,8 +239,7 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
         grouped_float_quantiles(ds.select_columns([key, col]), key, col,
                                 [0.5]).drop_columns(["q"])
         .rename_columns({"value": "_med"}))
-    joined = ds.select_columns([key, col]) \
-        .join(med, join_type="inner", num_partitions=8, on=(key,))
+    joined = safe_join(ds.select_columns([key, col]), med, join_type="inner", num_partitions=8, on=(key,))
 
     def dev(t: pa.Table) -> pa.Table:
         sch = pa.schema([(key, t.schema.field(key).type if len(t)
@@ -257,7 +258,7 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
     mad = drop_empty_blocks(
         grouped_float_quantiles(devs, key, "_dev", [0.5])
         .drop_columns(["q"]).rename_columns({"value": "_mad"}))
-    out = drop_empty_blocks(meds).join(mad, join_type="inner",
+    out = safe_join(drop_empty_blocks(meds), mad, join_type="inner",
                                        num_partitions=8, on=(key,))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -311,12 +312,42 @@ def grouped_weighted_median(ds: "ray.data.Dataset", key: str, value: str,
     from cuttana_ray.util import drop_empty_blocks
 
     keyed = ds.map_batches(add_k, batch_format="pyarrow")
+
+    # collision guard: the carry chain breaks runs on the 62-bit ``_k``
+    # hash, so correctness needs _k injective over the observed keys. The
+    # check is one pre-combined exchange over unique (key, _k) pairs
+    # (O(#keys), not O(rows)); on the ~2^-62-per-pair event it raises
+    # rather than silently interleaving two keys' cumulative weights.
+    _sch = ds.schema()
+    if not pa.types.is_integer(_sch.types[_sch.names.index(key)]):
+        from ray.data.aggregate import Count
+
+        def upairs(t: pa.Table) -> pa.Table:
+            sch = pa.schema([(key, pa.string()), ("_k", pa.int64())])
+            if len(t) == 0 or key not in t.column_names:
+                return sch.empty_table()
+            return pa.table({key: pc.cast(t[key], pa.string()),
+                             "_k": t["_k"]}).group_by([key, "_k"]) \
+                .aggregate([]).cast(sch)
+
+        upair = keyed.map_batches(upairs, batch_format="pyarrow") \
+            .groupby([key, "_k"]).aggregate(Count(alias_name="_c"))
+        upair = upair.materialize()
+        n_pairs = upair.count()
+        n_hashes = drop_empty_blocks(upair).groupby("_k") \
+            .aggregate(Count(alias_name="_n")).count()
+        if n_pairs != n_hashes:
+            raise ValueError(
+                "grouped_weighted_median: 62-bit key-hash collision "
+                f"detected ({n_pairs} keys → {n_hashes} hashes); "
+                "use an integer key column")
+
     run = drop_empty_blocks(
         running_agg(keyed, "_k", [value, *tiebreak], weight,
                     keep=[key, value]))
     totals = drop_empty_blocks(
         ds.groupby(key).aggregate(Sum(weight, alias_name="_tot")))
-    joined = run.join(totals, join_type="inner", num_partitions=8,
+    joined = safe_join(run, totals, join_type="inner", num_partitions=8,
                       on=(key,))
 
     def crossing(t: pa.Table) -> pa.Table:

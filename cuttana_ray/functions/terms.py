@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from cuttana_ray.util import safe_join
+
 _DEFAULT_PATTERN = "[a-z]+"
 
 
@@ -186,7 +188,7 @@ def doc_tfidf_topk(ds: "ray.data.Dataset", k: int = 3, *,
     from cuttana_ray.util import drop_empty_blocks
     doc_tf = drop_empty_blocks(doc_tf)
     df_tab = drop_empty_blocks(df_tab)
-    joined = doc_tf.join(df_tab, join_type="inner", num_partitions=16,
+    joined = safe_join(doc_tf, df_tab, join_type="inner", num_partitions=16,
                          on=("term",), right_suffix="_r")
 
     def score(t: pa.Table) -> pa.Table:

@@ -33,7 +33,7 @@ import ray
 import ray.data
 
 from cuttana_ray.pipelines.graph import Graph
-from cuttana_ray.util import pool_size
+from cuttana_ray.util import pool_size, safe_join
 
 # 32M oriented edges ≈ 512 MB of (indptr, indices) — comfortable as one
 # broadcast object; beyond this the join path avoids any driver/global copy
@@ -155,13 +155,13 @@ def _triangles_join(o: "ray.data.Dataset", V: int,
     npart = max(1, min(pool_size()[1], n_edges // 65536 + 1))
     # wedges u→v→w: (u,v) ⋈_{v} (v,w); materialized because a zero-row join
     # result yields schemaless empty blocks the next join can't key on
-    wedges = o.join(o.rename_columns({"u": "v2", "v": "w"}),
+    wedges = safe_join(o, o.rename_columns({"u": "v2", "v": "w"}),
                     join_type="inner", num_partitions=npart,
                     on=("v",), right_on=("v2",)).materialize()
     if wedges.count() == 0:
         return per_vertex
     # close the triangle: wedge (u,v,w) survives iff u→w is an edge
-    tri = wedges.join(o.rename_columns({"u": "cu", "v": "cv"}),
+    tri = safe_join(wedges, o.rename_columns({"u": "cu", "v": "cv"}),
                       join_type="inner", num_partitions=npart,
                       on=("u", "w"), right_on=("cu", "cv"))
 

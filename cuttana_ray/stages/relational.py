@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from cuttana_ray.util import safe_join
+
 
 def _topk_in_table(t: pa.Table, keys: list[str],
                    order_by: list[tuple[str, str]], k: int) -> pa.Table:
@@ -389,7 +391,8 @@ def union_distinct(left: "ray.data.Dataset", right: "ray.data.Dataset"
 
 
 def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,
-              values: list[str] | None = None) -> "ray.data.Dataset":
+              values: list[str] | None = None,
+              max_values: int = 1000) -> "ray.data.Dataset":
     """Pivot ``col``'s values into SUM(``val``) columns per ``key`` row
     (``SUM(CASE WHEN col = v THEN val ELSE 0 END)`` per value ``v``).
 
@@ -405,7 +408,17 @@ def pivot_agg(ds: "ray.data.Dataset", key: str, col: str, val: str,
     if values is None:
         from ray.data.aggregate import Count
         distinct = ds.groupby(col).aggregate(Count(alias_name="_n"))
-        values = sorted(r[col] for r in distinct.take_all())
+        # guard: a pivot fabricates one Arrow column per distinct value
+        # AND collects the value list on the driver — a high-cardinality
+        # pivot column must fail loudly, not OOM (take(limit+1) bounds the
+        # driver materialization regardless of the true cardinality)
+        rows = distinct.take(max_values + 1)
+        if len(rows) > max_values:
+            raise ValueError(
+                f"pivot_agg: column {col!r} has more than {max_values} "
+                "distinct values; pass an explicit `values` list or raise "
+                "`max_values` if you really want that many pivot columns")
+        values = sorted(r[col] for r in rows)
 
     colnames = [f"{val}_{v}" for v in values]
 
@@ -509,10 +522,14 @@ def grouped_dense_rank(ds: "ray.data.Dataset", key: str, col: str
     from cuttana_ray.util import drop_empty_blocks
 
     def local_distinct(t: pa.Table) -> pa.Table:
-        sch = pa.schema([(key, pa.int64()),
-                         (col, t.schema.field(col).type if len(t)
-                          else pa.string())])
-        if len(t) == 0 or key not in t.column_names:
+        # derive key/col types from the live schema (running.py ktypes
+        # pattern) — hardcoding int64 broke string keys; only schema-less
+        # empty blocks fall back to placeholder types (they carry no rows)
+        has = len(t) > 0 and key in t.column_names
+        sch = pa.schema([
+            (key, t.schema.field(key).type if has else pa.int64()),
+            (col, t.schema.field(col).type if has else pa.string())])
+        if not has:
             return sch.empty_table()
         return t.select([key, col]).group_by([key, col]).aggregate([]) \
             .cast(sch)
@@ -530,5 +547,5 @@ def grouped_dense_rank(ds: "ray.data.Dataset", key: str, col: str
                     key, [col], "_one", keep=[key, col])
         .drop_columns(["running_sum"])
         .rename_columns({"rn": "drank"}))
-    return ds.join(ranks, join_type="inner", num_partitions=8,
+    return safe_join(ds, ranks, join_type="inner", num_partitions=8,
                    on=(key, col))

@@ -25,6 +25,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from cuttana_ray.util import safe_join
+
 
 def _run_starts(k: np.ndarray) -> np.ndarray:
     """Index of the start of each row's key run (k sorted by key)."""
@@ -303,7 +305,7 @@ def rank_windows(ds: "ray.data.Dataset", key: str, order: list[str],
         .drop_columns(["running_sum"]))
     counts = drop_empty_blocks(
         ds.groupby(key).aggregate(Count(alias_name="_nk")))
-    joined = rn_ds.join(counts, join_type="inner", num_partitions=8,
+    joined = safe_join(rn_ds, counts, join_type="inner", num_partitions=8,
                         on=(key,))
 
     def finish(t: pa.Table) -> pa.Table:

@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from cuttana_ray.util import safe_join
+
 _PARTIAL_COLS = ["n", "mean_x", "m2_x", "mean_y", "m2_y", "c_xy"]
 
 
@@ -179,8 +181,7 @@ def grouped_outliers(ds: "ray.data.Dataset", key: str, value: str,
     from cuttana_ray.util import drop_empty_blocks
     limits = drop_empty_blocks(
         stats.map_batches(thr, batch_format="pyarrow"))
-    joined = ds.select_columns(sorted(set(keep) | {key, value})) \
-        .join(limits, join_type="inner", num_partitions=8, on=(key,))
+    joined = safe_join(ds.select_columns(sorted(set(keep) | {key, value})), limits, join_type="inner", num_partitions=8, on=(key,))
 
     def pick(t: pa.Table) -> pa.Table:
         if len(t) == 0:

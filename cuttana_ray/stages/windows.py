@@ -181,14 +181,33 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
         }), batch_format="pyarrow") \
         .groupby("k").aggregate(_Sum("breaks", alias_name="breaks"),
                                 _Sum("seen", alias_name="blocks"))
-    pdf = body.to_pandas()
-    pdf["n_sessions"] = (pdf["breaks"] + pdf["blocks"]
-                         - pdf["k"].map(joins).fillna(0).astype(int))
-    pdf = pdf.sort_values("k").reset_index(drop=True)
-    return ray.data.from_arrow(pa.table({
-        "k": pa.array(pdf["k"], pa.string()),
-        "n_sessions": pa.array(pdf["n_sessions"].to_numpy(), pa.int64()),
-    }))
+    # distributed finish: the boundary-joins dict is O(#blocks) — at most
+    # one entry per block boundary — so it broadcasts (ray.put once, read
+    # per actor), and the per-key correction runs inside map_batches; the
+    # driver never materializes the O(#keys) grouped table.
+    from cuttana_ray.util import drop_empty_blocks
+    joins_ref = ray.put(joins)
+
+    class Finish:
+        def __init__(self):
+            self.joins = ray.get(joins_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            schema = pa.schema([("k", pa.string()),
+                                ("n_sessions", pa.int64())])
+            if len(t) == 0 or "k" not in t.column_names:
+                return schema.empty_table()
+            j = np.fromiter((self.joins.get(x, 0)
+                             for x in t["k"].to_pylist()),
+                            np.int64, len(t))
+            n = (t["breaks"].to_numpy(zero_copy_only=False)
+                 + t["blocks"].to_numpy(zero_copy_only=False) - j)
+            return pa.table({"k": t["k"],
+                             "n_sessions": pa.array(n)}).cast(schema)
+
+    from cuttana_ray.util import pool_size
+    return drop_empty_blocks(body).map_batches(
+        Finish, batch_format="pyarrow", concurrency=pool_size()).sort("k")
 
 
 def hopping_window_agg(ds: "ray.data.Dataset", key: str, ts: str,

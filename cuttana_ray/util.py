@@ -56,24 +56,17 @@ def drop_empty_blocks(ds):
     return ray.data.from_arrow_refs(refs)
 
 
-def harden_joins() -> None:
-    """Workaround for the schema-less-empty-block join crash (see
-    ``drop_empty_blocks``): wrap ``ray.data.Dataset.join`` so both sides
-    are cleaned first. Ray's hash-shuffle join materializes both sides
-    into its aggregators anyway, so the extra pass is one zero-copy
-    identity map per side. Applied once at ``cuttana_ray`` import."""
-    import ray.data
+def safe_join(left, right, *args, **kwargs):
+    """``Dataset.join`` with both sides cleaned of schema-less empty blocks
+    first (see ``drop_empty_blocks``) — the package-internal join helper.
 
-    if getattr(ray.data.Dataset.join, "_cuttana_hardened", False):
-        return
-    orig = ray.data.Dataset.join
-
-    def join(self, ds, *args, **kwargs):
-        return orig(drop_empty_blocks(self), drop_empty_blocks(ds),
-                    *args, **kwargs)
-
-    join._cuttana_hardened = True
-    ray.data.Dataset.join = join
+    Ray's hash-shuffle join materializes both sides into its aggregators
+    anyway, so the extra pass is one zero-copy identity map per side; this
+    helper is explicit at each call site instead of a process-wide
+    ``ray.data.Dataset.join`` monkeypatch so unrelated ray.data users in the
+    same process keep stock join behavior."""
+    return drop_empty_blocks(left).join(drop_empty_blocks(right),
+                                        *args, **kwargs)
 
 
 def pool_size(cap: int = 8) -> tuple[int, int]:

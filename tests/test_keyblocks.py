@@ -12,6 +12,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+from cuttana_ray.util import safe_join
+
 
 def _split_refs(k: np.ndarray, v: np.ndarray, cuts: list[int]):
     """Handcrafted sorted blocks with explicit boundaries (may be empty)."""
@@ -136,7 +138,7 @@ def test_drop_empty_blocks_unblocks_join_after_map_groups():
 
     right = drop_empty_blocks(
         ds.groupby("k").map_groups(head, batch_format="pandas"))
-    j = ds.join(right, join_type="inner", num_partitions=4, on=("k",))
+    j = safe_join(ds, right, join_type="inner", num_partitions=4, on=("k",))
     assert j.count() == 30
 
 
