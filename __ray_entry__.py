@@ -2344,6 +2344,72 @@ def _q_labelprop_events(sf_dir: str):
     })
 
 
+def _bigv_events_edges(sf_dir: str):
+    """Symmetrized STRING edge table over the events graph + its hash-id
+    encode — the big-V path's input (pipelines/bigv.py: collision-checked
+    63-bit FNV ids, no vocab broadcast, no O(V) driver object)."""
+    from cuttana_ray.pipelines.bigv import (
+        check_hash_collisions,
+        hash_encode_edges,
+        symmetrize_string_edges,
+    )
+    from cuttana_ray.stages.edges import (
+        bipartite_edges,
+        canonicalize_undirected,
+        consecutive_pairs,
+        dedup_weighted,
+    )
+    events = _read(sf_dir, "events")
+    ue = bipartite_edges(events.select_columns(["user_id", "event_type"]),
+                         "user_id", "event_type", "user:", "event:")
+    ee = consecutive_pairs(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
+    canon = dedup_weighted(canonicalize_undirected(ue.union(ee)))
+    sym = symmetrize_string_edges(canon).materialize()
+    check_hash_collisions(sym)
+    return hash_encode_edges(sym).materialize()
+
+
+def _q_bigv_pagerank_k5_events(sf_dir: str):
+    """Big-V regime driver check (pipelines/bigv.py): stateless hash-id
+    encode + shard-resident BSP PageRank (5 forced steps, tol=0) — the
+    no-O(V)-on-the-driver path. Node ids are the 63-bit FNV-1a hashes the
+    SQL oracle recomputes with the same fold; ranks rounded to 8 on both
+    sides (summation order differs at the last ulp)."""
+    import pyarrow.compute as pc
+    from cuttana_ray.pipelines.bigv import HashShardPool
+    enc = _bigv_events_edges(sf_dir)
+    pool = HashShardPool(enc, 8)
+    try:
+        _, ds = pool.pagerank(damping=0.85, tol=0.0, max_iters=5)
+        refs = ds.to_arrow_refs()
+        import ray as _ray
+        out = pa.concat_tables(
+            [t for t in _ray.get(refs) if len(t)])
+    finally:
+        pool.shutdown()
+    return pa.table({"node_id": out["node_id"],
+                     "rank": pc.round(out["rank"], 8)})
+
+
+def _q_bigv_components_events(sf_dir: str):
+    """Big-V sharded min-label components over hash ids: the component
+    label is the MIN member hash id (vs min dense id in components_events
+    — same partition of the vertex set, different representative)."""
+    from cuttana_ray.pipelines.bigv import HashShardPool
+    enc = _bigv_events_edges(sf_dir)
+    pool = HashShardPool(enc, 8)
+    try:
+        _, ds = pool.connected_components()
+        import ray as _ray
+        out = pa.concat_tables(
+            [t for t in _ray.get(ds.to_arrow_refs()) if len(t)])
+    finally:
+        pool.shutdown()
+    return out
+
+
 def _q_triangles_events(sf_dir: str):
     from cuttana_ray.pipelines.triangles import triangle_count
     g = _events_graph(sf_dir)
@@ -6990,6 +7056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantized_embeddings": _q_quantized_embeddings,
         "knn_quantized_top5": _q_knn_quantized_top5,
         "pagerank_k5_events": _q_pagerank_k5_events,
+        "bigv_pagerank_k5_events": _q_bigv_pagerank_k5_events,
+        "bigv_components_events": _q_bigv_components_events,
         "hits_k4_events": _q_hits_k4_events,
         "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
@@ -7240,9 +7308,25 @@ def _hits_k4_sql(k: int = 4) -> str:
     return "WITH " + "".join(parts)
 
 
-def _pagerank_k5_sql(k: int = 5, damping: float = 0.85) -> str:
+def _fnv63_expr(col: str) -> str:
+    """FNV-1a 64 over ``col``'s characters masked to 63 bits — the SQL
+    replay of pipelines/bigv.py hash_name_ids (ASCII names; same fold as
+    the simhash oracle below)."""
+    return f"""CAST(list_reduce(
+        list_prepend(14695981039346656037::HUGEINT,
+            list_transform(string_split({col}, ''), c -> ord(c)::HUGEINT)),
+        (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                  % 18446744073709551616::HUGEINT)
+        % 9223372036854775808::HUGEINT AS BIGINT)"""
+
+
+def _pagerank_k5_sql(k: int = 5, damping: float = 0.85,
+                     hashed_ids: bool = False) -> str:
     """Unrolled k-step weighted PageRank matching pagerank() exactly:
-    r' = (1-d)/V + d*(Σ_in r·w/outw + dangling_mass/V), r0 = 1/V."""
+    r' = (1-d)/V + d*(Σ_in r·w/outw + dangling_mass/V), r0 = 1/V.
+    ``hashed_ids=True`` keys the OUTPUT by the big-V 63-bit FNV name hash
+    (bigv_pagerank_k5_events oracle) — the recursion itself is
+    id-representation-invariant, so it runs on the dense ids either way."""
     parts = [_EVENTS_GRAPH_SQL, """,
     vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
     outw AS (SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS w
@@ -7262,9 +7346,36 @@ def _pagerank_k5_sql(k: int = 5, damping: float = 0.85) -> str:
                                     + (SELECT dm FROM d{i})
                                       / (SELECT v FROM vc)) AS r
               FROM nodes n LEFT JOIN c{i} c ON c.v = n.node_id)""")
-    parts.append(f"""
+    if hashed_ids:
+        parts.append(f"""
+    SELECT {_fnv63_expr('n.name')} AS node_id, ROUND(p.r, 8) AS rank
+    FROM pr{k} p JOIN nodes n ON n.node_id = p.v""")
+    else:
+        parts.append(f"""
     SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
     return "WITH " + "".join(parts)
+
+
+def _bigv_components_sql() -> str:
+    """Recursive-CTE components with BIG-V labels: per component, the
+    label is the MIN member 63-bit FNV name hash; vertices keyed by their
+    own hash (bigv_components_events oracle)."""
+    return "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + f""",
+    reach(v, lbl) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.v
+    ),
+    comp AS (SELECT v AS vertex, MIN(lbl) AS component
+             FROM reach GROUP BY 1),
+    h AS MATERIALIZED (
+        SELECT node_id, {_fnv63_expr('name')} AS nh FROM nodes),
+    mh AS (SELECT c.component, MIN(h.nh) AS m
+           FROM comp c JOIN h ON h.node_id = c.vertex GROUP BY 1)
+    SELECT hv.nh AS node_id, CAST(mh.m AS BIGINT) AS label
+    FROM comp c JOIN h hv ON hv.node_id = c.vertex
+                JOIN mh ON mh.component = c.component
+"""
 
 
 def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
@@ -8087,6 +8198,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
         "pagerank_k5_events": _pagerank_k5_sql(),
+        "bigv_pagerank_k5_events": _pagerank_k5_sql(hashed_ids=True),
+        "bigv_components_events": _bigv_components_sql(),
         "hits_k4_events": _hits_k4_sql(),
         "label_centroids_embeddings": """
     SELECT CAST(label AS BIGINT) AS label, dim,

@@ -37,8 +37,102 @@ from cuttana_ray.pipelines.labelprop import argmax_labels
 from cuttana_ray.pipelines.pagerank import IterativeResult
 
 
+class _BSPShardMixin:
+    """Shared sharded-BSP iteration math (PageRank / min-label / LPA with
+    shard-resident vertex state). A concrete shard class must set, in its
+    prepare phase: ``refs_sorted`` (sorted ids this shard references),
+    ``pos_src`` / ``pos_owned`` / ``pos_inedge`` (positions into
+    ``refs_sorted`` / ``owned_all``), ``owned_all`` (sorted owned ids),
+    ``coef`` / ``starts`` / ``src`` / ``w`` (the in-edge CSR),
+    ``dangling_owned``, ``vals``, ``damping``, ``V``, ``pos_need``
+    (per-peer positions of remote values) and ``out_idx`` (per-peer
+    positions of owned values to send). ``CSRShard`` keys ownership off a
+    dense partition vector; ``bigv.HashShard`` off ``id % k`` with no dense
+    array anywhere."""
+
+    def sharded_iter(self, dm_over_v: float, incoming: list):
+        """One BSP round: apply incoming remote values, gather+scatter over
+        the local CSR, return (local delta, local dangling mass, message
+        refs keyed by destination shard)."""
+        for q, ref in incoming:
+            self.vals[self.pos_need[q]] = ray.get(ref)
+        d = self.damping
+        base = (1.0 - d) / self.V + d * dm_over_v
+        new = np.full(len(self.owned_all), base)
+        if len(self.src):
+            contrib = self.vals[self.pos_src] * self.coef
+            gathered = np.add.reduceat(contrib, self.starts) \
+                if len(self.starts) else np.empty(0, np.float64)
+            new[self.pos_inedge] += d * gathered
+        old = self.vals[self.pos_owned]
+        delta = float(np.abs(new - old).sum())
+        dangling_mass = float(new[self.dangling_owned].sum())
+        self.vals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return delta, dangling_mass, out
+
+    def sharded_result(self):
+        return self.owned_all, self.vals[self.pos_owned]
+
+    def sharded_labels_init(self) -> bool:
+        """Min-label state over the same topology (labels start as ids)."""
+        self.lvals = self.refs_sorted.copy()
+        return True
+
+    def sharded_minlabel_iter(self, incoming: list):
+        """One BSP min-label round; messages carry updated owned labels."""
+        for q, ref in incoming:
+            self.lvals[self.pos_need[q]] = ray.get(ref)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            gathered = np.minimum.reduceat(self.lvals[self.pos_src],
+                                           self.starts)
+            np.minimum.at(new, self.pos_inedge, gathered)
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return changed, out
+
+    def sharded_labels_result(self):
+        return self.owned_all, self.lvals[self.pos_owned]
+
+    def sharded_lpa_iter(self, incoming: list):
+        """One BSP synchronous-LPA round. Every in-edge of an owned vertex
+        lives in this shard (owner = partition of dst), so the per-dst
+        (weight desc, label asc) argmax is fully local — bit-identical to
+        the broadcast mode's globally combined argmax."""
+        for q, ref in incoming:
+            self.lvals[self.pos_need[q]] = ray.get(ref)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            lab = self.lvals[self.pos_src]
+            dst_pos = np.repeat(self.pos_inedge, np.diff(
+                np.concatenate([self.starts, [len(self.src)]])))
+            w = self.w.astype(np.int64)
+            # combine per-(dst,label) sums first, then argmax — matching
+            # label_propagation(): sort by (dst, label), reduce, then pick
+            order2 = np.lexsort((lab, dst_pos))
+            d2, l2, w2 = dst_pos[order2], lab[order2], w[order2]
+            change = np.nonzero((d2[1:] != d2[:-1])
+                                | (l2[1:] != l2[:-1]))[0] + 1
+            starts2 = np.concatenate([[0], change])
+            dd, ll = d2[starts2], l2[starts2]
+            ww = np.add.reduceat(w2, starts2)
+            order3 = np.lexsort((ll, -ww, dd))
+            d3 = dd[order3]
+            first3 = np.concatenate(
+                [[0], np.nonzero(d3[1:] != d3[:-1])[0] + 1])
+            new[d3[first3]] = ll[order3][first3]
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        return changed, out
+
+
 @ray.remote
-class CSRShard:
+class CSRShard(_BSPShardMixin):
     """In-edge CSR over one partition's owned vertices."""
 
     def __init__(self, block_refs: list, part, owner: int):
@@ -154,86 +248,6 @@ class CSRShard:
             int(p): np.searchsorted(self.owned_all, ids)
             for p, ids in requests.items()}
         return True
-
-    def sharded_iter(self, dm_over_v: float, incoming: list):
-        """One BSP round: apply incoming remote values, gather+scatter over
-        the local CSR, return (local delta, local dangling mass, message
-        refs keyed by destination shard)."""
-        for q, ref in incoming:
-            self.vals[self.pos_need[q]] = ray.get(ref)
-        d = self.damping
-        base = (1.0 - d) / self.V + d * dm_over_v
-        new = np.full(len(self.owned_all), base)
-        if len(self.src):
-            contrib = self.vals[self.pos_src] * self.coef
-            gathered = np.add.reduceat(contrib, self.starts) \
-                if len(self.starts) else np.empty(0, np.float64)
-            new[self.pos_inedge] += d * gathered
-        old = self.vals[self.pos_owned]
-        delta = float(np.abs(new - old).sum())
-        dangling_mass = float(new[self.dangling_owned].sum())
-        self.vals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
-        return delta, dangling_mass, out
-
-    def sharded_result(self):
-        return self.owned_all, self.vals[self.pos_owned]
-
-    def sharded_labels_init(self) -> bool:
-        """Min-label state over the same topology (labels start as ids)."""
-        self.lvals = self.refs_sorted.copy()
-        return True
-
-    def sharded_minlabel_iter(self, incoming: list):
-        """One BSP min-label round; messages carry updated owned labels."""
-        for q, ref in incoming:
-            self.lvals[self.pos_need[q]] = ray.get(ref)
-        old = self.lvals[self.pos_owned]
-        new = old.copy()
-        if len(self.src):
-            gathered = np.minimum.reduceat(self.lvals[self.pos_src],
-                                           self.starts)
-            np.minimum.at(new, self.pos_inedge, gathered)
-        changed = int((new != old).sum())
-        self.lvals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
-        return changed, out
-
-    def sharded_labels_result(self):
-        return self.owned_all, self.lvals[self.pos_owned]
-
-    def sharded_lpa_iter(self, incoming: list):
-        """One BSP synchronous-LPA round. Every in-edge of an owned vertex
-        lives in this shard (owner = partition of dst), so the per-dst
-        (weight desc, label asc) argmax is fully local — bit-identical to
-        the broadcast mode's globally combined argmax."""
-        for q, ref in incoming:
-            self.lvals[self.pos_need[q]] = ray.get(ref)
-        old = self.lvals[self.pos_owned]
-        new = old.copy()
-        if len(self.src):
-            lab = self.lvals[self.pos_src]
-            dst_pos = np.repeat(self.pos_inedge, np.diff(
-                np.concatenate([self.starts, [len(self.src)]])))
-            w = self.w.astype(np.int64)
-            # combine per-(dst,label) sums first, then argmax — matching
-            # label_propagation(): sort by (dst, label), reduce, then pick
-            order2 = np.lexsort((lab, dst_pos))
-            d2, l2, w2 = dst_pos[order2], lab[order2], w[order2]
-            change = np.nonzero((d2[1:] != d2[:-1])
-                                | (l2[1:] != l2[:-1]))[0] + 1
-            starts2 = np.concatenate([[0], change])
-            dd, ll = d2[starts2], l2[starts2]
-            ww = np.add.reduceat(w2, starts2)
-            order3 = np.lexsort((ll, -ww, dd))
-            d3 = dd[order3]
-            first3 = np.concatenate(
-                [[0], np.nonzero(d3[1:] != d3[:-1])[0] + 1])
-            new[d3[first3]] = ll[order3][first3]
-        changed = int((new != old).sum())
-        self.lvals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
-        return changed, out
 
     def lpa_iter(self, labels):
         """Per owned dst: incoming weight per label → (dst, label, weight)

@@ -13,10 +13,11 @@ Scale notes: the vocab is a classic broadcast dimension table — built once
 via distinct+sort, shipped with ``ray.put`` once, and looked up with the
 vectorized Arrow kernel ``pc.index_in`` per batch (no shuffle join). The
 distinct itself is a shuffle over unique names only. For vocabularies too
-large for one node's memory (≈10^11 conv ids at the north-star scale) the
-documented alternative is hash-based 64-bit ids (collision-checked) with
-rank state sharded by id range; the broadcast path is used here because it
-is exact and matches the sandbox scale.
+large for one node's memory (≈10^11 conv ids at the north-star scale) use
+``pipelines/bigv.py``: collision-checked 63-bit hash ids (stateless encode,
+no dimension table) with vertex state sharded by ``id % k`` — implemented
+and parity-tested (tests/test_bigv.py); the broadcast path here stays the
+default because it is exact, dense-id and matches the sandbox scale.
 """
 
 from __future__ import annotations

@@ -1,0 +1,169 @@
+"""Big-V mode (pipelines/bigv.py): hash-id encode + shard-resident BSP —
+the no-O(V)-on-the-driver regime.
+
+The parity oracle is the DENSE path on the same string edge table: scores
+must agree per vertex (allclose 1e-6 through convergence) after mapping
+dense vocab names → hash ids. The dense path holds O(V) arrays; the big-V
+path's contract is that it never does (ownership is ``id % k``; out-weights
+and ranks live in the shards; the driver sees scalars and refs)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+
+def _transcript_edges_fixture(n_convs: int = 60, seed: int = 7):
+    """Synthetic transcript table (input_hint schema) → string edge table
+    via the flagship extractor."""
+    from cuttana_ray.stages.edges import transcript_edges
+    rng = np.random.default_rng(seed)
+    convs, turn_idx, roles, texts, tools, ts = [], [], [], [], [], []
+    tool_names = [f"tool{i}" for i in range(9)]
+    for c in range(n_convs):
+        n_turns = int(rng.integers(2, 9))
+        for t in range(n_turns):
+            convs.append(f"conv{c:04d}")
+            turn_idx.append(t)
+            roles.append(["user", "assistant", "system", "tool"]
+                         [int(rng.integers(0, 4))])
+            texts.append(f"text {c} {t}")
+            tools.append(tool_names[int(rng.integers(0, 9))]
+                         if rng.random() < 0.5 else None)
+            ts.append(1_700_000_000_000_000 + c * 1000 + t)
+    tbl = pa.table({
+        "conv_id": pa.array(convs, pa.string()),
+        "turn_idx": pa.array(turn_idx, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    return transcript_edges(rd.from_arrow(tbl).repartition(5))
+
+
+def _symmetrized_string_edges():
+    """Doubled-adjacency string edge table (both directions, no loops) —
+    the form both the dense and big-V paths consume.
+    transcript_edges output is canonical (one row per unordered pair)."""
+    from cuttana_ray.pipelines.bigv import symmetrize_string_edges
+    return symmetrize_string_edges(_transcript_edges_fixture())
+
+
+def test_hash_ids_deterministic_and_distinct():
+    from cuttana_ray.pipelines.bigv import hash_name_ids
+    names = [f"conv{i:04d}" for i in range(2000)] + \
+        ["tool:a", "role:user", "role:assistant"]
+    ids = hash_name_ids(pa.array(names, pa.string()))
+    assert (ids >= 0).all()
+    assert len(np.unique(ids)) == len(names)
+    again = hash_name_ids(pa.array(names, pa.string()))
+    assert (ids == again).all()
+
+
+def test_collision_check_clean_and_dirty(ray_session):
+    from cuttana_ray.pipelines.bigv import (
+        _collision_block,
+        check_hash_collisions,
+    )
+    edges = _symmetrized_string_edges()
+    assert check_hash_collisions(edges) == 0
+    # dirty: two names forced onto one hash (checker unit level — FNV
+    # collisions are unconstructable by hand, so feed the block scanner
+    # a crafted sorted (h, name) table directly)
+    t = pa.table({"h": pa.array([1, 1, 2], pa.int64()),
+                  "name": pa.array(["a", "b", "c"])})
+    meta = ray.get(_collision_block.remote(t))
+    assert meta["collisions"] == 1
+    # and the boundary path: block1 ends with (5,"x"), block2 starts (5,"y")
+    b1 = pa.table({"h": pa.array([5], pa.int64()), "name": pa.array(["x"])})
+    b2 = pa.table({"h": pa.array([5], pa.int64()), "name": pa.array(["y"])})
+    m1, m2 = ray.get([_collision_block.remote(b1), _collision_block.remote(b2)])
+    assert m1["collisions"] == 0 and m2["collisions"] == 0
+    assert m1["last"][0] == m2["first"][0] and m1["last"][1] != m2["first"][1]
+
+
+def test_bigv_pagerank_matches_dense_path(ray_session):
+    """End-to-end: string edges → big-V sharded PageRank (no O(V) driver
+    array) vs the dense vocab-encoded CSR-pool PageRank on the SAME graph;
+    per-vertex allclose(1e-6)-at-convergence parity."""
+    from cuttana_ray.pipelines.bigv import hash_name_ids, pagerank_bigv
+    from cuttana_ray.pipelines.csr import CSRPool
+    from cuttana_ray.pipelines.graph import _build
+
+    edges_str = _symmetrized_string_edges().materialize()
+
+    # dense oracle: vocab-encoded graph, CSR broadcast mode
+    g = _build(_transcript_edges_fixture(), None, deduped=True,
+               canonical=True)
+    pool = CSRPool(g, (np.arange(g.num_vertices) % 4).astype(np.int32), 4)
+    dense = pool.pagerank(tol=1e-9, max_iters=200)
+    pool.shutdown()
+    name_to_rank = dict(zip(
+        g.nodes["name"].to_pylist(),
+        dense.values[g.nodes["node_id"].to_numpy(zero_copy_only=False)]))
+
+    res, ds = pagerank_bigv(edges_str, num_shards=4, tol=1e-9,
+                            max_iters=200)
+    assert res.converged
+    got = ds.to_pandas()  # small test graph — collection is test-only
+    assert len(got) == g.num_vertices
+    ids = hash_name_ids(pa.array(list(name_to_rank), pa.string()))
+    want = dict(zip(ids.tolist(), name_to_rank.values()))
+    g_ids = got["node_id"].to_numpy()
+    g_rank = got["rank"].to_numpy()
+    expect = np.array([want[i] for i in g_ids])
+    np.testing.assert_allclose(g_rank, expect, atol=1e-6)
+    # ranks sum to 1 (stochastic sanity)
+    assert abs(g_rank.sum() - 1.0) < 1e-6
+
+
+def test_bigv_components_match_union_find(ray_session):
+    from cuttana_ray.pipelines.bigv import (
+        HashShardPool,
+        hash_encode_edges,
+        hash_name_ids,
+    )
+    edges_str = _symmetrized_string_edges().materialize()
+    enc = hash_encode_edges(edges_str).materialize()
+    pool = HashShardPool(enc, 4)
+    res, ds = pool.connected_components()
+    pool.shutdown()
+    assert res.converged
+    got = ds.to_pandas()
+    # union-find oracle over the raw pairs
+    pairs = edges_str.to_pandas()
+    sids = hash_name_ids(pa.array(pairs["src"], pa.string()))
+    dids = hash_name_ids(pa.array(pairs["dst"], pa.string()))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(sids.tolist(), dids.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label should be the min member id in both
+    want = {v: find(v) for v in parent}
+    got_map = dict(zip(got["node_id"], got["label"]))
+    assert len(got_map) == len(want)
+    for v, lbl in want.items():
+        assert got_map[v] == lbl
+
+
+def test_bigv_layout_invariance(ray_session):
+    """Same scores regardless of block layout and shard count."""
+    from cuttana_ray.pipelines.bigv import pagerank_bigv
+    edges_str = _symmetrized_string_edges().materialize()
+    _, ds1 = pagerank_bigv(edges_str, num_shards=3, tol=1e-10)
+    _, ds2 = pagerank_bigv(edges_str.repartition(11), num_shards=5,
+                           tol=1e-10, check_collisions=False)
+    a = ds1.to_pandas().sort_values("node_id").reset_index(drop=True)
+    b = ds2.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (a["node_id"] == b["node_id"]).all()
+    np.testing.assert_allclose(a["rank"], b["rank"], atol=1e-9)
