@@ -31,6 +31,11 @@ class CuttanaConfig:
     info_gain_threshold: int = 0
     seed: int = 42
     max_refine_moves: int = 200_000
+    # strict-parity experiment flag: use the literal move-with-eviction
+    # refine plan (refine.rs:107-152 shape, real scoring, overflow fixed)
+    # instead of the default relaxed-capacity greedy loop — see
+    # state/refine.py::Refiner.refine_with_eviction
+    refine_eviction: bool = False
 
     def __post_init__(self) -> None:
         if self.balance_slack < 0.0:

@@ -305,7 +305,7 @@ def _symmetric_codes(m: np.ndarray, amax: float, levels: int) -> np.ndarray:
 def knn_quantized(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   levels: int = 127,
-                  amax: "float | None" = None) -> pa.Table:
+                  amax: "float | None" = None, bulk: bool = False):
     """Approximate maximum-inner-product top-k over int8-style symmetric
     codes: ranking is int64 end to end — reproducible bit-for-bit across
     layouts AND replayable by the SQL oracle with zero float-comparison
@@ -338,7 +338,12 @@ def knn_quantized(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         })
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
-                          batch_size=4096).to_pandas()
+                          batch_size=4096)
+    if bulk:
+        # bulk kNN join (nq >> #blocks*k): distributed grouped_topk merge
+        from cuttana_ray.functions.simsearch import merge_topk_distributed
+        return merge_topk_distributed(cand, k, id_col, score_col="dot")
+    cand = cand.to_pandas()
     cand = cand.sort_values(["query_id", "dot", id_col],
                             ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)

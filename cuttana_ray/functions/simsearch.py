@@ -32,11 +32,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def merge_topk_distributed(cand: "ray.data.Dataset", k: int, id_col: str,
+                           score_col: str = "cosine") -> "ray.data.Dataset":
+    """Distributed global top-k merge over per-block candidate rows —
+    the BULK path for large query sets. ``grouped_topk``'s combiner
+    discipline means the one exchange carries ≤ k rows per (block, query),
+    and the driver never materializes the O(#blocks·k·nq) candidate set
+    (the driver-pandas merge in the interactive path is exactly that).
+    Output ordering matches the interactive path: (query_id, -score, id)."""
+    from cuttana_ray.stages.relational import grouped_topk
+    top = grouped_topk(cand, ["query_id"],
+                       [(score_col, "descending"), (id_col, "ascending")], k)
+    return top.sort(["query_id", score_col, id_col],
+                    descending=[False, True, False])
+
+
 def knn_brute_force(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
-                    vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> pa.Table:
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    bulk: bool = False):
     """Exact cosine top-k. Output: ``(query_id, vec_id, cosine)`` sorted by
-    (query_id, -cosine, vec_id); ``query_id`` = row index into ``queries``."""
+    (query_id, -cosine, vec_id); ``query_id`` = row index into ``queries``.
+
+    ``bulk=False`` (interactive query batches): per-block top-k partials
+    collect to the driver for the final merge — O(#blocks·k·nq) rows,
+    right for small nq; returns a ``pa.Table``. ``bulk=True`` (bulk kNN
+    join, nq ≫ #blocks·k): the merge is a distributed ``grouped_topk``
+    exchange and the result stays a ``ray.data.Dataset``."""
     q = _normalize(np.asarray(queries, dtype=np.float32))
     q_ref = ray.put(q)
 
@@ -56,7 +77,10 @@ def knn_brute_force(ds: "ray.data.Dataset", queries: np.ndarray, k: int = 10,
         })
 
     cand = ds.map_batches(local_topk, batch_format="pyarrow",
-                          batch_size=4096).to_pandas()
+                          batch_size=4096)
+    if bulk:
+        return merge_topk_distributed(cand, k, id_col)
+    cand = cand.to_pandas()
     cand = cand.sort_values(["query_id", "cosine", id_col],
                             ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -136,7 +160,7 @@ class IVFIndex:
             .materialize()
 
     def query(self, queries: np.ndarray, k: int = 10,
-              nprobe: int = 4) -> pa.Table:
+              nprobe: int = 4, bulk: bool = False):
         id_col = self.id_col
         q = _normalize(np.asarray(queries, dtype=np.float32))
         nprobe = min(nprobe, len(self.centroids))
@@ -177,7 +201,10 @@ class IVFIndex:
             })
 
         cand = self.buckets.map_batches(bucket_topk, batch_format="pyarrow",
-                                        batch_size=4096).to_pandas()
+                                        batch_size=4096)
+        if bulk:
+            return merge_topk_distributed(cand, k, id_col)
+        cand = cand.to_pandas()
         cand = cand.sort_values(["query_id", "cosine", id_col],
                                 ascending=[True, False, True])
         top = cand.groupby("query_id", sort=True).head(k) \

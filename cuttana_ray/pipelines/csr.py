@@ -192,16 +192,22 @@ class CSRShard(_BSPShardMixin):
         self.coef = self.w / outw[self.src] if len(self.src) else self.w
         return True
 
+    def owned_ids(self):
+        """Static across iterations — the driver fetches this ONCE and the
+        per-iteration calls below return values only (halves the
+        per-round return payload vs shipping (owned, vals) every time)."""
+        return self.owned
+
     def pagerank_iter(self, ranks):
         if not len(self.owned):
-            return self.owned, np.empty(0, np.float64)
+            return np.empty(0, np.float64)
         contrib = ranks[self.src] * self.coef
-        return self.owned, np.add.reduceat(contrib, self.starts)
+        return np.add.reduceat(contrib, self.starts)
 
     def minlabel_iter(self, labels):
         if not len(self.owned):
-            return self.owned, np.empty(0, np.int64)
-        return self.owned, np.minimum.reduceat(labels[self.src], self.starts)
+            return np.empty(0, np.int64)
+        return np.minimum.reduceat(labels[self.src], self.starts)
 
     # -- sharded BSP PageRank (rank state lives IN the shards) ------------
     #
@@ -367,15 +373,16 @@ class CSRPool:
         dangling = outw == 0.0
         outw_ref = ray.put(np.where(dangling, 1.0, outw))
         ray.get([s.prepare_pagerank.remote(outw_ref) for s in self.shards])
+        owned_lists = ray.get([s.owned_ids.remote() for s in self.shards])
         ranks = np.full(V, 1.0 / V)
         res = IterativeResult(ranks, 0, False)
         for it in range(max_iters):
             t0 = time.perf_counter()
             ranks_ref = ray.put(ranks)
             gathered = np.zeros(V)
-            for owned, vals in ray.get([
+            for owned, vals in zip(owned_lists, ray.get([
                     s.pagerank_iter.remote(ranks_ref)
-                    for s in self.shards]):
+                    for s in self.shards])):
                 gathered[owned] = vals
             new = (1 - damping) / V + damping * (
                 gathered + ranks[dangling].sum() / V)
@@ -431,14 +438,16 @@ class CSRPool:
         return res
 
     def connected_components(self, max_iters: int = 200) -> IterativeResult:
+        owned_lists = ray.get([s.owned_ids.remote() for s in self.shards])
         labels = np.arange(self.V, dtype=np.int64)
         res = IterativeResult(labels, 0, False)
         for it in range(max_iters):
             t0 = time.perf_counter()
             labels_ref = ray.put(labels)
             new = labels.copy()
-            for owned, vals in ray.get([
-                    s.minlabel_iter.remote(labels_ref) for s in self.shards]):
+            for owned, vals in zip(owned_lists, ray.get([
+                    s.minlabel_iter.remote(labels_ref)
+                    for s in self.shards])):
                 np.minimum.at(new, owned, vals)
             changed = int((new != labels).sum())
             labels = new

@@ -146,8 +146,13 @@ def encode_edges(edges: "ray.data.Dataset", vocab: pa.Table) -> "ray.data.Datase
                 "weight": batch["weight"],
             })
 
+    # max_restarts=0: the constructor closure holds an ObjectRef, and a
+    # restartable actor whose constructor args live in the object store
+    # logs core_worker warnings (ray#53727); the stage is deterministic
+    # and Ray Data replaces failed pool actors itself, so restarts add
+    # nothing here.
     return edges.map_batches(Encode, batch_format="pyarrow",
-                             concurrency=pool_size())
+                             concurrency=pool_size(), max_restarts=0)
 
 
 def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
@@ -165,4 +170,4 @@ def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
             return batch.append_column(out, pc.take(self.names, ids))
 
     return ds.map_batches(Decode, batch_format="pyarrow",
-                         concurrency=pool_size())
+                          concurrency=pool_size(), max_restarts=0)

@@ -84,7 +84,11 @@ class StreamingPartitioner:
         self._finalized = False
 
         self._native = None
-        defaults = scorer is None and sub_scorer is None and buffer_scorer is None
+        # the C core implements the default relaxed-capacity refine only;
+        # the literal move-with-eviction experiment runs the Python path
+        defaults = (scorer is None and sub_scorer is None
+                    and buffer_scorer is None
+                    and not self.config.refine_eviction)
         if use_native is not False and defaults:
             from cuttana_ray.state import native as _nat
             lib = _nat.get_lib()
@@ -241,7 +245,10 @@ class StreamingPartitioner:
                           self.config.info_gain_threshold,
                           self.config.max_refine_moves)
         refiner.fix_balance(st)
-        refiner.refine(st)
+        if self.config.refine_eviction:
+            refiner.refine_with_eviction(st)
+        else:
+            refiner.refine(st)
         refiner.fix_balance(st)
 
         vs, parts, gsubs = st.final_partition_of_assigned()

@@ -159,6 +159,89 @@ class Refiner:
                        for f in over.tolist()):
                 return  # no legal rebalancing move anywhere
 
+    # -- literal move-with-eviction plans (refine.rs:107-152) -------------
+    def refine_with_eviction(self, state: CuttanaState) -> None:
+        """The reference's literal plan enumeration with REAL scoring — the
+        strict-parity experiment behind ``CuttanaConfig.refine_eviction``.
+
+        Per round, for every partition pair (frm, to): score frm's best
+        direct sub ``s`` by ``cuts[s][to] - cuts[s][frm]``; if it fits
+        under ``refine_capacity`` it is a 1-move plan, otherwise pair it
+        with `to`'s best outgoing sub ``s2`` toward every evict target —
+        a 2-move plan scored
+
+            sc(s, frm→to) + sc(s2, to→evict) + w(s,s2)·(1 + [frm==evict])
+
+        which is exactly ``refine.rs:136-139``'s ``effective_score`` with
+        the stub ``(u64::MAX, 0)`` / ``(0, 0)`` scores replaced by the
+        paper's objective and the ``u64`` overflow gone; the coupling term
+        (their ``get_sub_partition_edge(..., from == evict)``) is the
+        mutual-edge correction so the plan score equals the TRUE total-cut
+        delta of applying both moves in order. The global best plan is
+        applied while its score ``< -gain_threshold`` (strict decrease of
+        the total cut ⇒ termination; ``max_moves`` backstop).
+
+        Documented divergence: eviction plans here must also FIT —
+        ``to + sz(s) − sz(s2) ≤ refine_capacity`` and the evict target must
+        absorb ``s2`` — which ``refine.rs`` omits (unobservable there: with
+        stub scores its loop never runs); without the check a plan can
+        break the invariant ``fix_balance`` just repaired."""
+        k = state.num_partitions
+        sizes = state.partition_sizes           # live view
+        SENT = np.int64(1) << 60
+        while self.moves_applied + 1 < self.max_moves:
+            best_cost = SENT
+            best_moves: list[tuple[int, int, int]] = []
+            for frm in range(k):
+                subs = np.nonzero((state.sub_parent == frm)
+                                  & (state.sub_sizes > 0))[0]
+                if not subs.size:
+                    continue
+                d_frm = (self.edge_cuts[subs]
+                         - self.edge_cuts[subs, frm][:, None])
+                for to in range(k):
+                    if to == frm or state.num_sub_in[to] >= self.max_sub:
+                        continue
+                    i = int(d_frm[:, to].argmin())
+                    s = int(subs[i])
+                    sc = int(d_frm[i, to])
+                    sz_s = int(state.sub_sizes[s])
+                    if sizes[to] + sz_s <= self.refine_capacity:
+                        if sc < best_cost:
+                            best_cost = sc
+                            best_moves = [(s, frm, to)]
+                        continue
+                    # case 2: evict one of `to`'s subs to make room
+                    subs2 = np.nonzero((state.sub_parent == to)
+                                       & (state.sub_sizes > 0))[0]
+                    if not subs2.size:
+                        continue
+                    d_to = (self.edge_cuts[subs2]
+                            - self.edge_cuts[subs2, to][:, None])
+                    sz2 = state.sub_sizes[subs2]
+                    se = state.sub_edges.get(s, {})
+                    w_vec = np.fromiter((se.get(int(g), 0) for g in subs2),
+                                        dtype=np.int64, count=len(subs2))
+                    to_fits = (sizes[to] + sz_s - sz2) <= self.refine_capacity
+                    for evict in range(k):
+                        if evict == to or \
+                                state.num_sub_in[evict] >= self.max_sub:
+                            continue
+                        ev_base = sizes[evict] - (sz_s if evict == frm else 0)
+                        ev_fits = (ev_base + sz2) <= self.refine_capacity
+                        couple = w_vec * (2 if evict == frm else 1)
+                        eff = np.where(to_fits & ev_fits,
+                                       sc + d_to[:, evict] + couple, SENT)
+                        j = int(eff.argmin())
+                        if eff[j] < best_cost:
+                            best_cost = int(eff[j])
+                            best_moves = [(s, frm, to),
+                                          (int(subs2[j]), to, evict)]
+            if best_cost >= -self.gain_threshold or not best_moves:
+                return
+            for s, a, b in best_moves:
+                self._move(state, s, a, b)
+
     # -- cut-reduction loop (refine.rs:67-76, 107-152) --------------------
     def refine(self, state: CuttanaState) -> None:
         """Greedy best-move loop with incremental best tracking: a move

@@ -115,6 +115,51 @@ def test_knn_brute_force_exact(embeddings):
     assert top0.vec_id == 0 and top0.cosine == pytest.approx(1.0)
 
 
+def test_knn_bulk_merge_matches_interactive(embeddings):
+    """Bulk path (distributed grouped_topk merge) == interactive path
+    (driver-pandas merge), at nq >> #blocks*k and across block layouts."""
+    ds, vecs = embeddings
+    q = np.vstack([vecs, vecs])            # nq = 240 >> 4 blocks * k
+    inter = knn_brute_force(ds, q, k=3).to_pandas()
+    bulk = knn_brute_force(ds, q, k=3, bulk=True).to_pandas()
+    bulk2 = knn_brute_force(ds.repartition(9), q, k=3, bulk=True).to_pandas()
+    for got in (bulk, bulk2):
+        assert len(got) == len(inter)
+        a = inter.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+        b = got.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+        assert (a["query_id"] == b["query_id"]).all()
+        assert (a["vec_id"] == b["vec_id"]).all()
+        np.testing.assert_allclose(a["cosine"], b["cosine"], atol=1e-12)
+    # ordering contract matches the interactive path too
+    head = bulk[bulk.query_id == 0]
+    assert (head["cosine"].to_numpy()[:-1]
+            >= head["cosine"].to_numpy()[1:]).all()
+
+
+def test_knn_ivf_bulk_matches_interactive(embeddings):
+    from cuttana_ray.functions.simsearch import IVFIndex
+    ds, vecs = embeddings
+    idx = IVFIndex(ds, nlist=6)
+    q = np.vstack([vecs[:40], vecs[:40]])
+    inter = idx.query(q, k=4, nprobe=6).to_pandas()
+    bulk = idx.query(q, k=4, nprobe=6, bulk=True).to_pandas()
+    a = inter.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = bulk.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert (a["vec_id"] == b["vec_id"]).all() and len(a) == len(b)
+
+
+def test_knn_quantized_bulk_matches_interactive(embeddings):
+    from cuttana_ray.functions.embeddings import knn_quantized
+    ds, vecs = embeddings
+    q = np.vstack([vecs[:30], vecs[:30]]).astype(np.float64)
+    inter = knn_quantized(ds, q, k=4).to_pandas()
+    bulk = knn_quantized(ds, q, k=4, bulk=True).to_pandas()
+    a = inter.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    b = bulk.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert (a["vec_id"] == b["vec_id"]).all() and len(a) == len(b)
+    assert (a["dot"] == b["dot"]).all()
+
+
 def test_knn_ivf_full_probe_matches_brute_force(embeddings):
     ds, vecs = embeddings
     q = vecs[:2]

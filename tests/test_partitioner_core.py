@@ -280,6 +280,80 @@ def test_refinement_improves_true_cut_on_community_graph():
     assert post_cut(r_yes) <= post_cut(r_no) + 1e-9
 
 
+def test_refine_with_eviction_quality_table_on_community_graph():
+    """Strict-parity experiment (CuttanaConfig.refine_eviction): the
+    literal refine.rs:107-152 move-with-eviction plans with real scoring
+    vs the default relaxed-capacity greedy loop, on the community fixture.
+    Both must beat no-refinement on true recounted cut and both must hold
+    the balance invariant; the comparison table is recorded in
+    BASELINE.md."""
+    rng = np.random.default_rng(2)
+    n, k = 150, 4
+    adj = {i: set() for i in range(n)}
+    for _ in range(1200):
+        c = rng.integers(0, 2)
+        a = int(rng.integers(0, n // 2)) + c * n // 2
+        b = int(rng.integers(0, n // 2)) + c * n // 2
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    for _ in range(30):
+        a, b = int(rng.integers(0, n // 2)), int(rng.integers(n // 2, n))
+        adj[a].add(b)
+        adj[b].add(a)
+    rows = [(v, sorted(s)) for v, s in adj.items()]
+
+    def post_cut(res):
+        part = np.full(n, -1, dtype=np.int64)
+        part[res.vertices] = res.partitions
+        cut = sum(1 for v, s in adj.items()
+                  for u in s if part[v] != part[u]) // 2
+        return cut / res.edge_count
+
+    r_none = cuttana_partition(rows, k, CuttanaConfig(
+        num_sub_partitions=16, max_refine_moves=0))
+    r_default = cuttana_partition(rows, k, CuttanaConfig(
+        num_sub_partitions=16))
+    r_evict = cuttana_partition(rows, k, CuttanaConfig(
+        num_sub_partitions=16, refine_eviction=True))
+    max_parent = int(n / k * 1.05) + 1
+    for r in (r_default, r_evict):
+        assert r.partition_sizes.max() <= max_parent
+        assert r.partition_sizes.sum() == n
+        assert post_cut(r) <= post_cut(r_none) + 1e-9
+    assert r_evict.refine_moves > 0
+    # eviction plans subsume direct moves, so quality should be comparable
+    # (identical or better within the greedy family's tie-break noise)
+    assert post_cut(r_evict) <= post_cut(r_default) + 0.05
+
+
+def test_refine_with_eviction_two_move_plan_applies():
+    """Unit: a configuration where the best direct move does NOT fit under
+    refine_capacity but the 2-move plan (move in + evict) does — the
+    eviction branch must fire and reduce the true cut."""
+    from cuttana_ray.state.refine import Refiner
+    cfg = CuttanaConfig(num_sub_partitions=4)
+    st = CuttanaState(40, 2, cfg)
+    # partition 1 is near capacity; sub0 (in p0) is pulled hard toward p1,
+    # sub2 (in p1) is pulled toward p0 — the pair swap is the only way in.
+    st.sub_sizes[0], st.sub_sizes[1] = 6, 5      # p0 subs
+    st.sub_sizes[4], st.sub_sizes[5] = 6, 5      # p1 subs (global ids 4,5)
+    st.partition_sizes[0], st.partition_sizes[1] = 11, 11
+    st.vertex_count, st.edge_count = 22, 40
+    st.sub_parent[4], st.sub_parent[5] = 1, 1
+    st.num_sub_in[0], st.num_sub_in[1] = 2, 2
+    st.add_sub_edge(0, 4, 1)     # weak tie between the movers
+    st.add_sub_edge(0, 5, 20)    # sub0 wants to join sub5 in p1
+    st.add_sub_edge(4, 1, 20)    # sub4 wants to join sub1 in p0
+    r = Refiner(st, balance_slack=0.05, gain_threshold=0)
+    # max_parent = 22/2*1.05+1 = 12, refine_capacity = 13:
+    # direct sub0 (sz 6) into p1 (11) = 17 > 13 → must evict sub4 back
+    r.refine_with_eviction(st)
+    assert r.moves_applied == 2
+    assert st.sub_parent[0] == 1 and st.sub_parent[4] == 0
+    assert st.partition_sizes.tolist() == [11, 11]
+
+
 def test_stream_cut_matches_recount_before_refinement():
     """With refinement disabled, the stream-time cut_count (counted once per
     later-placed endpoint, partition.rs:38-44) must equal the recount from
