@@ -2393,6 +2393,22 @@ def _q_bigv_pagerank_k5_events(sf_dir: str):
                      "rank": pc.round(out["rank"], 8)})
 
 
+def _q_bigv_labelprop_events(sf_dir: str):
+    """Big-V sharded synchronous LPA over hash ids (ties break over hash
+    ids — the SQL oracle runs the identical recursion on FNV node ids)."""
+    from cuttana_ray.pipelines.bigv import HashShardPool
+    enc = _bigv_events_edges(sf_dir)
+    pool = HashShardPool(enc, 8)
+    try:
+        _, ds = pool.label_propagation(max_iters=10)
+        import ray as _ray
+        out = pa.concat_tables(
+            [t for t in _ray.get(ds.to_arrow_refs()) if len(t)])
+    finally:
+        pool.shutdown()
+    return out
+
+
 def _q_bigv_components_events(sf_dir: str):
     """Big-V sharded min-label components over hash ids: the component
     label is the MIN member hash id (vs min dense id in components_events
@@ -7058,6 +7074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_k5_events": _q_pagerank_k5_events,
         "bigv_pagerank_k5_events": _q_bigv_pagerank_k5_events,
         "bigv_components_events": _q_bigv_components_events,
+        "bigv_labelprop_events": _q_bigv_labelprop_events,
         "hits_k4_events": _q_hits_k4_events,
         "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
@@ -7412,13 +7429,29 @@ def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
     return "WITH " + "".join(parts)
 
 
-def _labelprop_sql(k: int = 10) -> str:
+def _events_graph_sql_hashed() -> str:
+    """``_EVENTS_GRAPH_SQL`` with node ids replaced by the big-V 63-bit FNV
+    name hashes — for oracles of algorithms whose TIE-BREAKS depend on the
+    id ordering (LPA adopts the smallest label on weight ties, and over
+    hash ids the smallest differs from the dense-rank smallest)."""
+    return _EVENTS_GRAPH_SQL.replace(
+        """nodes AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY name) - 1 AS BIGINT)
+                   AS node_id, name""",
+        f"""nodes AS MATERIALIZED (
+        SELECT {_fnv63_expr('name')} AS node_id, name""")
+
+
+def _labelprop_sql(k: int = 10, hashed_ids: bool = False) -> str:
     """Unrolled k-round synchronous weighted LPA matching
     label_propagation() exactly: adopt the incoming label with max total
     edge weight, ties to the smallest label; int weights, so no float
     tolerance is needed. Early convergence is a fixed point, so k rounds
-    equal the engine's early-stopped run."""
-    parts = [_EVENTS_GRAPH_SQL, """,
+    equal the engine's early-stopped run. ``hashed_ids=True`` runs the
+    SAME recursion over the big-V FNV ids (bigv_labelprop_events oracle) —
+    the ties then break over hash ids like the engine's big-V path."""
+    graph = _events_graph_sql_hashed() if hashed_ids else _EVENTS_GRAPH_SQL
+    parts = [graph, """,
     lp0 AS MATERIALIZED (SELECT node_id AS v, node_id AS lbl FROM nodes)"""]
     for i in range(1, k + 1):
         parts.append(f""",
@@ -7431,8 +7464,9 @@ def _labelprop_sql(k: int = 10) -> str:
         FROM agg{i}) WHERE rn = 1),
     lp{i} AS MATERIALIZED (SELECT p.v, COALESCE(b.label, p.lbl) AS lbl
               FROM lp{i-1} p LEFT JOIN best{i} b ON b.v = p.v)""")
+    out_col = "node_id" if hashed_ids else "vertex"
     parts.append(f"""
-    SELECT v AS vertex, CAST(lbl AS BIGINT) AS label FROM lp{k}""")
+    SELECT v AS {out_col}, CAST(lbl AS BIGINT) AS label FROM lp{k}""")
     return "WITH " + "".join(parts)
 
 
@@ -8200,6 +8234,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k5_events": _pagerank_k5_sql(),
         "bigv_pagerank_k5_events": _pagerank_k5_sql(hashed_ids=True),
         "bigv_components_events": _bigv_components_sql(),
+        "bigv_labelprop_events": _labelprop_sql(hashed_ids=True),
         "hits_k4_events": _hits_k4_sql(),
         "label_centroids_embeddings": """
     SELECT CAST(label AS BIGINT) AS label, dim,

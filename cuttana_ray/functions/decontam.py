@@ -92,4 +92,4 @@ def decontaminate(ds: "ray.data.Dataset", bench_set: pa.Array,
 
     from cuttana_ray.util import pool_size
     return ds.map_batches(Check, batch_format="pyarrow",
-                          concurrency=pool_size())
+                          concurrency=pool_size(), max_restarts=0)

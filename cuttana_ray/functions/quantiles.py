@@ -293,57 +293,15 @@ def grouped_weighted_median(ds: "ray.data.Dataset", key: str, value: str,
     from cuttana_ray.stages.running import running_agg
     from ray.data.aggregate import Min, Sum
 
-    # the carry chain keys on int64; encode non-integer keys by hash
-    # (the original key column rides through ``keep`` for the output)
-    def add_k(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or key not in t.column_names:
-            return t.append_column("_k", pa.array([], pa.int64()))
-        col = t[key]
-        if pa.types.is_integer(col.type):
-            return t.append_column("_k", pc.cast(col, pa.int64()))
-        # pandas' siphash: stable across processes, vectorized, and free
-        # of polars' lazy-import race under concurrent worker start-up
-        import pandas as pd
-        h = pd.util.hash_pandas_object(
-            pd.Series(col.to_pandas()), index=False).to_numpy() \
-            & np.uint64((1 << 62) - 1)
-        return t.append_column("_k", pa.array(h.astype(np.int64)))
+    # the carry chain keys runs on int64; non-integer keys ride a
+    # collision-guarded 62-bit hash (util.ensure_int64_key raises on the
+    # ~2^-62-per-pair collision instead of silently interleaving two
+    # keys' cumulative weights); the raw key rides ``keep`` to the output
+    from cuttana_ray.util import drop_empty_blocks, ensure_int64_key
 
-    from cuttana_ray.util import drop_empty_blocks
-
-    keyed = ds.map_batches(add_k, batch_format="pyarrow")
-
-    # collision guard: the carry chain breaks runs on the 62-bit ``_k``
-    # hash, so correctness needs _k injective over the observed keys. The
-    # check is one pre-combined exchange over unique (key, _k) pairs
-    # (O(#keys), not O(rows)); on the ~2^-62-per-pair event it raises
-    # rather than silently interleaving two keys' cumulative weights.
-    _sch = ds.schema()
-    if not pa.types.is_integer(_sch.types[_sch.names.index(key)]):
-        from ray.data.aggregate import Count
-
-        def upairs(t: pa.Table) -> pa.Table:
-            sch = pa.schema([(key, pa.string()), ("_k", pa.int64())])
-            if len(t) == 0 or key not in t.column_names:
-                return sch.empty_table()
-            return pa.table({key: pc.cast(t[key], pa.string()),
-                             "_k": t["_k"]}).group_by([key, "_k"]) \
-                .aggregate([]).cast(sch)
-
-        upair = keyed.map_batches(upairs, batch_format="pyarrow") \
-            .groupby([key, "_k"]).aggregate(Count(alias_name="_c"))
-        upair = upair.materialize()
-        n_pairs = upair.count()
-        n_hashes = drop_empty_blocks(upair).groupby("_k") \
-            .aggregate(Count(alias_name="_n")).count()
-        if n_pairs != n_hashes:
-            raise ValueError(
-                "grouped_weighted_median: 62-bit key-hash collision "
-                f"detected ({n_pairs} keys → {n_hashes} hashes); "
-                "use an integer key column")
-
+    keyed, keycol = ensure_int64_key(ds, key)
     run = drop_empty_blocks(
-        running_agg(keyed, "_k", [value, *tiebreak], weight,
+        running_agg(keyed, keycol, [value, *tiebreak], weight,
                     keep=[key, value]))
     totals = drop_empty_blocks(
         ds.groupby(key).aggregate(Sum(weight, alias_name="_tot")))

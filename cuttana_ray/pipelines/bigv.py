@@ -367,28 +367,48 @@ class HashShardPool:
         """Sharded-BSP min-label components over hash ids (component label
         = min member id). Needs the same prepare exchange for positions."""
         self._prepare(0.85)
-        ray.get([s.sharded_labels_init.remote() for s in self.shards])
-        k = len(self.shards)
-        incoming: list[list] = [[] for _ in range(k)]
-        res = IterativeResult(np.empty(0), 0, False)
-        for it in range(max_iters):
-            t0 = time.perf_counter()
-            outs = ray.get([s.sharded_minlabel_iter.remote(incoming[p])
-                            for p, s in enumerate(self.shards)])
-            changed = int(sum(o[0] for o in outs))
-            incoming = [[] for _ in range(k)]
-            for q, (_, msgs) in enumerate(outs):
-                for p, ref in msgs.items():
-                    incoming[p].append((q, ref))
-            res.deltas.append(float(changed))
-            res.seconds_per_iter.append(time.perf_counter() - t0)
-            if changed == 0:
-                res.iterations, res.converged = it + 1, True
-                break
-        else:
-            res.iterations = max_iters
+        res = _lpa_labels_pool_loop(self, max_iters, "sharded_minlabel_iter")
         refs = [s.labels_result_table.remote() for s in self.shards]
         return res, ray.data.from_arrow_refs(refs)
+
+    def label_propagation(self, max_iters: int = 10
+                          ) -> "tuple[IterativeResult, ray.data.Dataset]":
+        """Sharded-BSP synchronous weighted LPA over hash ids: labels start
+        as the vertex's own hash id; each round every vertex adopts the
+        incoming label with max total edge weight, ties to the SMALLEST
+        label (note: the tie ordering is over hash ids, so tie-broken
+        labels can differ from the dense-id path's — same partition
+        semantics, different representative)."""
+        self._prepare(0.85)
+        res = _lpa_labels_pool_loop(self, max_iters, "sharded_lpa_iter")
+        refs = [s.labels_result_table.remote() for s in self.shards]
+        return res, ray.data.from_arrow_refs(refs)
+
+
+def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
+                          iter_method: str) -> IterativeResult:
+    """Shared BSP label loop (min-label / LPA) over a prepared pool."""
+    ray.get([s.sharded_labels_init.remote() for s in pool.shards])
+    k = len(pool.shards)
+    incoming: list[list] = [[] for _ in range(k)]
+    res = IterativeResult(np.empty(0), 0, False)
+    for it in range(max_iters):
+        t0 = time.perf_counter()
+        outs = ray.get([getattr(s, iter_method).remote(incoming[p])
+                        for p, s in enumerate(pool.shards)])
+        changed = int(sum(o[0] for o in outs))
+        incoming = [[] for _ in range(k)]
+        for q, (_, msgs) in enumerate(outs):
+            for p, ref in msgs.items():
+                incoming[p].append((q, ref))
+        res.deltas.append(float(changed))
+        res.seconds_per_iter.append(time.perf_counter() - t0)
+        if changed == 0:
+            res.iterations, res.converged = it + 1, True
+            break
+    else:
+        res.iterations = max_iters
+    return res
 
 
 def pagerank_bigv(edges_str: "ray.data.Dataset", num_shards: int = 16,

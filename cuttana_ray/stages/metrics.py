@@ -122,8 +122,11 @@ def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
                 "rows": pa.array([len(src)], pa.int64()),
             })
 
+    # max_restarts=0: constructor closure holds an ObjectRef (ray#53727
+    # warning otherwise); deterministic stage, Ray Data replaces actors
     partials = edges.map_batches(CutCounter, batch_format="pyarrow",
-                                 concurrency=pool_size()).to_pandas()
+                                 concurrency=pool_size(),
+                                 max_restarts=0).to_pandas()
     doubled_cut = int(partials["cut"].sum())
     edge_count = int(partials["total"].sum())  # directed endpoints (2E)
     cut_count = doubled_cut // 2               # each cut edge once

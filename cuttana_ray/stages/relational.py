@@ -542,9 +542,14 @@ def grouped_dense_rank(ds: "ray.data.Dataset", key: str, col: str
         return t.append_column("_one",
                                pa.array(np.ones(len(t), np.int64)))
 
+    # the carry chain keys runs on int64: non-integer keys ride a
+    # collision-guarded 62-bit hash (the raw key stays in `keep` and is
+    # what the final join uses, so the hash never reaches the output)
+    from cuttana_ray.util import ensure_int64_key
+    keyed, keycol = ensure_int64_key(distinct, key)
     ranks = drop_empty_blocks(
-        running_agg(distinct.map_batches(ones, batch_format="pyarrow"),
-                    key, [col], "_one", keep=[key, col])
+        running_agg(keyed.map_batches(ones, batch_format="pyarrow"),
+                    keycol, [col], "_one", keep=[key, col])
         .drop_columns(["running_sum"])
         .rename_columns({"rn": "drank"}))
     return safe_join(ds, ranks, join_type="inner", num_partitions=8,

@@ -207,7 +207,8 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
 
     from cuttana_ray.util import pool_size
     return drop_empty_blocks(body).map_batches(
-        Finish, batch_format="pyarrow", concurrency=pool_size()).sort("k")
+        Finish, batch_format="pyarrow", concurrency=pool_size(),
+        max_restarts=0).sort("k")
 
 
 def hopping_window_agg(ds: "ray.data.Dataset", key: str, ts: str,

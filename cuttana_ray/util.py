@@ -69,6 +69,56 @@ def safe_join(left, right, *args, **kwargs):
                                         *args, **kwargs)
 
 
+def ensure_int64_key(ds, key: str, out: str = "_ik"):
+    """Return ``(ds', keycol)`` where ``keycol`` is an int64 column usable
+    as a carry-chain partition key (``stages/running.py`` keys runs on
+    int64). Integer keys pass through unchanged (keycol == key); any other
+    type gets a 62-bit siphash column plus a DISTRIBUTED injectivity check
+    — one pre-combined exchange over unique (key, hash) pairs, O(#keys) —
+    that raises on the ~2^-62-per-pair collision instead of silently
+    merging two keys' runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sch = ds.schema()
+    if pa.types.is_integer(sch.types[sch.names.index(key)]):
+        return ds, key
+
+    def add_k(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or key not in t.column_names:
+            return t.append_column(out, pa.array([], pa.int64()))
+        import pandas as pd
+        h = pd.util.hash_pandas_object(
+            pd.Series(t[key].to_pandas()), index=False).to_numpy() \
+            & np.uint64((1 << 62) - 1)
+        return t.append_column(out, pa.array(h.astype(np.int64)))
+
+    keyed = ds.map_batches(add_k, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    def upairs(t: pa.Table) -> pa.Table:
+        psch = pa.schema([(key, pa.string()), (out, pa.int64())])
+        if len(t) == 0 or key not in t.column_names:
+            return psch.empty_table()
+        return pa.table({key: pc.cast(t[key], pa.string()),
+                         out: t[out]}).group_by([key, out]) \
+            .aggregate([]).cast(psch)
+
+    upair = keyed.map_batches(upairs, batch_format="pyarrow") \
+        .groupby([key, out]).aggregate(Count(alias_name="_c")) \
+        .materialize()
+    n_pairs = upair.count()
+    n_hashes = drop_empty_blocks(upair).groupby(out) \
+        .aggregate(Count(alias_name="_n")).count()
+    if n_pairs != n_hashes:
+        raise ValueError(
+            f"ensure_int64_key: 62-bit hash collision over column {key!r} "
+            f"({n_pairs} keys -> {n_hashes} hashes); use an integer key")
+    return keyed, out
+
+
 def pool_size(cap: int = 8) -> tuple[int, int]:
     """Actor-pool ``concurrency`` range ``(1, max)`` that leaves CPU headroom
     for the read/shuffle stages around it: max = half the cluster CPUs, at

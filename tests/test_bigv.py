@@ -156,6 +156,46 @@ def test_bigv_components_match_union_find(ray_session):
         assert got_map[v] == lbl
 
 
+def test_bigv_label_propagation_matches_numpy_oracle(ray_session):
+    """Sharded-BSP LPA over hash ids vs a local NumPy oracle replaying the
+    engine's exact semantics (per-(dst,label) weight sums → argmax, ties
+    to smallest label) on the compacted hashed edge list."""
+    from cuttana_ray.pipelines.bigv import HashShardPool, hash_encode_edges
+    from cuttana_ray.pipelines.labelprop import argmax_labels
+
+    edges_str = _symmetrized_string_edges().materialize()
+    enc = hash_encode_edges(edges_str).materialize()
+    pool = HashShardPool(enc, 4)
+    res, ds = pool.label_propagation(max_iters=10)
+    pool.shutdown()
+    pdf = ds.to_pandas()
+    got = dict(zip(pdf["node_id"], pdf["label"]))
+
+    epdf = enc.to_pandas()
+    src = epdf["src"].to_numpy()
+    dst = epdf["dst"].to_numpy()
+    w = epdf["weight"].to_numpy().astype(np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    sidx = np.searchsorted(ids, src)
+    didx = np.searchsorted(ids, dst)
+    labels = ids.copy()                 # compact index → hash-id label
+    for _ in range(10):
+        lab = labels[sidx]
+        order = np.lexsort((lab, didx))
+        d2, l2, w2 = didx[order], lab[order], w[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((d2[1:] != d2[:-1])
+                             | (l2[1:] != l2[:-1]))[0] + 1])
+        new = argmax_labels(d2[starts], l2[starts],
+                            np.add.reduceat(w2, starts), labels)
+        changed = int((new != labels).sum())
+        labels = new
+        if changed == 0:
+            break
+    want = dict(zip(ids.tolist(), labels.tolist()))
+    assert got == want
+
+
 def test_bigv_layout_invariance(ray_session):
     """Same scores regardless of block layout and shard count."""
     from cuttana_ray.pipelines.bigv import pagerank_bigv
