@@ -411,6 +411,51 @@ def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
     return res
 
 
+def hash_mod_quality(enc: "ray.data.Dataset", num_shards: int) -> dict:
+    """Partition-quality metrics for the big-V ``id % k`` ownership rule,
+    computed fully distributed over the doubled int64 edge table: each block
+    emits (cut-endpoints, per-partition edge-load bincount); the driver
+    combines k+2 scalars per block — no O(V) object anywhere. Mirrors the
+    cut-ratio / balance definitions of ``stages.metrics.partition_quality``
+    (reference ``/root/reference/src/metrics.rs`` semantics) with edge load
+    standing in for vertex load (the natural balance target when vertex
+    identity is a hash)."""
+    k = num_shards
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.table({"cut": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64()),
+                             "load": pa.array([], pa.list_(pa.int64()))})
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        sp = (src % k).astype(np.int64)
+        dp = (dst % k).astype(np.int64)
+        return pa.table({
+            "cut": pa.array([int((sp != dp).sum())], pa.int64()),
+            "rows": pa.array([len(src)], pa.int64()),
+            "load": pa.array([np.bincount(dp, minlength=k).tolist()],
+                             pa.list_(pa.int64())),
+        })
+
+    pdf = enc.map_batches(partial, batch_format="pyarrow").to_pandas()
+    doubled_cut = int(pdf["cut"].sum())
+    doubled_rows = int(pdf["rows"].sum())
+    load = np.zeros(k, np.int64)
+    for row in pdf["load"]:
+        load += np.asarray(row, np.int64)
+    edge_count = doubled_rows // 2
+    mean_load = load.mean() if k else 0.0
+    return {
+        "num_partitions": k,
+        "edge_count": edge_count,
+        "cut_count": doubled_cut // 2,
+        "cut_ratio": (doubled_cut / doubled_rows) if doubled_rows else 0.0,
+        "edge_load_max": int(load.max()) if k else 0,
+        "edge_balance": float(load.max() / mean_load) if mean_load else 0.0,
+    }
+
+
 def pagerank_bigv(edges_str: "ray.data.Dataset", num_shards: int = 16,
                   damping: float = 0.85, tol: float = 1e-6,
                   max_iters: int = 100, check_collisions: bool = True

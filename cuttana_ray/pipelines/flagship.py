@@ -145,6 +145,111 @@ def run_flagship(transcripts: "ray.data.Dataset", workdir: str,
     return lineage
 
 
+def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
+                      num_shards: int = 16, pagerank_tol: float = 1e-6,
+                      lpa_iters: int = 10,
+                      check_collisions: bool = True) -> dict:
+    """North-star-regime flagship: the same lifecycle as ``run_flagship``
+    but with NO O(V) object on the driver (or any single node) at any
+    point — the 10^11-vertex path (``pipelines/bigv.py`` module docstring):
+
+    transcripts → string edge extraction → distributed 63-bit collision
+    check → stateless hash-id encode (checkpointed) → distributed
+    ``id % k`` cut/balance metrics → ``HashShardPool`` BSP PageRank +
+    components + label propagation → per-shard Parquet results + lineage.
+
+    The driver routes object refs and scalars only; results land as
+    manifest-gated Parquet stage directories (one file per shard), so a
+    rerun with the same ``workdir`` skips finished stages.
+    """
+    from cuttana_ray.pipelines.bigv import (
+        HashShardPool,
+        check_hash_collisions,
+        hash_encode_edges,
+        hash_mod_quality,
+        symmetrize_string_edges,
+    )
+    from cuttana_ray.stages.edges import transcript_edges
+
+    os.makedirs(workdir, exist_ok=True)
+    t_start = time.perf_counter()
+    timings: dict[str, float] = {}
+
+    def clock(name: str, t0: float) -> float:
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter()
+
+    t0 = time.perf_counter()
+    edges_dir = os.path.join(workdir, "edges_hashed")
+    if ckpt.is_complete(edges_dir):
+        enc = ray.data.read_parquet(edges_dir, file_extensions=["parquet"])
+        edge_meta = ckpt.read_manifest(edges_dir)
+    else:
+        # extractors canonicalize + dedup (one row per unordered pair);
+        # doubling is a flat map, encode is stateless per batch
+        sym = symmetrize_string_edges(transcript_edges(transcripts))
+        if check_collisions:
+            check_hash_collisions(sym)
+        edge_meta = {"collision_checked": bool(check_collisions)}
+        enc = ckpt.write_stage(hash_encode_edges(sym), edges_dir,
+                               meta=edge_meta)
+    t0 = clock("graph_build", t0)
+
+    quality = hash_mod_quality(enc, num_shards)
+    t0 = clock("quality_metrics", t0)
+
+    pool = HashShardPool(enc, num_shards)
+    V = pool.V
+    try:
+        pr, pr_ds = pool.pagerank(tol=pagerank_tol)
+        ckpt.write_stage(pr_ds, os.path.join(workdir, "rank_bigv"))
+        cc, cc_ds = pool.connected_components()
+        comp_ds = ckpt.write_stage(
+            cc_ds.rename_columns({"label": "component"}),
+            os.path.join(workdir, "component_bigv"))
+        lp, lp_ds = pool.label_propagation(max_iters=lpa_iters)
+        label_ds = ckpt.write_stage(lp_ds, os.path.join(workdir, "label_bigv"))
+    finally:
+        pool.shutdown()
+    t0 = clock("iterative_algorithms", t0)
+
+    # distinct counts for lineage, computed as a distributed groupby —
+    # the distinct set itself (O(V) for components in the worst case)
+    # never leaves the cluster; the driver sees one scalar
+    def _n_distinct(ds: "ray.data.Dataset", col: str) -> int:
+        return ds.select_columns([col]).groupby(col).count().count()
+
+    n_components = _n_distinct(comp_ds, "component")
+    n_labels = _n_distinct(label_ds, "label")
+    t0 = clock("summaries", t0)
+
+    E = quality["edge_count"]
+    pr_iter_secs = float(np.mean(pr.seconds_per_iter)) \
+        if pr.seconds_per_iter else 0.0
+    lineage = {
+        "engine": "cuttana_ray",
+        "mode": "bigv",
+        "num_shards": num_shards,
+        "num_vertices": V,
+        "edge_count": E,
+        "edges_stage": edge_meta,
+        "quality_hash_mod": quality,
+        "pagerank": {"iterations": pr.iterations, "converged": pr.converged,
+                     "sec_per_iter": pr_iter_secs,
+                     "edges_per_sec_per_iter":
+                         (E / pr_iter_secs) if pr_iter_secs else None},
+        "components": {"iterations": cc.iterations,
+                       "n_components": n_components},
+        "labelprop": {"iterations": lp.iterations,
+                      "n_labels": n_labels},
+        "timings_sec": timings,
+        "total_sec": round(time.perf_counter() - t_start, 4),
+    }
+    with open(os.path.join(workdir, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=2, default=str)
+    return lineage
+
+
 def transcript_passthrough(transcripts: "ray.data.Dataset") -> "ray.data.Dataset":
     """Stable-(conv_id, turn_idx)-ordered pass-through; per-turn ``text``
     byte-equality end-to-end is the per-row invariant from

@@ -23,7 +23,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--workdir", required=True,
                     help="output/checkpoint directory (resumable)")
     ap.add_argument("--num-partitions", type=int, default=16)
-    ap.add_argument("--mode", choices=["csr", "sharded", "shuffle"], default="csr")
+    ap.add_argument("--mode", choices=["csr", "sharded", "shuffle", "bigv"],
+                    default="csr",
+                    help="bigv = hash-id shard-resident pipeline: no O(V) "
+                         "object on the driver or any single node")
     ap.add_argument("--pagerank-tol", type=float, default=1e-6)
     ap.add_argument("--lpa-iters", type=int, default=10)
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -42,16 +45,25 @@ def main(argv: list[str] | None = None) -> int:
     try:
         import ray.data as rd
         from cuttana_ray.config import CuttanaConfig
-        from cuttana_ray.pipelines.flagship import run_flagship
+        from cuttana_ray.pipelines.flagship import (
+            run_flagship,
+            run_flagship_bigv,
+        )
 
-        config = CuttanaConfig(num_sub_partitions=args.num_sub_partitions,
-                               balance_slack=args.balance_slack,
-                               seed=args.seed)
-        lineage = run_flagship(
-            rd.read_parquet(args.input), args.workdir,
-            num_partitions=args.num_partitions, config=config,
-            mode=args.mode, pagerank_tol=args.pagerank_tol,
-            lpa_iters=args.lpa_iters)
+        if args.mode == "bigv":
+            lineage = run_flagship_bigv(
+                rd.read_parquet(args.input), args.workdir,
+                num_shards=args.num_partitions,
+                pagerank_tol=args.pagerank_tol, lpa_iters=args.lpa_iters)
+        else:
+            config = CuttanaConfig(num_sub_partitions=args.num_sub_partitions,
+                                   balance_slack=args.balance_slack,
+                                   seed=args.seed)
+            lineage = run_flagship(
+                rd.read_parquet(args.input), args.workdir,
+                num_partitions=args.num_partitions, config=config,
+                mode=args.mode, pagerank_tol=args.pagerank_tol,
+                lpa_iters=args.lpa_iters)
         json.dump(lineage, sys.stdout, indent=2, default=str)
         print()
         return 0

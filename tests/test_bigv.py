@@ -207,3 +207,75 @@ def test_bigv_layout_invariance(ray_session):
     b = ds2.to_pandas().sort_values("node_id").reset_index(drop=True)
     assert (a["node_id"] == b["node_id"]).all()
     np.testing.assert_allclose(a["rank"], b["rank"], atol=1e-9)
+
+
+def test_flagship_bigv_end_to_end(tiny_transcripts, tmp_path):
+    """The north-star-regime flagship: transcripts → hashed edges →
+    HashShardPool PR/CC/LPA → per-shard parquet + lineage, resumable —
+    and per-vertex parity with the DENSE flagship path (names → hash ids)."""
+    from cuttana_ray import oracle
+    from cuttana_ray.pipelines import checkpoint as ckpt
+    from cuttana_ray.pipelines.bigv import hash_name_ids
+    from cuttana_ray.pipelines.flagship import run_flagship_bigv
+    from cuttana_ray.pipelines.graph import build_graph_from_transcripts
+
+    workdir = str(tmp_path / "bigv_flagship")
+    ds = rd.from_arrow(tiny_transcripts).repartition(5)
+    lineage = run_flagship_bigv(ds, workdir, num_shards=4, lpa_iters=4)
+
+    for stage in ("edges_hashed", "rank_bigv", "component_bigv",
+                  "label_bigv"):
+        assert ckpt.is_complete(f"{workdir}/{stage}"), stage
+    assert lineage["edges_stage"]["collision_checked"] is True
+    assert 0.0 < lineage["quality_hash_mod"]["cut_ratio"] <= 1.0
+    assert lineage["pagerank"]["converged"]
+
+    # dense-path oracle on the SAME transcripts, mapped through hash ids
+    g = build_graph_from_transcripts(ds)
+    et = g.edges.to_pandas()
+    want = oracle.pagerank_oracle(et["src"].to_numpy(),
+                                  et["dst"].to_numpy(),
+                                  et["weight"].to_numpy(), g.num_vertices)
+    comp_dense = oracle.components_oracle(et["src"].to_numpy(),
+                                          et["dst"].to_numpy(),
+                                          g.num_vertices)
+    names = g.nodes.column("name")
+    hids = hash_name_ids(names)
+
+    got = ckpt.read_table(f"{workdir}/rank_bigv").to_pandas()
+    assert lineage["num_vertices"] == g.num_vertices == len(got)
+    by_id = dict(zip(got["node_id"], got["rank"]))
+    dense_ids = g.nodes.column("node_id").to_numpy(zero_copy_only=False)
+    got_vec = np.array([by_id[h] for h in hids])
+    assert np.allclose(got_vec, want[dense_ids], atol=1e-6)
+
+    # components: same partition structure (bijection between label sets)
+    import pandas as pd
+    gotc = ckpt.read_table(f"{workdir}/component_bigv").to_pandas()
+    m = pd.DataFrame({"node_id": hids, "dense_comp": comp_dense[dense_ids]}) \
+        .merge(gotc, on="node_id", validate="one_to_one")
+    assert lineage["components"]["n_components"] \
+        == m["dense_comp"].nunique() == m["component"].nunique()
+    assert (m.groupby("dense_comp")["component"].nunique() == 1).all()
+    assert (m.groupby("component")["dense_comp"].nunique() == 1).all()
+
+    # resume: rerun skips completed stages, lineage metrics identical
+    lineage2 = run_flagship_bigv(ds, workdir, num_shards=4, lpa_iters=4)
+    assert lineage2["num_vertices"] == lineage["num_vertices"]
+    assert lineage2["quality_hash_mod"] == lineage["quality_hash_mod"]
+    assert lineage2["components"]["n_components"] \
+        == lineage["components"]["n_components"]
+
+
+def test_hash_mod_quality_matches_local(ray_session):
+    """Distributed id%k quality vs a local recount on the same table."""
+    from cuttana_ray.pipelines.bigv import hash_encode_edges, hash_mod_quality
+    enc = hash_encode_edges(_symmetrized_string_edges()).materialize()
+    q = hash_mod_quality(enc, 4)
+    pdf = enc.to_pandas()
+    sp, dp = pdf["src"].to_numpy() % 4, pdf["dst"].to_numpy() % 4
+    assert q["cut_count"] == int((sp != dp).sum()) // 2
+    assert q["edge_count"] == len(pdf) // 2
+    load = np.bincount(dp, minlength=4)
+    assert q["edge_load_max"] == int(load.max())
+    assert np.isclose(q["edge_balance"], load.max() / load.mean())
