@@ -2409,6 +2409,17 @@ def _q_bigv_labelprop_events(sf_dir: str):
     return out
 
 
+def _q_bigv_triangles_events(sf_dir: str):
+    """Big-V per-vertex triangle counts: degrees/orientation/wedges/close
+    all distributed hash joins over 63-bit FNV ids — no O(V) object
+    anywhere (pipelines/bigv.py triangles_bigv). Counts are orientation-
+    invariant, so they equal the dense path's through the id mapping."""
+    from cuttana_ray.pipelines.bigv import triangles_bigv
+    enc = _bigv_events_edges(sf_dir)
+    _, ds = triangles_bigv(enc)
+    return ds
+
+
 def _q_bigv_components_events(sf_dir: str):
     """Big-V sharded min-label components over hash ids: the component
     label is the MIN member hash id (vs min dense id in components_events
@@ -7075,6 +7086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigv_pagerank_k5_events": _q_bigv_pagerank_k5_events,
         "bigv_components_events": _q_bigv_components_events,
         "bigv_labelprop_events": _q_bigv_labelprop_events,
+        "bigv_triangles_events": _q_bigv_triangles_events,
         "hits_k4_events": _q_hits_k4_events,
         "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
@@ -7470,7 +7482,7 @@ def _labelprop_sql(k: int = 10, hashed_ids: bool = False) -> str:
     return "WITH " + "".join(parts)
 
 
-_TRIANGLES_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+_TRIANGLES_TAIL = """,
     deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
     o AS (SELECT e.src AS u, e.dst AS v FROM e
           JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
@@ -7481,9 +7493,23 @@ _TRIANGLES_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
     pv AS (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
            UNION ALL SELECT c AS v FROM tri),
     cnt AS (SELECT v, COUNT(*) AS c FROM pv GROUP BY 1)
-    SELECT n.node_id AS vertex, CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
+    SELECT n.node_id AS {out_col}, CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
     FROM nodes n LEFT JOIN cnt c ON c.v = n.node_id
 """
+
+
+def _triangles_sql(hashed_ids: bool = False) -> str:
+    """Per-vertex triangle counts via the oriented self-join chain.
+    Orientation (degree, id) affects which wedges form but never the
+    counts, so the hashed-id variant differs only in the id column —
+    exactly what ``bigv_triangles_events`` (pipelines/bigv.py
+    ``triangles_bigv``) produces."""
+    graph = _events_graph_sql_hashed() if hashed_ids else _EVENTS_GRAPH_SQL
+    return "WITH " + graph + _TRIANGLES_TAIL.format(
+        out_col="node_id" if hashed_ids else "vertex")
+
+
+_TRIANGLES_SQL = _triangles_sql()
 
 # same oriented-self-join CTE chain as _TRIANGLES_SQL, different final
 # projection: local clustering coefficient (single exact division — the
@@ -8235,6 +8261,7 @@ def oracle_sql() -> dict[str, str]:
         "bigv_pagerank_k5_events": _pagerank_k5_sql(hashed_ids=True),
         "bigv_components_events": _bigv_components_sql(),
         "bigv_labelprop_events": _labelprop_sql(hashed_ids=True),
+        "bigv_triangles_events": _triangles_sql(hashed_ids=True),
         "hits_k4_events": _hits_k4_sql(),
         "label_centroids_embeddings": """
     SELECT CAST(label AS BIGINT) AS label, dim,

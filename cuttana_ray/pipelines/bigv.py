@@ -456,6 +456,106 @@ def hash_mod_quality(enc: "ray.data.Dataset", num_shards: int) -> dict:
     }
 
 
+def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
+                   ) -> "tuple[int, ray.data.Dataset]":
+    """Exact per-vertex triangle counts over arbitrary int64 (hash) ids with
+    NO O(V) object anywhere — the big-V counterpart of
+    ``pipelines.triangles.triangle_count``:
+
+    * degrees: one distributed groupby over the doubled edge table (the
+      dense path broadcasts an O(V) degree vector instead),
+    * degree orientation: two hash joins attach (deg, id) to both endpoints,
+      then a per-batch filter keeps each undirected edge once oriented
+      low→high — same O(sqrt(E)) out-neighborhood bound as the dense path,
+    * wedges + closing edges: distributed hash joins (identical shape to
+      ``_triangles_join``),
+    * per-vertex counts: per-batch partials → one groupby Sum → left join
+      back onto the vertex universe (zero-fill), returned as a distributed
+      (node_id, tri_count) Dataset.
+
+    Returns ``(total_triangles, per_vertex_dataset)``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from cuttana_ray.util import pool_size, safe_join
+
+    deg = enc.groupby("src").aggregate(Count(alias_name="_deg")) \
+        .materialize()
+    if num_partitions is None:
+        n_edges = enc.count() // 2
+        num_partitions = max(1, min(pool_size()[1], n_edges // 65536 + 1))
+
+    ed = safe_join(enc.select_columns(["src", "dst"]),
+                   deg.rename_columns({"src": "_a", "_deg": "_du"}),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("src",), right_on=("_a",))
+    ed = safe_join(ed, deg.rename_columns({"src": "_b", "_deg": "_dv"}),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("dst",), right_on=("_b",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        du = t["_du"].to_numpy(zero_copy_only=False)
+        dv = t["_dv"].to_numpy(zero_copy_only=False)
+        keep = (du < dv) | ((du == dv) & (s < d))
+        return pa.table({"u": pa.array(s[keep], pa.int64()),
+                         "v": pa.array(d[keep], pa.int64())})
+
+    o = ed.map_batches(orient, batch_format="pyarrow").materialize()
+
+    universe = deg.rename_columns({"src": "node_id"}) \
+        .select_columns(["node_id"])
+
+    def zero_counts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_id": pc.cast(t["node_id"], pa.int64()),
+            "tri_count": pa.array(np.zeros(len(t), np.int64))})
+
+    if o.count() == 0:
+        return 0, universe.map_batches(zero_counts, batch_format="pyarrow")
+
+    wedges = safe_join(o, o.rename_columns({"u": "v2", "v": "w"}),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("v",), right_on=("v2",)).materialize()
+    if wedges.count() == 0:
+        return 0, universe.map_batches(zero_counts, batch_format="pyarrow")
+    tri = safe_join(wedges, o.rename_columns({"u": "cu", "v": "cv"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("u", "w"), right_on=("cu", "cv")).materialize()
+    total = tri.count()
+
+    def pv_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("vertex", pa.int64()), ("partial", pa.int64())])
+        if len(t) == 0 or "u" not in t.column_names:
+            return sch.empty_table()
+        ids = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                              t["v"].to_numpy(zero_copy_only=False),
+                              t["w"].to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"vertex": pa.array(uniq, pa.int64()),
+                         "partial": pa.array(cnt.astype(np.int64))})
+
+    counts = tri.map_batches(pv_partial, batch_format="pyarrow") \
+        .groupby("vertex").aggregate(Sum("partial", alias_name="_tc"))
+    joined = safe_join(universe, counts, join_type="left_outer",
+                       num_partitions=num_partitions,
+                       on=("node_id",), right_on=("vertex",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()), ("tri_count", pa.int64())])
+        if len(t) == 0 or "node_id" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "node_id": pc.cast(t["node_id"], pa.int64()),
+            "tri_count": pc.cast(pc.fill_null(t["_tc"], 0), pa.int64())})
+
+    return total, joined.map_batches(finish, batch_format="pyarrow")
+
+
 def pagerank_bigv(edges_str: "ray.data.Dataset", num_shards: int = 16,
                   damping: float = 0.85, tol: float = 1e-6,
                   max_iters: int = 100, check_collisions: bool = True

@@ -213,6 +213,11 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
         pool.shutdown()
     t0 = clock("iterative_algorithms", t0)
 
+    from cuttana_ray.pipelines.bigv import triangles_bigv
+    tri_total, tri_ds = triangles_bigv(enc)
+    ckpt.write_stage(tri_ds, os.path.join(workdir, "tri_bigv"))
+    t0 = clock("triangles", t0)
+
     # distinct counts for lineage, computed as a distributed groupby —
     # the distinct set itself (O(V) for components in the worst case)
     # never leaves the cluster; the driver sees one scalar
@@ -242,6 +247,7 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
                        "n_components": n_components},
         "labelprop": {"iterations": lp.iterations,
                       "n_labels": n_labels},
+        "triangles": {"total": tri_total},
         "timings_sec": timings,
         "total_sec": round(time.perf_counter() - t_start, 4),
     }

@@ -224,7 +224,7 @@ def test_flagship_bigv_end_to_end(tiny_transcripts, tmp_path):
     lineage = run_flagship_bigv(ds, workdir, num_shards=4, lpa_iters=4)
 
     for stage in ("edges_hashed", "rank_bigv", "component_bigv",
-                  "label_bigv"):
+                  "label_bigv", "tri_bigv"):
         assert ckpt.is_complete(f"{workdir}/{stage}"), stage
     assert lineage["edges_stage"]["collision_checked"] is True
     assert 0.0 < lineage["quality_hash_mod"]["cut_ratio"] <= 1.0
@@ -258,6 +258,16 @@ def test_flagship_bigv_end_to_end(tiny_transcripts, tmp_path):
         == m["dense_comp"].nunique() == m["component"].nunique()
     assert (m.groupby("dense_comp")["component"].nunique() == 1).all()
     assert (m.groupby("component")["dense_comp"].nunique() == 1).all()
+
+    # triangles: per-vertex parity with the dense oracle through hash ids
+    tri_pv = oracle.triangles_oracle(et["src"].to_numpy(),
+                                     et["dst"].to_numpy(), g.num_vertices)[0]
+    gott = ckpt.read_table(f"{workdir}/tri_bigv").to_pandas()
+    tri_by_id = dict(zip(gott["node_id"], gott["tri_count"]))
+    assert len(gott) == g.num_vertices
+    assert all(tri_by_id[h] == tri_pv[i]
+               for h, i in zip(hids, dense_ids))
+    assert lineage["triangles"]["total"] == int(tri_pv.sum()) // 3
 
     # resume: rerun skips completed stages, lineage metrics identical
     lineage2 = run_flagship_bigv(ds, workdir, num_shards=4, lpa_iters=4)
