@@ -124,6 +124,31 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         }
         shutil.rmtree(workdir, ignore_errors=True)
 
+        # -- flagship big-V mode (hash ids, shard-resident state: the
+        # no-O(V)-on-any-node regime) over the same transcripts ------------
+        from cuttana_ray.pipelines.flagship import run_flagship_bigv
+        workdir = tempfile.mkdtemp(prefix="cuttana_bench_bigv_")
+        t0 = time.perf_counter()
+        lineage_bv = run_flagship_bigv(transcripts, workdir, num_shards=16)
+        queries["flagship_bigv"] = round(time.perf_counter() - t0, 3)
+        _qn = _read_proc_stat()
+        _qsteal["flagship_bigv"] = _steal_between(_qs, _qn)[0]
+        _qs = _qn
+        detail["flagship_bigv"] = {
+            "num_vertices": lineage_bv["num_vertices"],
+            "edge_count": lineage_bv["edge_count"],
+            "pagerank_iterations": lineage_bv["pagerank"]["iterations"],
+            "pagerank_sec_per_iter": round(
+                lineage_bv["pagerank"]["sec_per_iter"], 5),
+            "edges_per_sec_per_iter": round(
+                lineage_bv["pagerank"]["edges_per_sec_per_iter"] or 0),
+            "cut_ratio_hash_mod":
+                round(lineage_bv["quality_hash_mod"]["cut_ratio"], 4),
+            "triangles_total": lineage_bv["triangles"]["total"],
+            "timings": lineage_bv["timings_sec"],
+        }
+        shutil.rmtree(workdir, ignore_errors=True)
+
         # -- events graph, shuffle-mode PageRank ---------------------------
         from cuttana_ray.pipelines.graph import build_graph_from_events
         from cuttana_ray.pipelines.pagerank import pagerank
