@@ -2409,6 +2409,24 @@ def _q_bigv_labelprop_events(sf_dir: str):
     return out
 
 
+def _q_events_quotient_lpa(sf_dir: str):
+    """Community-coarsened super-graph: LPA labels (1 sync round — more
+    rounds fully absorb this hub graph and the quotient degenerates) feed
+    quotient_graph — two distributed label joins + one groupby-sum collapse
+    parallel edges; intra-community edges drop (pipelines/graph.py
+    quotient_graph). The page→host-style contraction operator."""
+    import ray.data
+
+    from cuttana_ray.pipelines.graph import quotient_graph
+    from cuttana_ray.pipelines.labelprop import label_propagation
+    g = _events_graph(sf_dir)
+    lp = label_propagation(g, max_iters=1)
+    labels = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "label": pa.array(lp.values, pa.int64())}))
+    return quotient_graph(g.edges, labels)
+
+
 def _q_bigv_triangles_events(sf_dir: str):
     """Big-V per-vertex triangle counts: degrees/orientation/wedges/close
     all distributed hash joins over 63-bit FNV ids — no O(V) object
@@ -7087,6 +7105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigv_components_events": _q_bigv_components_events,
         "bigv_labelprop_events": _q_bigv_labelprop_events,
         "bigv_triangles_events": _q_bigv_triangles_events,
+        "events_quotient_lpa": _q_events_quotient_lpa,
         "hits_k4_events": _q_hits_k4_events,
         "label_centroids_embeddings": _q_label_centroids,
         "ppr_k5_events": _q_ppr_k5_events,
@@ -7480,6 +7499,22 @@ def _labelprop_sql(k: int = 10, hashed_ids: bool = False) -> str:
     parts.append(f"""
     SELECT v AS {out_col}, CAST(lbl AS BIGINT) AS label FROM lp{k}""")
     return "WITH " + "".join(parts)
+
+
+def _quotient_lpa_sql(k: int = 10) -> str:
+    """Quotient (contraction) graph over the LPA-k labels: the same
+    unrolled LPA chain as ``_labelprop_sql``, finished by collapsing every
+    edge onto its endpoints' labels and summing parallel-edge weights
+    (intra-community edges dropped) — the SQL mirror of
+    ``pipelines/graph.py::quotient_graph`` fed by ``label_propagation``."""
+    base = _labelprop_sql(k)
+    final = base.rindex("\n    SELECT v AS vertex")
+    return base[:final] + f"""
+    SELECT ls.lbl AS lsrc, ld.lbl AS ldst,
+           CAST(SUM(e.weight) AS BIGINT) AS weight
+    FROM e JOIN lp{k} ls ON ls.v = e.src
+           JOIN lp{k} ld ON ld.v = e.dst
+    WHERE ls.lbl != ld.lbl GROUP BY 1, 2"""
 
 
 _TRIANGLES_TAIL = """,
@@ -8262,6 +8297,7 @@ def oracle_sql() -> dict[str, str]:
         "bigv_components_events": _bigv_components_sql(),
         "bigv_labelprop_events": _labelprop_sql(hashed_ids=True),
         "bigv_triangles_events": _triangles_sql(hashed_ids=True),
+        "events_quotient_lpa": _quotient_lpa_sql(k=1),
         "hits_k4_events": _hits_k4_sql(),
         "label_centroids_embeddings": """
     SELECT CAST(label AS BIGINT) AS label, dim,

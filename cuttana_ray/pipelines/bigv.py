@@ -444,11 +444,13 @@ def hash_mod_quality(enc: "ray.data.Dataset", num_shards: int) -> dict:
     load = np.zeros(k, np.int64)
     for row in pdf["load"]:
         load += np.asarray(row, np.int64)
-    edge_count = doubled_rows // 2
     mean_load = load.mean() if k else 0.0
     return {
         "num_partitions": k,
-        "edge_count": edge_count,
+        # directed-rows convention (2E), matching
+        # stages.metrics.partition_quality so edges/sec-per-iter numbers
+        # compare 1:1 across the dense and big-V flagships
+        "edge_count": doubled_rows,
         "cut_count": doubled_cut // 2,
         "cut_ratio": (doubled_cut / doubled_rows) if doubled_rows else 0.0,
         "edge_load_max": int(load.max()) if k else 0,

@@ -167,6 +167,58 @@ def directed_edges_from_events(events: "ray.data.Dataset",
                            zero_copy_batch=True)
 
 
+def quotient_graph(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
+                   drop_self_loops: bool = True,
+                   num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Contract a graph by a vertex→label mapping — the page→host /
+    community-coarsening operator: every vertex collapses into its label's
+    super-vertex and parallel edges merge by weight sum.
+
+    Fully distributed: two hash joins attach labels to both endpoints
+    (``labels`` is a (vertex, label) Dataset — never broadcast, so the
+    mapping may be as large as V), then one groupby-sum collapses the
+    multigraph. Intra-cluster edges drop by default (set
+    ``drop_self_loops=False`` to keep them as super-loops). A doubled
+    (symmetrized) input stays doubled in the output.
+
+    Returns a Dataset with columns (lsrc, ldst, weight).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.util import pool_size, safe_join
+
+    if num_partitions is None:
+        num_partitions = pool_size()[1]
+    e = safe_join(edges.select_columns(["src", "dst", "weight"]),
+                  labels.rename_columns({"vertex": "_sv", "label": "lsrc"}),
+                  join_type="inner", num_partitions=num_partitions,
+                  on=("src",), right_on=("_sv",))
+    e = safe_join(e,
+                  labels.rename_columns({"vertex": "_dv", "label": "ldst"}),
+                  join_type="inner", num_partitions=num_partitions,
+                  on=("dst",), right_on=("_dv",))
+
+    def project(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("lsrc", pa.int64()), ("ldst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "lsrc" not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"lsrc": pc.cast(t["lsrc"], pa.int64()),
+                        "ldst": pc.cast(t["ldst"], pa.int64()),
+                        "weight": pc.cast(t["weight"], pa.int64())})
+        if drop_self_loops:
+            out = out.filter(pc.invert(pc.equal(out["lsrc"], out["ldst"])))
+        # pre-aggregate inside the batch before the exchange
+        return out.group_by(["lsrc", "ldst"]) \
+            .aggregate([("weight", "sum")]) \
+            .rename_columns(["lsrc", "ldst", "weight"])
+
+    return e.map_batches(project, batch_format="pyarrow") \
+        .groupby(["lsrc", "ldst"]).aggregate(Sum("weight",
+                                                 alias_name="weight"))
+
+
 def graph_adjacency(graph: Graph) -> "ray.data.Dataset":
     """Adjacency rows for the partitioner feed, checkpointed when a workdir
     is set (the natural restart point before the sequential stage)."""

@@ -285,7 +285,7 @@ def test_hash_mod_quality_matches_local(ray_session):
     pdf = enc.to_pandas()
     sp, dp = pdf["src"].to_numpy() % 4, pdf["dst"].to_numpy() % 4
     assert q["cut_count"] == int((sp != dp).sum()) // 2
-    assert q["edge_count"] == len(pdf) // 2
+    assert q["edge_count"] == len(pdf)  # directed-rows (2E) convention
     load = np.bincount(dp, minlength=4)
     assert q["edge_load_max"] == int(load.max())
     assert np.isclose(q["edge_balance"], load.max() / load.mean())

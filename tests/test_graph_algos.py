@@ -760,3 +760,38 @@ def test_csr_pool_save_load_identical_results(er_graph, tmp_path):
         assert np.allclose(prs.values, pr0.values, atol=1e-9)
     finally:
         loaded.shutdown()
+
+
+def test_quotient_graph_matches_pandas(ray_session):
+    """quotient_graph (two label joins + groupby-sum) vs a local pandas
+    contraction, including self-loop drop/keep and weight merging."""
+    import pandas as pd
+
+    from cuttana_ray.pipelines.graph import quotient_graph
+
+    rng = np.random.default_rng(9)
+    n, V = 4000, 60
+    src = rng.integers(0, V, n)
+    dst = rng.integers(0, V, n)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 5, len(src))
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+        "weight": pa.array(w, pa.int64())})).repartition(5)
+    lbl = rng.integers(0, 7, V)
+    labels = rd.from_arrow(pa.table({
+        "vertex": pa.array(np.arange(V, dtype=np.int64)),
+        "label": pa.array(lbl, pa.int64())})).repartition(3)
+
+    pdf = pd.DataFrame({"lsrc": lbl[src], "ldst": lbl[dst], "weight": w})
+    for drop in (True, False):
+        got = quotient_graph(edges, labels, drop_self_loops=drop) \
+            .to_pandas().sort_values(["lsrc", "ldst"]).reset_index(drop=True)
+        want = pdf[pdf.lsrc != pdf.ldst] if drop else pdf
+        want = want.groupby(["lsrc", "ldst"], as_index=False)["weight"] \
+            .sum().sort_values(["lsrc", "ldst"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["lsrc"].to_numpy() == want["lsrc"].to_numpy()).all()
+        assert (got["ldst"].to_numpy() == want["ldst"].to_numpy()).all()
+        assert (got["weight"].to_numpy() == want["weight"].to_numpy()).all()
