@@ -48,7 +48,7 @@ import ray
 import ray.data
 
 from cuttana_ray.functions.dedup import _hash_strings
-from cuttana_ray.pipelines.csr import _BSPShardMixin
+from cuttana_ray.pipelines.csr import _BSPShardMixin, _ship, _unship
 from cuttana_ray.pipelines.pagerank import IterativeResult
 from cuttana_ray.util import pool_size
 
@@ -161,18 +161,45 @@ def check_hash_collisions(edges: "ray.data.Dataset") -> int:
     return n
 
 
+def _insorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in a sorted array."""
+    if len(sorted_arr) == 0 or len(vals) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos_c] == vals
+
+
 @ray.remote
 class HashShard(_BSPShardMixin):
     """One shard of the big-V BSP pool. Owns every vertex v with
     ``v % k == owner``; holds the in-edge CSR over its owned dsts, its
     owned out-weights, and (after prepare) its slice of the vertex state.
     No dense vertex-indexed array appears anywhere — all state is keyed by
-    sorted sparse id arrays + searchsorted positions."""
+    sorted sparse id arrays + searchsorted positions.
 
-    def __init__(self, block_refs: list, owner: int, k: int):
+    **Hub splitting (vertex-cut for in-degree skew).** With purely
+    dst-partitioned in-edges, a degree-D hub concentrates its ENTIRE
+    adjacency (O(D) rows — O(V) for a conv→tool mega-hub) on one shard,
+    which then serializes every BSP round. So in-edges whose dst is in the
+    broadcast ``hubs`` list (discovered distributed by the pool: vertices
+    with in-degree ≥ threshold; the list is ≤ E/threshold entries — a few
+    thousand by construction) are instead partitioned by ``src % k``: every
+    shard keeps the hub in-edges of its OWNED sources, locally
+    pre-aggregates each round (sum / min / per-label sum), and ships one
+    small per-hub partial vector to the hub's owner — the PowerGraph-style
+    mirror/combiner scheme. Per-round hub traffic is O(k · #hubs), and no
+    shard ever holds more than its balanced share of edge rows."""
+
+    def __init__(self, block_refs: list, owner: int, k: int,
+                 hubs: np.ndarray | None = None):
         self.owner = owner
         self.k = k
+        self.hubs = np.sort(np.asarray(hubs, np.int64)) \
+            if hubs is not None and len(hubs) else np.empty(0, np.int64)
+        self.hub_owner = (self.hubs % k).astype(np.int64)
         srcs, dsts, ws = [], [], []
+        hsrcs, hdsts, hws = [], [], []
         osrc, osw = [], []
         for ref in block_refs:
             t = ray.get(ref)
@@ -181,12 +208,18 @@ class HashShard(_BSPShardMixin):
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             w = t["weight"].to_numpy(zero_copy_only=False)
-            keep = (dst % k) == owner
+            dst_hub = _insorted(self.hubs, dst)
+            keep = ((dst % k) == owner) & ~dst_hub
             if keep.any():
                 srcs.append(src[keep])
                 dsts.append(dst[keep])
                 ws.append(w[keep])
             ks = (src % k) == owner
+            hkeep = dst_hub & ks
+            if hkeep.any():
+                hsrcs.append(src[hkeep])
+                hdsts.append(dst[hkeep])
+                hws.append(w[hkeep])
             if ks.any():
                 # out-weight partials for owned sources
                 u, inv = np.unique(src[ks], return_inverse=True)
@@ -210,6 +243,23 @@ class HashShard(_BSPShardMixin):
             self.w = np.empty(0, np.float64)
             self.starts = np.empty(0, np.int64)
             self.owned_dst = np.empty(0, np.int64)
+        # hub-partial CSR: in-edges of hub dsts from OWNED sources
+        if hsrcs:
+            hsrc = np.concatenate(hsrcs)
+            hdst = np.concatenate(hdsts)
+            hw = np.concatenate(hws).astype(np.float64)
+            horder = np.lexsort((hsrc, hdst))
+            self.h_src = hsrc[horder]
+            self.h_w = hw[horder]
+            hdst = hdst[horder]
+            self.hstarts = np.concatenate(
+                [[0], np.nonzero(hdst[1:] != hdst[:-1])[0] + 1])
+            self.hdst_present = hdst[self.hstarts]
+        else:
+            self.h_src = np.empty(0, np.int64)
+            self.h_w = np.empty(0, np.float64)
+            self.hstarts = np.empty(0, np.int64)
+            self.hdst_present = np.empty(0, np.int64)
         # owned out-weights (combine block partials)
         if osrc:
             allsrc = np.concatenate(osrc)
@@ -219,9 +269,11 @@ class HashShard(_BSPShardMixin):
         else:
             self.osrc = np.empty(0, np.int64)
             self.outw_own = np.empty(0, np.float64)
-        # owned universe: every owned id seen as dst or src
+        # owned universe: every owned id seen as dst or src (+ owned hubs,
+        # which in doubled form always also appear as sources)
+        self.owned_hubs = self.hubs[self.hub_owner == owner]
         self.owned_all = np.unique(np.concatenate(
-            [self.owned_dst, self.osrc]))
+            [self.owned_dst, self.osrc, self.owned_hubs]))
 
     def ready(self) -> int:
         """Owned-vertex count (each id is owned by exactly one shard)."""
@@ -244,6 +296,23 @@ class HashShard(_BSPShardMixin):
             ids = remote[owners == q]
             need[int(q)] = ids
             self.pos_need[int(q)] = np.searchsorted(self.refs_sorted, ids)
+        # hub-split bookkeeping: positions of hub-partial sources (always
+        # owned, hence always in refs_sorted), owned-hub state positions,
+        # and per-peer scatter maps into each owner's fixed hub vector
+        self.pos_hsrc = np.searchsorted(self.refs_sorted, self.h_src)
+        self.pos_hub_owned = np.searchsorted(self.owned_all, self.owned_hubs)
+        self.hub_send: dict[int, tuple] = {}
+        if len(self.hdst_present):
+            hidx = np.searchsorted(self.hubs, self.hdst_present)
+            howners = self.hub_owner[hidx]
+            for q in np.unique(howners).tolist():
+                mask = howners == q
+                hubs_of_q = self.hubs[self.hub_owner == q]
+                self.hub_send[int(q)] = (
+                    np.nonzero(mask)[0],
+                    np.searchsorted(hubs_of_q, self.hdst_present[mask]),
+                    len(hubs_of_q))
+        self._self_hub = None
         return need
 
     def _owned_outw(self, ids: np.ndarray) -> np.ndarray:
@@ -272,14 +341,200 @@ class HashShard(_BSPShardMixin):
         self.V = V
         outw = np.zeros(len(self.refs_sorted), np.float64)
         outw[self.pos_owned] = self._owned_outw(self.owned_all)
-        for q, ref in incoming_outw:
-            outw[self.pos_need[q]] = ray.get(ref)
+        if incoming_outw:
+            got = ray.get([ref for _, ref in incoming_outw])
+            for (q, _), v in zip(incoming_outw, got):
+                outw[self.pos_need[q]] = v
         outw_safe = np.where(outw == 0.0, 1.0, outw)
         self.coef = self.w / outw_safe[self.pos_src] if len(self.src) \
             else self.w
+        self.h_coef = self.h_w / outw_safe[self.pos_hsrc] \
+            if len(self.h_src) else self.h_w
         self.dangling_owned = outw[self.pos_owned] == 0.0
         self.vals = np.full(len(self.refs_sorted), 1.0 / V)
         return int(self.dangling_owned.sum())
+
+    # -- hub-split messaging (see class docstring) --------------------------
+
+    def _hub_vectors(self, per_hub: np.ndarray, fill: float) -> dict:
+        """Scatter per-present-hub aggregates into one fixed-size vector
+        per destination owner (``fill`` marks absent hubs)."""
+        out = {}
+        for q, (li, qi, qlen) in self.hub_send.items():
+            v = np.full(qlen, fill)
+            v[qi] = per_hub[li]
+            out[q] = v
+        return out
+
+    def _hub_partials_pr(self) -> dict:
+        if len(self.h_src) == 0:
+            return {}
+        contrib = self.vals[self.pos_hsrc] * self.h_coef
+        return self._hub_vectors(np.add.reduceat(contrib, self.hstarts), 0.0)
+
+    def hub_init_pr(self) -> dict:
+        """Initial hub partials (from the uniform init state), shipped once
+        before the first BSP round so iteration 1 sees complete hub mass."""
+        hp = self._hub_partials_pr()
+        self._self_hub = hp.pop(self.owner, None)
+        return {p: _ship((None, v)) for p, v in hp.items()}
+
+    def sharded_iter(self, dm_over_v: float, incoming: list):
+        """Hub-aware BSP PageRank round. Message payloads are
+        ``(vals_for_peer | None, hub_partial_vector | None)``; hub owners
+        fold the k incoming partial vectors (plus their own local slice)
+        into their owned-hub rows."""
+        hub_acc = np.zeros(len(self.owned_hubs))
+        for q, (v, hv) in _unship(incoming):
+            if v is not None:
+                self.vals[self.pos_need[q]] = v
+            if hv is not None:
+                hub_acc += hv
+        if self._self_hub is not None:
+            hub_acc += self._self_hub
+        d = self.damping
+        base = (1.0 - d) / self.V + d * dm_over_v
+        new = np.full(len(self.owned_all), base)
+        if len(self.src):
+            contrib = self.vals[self.pos_src] * self.coef
+            new[self.pos_inedge] += d * np.add.reduceat(contrib, self.starts)
+        if len(self.owned_hubs):
+            new[self.pos_hub_owned] += d * hub_acc
+        old = self.vals[self.pos_owned]
+        delta = float(np.abs(new - old).sum())
+        dangling_mass = float(new[self.dangling_owned].sum())
+        self.vals[self.pos_owned] = new
+        hp = self._hub_partials_pr()
+        self._self_hub = hp.pop(self.owner, None)
+        targets = set(self.out_idx) | set(hp)
+        out = {p: _ship((new[self.out_idx[p]] if p in self.out_idx
+                         else None, hp.get(p))) for p in targets}
+        return delta, dangling_mass, out
+
+    _INT_MAX = np.iinfo(np.int64).max
+
+    def _hub_partials_min(self) -> dict:
+        if len(self.h_src) == 0:
+            return {}
+        gathered = np.minimum.reduceat(self.lvals[self.pos_hsrc],
+                                       self.hstarts)
+        return {q: v.astype(np.int64) for q, v in
+                self._hub_vectors(gathered, self._INT_MAX).items()}
+
+    def _hub_partials_lpa(self) -> dict:
+        """Per-(hub, label) weight sums for owned sources, split per hub
+        owner as (positions-into-owner-vector, labels, wsums) triples."""
+        if len(self.h_src) == 0:
+            return {}
+        lab = self.lvals[self.pos_hsrc]
+        w = self.h_w.astype(np.int64)
+        nper = np.diff(np.concatenate([self.hstarts, [len(self.h_src)]]))
+        hpos = np.repeat(np.arange(len(self.hdst_present)), nper)
+        order = np.lexsort((lab, hpos))
+        h2, l2, w2 = hpos[order], lab[order], w[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((h2[1:] != h2[:-1])
+                             | (l2[1:] != l2[:-1]))[0] + 1])
+        hh, ll = h2[starts], l2[starts]
+        ww = np.add.reduceat(w2, starts)
+        out = {}
+        for q, (li, qi, _) in self.hub_send.items():
+            # li: indices into hdst_present sent to q; qi: their positions
+            # in q's hub vector. Select the reduced triples whose hub is
+            # bound for q and remap to q-vector positions.
+            sel = _insorted(np.sort(li), hh)
+            if not sel.any():
+                continue
+            remap = np.full(len(self.hdst_present), -1, np.int64)
+            remap[li] = qi
+            out[q] = (remap[hh[sel]], ll[sel], ww[sel])
+        return out
+
+    def labels_init_hub(self, mode: str) -> dict:
+        """Initial hub partials for the label loops (after
+        ``sharded_labels_init``); payloads are (None, partial)."""
+        hp = self._hub_partials_min() if mode == "min" \
+            else self._hub_partials_lpa()
+        self._self_hub = hp.pop(self.owner, None)
+        return {p: _ship((None, v)) for p, v in hp.items()}
+
+    def sharded_minlabel_iter(self, incoming: list):
+        hub_acc = np.full(len(self.owned_hubs), self._INT_MAX)
+        for q, (v, hv) in _unship(incoming):
+            if v is not None:
+                self.lvals[self.pos_need[q]] = v
+            if hv is not None:
+                hub_acc = np.minimum(hub_acc, hv)
+        if self._self_hub is not None:
+            hub_acc = np.minimum(hub_acc, self._self_hub)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            gathered = np.minimum.reduceat(self.lvals[self.pos_src],
+                                           self.starts)
+            np.minimum.at(new, self.pos_inedge, gathered)
+        if len(self.owned_hubs):
+            np.minimum.at(new, self.pos_hub_owned, hub_acc)
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        hp = self._hub_partials_min()
+        self._self_hub = hp.pop(self.owner, None)
+        targets = set(self.out_idx) | set(hp)
+        out = {p: _ship((new[self.out_idx[p]] if p in self.out_idx
+                         else None, hp.get(p))) for p in targets}
+        return changed, out
+
+    def sharded_lpa_iter(self, incoming: list):
+        tri = []            # (qpos, label, wsum) triples for owned hubs
+        for q, (v, hv) in _unship(incoming):
+            if v is not None:
+                self.lvals[self.pos_need[q]] = v
+            if hv is not None:
+                tri.append(hv)
+        if self._self_hub is not None:
+            tri.append(self._self_hub)
+        old = self.lvals[self.pos_owned]
+        new = old.copy()
+        if len(self.src):
+            lab = self.lvals[self.pos_src]
+            dst_pos = np.repeat(self.pos_inedge, np.diff(
+                np.concatenate([self.starts, [len(self.src)]])))
+            w = self.w.astype(np.int64)
+            order2 = np.lexsort((lab, dst_pos))
+            d2, l2, w2 = dst_pos[order2], lab[order2], w[order2]
+            starts2 = np.concatenate(
+                [[0], np.nonzero((d2[1:] != d2[:-1])
+                                 | (l2[1:] != l2[:-1]))[0] + 1])
+            dd, ll = d2[starts2], l2[starts2]
+            ww = np.add.reduceat(w2, starts2)
+            order3 = np.lexsort((ll, -ww, dd))
+            d3 = dd[order3]
+            first3 = np.concatenate(
+                [[0], np.nonzero(d3[1:] != d3[:-1])[0] + 1])
+            new[d3[first3]] = ll[order3][first3]
+        if tri:
+            hq = np.concatenate([t[0] for t in tri])
+            hl = np.concatenate([t[1] for t in tri])
+            hw = np.concatenate([t[2] for t in tri])
+            o2 = np.lexsort((hl, hq))
+            hq, hl, hw = hq[o2], hl[o2], hw[o2]
+            st = np.concatenate(
+                [[0], np.nonzero((hq[1:] != hq[:-1])
+                                 | (hl[1:] != hl[:-1]))[0] + 1])
+            qq, ql = hq[st], hl[st]
+            qw = np.add.reduceat(hw, st)
+            o3 = np.lexsort((ql, -qw, qq))
+            q3 = qq[o3]
+            f3 = np.concatenate([[0], np.nonzero(q3[1:] != q3[:-1])[0] + 1])
+            new[self.pos_hub_owned[q3[f3]]] = ql[o3][f3]
+        changed = int((new != old).sum())
+        self.lvals[self.pos_owned] = new
+        hp = self._hub_partials_lpa()
+        self._self_hub = hp.pop(self.owner, None)
+        targets = set(self.out_idx) | set(hp)
+        out = {p: _ship((new[self.out_idx[p]] if p in self.out_idx
+                         else None, hp.get(p))) for p in targets}
+        return changed, out
 
     def result_table(self) -> pa.Table:
         ids, vals = self.sharded_result()
@@ -292,11 +547,63 @@ class HashShard(_BSPShardMixin):
                          "label": pa.array(vals, pa.int64())})
 
 
+def discover_hubs(edges: "ray.data.Dataset", threshold: int) -> np.ndarray:
+    """Vertices with in-degree ≥ ``threshold`` over the doubled edge table
+    (= full degree), found with one distributed partial-count groupby. The
+    result is ≤ E/threshold ids by construction — the bounded 'hot key'
+    list that the shards treat with the vertex-cut scheme."""
+    from ray.data.aggregate import Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+        if len(t) == 0 or "dst" not in t.column_names:
+            return sch.empty_table()
+        u, c = np.unique(t["dst"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"dst": pa.array(u, pa.int64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cnt = edges.map_batches(part, batch_format="pyarrow") \
+        .groupby("dst").aggregate(Sum("c", alias_name="c"))
+
+    def over(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dst", pa.int64())])
+        if len(t) == 0 or "c" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({"dst": pc.cast(
+            t.filter(pc.greater_equal(t["c"], threshold))["dst"],
+            pa.int64())})
+
+    rows = cnt.map_batches(over, batch_format="pyarrow").take_all()
+    return np.sort(np.array([r["dst"] for r in rows], np.int64))
+
+
+def _route(msg_dicts: list, k: int) -> list:
+    """[{dst_shard: ref}] per sender → per-receiver [(sender, ref)] lists."""
+    incoming: list[list] = [[] for _ in range(k)]
+    for q, msgs in enumerate(msg_dicts):
+        for p, ref in msgs.items():
+            incoming[p].append((q, ref))
+    return incoming
+
+
 class HashShardPool:
-    """k ``HashShard`` actors over a hash-id int64 edge table."""
+    """k ``HashShard`` actors over a hash-id int64 edge table. In-degree
+    hubs (degree ≥ ``hub_degree_threshold``, default E/(4k)) take the
+    vertex-cut path (see ``HashShard``): their in-edges spread across all
+    shards by source owner and reach the hub as per-round combined
+    partials — no shard holds O(max-degree) rows and the hub owner stops
+    being the BSP straggler."""
 
     def __init__(self, edges: "ray.data.Dataset", num_shards: int,
-                 num_cpus_per_shard: float | None = None):
+                 num_cpus_per_shard: float | None = None,
+                 hub_degree_threshold: int | None = None):
+        if hub_degree_threshold is None:
+            hub_degree_threshold = max(
+                64, edges.count() // max(1, 4 * num_shards))
+        self.hub_degree_threshold = int(hub_degree_threshold)
+        self.hubs = discover_hubs(edges, self.hub_degree_threshold)
+        hubs_ref = ray.put(self.hubs)
         block_refs = edges.to_arrow_refs()
         if num_cpus_per_shard is None:
             try:
@@ -305,7 +612,7 @@ class HashShardPool:
                 total = num_shards
             num_cpus_per_shard = max(0.05, min(1.0, total / num_shards / 1.5))
         cls = HashShard.options(num_cpus=num_cpus_per_shard)
-        self.shards = [cls.remote(block_refs, p, num_shards)
+        self.shards = [cls.remote(block_refs, p, num_shards, hubs_ref)
                        for p in range(num_shards)]
         self.V = int(sum(ray.get([s.ready.remote() for s in self.shards])))
 
@@ -339,7 +646,8 @@ class HashShardPool:
         distributed (node_id, rank) Dataset)."""
         dangling_mass = self._prepare(damping)
         k = len(self.shards)
-        incoming: list[list] = [[] for _ in range(k)]
+        incoming = _route(
+            ray.get([s.hub_init_pr.remote() for s in self.shards]), k)
         res = IterativeResult(np.empty(0), 0, False)
         for it in range(max_iters):
             t0 = time.perf_counter()
@@ -348,10 +656,7 @@ class HashShardPool:
                 for p, s in enumerate(self.shards)])
             delta = float(sum(o[0] for o in outs))
             dangling_mass = float(sum(o[1] for o in outs))
-            incoming = [[] for _ in range(k)]
-            for q, (_, _, msgs) in enumerate(outs):
-                for p, ref in msgs.items():
-                    incoming[p].append((q, ref))
+            incoming = _route([o[2] for o in outs], k)
             res.deltas.append(delta)
             res.seconds_per_iter.append(time.perf_counter() - t0)
             if delta < tol:
@@ -390,17 +695,16 @@ def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
     """Shared BSP label loop (min-label / LPA) over a prepared pool."""
     ray.get([s.sharded_labels_init.remote() for s in pool.shards])
     k = len(pool.shards)
-    incoming: list[list] = [[] for _ in range(k)]
+    mode = "min" if iter_method == "sharded_minlabel_iter" else "lpa"
+    incoming = _route(
+        ray.get([s.labels_init_hub.remote(mode) for s in pool.shards]), k)
     res = IterativeResult(np.empty(0), 0, False)
     for it in range(max_iters):
         t0 = time.perf_counter()
         outs = ray.get([getattr(s, iter_method).remote(incoming[p])
                         for p, s in enumerate(pool.shards)])
         changed = int(sum(o[0] for o in outs))
-        incoming = [[] for _ in range(k)]
-        for q, (_, msgs) in enumerate(outs):
-            for p, ref in msgs.items():
-                incoming[p].append((q, ref))
+        incoming = _route([o[1] for o in outs], k)
         res.deltas.append(float(changed))
         res.seconds_per_iter.append(time.perf_counter() - t0)
         if changed == 0:

@@ -37,6 +37,41 @@ from cuttana_ray.pipelines.labelprop import argmax_labels
 from cuttana_ray.pipelines.pagerank import IterativeResult
 
 
+# Messages under this size ship INLINE in the task result / argument (the
+# driver relays the bytes) instead of through ray.put: a BSP round at k
+# shards otherwise costs O(k²) object-store round-trips (~1ms each), which
+# dominates when hub-splitting has already made the payloads small. Large
+# payloads still take the zero-copy object-store path.
+_INLINE_MAX_BYTES = 256 << 10
+
+
+def _payload_nbytes(obj) -> int:
+    if obj is None:
+        return 0
+    if isinstance(obj, np.ndarray):
+        return obj.nbytes
+    if isinstance(obj, tuple):
+        return sum(_payload_nbytes(o) for o in obj)
+    return _INLINE_MAX_BYTES + 1
+
+
+def _ship(obj):
+    """Inline small payloads; ray.put large ones."""
+    return obj if _payload_nbytes(obj) <= _INLINE_MAX_BYTES else ray.put(obj)
+
+
+def _unship(incoming: list) -> list:
+    """[(q, ref_or_payload)] → [(q, payload)] with ONE batched ray.get for
+    the ref entries (parallel fetch instead of one round-trip each)."""
+    idx = [i for i, (_, m) in enumerate(incoming)
+           if isinstance(m, ray.ObjectRef)]
+    fetched = ray.get([incoming[i][1] for i in idx]) if idx else []
+    out = list(incoming)
+    for j, i in enumerate(idx):
+        out[i] = (incoming[i][0], fetched[j])
+    return out
+
+
 class _BSPShardMixin:
     """Shared sharded-BSP iteration math (PageRank / min-label / LPA with
     shard-resident vertex state). A concrete shard class must set, in its
@@ -50,12 +85,18 @@ class _BSPShardMixin:
     dense partition vector; ``bigv.HashShard`` off ``id % k`` with no dense
     array anywhere."""
 
+    def _apply_incoming(self, incoming: list, target: np.ndarray) -> None:
+        """Apply peer value messages to ``target``. Inline payloads apply
+        directly; ref payloads resolve in ONE batched ray.get (parallel
+        fetch instead of one round-trip each)."""
+        for q, v in _unship(incoming):
+            target[self.pos_need[q]] = v
+
     def sharded_iter(self, dm_over_v: float, incoming: list):
         """One BSP round: apply incoming remote values, gather+scatter over
         the local CSR, return (local delta, local dangling mass, message
         refs keyed by destination shard)."""
-        for q, ref in incoming:
-            self.vals[self.pos_need[q]] = ray.get(ref)
+        self._apply_incoming(incoming, self.vals)
         d = self.damping
         base = (1.0 - d) / self.V + d * dm_over_v
         new = np.full(len(self.owned_all), base)
@@ -68,7 +109,7 @@ class _BSPShardMixin:
         delta = float(np.abs(new - old).sum())
         dangling_mass = float(new[self.dangling_owned].sum())
         self.vals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        out = {p: _ship(new[idx]) for p, idx in self.out_idx.items()}
         return delta, dangling_mass, out
 
     def sharded_result(self):
@@ -81,8 +122,7 @@ class _BSPShardMixin:
 
     def sharded_minlabel_iter(self, incoming: list):
         """One BSP min-label round; messages carry updated owned labels."""
-        for q, ref in incoming:
-            self.lvals[self.pos_need[q]] = ray.get(ref)
+        self._apply_incoming(incoming, self.lvals)
         old = self.lvals[self.pos_owned]
         new = old.copy()
         if len(self.src):
@@ -91,7 +131,7 @@ class _BSPShardMixin:
             np.minimum.at(new, self.pos_inedge, gathered)
         changed = int((new != old).sum())
         self.lvals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        out = {p: _ship(new[idx]) for p, idx in self.out_idx.items()}
         return changed, out
 
     def sharded_labels_result(self):
@@ -102,8 +142,7 @@ class _BSPShardMixin:
         lives in this shard (owner = partition of dst), so the per-dst
         (weight desc, label asc) argmax is fully local — bit-identical to
         the broadcast mode's globally combined argmax."""
-        for q, ref in incoming:
-            self.lvals[self.pos_need[q]] = ray.get(ref)
+        self._apply_incoming(incoming, self.lvals)
         old = self.lvals[self.pos_owned]
         new = old.copy()
         if len(self.src):
@@ -127,7 +166,7 @@ class _BSPShardMixin:
             new[d3[first3]] = ll[order3][first3]
         changed = int((new != old).sum())
         self.lvals[self.pos_owned] = new
-        out = {p: ray.put(new[idx]) for p, idx in self.out_idx.items()}
+        out = {p: _ship(new[idx]) for p, idx in self.out_idx.items()}
         return changed, out
 
 

@@ -289,3 +289,39 @@ def test_hash_mod_quality_matches_local(ray_session):
     load = np.bincount(dp, minlength=4)
     assert q["edge_load_max"] == int(load.max())
     assert np.isclose(q["edge_balance"], load.max() / load.mean())
+
+
+@pytest.mark.parametrize("threshold", [2, 10**9])
+def test_hub_split_parity_all_algorithms(ray_session, threshold):
+    """Vertex-cut hub path vs the plain dst-partitioned path: with
+    threshold=2 almost every vertex is a 'hub' (all traffic flows through
+    per-shard combiners); with threshold=1e9 none is. Both must agree with
+    each other and with the dense oracles bit-for-bit / 1e-9."""
+    from cuttana_ray.pipelines.bigv import HashShardPool, hash_encode_edges
+
+    enc = hash_encode_edges(_symmetrized_string_edges()).materialize()
+
+    def run(thr, k):
+        # one pool at a time: two pools' CPU reservations would exceed the
+        # 4-CPU test session and deadlock actor creation
+        pool = HashShardPool(enc, k, hub_degree_threshold=thr)
+        n_hubs = len(pool.hubs)
+        try:
+            _, pr = pool.pagerank(tol=1e-10, max_iters=60)
+            pr = pr.to_pandas().sort_values("node_id").reset_index(drop=True)
+            _, cc = pool.connected_components()
+            cc = cc.to_pandas().sort_values("node_id").reset_index(drop=True)
+            _, lp = pool.label_propagation(10)
+            lp = lp.to_pandas().sort_values("node_id").reset_index(drop=True)
+        finally:
+            pool.shutdown()
+        return n_hubs, pr, cc, lp
+
+    n_hubs, p1, c1, l1 = run(threshold, 4)
+    if threshold == 2:
+        assert n_hubs > 50          # the split path is really exercised
+    _, p0, c0, l0 = run(10**18, 3)  # no hubs: plain dst-partitioned path
+    assert (p1["node_id"] == p0["node_id"]).all()
+    assert np.allclose(p1["rank"], p0["rank"], atol=1e-9)
+    assert (c1["label"].to_numpy() == c0["label"].to_numpy()).all()
+    assert (l1["label"].to_numpy() == l0["label"].to_numpy()).all()
