@@ -325,6 +325,45 @@ def run_pr_scaling_worker(num_cpus: int, n_edges: int,
         ray.shutdown()
 
 
+def run_bigv_scaling_worker(num_cpus: int, n_edges: int, n_vertices: int,
+                            iters: int) -> dict:
+    """Big-V BSP PageRank at ``num_shards = num_cpus`` — the N-node cluster
+    analogy on the no-O(V) path (HashShardPool: hub vertex-cut + inline
+    messages). Reports steady-state edges/sec per iteration."""
+    import logging
+
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level=logging.ERROR,
+             log_to_driver=False)
+    try:
+        import ray.data as rd
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        from cuttana_ray.pipelines.bigv import HashShardPool
+
+        path = _write_scaling_graph(
+            n_edges, n_vertices, f"/tmp/cuttana_bench/scaling_{n_edges}_f32")
+        edges = rd.read_parquet(path, file_extensions=["parquet"])
+        n_rows = edges.count()  # warms the page cache
+        pool = HashShardPool(edges.materialize(), num_shards=num_cpus)
+        try:
+            res, _ = pool.pagerank(max_iters=iters, tol=0.0)
+        finally:
+            pool.shutdown()
+        spi = float(np.mean(res.seconds_per_iter[2:]))  # 2 warm-up iters
+        return {"sec_per_iter": round(spi, 4),
+                "edge_rows": n_rows,
+                "edges_per_sec_per_iter": round(n_rows / spi),
+                "num_shards": num_cpus,
+                "num_cpus": num_cpus}
+    finally:
+        ray.shutdown()
+
+
 def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
                 extra: int = 32) -> dict:
     """Scaling evidence for the north-rule criterion (≥0.8 from N to 4N).
@@ -409,6 +448,12 @@ if __name__ == "__main__":
         n_vertices = int(os.environ.get("SCALING_VERTICES", str(100_000)))
         print(json.dumps(run_pr_scaling_worker(ncpu, n_edges, n_vertices,
                                                iters=8)))
+    elif "--bigv-scaling-worker" in sys.argv:
+        ncpu = int(sys.argv[sys.argv.index("--bigv-scaling-worker") + 1])
+        n_edges = int(os.environ.get("SCALING_EDGES", str(200_000_000)))
+        n_vertices = int(os.environ.get("SCALING_VERTICES", str(100_000)))
+        print(json.dumps(run_bigv_scaling_worker(ncpu, n_edges, n_vertices,
+                                                 iters=8)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:

@@ -574,7 +574,15 @@ def discover_hubs(edges: "ray.data.Dataset", threshold: int) -> np.ndarray:
             t.filter(pc.greater_equal(t["c"], threshold))["dst"],
             pa.int64())})
 
-    rows = cnt.map_batches(over, batch_format="pyarrow").take_all()
+    # driver-side guard: the hub list must stay a broadcastable 'hot key'
+    # list. A sane threshold bounds it at E/threshold; a pathological one
+    # (threshold≈1 on a huge graph) would otherwise take_all O(V) rows.
+    cap = 1 << 20
+    rows = cnt.map_batches(over, batch_format="pyarrow").take(cap + 1)
+    if len(rows) > cap:
+        raise ValueError(
+            f"discover_hubs: more than {cap} vertices exceed degree "
+            f"threshold {threshold}; raise hub_degree_threshold")
     return np.sort(np.array([r["dst"] for r in rows], np.int64))
 
 
