@@ -325,3 +325,17 @@ def test_hub_split_parity_all_algorithms(ray_session, threshold):
     assert np.allclose(p1["rank"], p0["rank"], atol=1e-9)
     assert (c1["label"].to_numpy() == c0["label"].to_numpy()).all()
     assert (l1["label"].to_numpy() == l0["label"].to_numpy()).all()
+
+
+def test_discover_hubs_sorted_and_thresholded(ray_session):
+    """Hub discovery: empty at an impossible threshold, sorted distinct
+    ids at a tiny one, exact membership vs a local degree recount."""
+    import cuttana_ray.pipelines.bigv as bigv
+    enc = bigv.hash_encode_edges(_symmetrized_string_edges()).materialize()
+    assert len(bigv.discover_hubs(enc, threshold=10**18)) == 0
+    hubs = bigv.discover_hubs(enc, threshold=4)
+    assert len(hubs) > 0 and (np.diff(hubs) > 0).all()
+    pdf = enc.to_pandas()
+    want = pdf.groupby("dst").size()
+    want = np.sort(want[want >= 4].index.to_numpy())
+    assert (hubs == want).all()
