@@ -293,13 +293,17 @@ def run_pr_scaling_worker(num_cpus: int, n_edges: int,
         import glob
         from cuttana_ray.pipelines.superstep import pagerank_files
         files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+        _s0 = _read_proc_stat()
         ss = pagerank_files(files, n_vertices, max_iters=iters, tol=0.0)
+        _steal = _steal_between(_s0, _read_proc_stat())[0]
         ss_spi = float(np.mean(ss.seconds_per_iter[2:]))  # 2 warm-up iters
         out = {"sec_per_iter": round(ss_spi, 4),
                "edge_rows": n_rows,
                "edges_per_sec_per_iter": round(n_rows / ss_spi),
                "iterations": len(ss.seconds_per_iter),
-               "num_cpus": num_cpus}
+               "num_cpus": num_cpus,
+               "steal_frac": _steal,
+               "load_before": list(os.getloadavg())}
         if os.environ.get("SCALING_SECONDARY"):
             # in-memory modes (bandwidth-bound on one box — reported for
             # transparency, see BASELINE.md)
@@ -350,16 +354,20 @@ def run_bigv_scaling_worker(num_cpus: int, n_edges: int, n_vertices: int,
         edges = rd.read_parquet(path, file_extensions=["parquet"])
         n_rows = edges.count()  # warms the page cache
         pool = HashShardPool(edges.materialize(), num_shards=num_cpus)
+        _s0 = _read_proc_stat()
         try:
             res, _ = pool.pagerank(max_iters=iters, tol=0.0)
         finally:
             pool.shutdown()
+        _steal = _steal_between(_s0, _read_proc_stat())[0]
         spi = float(np.mean(res.seconds_per_iter[2:]))  # 2 warm-up iters
         return {"sec_per_iter": round(spi, 4),
                 "edge_rows": n_rows,
                 "edges_per_sec_per_iter": round(n_rows / spi),
                 "num_shards": num_cpus,
-                "num_cpus": num_cpus}
+                "num_cpus": num_cpus,
+                "steal_frac": _steal,
+                "load_before": list(os.getloadavg())}
     finally:
         ray.shutdown()
 

@@ -536,6 +536,48 @@ class HashShard(_BSPShardMixin):
                          else None, hp.get(p))) for p in targets}
         return changed, out
 
+    # -- per-shard (= per-partition) iteration checkpoints ------------------
+
+    def save_checkpoint(self, dirpath: str) -> int:
+        """Write this shard's owned slice of the rank state — the
+        per-partition checkpoint unit. Only owned values persist; remote
+        gather entries are re-synced from peers at resume."""
+        import os
+
+        import pyarrow.parquet as pq
+        os.makedirs(dirpath, exist_ok=True)
+        t = pa.table({"node_id": pa.array(self.owned_all, pa.int64()),
+                      "rank": pa.array(self.vals[self.pos_owned],
+                                       pa.float64())})
+        pq.write_table(t, f"{dirpath}/shard_{self.owner:04d}.parquet")
+        return len(t)
+
+    def load_checkpoint(self, dirpath: str) -> bool:
+        """Restore owned values from this shard's checkpoint file. The
+        ownership function (id % k) is deterministic, so the stored id set
+        must equal the rebuilt one — a mismatch means the shard count
+        changed, which the pool rejects via the manifest first."""
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{dirpath}/shard_{self.owner:04d}.parquet")
+        ids = t["node_id"].to_numpy(zero_copy_only=False)
+        if len(ids) != len(self.owned_all) or not (ids == self.owned_all).all():
+            raise ValueError("checkpoint/topology mismatch for shard "
+                             f"{self.owner}")
+        self.vals[self.pos_owned] = t["rank"].to_numpy(zero_copy_only=False)
+        return True
+
+    def resume_messages(self) -> dict:
+        """The outgoing payloads an iteration end would have produced from
+        the (restored) current state: peer value slices + hub partials.
+        Feeding these into the next ``sharded_iter`` makes a resumed run
+        bit-identical to the uninterrupted one."""
+        hp = self._hub_partials_pr()
+        self._self_hub = hp.pop(self.owner, None)
+        cur = self.vals[self.pos_owned]
+        targets = set(self.out_idx) | set(hp)
+        return {p: _ship((cur[self.out_idx[p]] if p in self.out_idx
+                          else None, hp.get(p))) for p in targets}
+
     def result_table(self) -> pa.Table:
         ids, vals = self.sharded_result()
         return pa.table({"node_id": pa.array(ids, pa.int64()),
@@ -646,18 +688,60 @@ class HashShardPool:
                               for p, s in enumerate(self.shards)])
         return float(sum(n_dangling)) / self.V
 
+    def _ckpt_dir(self, workdir: str, it: int) -> str:
+        import os
+        return os.path.join(workdir, "pagerank_bigv", f"iter_{it:04d}")
+
     def pagerank(self, damping: float = 0.85, tol: float = 1e-6,
-                 max_iters: int = 100) -> "tuple[IterativeResult, ray.data.Dataset]":
+                 max_iters: int = 100, workdir: str | None = None,
+                 checkpoint_every: int = 10, resume: bool = False
+                 ) -> "tuple[IterativeResult, ray.data.Dataset]":
         """Sharded-BSP PageRank; per-iteration driver traffic is three
         scalars + message refs per shard. Returns (IterativeResult with
         empty ``values`` — the scores are NOT collected — and the
-        distributed (node_id, rank) Dataset)."""
+        distributed (node_id, rank) Dataset).
+
+        With ``workdir``, every ``checkpoint_every``-th iteration each
+        shard persists its OWNED slice (the per-partition checkpoint unit)
+        in parallel, plus a driver manifest carrying (iteration,
+        dangling_mass, delta, num_shards). ``resume=True`` restores the
+        latest complete checkpoint — shard count must match — re-syncs the
+        remote gather entries with one message round, and continues
+        bit-identically to the uninterrupted run."""
+        import json as _json
+        import os
+
         dangling_mass = self._prepare(damping)
         k = len(self.shards)
-        incoming = _route(
-            ray.get([s.hub_init_pr.remote() for s in self.shards]), k)
+        start_it = 0
+        incoming = None
+        if workdir and resume:
+            base = os.path.join(workdir, "pagerank_bigv")
+            done = sorted(
+                d for d in (os.listdir(base) if os.path.isdir(base) else [])
+                if d.startswith("iter_")
+                and os.path.exists(os.path.join(base, d, "MANIFEST.json")))
+            if done:
+                path = os.path.join(base, done[-1])
+                with open(os.path.join(path, "MANIFEST.json")) as f:
+                    meta = _json.load(f)
+                if meta["num_shards"] != k:
+                    raise ValueError(
+                        f"checkpoint has {meta['num_shards']} shards, "
+                        f"pool has {k}; rebuild with a matching pool")
+                ray.get([s.load_checkpoint.remote(path)
+                         for s in self.shards])
+                dangling_mass = meta["dangling_mass"]
+                start_it = meta["iteration"] + 1
+                incoming = _route(
+                    ray.get([s.resume_messages.remote()
+                             for s in self.shards]), k)
+        if incoming is None:
+            incoming = _route(
+                ray.get([s.hub_init_pr.remote() for s in self.shards]), k)
         res = IterativeResult(np.empty(0), 0, False)
-        for it in range(max_iters):
+        it = start_it - 1
+        for it in range(start_it, max_iters):
             t0 = time.perf_counter()
             outs = ray.get([
                 s.sharded_iter.remote(dangling_mass / self.V, incoming[p])
@@ -667,11 +751,20 @@ class HashShardPool:
             incoming = _route([o[2] for o in outs], k)
             res.deltas.append(delta)
             res.seconds_per_iter.append(time.perf_counter() - t0)
-            if delta < tol:
+            converged = delta < tol
+            if workdir and (converged or (it + 1) % checkpoint_every == 0):
+                path = self._ckpt_dir(workdir, it)
+                ray.get([s.save_checkpoint.remote(path)
+                         for s in self.shards])
+                with open(os.path.join(path, "MANIFEST.json"), "w") as f:
+                    _json.dump({"iteration": it, "delta": delta,
+                                "dangling_mass": dangling_mass,
+                                "num_shards": k}, f)
+            if converged:
                 res.iterations, res.converged = it + 1, True
                 break
         else:
-            res.iterations = max_iters
+            res.iterations = max(it + 1, start_it)
         refs = [s.result_table.remote() for s in self.shards]
         return res, ray.data.from_arrow_refs(refs)
 

@@ -201,7 +201,9 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
     pool = HashShardPool(enc, num_shards)
     V = pool.V
     try:
-        pr, pr_ds = pool.pagerank(tol=pagerank_tol)
+        # per-shard (= per-partition) iteration checkpoints + resume
+        pr, pr_ds = pool.pagerank(tol=pagerank_tol, workdir=workdir,
+                                  resume=True)
         ckpt.write_stage(pr_ds, os.path.join(workdir, "rank_bigv"))
         cc, cc_ds = pool.connected_components()
         comp_ds = ckpt.write_stage(

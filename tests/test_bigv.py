@@ -339,3 +339,43 @@ def test_discover_hubs_sorted_and_thresholded(ray_session):
     want = pdf.groupby("dst").size()
     want = np.sort(want[want >= 4].index.to_numpy())
     assert (hubs == want).all()
+
+
+def test_bigv_pagerank_checkpoint_resume_bitexact(ray_session, tmp_path):
+    """Interrupted big-V PageRank (per-SHARD checkpoints every 3 iters)
+    resumed in a FRESH pool equals the uninterrupted run bit-for-bit, and
+    a shard-count mismatch is rejected."""
+    from cuttana_ray.pipelines.bigv import HashShardPool, hash_encode_edges
+
+    enc = hash_encode_edges(_symmetrized_string_edges()).materialize()
+    wd = str(tmp_path / "bsp")
+
+    pool = HashShardPool(enc, 4)
+    full, fds = pool.pagerank(tol=0.0, max_iters=9)
+    fpdf = fds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    pool.shutdown()
+
+    pool = HashShardPool(enc, 4)
+    pool.pagerank(tol=0.0, max_iters=5, workdir=wd, checkpoint_every=3)
+    pool.shutdown()
+    # checkpoints land where (it+1) % 3 == 0; with max_iters=5 (it ≤ 4)
+    # that is exactly iter_0002
+    import os
+    assert os.path.exists(f"{wd}/pagerank_bigv/iter_0002/MANIFEST.json")
+
+    pool = HashShardPool(enc, 4)
+    res, rds = pool.pagerank(tol=0.0, max_iters=9, workdir=wd, resume=True)
+    rpdf = rds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert res.iterations == 9          # global count incl. pre-resume
+    assert len(res.deltas) == 6         # only iters 3..8 re-ran
+    pool.shutdown()
+
+    assert (rpdf["node_id"] == fpdf["node_id"]).all()
+    assert (rpdf["rank"].to_numpy() == fpdf["rank"].to_numpy()).all()
+
+    pool = HashShardPool(enc, 3)
+    try:
+        with pytest.raises(ValueError, match="shards"):
+            pool.pagerank(tol=0.0, max_iters=2, workdir=wd, resume=True)
+    finally:
+        pool.shutdown()
