@@ -187,9 +187,11 @@ class HashShard(_BSPShardMixin):
     thousand by construction) are instead partitioned by ``src % k``: every
     shard keeps the hub in-edges of its OWNED sources, locally
     pre-aggregates each round (sum / min / per-label sum), and ships one
-    small per-hub partial vector to the hub's owner — the PowerGraph-style
-    mirror/combiner scheme. Per-round hub traffic is O(k · #hubs), and no
-    shard ever holds more than its balanced share of edge rows."""
+    small per-hub partial vector to the hub's owner — the mirror/combiner
+    vertex-cut scheme of PowerGraph (Gonzalez et al., OSDI 2012) applied
+    only to the bounded hot-key set, as Pregel-style combiners. Per-round
+    hub traffic is O(k · #hubs), and no shard ever holds more than its
+    balanced share of edge rows."""
 
     def __init__(self, block_refs: list, owner: int, k: int,
                  hubs: np.ndarray | None = None):
