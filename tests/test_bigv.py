@@ -379,3 +379,29 @@ def test_bigv_pagerank_checkpoint_resume_bitexact(ray_session, tmp_path):
             pool.pagerank(tol=0.0, max_iters=2, workdir=wd, resume=True)
     finally:
         pool.shutdown()
+
+
+def test_ship_unship_roundtrip(ray_session):
+    """Inline-vs-object-store message transport: small payloads pass
+    through untouched, large ones round-trip via the object store, and
+    _unship restores both shapes in order."""
+    from cuttana_ray.pipelines.csr import (
+        _INLINE_MAX_BYTES,
+        _ship,
+        _unship,
+    )
+    small = np.arange(10, dtype=np.float64)
+    big = np.zeros(_INLINE_MAX_BYTES // 8 + 16, dtype=np.float64)
+    tup = (small, None)
+    assert _ship(small) is small
+    assert _ship(tup) is tup
+    shipped_big = _ship(big)
+    assert isinstance(shipped_big, ray.ObjectRef)
+    shipped_bigtup = _ship((big, small))
+    assert isinstance(shipped_bigtup, ray.ObjectRef)
+    out = _unship([(0, small), (1, shipped_big), (2, (None, small)),
+                   (3, shipped_bigtup)])
+    assert out[0][1] is small
+    assert (out[1][1] == big).all()
+    assert out[2][1][0] is None
+    assert (out[3][1][0] == big).all() and (out[3][1][1] == small).all()
