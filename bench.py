@@ -395,17 +395,20 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
                              cwd=cwd)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def pr_once(ncpu: int) -> dict:
+    def pr_once(ncpu: int, flag: str = "--pr-scaling-worker",
+                env: dict | None = None) -> dict:
         out = subprocess.run(
-            [sys.executable, me, "--pr-scaling-worker", str(ncpu)],
-            capture_output=True, text=True, check=True, cwd=cwd)
+            [sys.executable, me, flag, str(ncpu)],
+            capture_output=True, text=True, check=True, cwd=cwd,
+            env=dict(os.environ, **(env or {})))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def pr(ncpu: int, repeats: int = 3) -> dict:
+    def pr(ncpu: int, repeats: int = 3, flag: str = "--pr-scaling-worker",
+           env: dict | None = None) -> dict:
         # best-of-N fresh-process runs: the sandbox VM shows large
         # run-to-run variance (shared host); the best run is the least
         # contaminated estimate of the engine's throughput at that level
-        runs = [pr_once(ncpu) for _ in range(repeats)]
+        runs = [pr_once(ncpu, flag, env) for _ in range(repeats)]
         best = max(runs, key=lambda r: r["edges_per_sec_per_iter"])
         best["all_runs_edges_per_sec"] = sorted(
             r["edges_per_sec_per_iter"] for r in runs)
@@ -417,6 +420,14 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
     eps_lo = p_lo["edges_per_sec_per_iter"]
     eps_hi = p_hi["edges_per_sec_per_iter"]
     pr_eff = (eps_hi / eps_lo) / (hi / lo)
+
+    # big-V BSP pool pair (num_shards = num_cpus: the N-node analogy on the
+    # no-O(V) path); 50M-row input keeps the k=lo pool build tractable
+    benv = {"SCALING_EDGES": "50000000"}
+    b_lo = pr(lo, repeats=2, flag="--bigv-scaling-worker", env=benv)
+    b_hi = pr(hi, repeats=2, flag="--bigv-scaling-worker", env=benv)
+    bigv_eff = (b_hi["edges_per_sec_per_iter"]
+                / b_lo["edges_per_sec_per_iter"]) / (hi / lo)
 
     # transparency: full end-to-end bench at 8 and 32 (includes the
     # sequential Cuttana pass and per-stage fixed overheads — the Amdahl
@@ -434,6 +445,14 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
             "speedup": round(eps_hi / eps_lo, 3),
             "scaling_efficiency": round(pr_eff, 3),
             "detail": {"lo": p_lo, "hi": p_hi, "extra": p_extra},
+        },
+        "bigv_pool_iteration": {
+            f"edges_per_sec_{lo}": b_lo["edges_per_sec_per_iter"],
+            f"edges_per_sec_{hi}": b_hi["edges_per_sec_per_iter"],
+            "speedup": round(b_hi["edges_per_sec_per_iter"]
+                             / b_lo["edges_per_sec_per_iter"], 3),
+            "scaling_efficiency": round(bigv_eff, 3),
+            "detail": {"lo": b_lo, "hi": b_hi},
         },
         "end_to_end_8_vs_32": {
             "sec_8": r_lo["value"],
