@@ -580,6 +580,41 @@ class HashShard(_BSPShardMixin):
         return {p: _ship((cur[self.out_idx[p]] if p in self.out_idx
                           else None, hp.get(p))) for p in targets}
 
+    def save_labels_checkpoint(self, dirpath: str) -> int:
+        """Per-shard label-state checkpoint (min-label / LPA loops)."""
+        import os
+
+        import pyarrow.parquet as pq
+        os.makedirs(dirpath, exist_ok=True)
+        t = pa.table({"node_id": pa.array(self.owned_all, pa.int64()),
+                      "label": pa.array(self.lvals[self.pos_owned],
+                                        pa.int64())})
+        pq.write_table(t, f"{dirpath}/shard_{self.owner:04d}.parquet")
+        return len(t)
+
+    def load_labels_checkpoint(self, dirpath: str) -> bool:
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{dirpath}/shard_{self.owner:04d}.parquet")
+        ids = t["node_id"].to_numpy(zero_copy_only=False)
+        if len(ids) != len(self.owned_all) \
+                or not (ids == self.owned_all).all():
+            raise ValueError("checkpoint/topology mismatch for shard "
+                             f"{self.owner}")
+        self.lvals = self.refs_sorted.copy()
+        self.lvals[self.pos_owned] = t["label"].to_numpy(
+            zero_copy_only=False)
+        return True
+
+    def resume_label_messages(self, mode: str) -> dict:
+        """Label-loop counterpart of ``resume_messages``."""
+        hp = self._hub_partials_min() if mode == "min" \
+            else self._hub_partials_lpa()
+        self._self_hub = hp.pop(self.owner, None)
+        cur = self.lvals[self.pos_owned]
+        targets = set(self.out_idx) | set(hp)
+        return {p: _ship((cur[self.out_idx[p]] if p in self.out_idx
+                          else None, hp.get(p))) for p in targets}
+
     def result_table(self) -> pa.Table:
         ids, vals = self.sharded_result()
         return pa.table({"node_id": pa.array(ids, pa.int64()),
@@ -770,16 +805,26 @@ class HashShardPool:
         refs = [s.result_table.remote() for s in self.shards]
         return res, ray.data.from_arrow_refs(refs)
 
-    def connected_components(self, max_iters: int = 200
+    def connected_components(self, max_iters: int = 200,
+                             workdir: str | None = None,
+                             checkpoint_every: int = 10,
+                             resume: bool = False
                              ) -> "tuple[IterativeResult, ray.data.Dataset]":
         """Sharded-BSP min-label components over hash ids (component label
-        = min member id). Needs the same prepare exchange for positions."""
+        = min member id). Needs the same prepare exchange for positions.
+        ``workdir``/``resume`` give per-shard label checkpoints with the
+        same bit-exact-continuation contract as ``pagerank``."""
         self._prepare(0.85)
-        res = _lpa_labels_pool_loop(self, max_iters, "sharded_minlabel_iter")
+        res = _lpa_labels_pool_loop(self, max_iters, "sharded_minlabel_iter",
+                                    workdir=workdir, algo="components_bigv",
+                                    checkpoint_every=checkpoint_every,
+                                    resume=resume)
         refs = [s.labels_result_table.remote() for s in self.shards]
         return res, ray.data.from_arrow_refs(refs)
 
-    def label_propagation(self, max_iters: int = 10
+    def label_propagation(self, max_iters: int = 10,
+                          workdir: str | None = None,
+                          checkpoint_every: int = 10, resume: bool = False
                           ) -> "tuple[IterativeResult, ray.data.Dataset]":
         """Sharded-BSP synchronous weighted LPA over hash ids: labels start
         as the vertex's own hash id; each round every vertex adopts the
@@ -788,21 +833,60 @@ class HashShardPool:
         labels can differ from the dense-id path's — same partition
         semantics, different representative)."""
         self._prepare(0.85)
-        res = _lpa_labels_pool_loop(self, max_iters, "sharded_lpa_iter")
+        res = _lpa_labels_pool_loop(self, max_iters, "sharded_lpa_iter",
+                                    workdir=workdir, algo="labelprop_bigv",
+                                    checkpoint_every=checkpoint_every,
+                                    resume=resume)
         refs = [s.labels_result_table.remote() for s in self.shards]
         return res, ray.data.from_arrow_refs(refs)
 
 
 def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
-                          iter_method: str) -> IterativeResult:
-    """Shared BSP label loop (min-label / LPA) over a prepared pool."""
-    ray.get([s.sharded_labels_init.remote() for s in pool.shards])
+                          iter_method: str, workdir: str | None = None,
+                          algo: str = "labels_bigv",
+                          checkpoint_every: int = 10,
+                          resume: bool = False) -> IterativeResult:
+    """Shared BSP label loop (min-label / LPA) over a prepared pool, with
+    optional per-shard checkpoints (same protocol as ``pagerank``)."""
+    import json as _json
+    import os
+
     k = len(pool.shards)
     mode = "min" if iter_method == "sharded_minlabel_iter" else "lpa"
-    incoming = _route(
-        ray.get([s.labels_init_hub.remote(mode) for s in pool.shards]), k)
+    start_it = 0
+    incoming = None
+    if workdir and resume:
+        base = os.path.join(workdir, algo)
+        done = sorted(
+            d for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("iter_")
+            and os.path.exists(os.path.join(base, d, "MANIFEST.json")))
+        if done:
+            path = os.path.join(base, done[-1])
+            with open(os.path.join(path, "MANIFEST.json")) as f:
+                meta = _json.load(f)
+            if meta["num_shards"] != k:
+                raise ValueError(
+                    f"checkpoint has {meta['num_shards']} shards, "
+                    f"pool has {k}; rebuild with a matching pool")
+            ray.get([s.load_labels_checkpoint.remote(path)
+                     for s in pool.shards])
+            start_it = meta["iteration"] + 1
+            incoming = _route(
+                ray.get([s.resume_label_messages.remote(mode)
+                         for s in pool.shards]), k)
+            if meta.get("converged"):
+                res = IterativeResult(np.empty(0), meta["iteration"] + 1,
+                                      True)
+                return res
+    if incoming is None:
+        ray.get([s.sharded_labels_init.remote() for s in pool.shards])
+        incoming = _route(
+            ray.get([s.labels_init_hub.remote(mode)
+                     for s in pool.shards]), k)
     res = IterativeResult(np.empty(0), 0, False)
-    for it in range(max_iters):
+    it = start_it - 1
+    for it in range(start_it, max_iters):
         t0 = time.perf_counter()
         outs = ray.get([getattr(s, iter_method).remote(incoming[p])
                         for p, s in enumerate(pool.shards)])
@@ -810,11 +894,19 @@ def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
         incoming = _route([o[1] for o in outs], k)
         res.deltas.append(float(changed))
         res.seconds_per_iter.append(time.perf_counter() - t0)
-        if changed == 0:
+        converged = changed == 0
+        if workdir and (converged or (it + 1) % checkpoint_every == 0):
+            path = os.path.join(workdir, algo, f"iter_{it:04d}")
+            ray.get([s.save_labels_checkpoint.remote(path)
+                     for s in pool.shards])
+            with open(os.path.join(path, "MANIFEST.json"), "w") as f:
+                _json.dump({"iteration": it, "changed": changed,
+                            "converged": converged, "num_shards": k}, f)
+        if converged:
             res.iterations, res.converged = it + 1, True
             break
     else:
-        res.iterations = max_iters
+        res.iterations = max(it + 1, start_it)
     return res
 
 

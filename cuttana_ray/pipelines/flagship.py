@@ -205,11 +205,12 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
         pr, pr_ds = pool.pagerank(tol=pagerank_tol, workdir=workdir,
                                   resume=True)
         ckpt.write_stage(pr_ds, os.path.join(workdir, "rank_bigv"))
-        cc, cc_ds = pool.connected_components()
+        cc, cc_ds = pool.connected_components(workdir=workdir, resume=True)
         comp_ds = ckpt.write_stage(
             cc_ds.rename_columns({"label": "component"}),
             os.path.join(workdir, "component_bigv"))
-        lp, lp_ds = pool.label_propagation(max_iters=lpa_iters)
+        lp, lp_ds = pool.label_propagation(max_iters=lpa_iters,
+                                           workdir=workdir, resume=True)
         label_ds = ckpt.write_stage(lp_ds, os.path.join(workdir, "label_bigv"))
     finally:
         pool.shutdown()

@@ -405,3 +405,35 @@ def test_ship_unship_roundtrip(ray_session):
     assert (out[1][1] == big).all()
     assert out[2][1][0] is None
     assert (out[3][1][0] == big).all() and (out[3][1][1] == small).all()
+
+
+def test_bigv_label_loops_checkpoint_resume(ray_session, tmp_path):
+    """CC and LPA per-shard checkpoint/resume: interrupted-then-resumed
+    equals uninterrupted exactly (labels are integers — bit-exact)."""
+    from cuttana_ray.pipelines.bigv import HashShardPool, hash_encode_edges
+
+    enc = hash_encode_edges(_symmetrized_string_edges()).materialize()
+    wd = str(tmp_path / "lbl")
+
+    pool = HashShardPool(enc, 4)
+    _, full_cc = pool.connected_components()
+    fc = full_cc.to_pandas().sort_values("node_id").reset_index(drop=True)
+    _, full_lp = pool.label_propagation(10)
+    fl = full_lp.to_pandas().sort_values("node_id").reset_index(drop=True)
+    # interrupted: 2 iterations with checkpoints every iteration
+    pool.connected_components(max_iters=2, workdir=wd, checkpoint_every=1)
+    pool.label_propagation(max_iters=2, workdir=wd, checkpoint_every=1)
+    pool.shutdown()
+
+    pool = HashShardPool(enc, 4)
+    res_cc, r_cc = pool.connected_components(workdir=wd, resume=True)
+    rc = r_cc.to_pandas().sort_values("node_id").reset_index(drop=True)
+    res_lp, r_lp = pool.label_propagation(10, workdir=wd, resume=True)
+    rl = r_lp.to_pandas().sort_values("node_id").reset_index(drop=True)
+    pool.shutdown()
+
+    assert (rc["label"].to_numpy() == fc["label"].to_numpy()).all()
+    assert (rl["label"].to_numpy() == fl["label"].to_numpy()).all()
+    assert res_cc.converged
+    # resumed runs continued from iteration 2 rather than restarting
+    assert len(res_cc.deltas) < 10
