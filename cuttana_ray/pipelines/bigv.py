@@ -194,7 +194,8 @@ class HashShard(_BSPShardMixin):
     balanced share of edge rows."""
 
     def __init__(self, block_refs: list, owner: int, k: int,
-                 hubs: np.ndarray | None = None):
+                 hubs: np.ndarray | None = None,
+                 pre_routed: bool = False):
         self.owner = owner
         self.k = k
         self.hubs = np.sort(np.asarray(hubs, np.int64)) \
@@ -210,14 +211,22 @@ class HashShard(_BSPShardMixin):
             src = t["src"].to_numpy(zero_copy_only=False)
             dst = t["dst"].to_numpy(zero_copy_only=False)
             w = t["weight"].to_numpy(zero_copy_only=False)
-            dst_hub = _insorted(self.hubs, dst)
-            keep = ((dst % k) == owner) & ~dst_hub
+            if pre_routed:
+                # rows arrived via route_edge_blocks: role 0 = this
+                # shard's non-hub in-edges, role 1 = its owned-src rows
+                role = t["role"].to_numpy(zero_copy_only=False)
+                keep = role == 0
+                ks = role == 1
+                hkeep = ks & _insorted(self.hubs, dst)
+            else:
+                dst_hub = _insorted(self.hubs, dst)
+                keep = ((dst % k) == owner) & ~dst_hub
+                ks = (src % k) == owner
+                hkeep = dst_hub & ks
             if keep.any():
                 srcs.append(src[keep])
                 dsts.append(dst[keep])
                 ws.append(w[keep])
-            ks = (src % k) == owner
-            hkeep = dst_hub & ks
             if hkeep.any():
                 hsrcs.append(src[hkeep])
                 hdsts.append(dst[hkeep])
@@ -665,6 +674,66 @@ def discover_hubs(edges: "ray.data.Dataset", threshold: int) -> np.ndarray:
     return np.sort(np.array([r["dst"] for r in rows], np.int64))
 
 
+@ray.remote
+def _block_part(t: pa.Table) -> int:
+    return int(t["part"][0].as_py()) if len(t) else -1
+
+
+def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
+                      ) -> list[list]:
+    """ONE distributed exchange routing every edge row to exactly the
+    shard(s) that consume it — replacing the naive construction where all
+    k shards fetch the FULL edge table and filter locally (O(k·E) network
+    traffic on a real cluster):
+
+    * non-hub rows ship to owner(dst) as in-edge rows (``role`` 0) and to
+      owner(src) as out-weight rows (``role`` 1) — each row twice, exactly
+      the two shards that need it;
+    * hub rows ship ONCE, to owner(src) (``role`` 1), where they serve
+      both the out-weight partials and the vertex-cut hub CSR.
+
+    Returns per-shard lists of Arrow block refs (each block single-part by
+    construction of the groupby).
+    """
+    hubs_sorted = np.sort(np.asarray(hubs, np.int64)) if len(hubs) \
+        else np.empty(0, np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64()), ("part", pa.int64()),
+                         ("role", pa.int8())])
+        if len(t) == 0 or "dst" not in t.column_names:
+            return sch.empty_table()
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        dst_hub = _insorted(hubs_sorted, dst)
+        nh = ~dst_hub
+        return pa.table({
+            "src": pa.array(np.concatenate([src[nh], src]), pa.int64()),
+            "dst": pa.array(np.concatenate([dst[nh], dst]), pa.int64()),
+            "weight": pa.array(
+                np.concatenate([w[nh], w]).astype(np.int64)),
+            "part": pa.array(np.concatenate(
+                [dst[nh] % k, src % k]).astype(np.int64)),
+            "role": pa.array(np.concatenate(
+                [np.zeros(int(nh.sum()), np.int8),
+                 np.ones(len(src), np.int8)])),
+        })
+
+    grouped = enc.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda t: t, batch_format="pyarrow") \
+        .materialize()
+    refs = grouped.to_arrow_refs()
+    parts = ray.get([_block_part.remote(r) for r in refs])
+    buckets: list[list] = [[] for _ in range(k)]
+    for p, r in zip(parts, refs):
+        if p >= 0:
+            buckets[p].append(r)
+    return buckets
+
+
 def _route(msg_dicts: list, k: int) -> list:
     """[{dst_shard: ref}] per sender → per-receiver [(sender, ref)] lists."""
     incoming: list[list] = [[] for _ in range(k)]
@@ -684,14 +753,20 @@ class HashShardPool:
 
     def __init__(self, edges: "ray.data.Dataset", num_shards: int,
                  num_cpus_per_shard: float | None = None,
-                 hub_degree_threshold: int | None = None):
+                 hub_degree_threshold: int | None = None,
+                 pre_route: bool = True):
         if hub_degree_threshold is None:
             hub_degree_threshold = max(
                 64, edges.count() // max(1, 4 * num_shards))
         self.hub_degree_threshold = int(hub_degree_threshold)
         self.hubs = discover_hubs(edges, self.hub_degree_threshold)
         hubs_ref = ray.put(self.hubs)
-        block_refs = edges.to_arrow_refs()
+        if pre_route:
+            # one exchange hands each shard only its own rows (O(E) total
+            # traffic); the naive path ships the whole table k times
+            buckets = route_edge_blocks(edges, num_shards, self.hubs)
+        else:
+            buckets = [edges.to_arrow_refs()] * num_shards
         if num_cpus_per_shard is None:
             try:
                 total = int(ray.cluster_resources().get("CPU", num_shards))
@@ -699,7 +774,8 @@ class HashShardPool:
                 total = num_shards
             num_cpus_per_shard = max(0.05, min(1.0, total / num_shards / 1.5))
         cls = HashShard.options(num_cpus=num_cpus_per_shard)
-        self.shards = [cls.remote(block_refs, p, num_shards, hubs_ref)
+        self.shards = [cls.remote(buckets[p], p, num_shards, hubs_ref,
+                                  pre_route)
                        for p in range(num_shards)]
         self.V = int(sum(ray.get([s.ready.remote() for s in self.shards])))
 
@@ -768,6 +844,13 @@ class HashShardPool:
                         f"pool has {k}; rebuild with a matching pool")
                 ray.get([s.load_checkpoint.remote(path)
                          for s in self.shards])
+                if meta.get("converged"):
+                    # completed run: state restored, nothing to iterate
+                    res = IterativeResult(np.empty(0),
+                                          meta["iteration"] + 1, True)
+                    res.deltas.append(meta["delta"])
+                    refs = [s.result_table.remote() for s in self.shards]
+                    return res, ray.data.from_arrow_refs(refs)
                 dangling_mass = meta["dangling_mass"]
                 start_it = meta["iteration"] + 1
                 incoming = _route(
@@ -796,6 +879,7 @@ class HashShardPool:
                 with open(os.path.join(path, "MANIFEST.json"), "w") as f:
                     _json.dump({"iteration": it, "delta": delta,
                                 "dangling_mass": dangling_mass,
+                                "converged": converged,
                                 "num_shards": k}, f)
             if converged:
                 res.iterations, res.converged = it + 1, True
@@ -871,14 +955,14 @@ def _lpa_labels_pool_loop(pool: "HashShardPool", max_iters: int,
                     f"pool has {k}; rebuild with a matching pool")
             ray.get([s.load_labels_checkpoint.remote(path)
                      for s in pool.shards])
+            if meta.get("converged"):
+                # completed run: state restored, skip the resume round
+                return IterativeResult(np.empty(0), meta["iteration"] + 1,
+                                       True)
             start_it = meta["iteration"] + 1
             incoming = _route(
                 ray.get([s.resume_label_messages.remote(mode)
                          for s in pool.shards]), k)
-            if meta.get("converged"):
-                res = IterativeResult(np.empty(0), meta["iteration"] + 1,
-                                      True)
-                return res
     if incoming is None:
         ray.get([s.sharded_labels_init.remote() for s in pool.shards])
         incoming = _route(

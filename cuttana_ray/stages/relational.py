@@ -523,13 +523,16 @@ def grouped_dense_rank(ds: "ray.data.Dataset", key: str, col: str
 
     def local_distinct(t: pa.Table) -> pa.Table:
         # derive key/col types from the live schema (running.py ktypes
-        # pattern) — hardcoding int64 broke string keys; only schema-less
-        # empty blocks fall back to placeholder types (they carry no rows)
-        has = len(t) > 0 and key in t.column_names
+        # pattern) — hardcoding int64 broke string keys. An EMPTY batch
+        # that still carries the schema keeps its true types (a zero-row
+        # int64 / string placeholder next to string-keyed blocks would
+        # poison ds.schema() for ensure_int64_key's type dispatch); only a
+        # genuinely schema-less block gets placeholders.
+        has_schema = key in t.column_names and col in t.column_names
         sch = pa.schema([
-            (key, t.schema.field(key).type if has else pa.int64()),
-            (col, t.schema.field(col).type if has else pa.string())])
-        if not has:
+            (key, t.schema.field(key).type if has_schema else pa.int64()),
+            (col, t.schema.field(col).type if has_schema else pa.string())])
+        if len(t) == 0 or not has_schema:
             return sch.empty_table()
         return t.select([key, col]).group_by([key, col]).aggregate([]) \
             .cast(sch)

@@ -100,7 +100,10 @@ class StreamingPartitioner:
                 raise RuntimeError(
                     "use_native=True but no C compiler available")
         elif use_native is True and not defaults:
-            raise RuntimeError("native core does not support custom scorers")
+            why = ("the refine_eviction experiment"
+                   if self.config.refine_eviction else "custom scorers")
+            raise RuntimeError(f"native core does not support {why}; "
+                               "use the Python path (use_native=False)")
 
     # -- streaming --------------------------------------------------------
     def consume(self, v: int, nbrs: np.ndarray) -> None:

@@ -189,7 +189,10 @@ class Refiner:
         k = state.num_partitions
         sizes = state.partition_sizes           # live view
         SENT = np.int64(1) << 60
-        while self.moves_applied + 1 < self.max_moves:
+        while self.moves_applied < self.max_moves:
+            # eviction plans spend TWO moves; with one move of budget left
+            # only direct plans are admissible
+            allow_evict = self.moves_applied + 1 < self.max_moves
             best_cost = SENT
             best_moves: list[tuple[int, int, int]] = []
             for frm in range(k):
@@ -212,6 +215,8 @@ class Refiner:
                             best_moves = [(s, frm, to)]
                         continue
                     # case 2: evict one of `to`'s subs to make room
+                    if not allow_evict:
+                        continue
                     subs2 = np.nonzero((state.sub_parent == to)
                                        & (state.sub_sizes > 0))[0]
                     if not subs2.size:

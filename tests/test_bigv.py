@@ -437,3 +437,42 @@ def test_bigv_label_loops_checkpoint_resume(ray_session, tmp_path):
     assert res_cc.converged
     # resumed runs continued from iteration 2 rather than restarting
     assert len(res_cc.deltas) < 10
+
+
+def test_pre_route_parity_and_single_copy(ray_session):
+    """pre_route=True (one exchange, each shard sees only its rows) must
+    equal pre_route=False (every shard scans the full table) exactly."""
+    from cuttana_ray.pipelines.bigv import (
+        HashShardPool,
+        hash_encode_edges,
+        route_edge_blocks,
+    )
+    enc = hash_encode_edges(_symmetrized_string_edges()).materialize()
+
+    def run(pre_route):
+        pool = HashShardPool(enc, 4, hub_degree_threshold=3,
+                             pre_route=pre_route)
+        try:
+            _, pr = pool.pagerank(tol=1e-10, max_iters=40)
+            pr = pr.to_pandas().sort_values("node_id").reset_index(drop=True)
+            _, lp = pool.label_propagation(8)
+            lp = lp.to_pandas().sort_values("node_id").reset_index(drop=True)
+            return pool.V, pr, lp
+        finally:
+            pool.shutdown()
+
+    v1, pr1, lp1 = run(True)
+    v0, pr0, lp0 = run(False)
+    assert v1 == v0
+    assert (pr1["node_id"] == pr0["node_id"]).all()
+    assert np.allclose(pr1["rank"], pr0["rank"], atol=1e-12)
+    assert (lp1["label"].to_numpy() == lp0["label"].to_numpy()).all()
+
+    # routing invariant: non-hub rows duplicated (roles 0+1), hub rows once
+    from cuttana_ray.pipelines.bigv import discover_hubs
+    hubs = discover_hubs(enc, 3)
+    buckets = route_edge_blocks(enc, 4, hubs)
+    routed_rows = sum(len(ray.get(r)) for b in buckets for r in b)
+    pdf = enc.to_pandas()
+    n_hub_rows = int(pdf["dst"].isin(hubs).sum())
+    assert routed_rows == 2 * (len(pdf) - n_hub_rows) + n_hub_rows
