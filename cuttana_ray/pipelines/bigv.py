@@ -50,7 +50,7 @@ import ray.data
 from cuttana_ray.functions.dedup import _hash_strings
 from cuttana_ray.pipelines.csr import _BSPShardMixin, _ship, _unship
 from cuttana_ray.pipelines.pagerank import IterativeResult
-from cuttana_ray.util import pool_size
+from cuttana_ray.util import pool_size, shard_cpu_reservation
 
 _MASK63 = np.uint64((1 << 63) - 1)
 
@@ -772,7 +772,7 @@ class HashShardPool:
                 total = int(ray.cluster_resources().get("CPU", num_shards))
             except Exception:
                 total = num_shards
-            num_cpus_per_shard = max(0.05, min(1.0, total / num_shards / 1.5))
+            num_cpus_per_shard = shard_cpu_reservation(total, num_shards)
         cls = HashShard.options(num_cpus=num_cpus_per_shard)
         self.shards = [cls.remote(buckets[p], p, num_shards, hubs_ref,
                                   pre_route)

@@ -35,6 +35,7 @@ import ray.data
 from cuttana_ray.pipelines.graph import Graph
 from cuttana_ray.pipelines.labelprop import argmax_labels
 from cuttana_ray.pipelines.pagerank import IterativeResult
+from cuttana_ray.util import shard_cpu_reservation
 
 
 # Messages under this size ship INLINE in the task result / argument (the
@@ -326,13 +327,14 @@ class CSRPool:
         if num_cpus_per_shard is None:
             # reserve less than cpus/k so the pool always fits the cluster
             # (k actors each demanding a full CPU would deadlock on a small
-            # cluster) while still expressing contention honestly
+            # cluster) while still expressing contention honestly, AND keep
+            # one whole CPU free for Ray Data utility tasks (see
+            # util.shard_cpu_reservation)
             try:
                 total = int(ray.cluster_resources().get("CPU", num_partitions))
             except Exception:
                 total = num_partitions
-            num_cpus_per_shard = max(0.05, min(1.0, total / num_partitions
-                                               / 1.5))
+            num_cpus_per_shard = shard_cpu_reservation(total, num_partitions)
         cls = CSRShard.options(num_cpus=num_cpus_per_shard)
         self.shards = [
             cls.remote(block_refs, part_ref, p)
@@ -389,7 +391,7 @@ class CSRPool:
                 total = int(ray.cluster_resources().get("CPU", k))
             except Exception:
                 total = k
-            num_cpus_per_shard = max(0.05, min(1.0, total / k / 1.5))
+            num_cpus_per_shard = shard_cpu_reservation(total, k)
         scls = CSRShard.options(num_cpus=num_cpus_per_shard)
         pool.shards = []
         for p in range(k):

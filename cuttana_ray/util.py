@@ -119,6 +119,21 @@ def ensure_int64_key(ds, key: str, out: str = "_ik"):
     return keyed, out
 
 
+def shard_cpu_reservation(total: float, k: int) -> float:
+    """Per-actor ``num_cpus`` for a k-shard BSP pool on a ``total``-CPU
+    cluster: ``min(1, total/k/1.5, (total-1)/k)``, floored at 0.05.
+
+    The ``/1.5`` under-reservation keeps the pool schedulable while
+    expressing contention honestly. The ``(total-1)/k`` term guarantees at
+    least ONE whole CPU stays unreserved: Ray Data utility tasks (e.g. the
+    ``get_table_block_metadata`` tasks ``ray.data.from_arrow_refs`` spawns
+    to wrap shard result tables) demand a full CPU, and a pool that leaves
+    only a fraction free deadlocks the driver's ``ray.get`` on them forever
+    — observed as a hard hang at ``num_cpus=2, k=2`` in the scaling
+    harness's lo point (bench.py ``--bigv-scaling-worker 2``)."""
+    return max(0.05, min(1.0, total / k / 1.5, (total - 1) / k))
+
+
 def pool_size(cap: int = 8) -> tuple[int, int]:
     """Actor-pool ``concurrency`` range ``(1, max)`` that leaves CPU headroom
     for the read/shuffle stages around it: max = half the cluster CPUs, at
