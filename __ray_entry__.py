@@ -2631,6 +2631,51 @@ def _q_kcore_events(sf_dir: str):
     })
 
 
+def _q_truss4_events(sf_dir: str):
+    """4-truss of the events graph: canonical edges (u < v) surviving the
+    edge-support peel, with final in-truss triangle support
+    (pipelines/truss.py — broadcast-CSR regime, alive mask re-broadcast per
+    round). Peeling is confluent so the fixpoint is exact; the oracle
+    unrolls 12 peel rounds (≥ the observed depth, asserted here — extra
+    rounds are fixpoint no-ops)."""
+    from cuttana_ray.pipelines.truss import ktruss
+    g = _events_graph(sf_dir)
+    res = ktruss(g, k=4)
+    assert res.converged and res.rounds <= 12
+    return res.edges
+
+
+def _q_matching_events(sf_dir: str):
+    """Deterministic local-max maximal matching over the events graph
+    (pipelines/matching.py): per-round, an edge matches iff it carries the
+    max Lehmer-hash priority at BOTH endpoints. Unique priorities make the
+    fixpoint bit-reproducible; the oracle replays the identical integer
+    arithmetic over 24 unrolled rounds (≥ the observed round count,
+    asserted here)."""
+    from cuttana_ray.pipelines.matching import maximal_matching
+    g = _events_graph(sf_dir)
+    res = maximal_matching(g)
+    assert res.converged and res.rounds <= 24
+    return res.edges
+
+
+def _q_coloring_events(sf_dir: str):
+    """Jones-Plassmann greedy coloring of the events graph
+    (pipelines/coloring.py): per round, uncolored local-priority-maxima
+    take the smallest color absent from their colored neighborhood.
+    Unique Lehmer-hash priorities make the fixpoint bit-reproducible; the
+    oracle replays the identical arithmetic over 16 unrolled rounds (≥ the
+    observed 6, asserted here)."""
+    from cuttana_ray.pipelines.coloring import greedy_coloring
+    g = _events_graph(sf_dir)
+    res = greedy_coloring(g)
+    assert res.converged and res.rounds <= 16
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "color": pa.array(res.colors, pa.int64()),
+    })
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbor / Jaccard link prediction over the events graph:
     non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
@@ -7112,6 +7157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": _q_bfs_events,
         "graph_diameter_events": _q_graph_diameter_events,
         "kcore_events": _q_kcore_events,
+        "truss4_events": _q_truss4_events,
+        "matching_events": _q_matching_events,
+        "coloring_events": _q_coloring_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
@@ -7641,6 +7689,131 @@ def _random_walks_sql(steps: int = 8, mod: int = 17) -> str:
     selects = [f"SELECT walk, CAST({t} AS BIGINT) AS step, cur AS vertex "
                f"FROM w{t}" for t in range(steps + 1)]
     parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled edge peeling (pipelines/truss.py semantics): round i
+    enumerates triangles a<b<c among round i-1's surviving canonical
+    edges, counts each edge's triangle roles, and keeps edges with
+    support ≥ k-2. ``rounds`` must exceed the peel depth (asserted
+    engine-side); at the fixpoint sup{rounds} is computed on the final
+    edge set, so it IS the output support column."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    c0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e WHERE src < dst)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    tri{i} AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM c{i-1} e1
+        JOIN c{i-1} e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN c{i-1} e3 ON e3.u = e1.v AND e3.v = e2.v),
+    sup{i} AS MATERIALIZED (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+            SELECT a AS u, b AS v FROM tri{i}
+            UNION ALL SELECT a AS u, c AS v FROM tri{i}
+            UNION ALL SELECT b AS u, c AS v FROM tri{i})
+        GROUP BY 1, 2),
+    c{i} AS MATERIALIZED (
+        SELECT t.u, t.v FROM c{i-1} t
+        JOIN sup{i} s ON s.u = t.u AND s.v = t.v
+        WHERE s.s >= {k - 2})""")
+    parts.append(f"""
+    SELECT t.u AS u, t.v AS v, COALESCE(s.s, 0) AS support
+    FROM c{rounds} t
+    LEFT JOIN sup{rounds} s ON s.u = t.u AND s.v = t.v""")
+    return "".join(parts)
+
+
+def _matching_sql(rounds: int = 24, seed: int = 0) -> str:
+    """Unrolled local-max matching replay (pipelines/matching.py): unique
+    edge priority ``((u·V + v)·48271 + seed) % (2^31-1) · E + eid`` in
+    exact BIGINT arithmetic; per round an edge is matched iff its priority
+    is the max among alive edges at both endpoints, and its endpoints leave
+    the alive set. Extra rounds past the fixpoint select nothing."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + f""",
+    vcnt AS (SELECT COUNT(*) AS nv FROM nodes),
+    ce AS MATERIALIZED (
+        SELECT src AS u, dst AS v,
+               CAST(ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS BIGINT)
+                   AS eid
+        FROM e WHERE src < dst),
+    ecnt AS (SELECT COUNT(*) AS ne FROM ce),
+    c AS MATERIALIZED (
+        SELECT u, v,
+               ((u * (SELECT nv FROM vcnt) + v) * 48271 + {seed})
+                   % 2147483647 * (SELECT ne FROM ecnt) + eid AS comb
+        FROM ce),
+    m0 AS (SELECT CAST(NULL AS BIGINT) AS w WHERE FALSE)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    a{i} AS MATERIALIZED (
+        SELECT c.u, c.v, c.comb FROM c
+        LEFT JOIN m{i-1} mu ON mu.w = c.u
+        LEFT JOIN m{i-1} mv ON mv.w = c.v
+        WHERE mu.w IS NULL AND mv.w IS NULL),
+    vm{i} AS MATERIALIZED (
+        SELECT w, MAX(comb) AS mx FROM (
+            SELECT u AS w, comb FROM a{i}
+            UNION ALL SELECT v AS w, comb FROM a{i}) GROUP BY 1),
+    s{i} AS MATERIALIZED (
+        SELECT a.u, a.v FROM a{i} a
+        JOIN vm{i} x ON x.w = a.u AND x.mx = a.comb
+        JOIN vm{i} y ON y.w = a.v AND y.mx = a.comb),
+    m{i} AS MATERIALIZED (
+        SELECT w FROM m{i-1}
+        UNION SELECT u FROM s{i} UNION SELECT v FROM s{i})""")
+    sel = " UNION ALL ".join(
+        f"SELECT u, v, CAST({i} AS BIGINT) AS round FROM s{i}"
+        for i in range(1, rounds + 1))
+    parts.append(f"""
+    SELECT * FROM ({sel})""")
+    return "".join(parts)
+
+
+def _coloring_sql(rounds: int = 16, seed: int = 0) -> str:
+    """Unrolled Jones-Plassmann replay (pipelines/coloring.py): unique
+    vertex priority ``(v·48271 + seed) % (2^31-1) · V + v``; per round a
+    still-uncolored vertex with no higher-priority uncolored neighbor takes
+    the mex of its colored neighborhood (candidates 0..#distinct-neighbor-
+    colors suffice). Extra rounds past the fixpoint select nothing."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + f""",
+    vcnt AS (SELECT COUNT(*) AS nv FROM nodes),
+    pr AS MATERIALIZED (
+        SELECT node_id AS v,
+               (node_id * 48271 + {seed}) % 2147483647
+                   * (SELECT nv FROM vcnt) + node_id AS p
+        FROM nodes),
+    col0 AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS BIGINT) AS c
+             WHERE FALSE)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    unc{i} AS MATERIALIZED (
+        SELECT p.v, p.p FROM pr p
+        LEFT JOIN col{i-1} x ON x.v = p.v WHERE x.v IS NULL),
+    sel{i} AS MATERIALIZED (
+        SELECT n.v FROM unc{i} n LEFT JOIN (
+            SELECT e.src AS v, MAX(pu.p) AS mx
+            FROM e JOIN unc{i} pu ON pu.v = e.dst
+                   JOIN unc{i} ps ON ps.v = e.src
+            GROUP BY 1) nb ON nb.v = n.v
+        WHERE nb.mx IS NULL OR n.p > nb.mx),
+    nc{i} AS MATERIALIZED (
+        SELECT DISTINCT e.src AS v, x.c
+        FROM e JOIN sel{i} s ON s.v = e.src
+               JOIN col{i-1} x ON x.v = e.dst),
+    cnt{i} AS (SELECT v, COUNT(*) AS k FROM nc{i} GROUP BY 1),
+    cand{i} AS MATERIALIZED (
+        SELECT s.v, UNNEST(range(0, COALESCE(ct.k, 0) + 1)) AS i
+        FROM sel{i} s LEFT JOIN cnt{i} ct ON ct.v = s.v),
+    mex{i} AS MATERIALIZED (
+        SELECT cd.v, MIN(cd.i) AS c FROM cand{i} cd
+        LEFT JOIN nc{i} n ON n.v = cd.v AND n.c = cd.i
+        WHERE n.v IS NULL GROUP BY 1),
+    col{i} AS MATERIALIZED (
+        SELECT v, c FROM col{i-1} UNION ALL SELECT v, c FROM mex{i})""")
+    parts.append(f"""
+    SELECT v AS vertex, CAST(c AS BIGINT) AS color FROM col{rounds}""")
     return "".join(parts)
 
 
@@ -8327,6 +8500,9 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_events": _betweenness_oracle_sql(),
         "scc_events": _SCC_SQL,
         "kcore_events": _kcore_sql(),
+        "truss4_events": _ktruss_sql(),
+        "matching_events": _matching_sql(),
+        "coloring_events": _coloring_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,

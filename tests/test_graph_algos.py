@@ -795,3 +795,175 @@ def test_quotient_graph_matches_pandas(ray_session):
         assert (got["lsrc"].to_numpy() == want["lsrc"].to_numpy()).all()
         assert (got["ldst"].to_numpy() == want["ldst"].to_numpy()).all()
         assert (got["weight"].to_numpy() == want["weight"].to_numpy()).all()
+
+
+# -- k-truss ---------------------------------------------------------------
+
+def _brute_ktruss(und_edges: list[tuple[int, int]], k: int
+                  ) -> dict[tuple[int, int], int]:
+    """Reference peel: surviving canonical edges -> final support."""
+    es = {tuple(sorted(e)) for e in und_edges}
+    while True:
+        verts = {x for e in es for x in e}
+        sup = {}
+        for a, b in es:
+            sup[(a, b)] = sum(
+                1 for w in verts
+                if w != a and w != b
+                and tuple(sorted((a, w))) in es
+                and tuple(sorted((b, w))) in es)
+        drop = {e for e in es if sup[e] < k - 2}
+        if not drop:
+            return sup
+        es -= drop
+
+
+def _truss_dict(res) -> dict[tuple[int, int], int]:
+    t = res.edges
+    return {(int(a), int(b)): int(s) for a, b, s in
+            zip(t["u"].to_pylist(), t["v"].to_pylist(),
+                t["support"].to_pylist())}
+
+
+def test_ktruss_known_answers():
+    from cuttana_ray.pipelines.truss import ktruss
+
+    # K4: every edge closes 2 triangles -> 4-truss is K4, 5-truss empty
+    g = graph_from_edges(K4, 4)
+    r4 = ktruss(g, 4)
+    assert r4.converged
+    assert _truss_dict(r4) == {e: 2 for e in K4}
+    assert len(ktruss(g, 5).edges) == 0
+
+    # two triangles sharing edge (1,2): the shared edge has support 2 but
+    # peeling at k=4 cascades to empty (its triangles die in round 1)
+    shared = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    g2 = graph_from_edges(shared, 4)
+    r = ktruss(g2, 4)
+    assert r.converged and len(r.edges) == 0 and r.rounds == 3
+
+    # K4 + pendant edge: 3-truss drops only the pendant
+    g3 = graph_from_edges(K4 + [(3, 4)], 5)
+    assert set(_truss_dict(ktruss(g3, 3))) == set(K4)
+
+    with pytest.raises(ValueError):
+        ktruss(g, 2)
+
+
+def test_ktruss_matches_brute_force_and_layout_invariant():
+    from cuttana_ray.pipelines.truss import ktruss
+
+    rng = np.random.default_rng(17)
+    n = 40
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (220, 2)) if a != b})
+    want = _brute_ktruss(edges, 4)
+    got = [_truss_dict(ktruss(graph_from_edges(edges, n, num_blocks=nb), 4))
+           for nb in (1, 5)]
+    assert got[0] == want
+    assert got[1] == want
+
+
+# -- maximal matching ------------------------------------------------------
+
+def _brute_matching(und_edges: list[tuple[int, int]], V: int,
+                    seed: int = 0) -> set[tuple[int, int]]:
+    """Independent oracle: with UNIQUE priorities, local-max parallel
+    matching equals sequential greedy in descending priority order."""
+    canon = sorted({tuple(sorted(e)) for e in und_edges})
+    E = len(canon)
+    pri = [(((a * V + b) * 48271 + seed) % 2147483647) * E + i
+           for i, (a, b) in enumerate(canon)]
+    taken: set[int] = set()
+    out = set()
+    for _, (a, b) in sorted(zip(pri, canon), reverse=True):
+        if a not in taken and b not in taken:
+            taken |= {a, b}
+            out.add((a, b))
+    return out
+
+
+def test_maximal_matching_vs_greedy_and_properties():
+    from cuttana_ray.pipelines.matching import maximal_matching
+
+    rng = np.random.default_rng(23)
+    n = 50
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (300, 2)) if a != b})
+    want = _brute_matching(edges, n)
+    per_layout = []
+    for nb in (1, 4):
+        res = maximal_matching(graph_from_edges(edges, n, num_blocks=nb))
+        assert res.converged
+        got = {(int(a), int(b)) for a, b in
+               zip(res.edges["u"].to_pylist(), res.edges["v"].to_pylist())}
+        per_layout.append((got, res.edges.to_pylist()))
+        assert got == want
+        # a matching: no vertex appears twice
+        flat = [x for e in got for x in e]
+        assert len(flat) == len(set(flat))
+        # maximal: every input edge touches a matched vertex
+        assert all(a in set(flat) or b in set(flat) for a, b in edges)
+    assert per_layout[0][1] == per_layout[1][1]   # rounds identical too
+
+
+def test_maximal_matching_micro():
+    from cuttana_ray.pipelines.matching import maximal_matching
+
+    # star: exactly one edge can match
+    res = maximal_matching(graph_from_edges(STAR10, 11))
+    assert len(res.edges) == 1 and res.converged
+    # empty graph
+    r0 = maximal_matching(graph_from_edges([], 3))
+    assert len(r0.edges) == 0 and r0.converged
+
+
+# -- Jones-Plassmann coloring ----------------------------------------------
+
+def _brute_coloring(und_edges: list[tuple[int, int]], V: int,
+                    seed: int = 0) -> np.ndarray:
+    """Independent round-by-round JP replay (pure python sets)."""
+    adj = {v: set() for v in range(V)}
+    for a, b in und_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    pri = [((v * 48271 + seed) % 2147483647) * V + v for v in range(V)]
+    color = [-1] * V
+    while any(c < 0 for c in color):
+        sel = [v for v in range(V) if color[v] < 0
+               and all(color[u] >= 0 or pri[u] < pri[v] for u in adj[v])]
+        for v in sel:
+            used = {color[u] for u in adj[v] if color[u] >= 0}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+    return np.array(color, dtype=np.int64)
+
+
+def test_coloring_vs_brute_and_proper():
+    from cuttana_ray.pipelines.coloring import greedy_coloring
+
+    rng = np.random.default_rng(31)
+    n = 60
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (400, 2)) if a != b})
+    want = _brute_coloring(edges, n)
+    for nb in (1, 4):
+        res = greedy_coloring(graph_from_edges(edges, n, num_blocks=nb))
+        assert res.converged
+        assert (res.colors == want).all()
+        assert all(res.colors[a] != res.colors[b] for a, b in edges)
+    # isolated vertex (id n) gets color 0 in round 1
+    res = greedy_coloring(graph_from_edges(edges, n + 1))
+    assert res.colors[n] == 0
+
+
+def test_coloring_micro():
+    from cuttana_ray.pipelines.coloring import greedy_coloring
+
+    rk3 = greedy_coloring(graph_from_edges(K3, 3))
+    assert rk3.num_colors == 3 and sorted(rk3.colors.tolist()) == [0, 1, 2]
+    rstar = greedy_coloring(graph_from_edges(STAR10, 11))
+    assert rstar.num_colors == 2
+    assert rstar.converged and rstar.rounds <= 3
