@@ -2266,6 +2266,18 @@ def _q_doc_tfidf_docs(sf_dir: str):
     return doc_tfidf_topk(_read(sf_dir, "documents"), k=3)
 
 
+def _q_doc_logppl_docs(sf_dir: str):
+    """Per-doc unigram log-perplexity (functions/terms.py unigram_logppl)
+    — the CCNet-style LM quality filter with a unigram model: top-16 terms
+    are the vocabulary (16 < the corpus's 31 distinct terms, so the OOV
+    symbol is genuinely exercised), everything else scores as one OOV
+    class. n_tokens/n_oov are hash-exact ints; logppl rounds 6 on both
+    sides."""
+    from cuttana_ray.functions.terms import unigram_logppl
+    return unigram_logppl(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]), vocab_k=16)
+
+
 def _q_knn_cosine_top5(sf_dir: str):
     import pyarrow.parquet as pq
     from cuttana_ray.functions.simsearch import knn_brute_force
@@ -2657,6 +2669,23 @@ def _q_matching_events(sf_dir: str):
     res = maximal_matching(g)
     assert res.converged and res.rounds <= 24
     return res.edges
+
+
+def _q_katz_k6_events(sf_dir: str):
+    """Six Katz-centrality iterations (pipelines/katz.py: x ← 1 + α·Wᵀx,
+    α=1e-5, x₀=1) over the weighted events graph; the oracle unrolls the
+    identical six steps. Rounded 9 dp on both sides (α=1e-5 keeps values
+    ~1, so float-association differences are ~1e-14 — far below the
+    rounding grain)."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.katz import katz
+    g = _events_graph(sf_dir)
+    x = katz(g, alpha=1e-5, k=6)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "katz": pc.round(pa.array(x, pa.float64()), 9),
+    })
 
 
 def _q_coloring_events(sf_dir: str):
@@ -7140,6 +7169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams_docs": _q_pmi_bigrams_docs,
         "decontam_docs": _q_decontam_docs,
         "doc_tfidf_docs": _q_doc_tfidf_docs,
+        "doc_logppl_docs": _q_doc_logppl_docs,
         "knn_cosine_top5": _q_knn_cosine_top5,
         "knn_ivf_fullprobe_top5": _q_knn_ivf_fullprobe_top5,
         "chunk_docs": _q_chunk_docs,
@@ -7160,6 +7190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truss4_events": _q_truss4_events,
         "matching_events": _q_matching_events,
         "coloring_events": _q_coloring_events,
+        "katz_k6_events": _q_katz_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
@@ -7768,6 +7799,25 @@ def _matching_sql(rounds: int = 24, seed: int = 0) -> str:
         for i in range(1, rounds + 1))
     parts.append(f"""
     SELECT * FROM ({sel})""")
+    return "".join(parts)
+
+
+def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
+    """Unrolled Katz replay (pipelines/katz.py): x ← 1 + α·Σ_in w·x."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    k0 AS MATERIALIZED (
+        SELECT node_id AS v, CAST(1.0 AS DOUBLE) AS x FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    k{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               1.0 + {alpha} * COALESCE(s.sm, 0.0) AS x
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS v, SUM(e.weight * p.x) AS sm
+            FROM e JOIN k{i-1} p ON p.v = e.src GROUP BY 1) s
+            ON s.v = n.node_id)""")
+    parts.append(f"""
+    SELECT v AS vertex, ROUND(x, 9) AS katz FROM k{k}""")
     return "".join(parts)
 
 
@@ -8503,6 +8553,7 @@ def oracle_sql() -> dict[str, str]:
         "truss4_events": _ktruss_sql(),
         "matching_events": _matching_sql(),
         "coloring_events": _coloring_sql(),
+        "katz_k6_events": _katz_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,
@@ -9555,6 +9606,38 @@ def oracle_sql() -> dict[str, str]:
                        ON b.doc_id = a.doc_id AND b.i = a.i + 1)
             SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
             FROM bi GROUP BY 1, 2 ORDER BY tf DESC, w1, w2 LIMIT 50
+        """,
+        "doc_logppl_docs": """
+            -- unigram LM replay: vocab = top-16 (count desc, term asc),
+            -- p(t) = c/N in vocab, one OOV class with p = (N - Σvocab)/N
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '[a-z]+')) AS term
+                FROM documents),
+            cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+            vocab AS (SELECT term, c FROM cnt
+                      ORDER BY c DESC, term LIMIT 16),
+            oovm AS (SELECT (SELECT n FROM tot)
+                         - CAST(SUM(c) AS DOUBLE) AS om FROM vocab),
+            sc AS (SELECT t.doc_id,
+                          v.term IS NULL AS is_oov,
+                          CASE WHEN v.term IS NOT NULL
+                               THEN ln(v.c / (SELECT n FROM tot))
+                               ELSE ln((SELECT om FROM oovm)
+                                       / (SELECT n FROM tot)) END AS lp
+                   FROM toks t LEFT JOIN vocab v ON v.term = t.term),
+            ag AS (SELECT doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                          CAST(SUM(CASE WHEN is_oov THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_oov,
+                          ROUND(-AVG(lp), 6) AS logppl
+                   FROM sc GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   a.logppl
+            FROM documents d LEFT JOIN ag a ON a.doc_id = d.doc_id
         """,
         "doc_tfidf_docs": """
             WITH toks AS (

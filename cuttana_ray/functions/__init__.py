@@ -30,6 +30,7 @@ from cuttana_ray.functions.terms import (
     pmi_bigrams,
     term_counts,
     top_bigrams,
+    unigram_logppl,
     top_terms,
 )
 from cuttana_ray.functions.simsearch import kmeans_lite, knn_brute_force, knn_ivf
@@ -105,6 +106,7 @@ __all__ = [
     "kmeans",
     "repetition_stats",
     "pmi_bigrams",
+    "unigram_logppl",
     "scrub_pii",
     "sequence_pack",
     "token_stats",

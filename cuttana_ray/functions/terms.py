@@ -383,3 +383,83 @@ def build_postings(ds: "ray.data.Dataset", text_col: str = "text",
 
     return partial.groupby("term").map_groups(render,
                                               batch_format="pyarrow")
+
+
+def unigram_logppl(ds: "ray.data.Dataset", vocab_k: int = 4096,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """Per-document unigram log-perplexity quality score (the CCNet-style
+    LM filter with a unigram model standing in for KenLM):
+
+    1. corpus term counts (one combiner-disciplined exchange);
+    2. the model = top-``vocab_k`` terms by (count desc, term asc) with
+       ``p(t) = c_t / N``; everything else folds into ONE out-of-vocabulary
+       symbol with ``p(oov) = (N - Σ_vocab c) / N`` — bounded driver state
+       (``vocab_k`` rows + two scalars), broadcast once via ``ray.put``;
+    3. per-doc scoring is a flat ``map_batches``: polars extract_all →
+       explode → join against the tiny vocab frame →
+       ``logppl = round(-mean ln p, 6)`` — no second exchange, docs never
+       leave their batch.
+
+    Output: ``(doc_id, n_tokens, n_oov, logppl)``; zero-token docs keep a
+    row with ``n_tokens = 0`` and null ``logppl``.
+    """
+    import math
+
+    import ray
+
+    counts = term_counts(ds, text_col, pattern).materialize()
+    total = counts.aggregate(Sum("tf", alias_name="n"))["n"] or 0
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= vocab_k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("tf", "descending"),
+                                              ("term", "ascending")])
+        return t.take(order[:vocab_k])
+
+    vocab = counts.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["tf", "term"], descending=[True, False]).limit(vocab_k) \
+        .take_all()
+    vterms = [r["term"] for r in vocab]
+    vlps = [math.log(r["tf"] / total) for r in vocab]
+    oov_mass = total - sum(r["tf"] for r in vocab)
+    oov_lp = math.log(oov_mass / total) if oov_mass > 0 else 0.0
+    model_ref = ray.put((vterms, vlps, oov_lp))
+
+    schema = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                        ("n_oov", pa.int64()), ("logppl", pa.float64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return schema.empty_table()
+        terms, lps, olp = ray.get(model_ref)
+        vf = pl.DataFrame({"term": pl.Series(terms, dtype=pl.String),
+                           "vlp": pl.Series(lps, dtype=pl.Float64)})
+        df = pl.from_arrow(pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "text": pc.fill_null(pc.cast(batch[text_col], pa.string()), ""),
+        }))
+        toks = df.with_columns(
+            pl.col("text").str.to_lowercase().str.extract_all(pattern)
+            .alias("term")).drop("text").explode("term")
+        # null term = the placeholder row of a zero-token doc (kept so the
+        # doc stays in the output)
+        j = toks.join(vf, on="term", how="left").with_columns(
+            tok=pl.col("term").is_not_null().cast(pl.Int64),
+            oov=(pl.col("term").is_not_null()
+                 & pl.col("vlp").is_null()).cast(pl.Int64),
+            lp=pl.when(pl.col("term").is_null()).then(None)
+                .otherwise(pl.col("vlp").fill_null(olp)))
+        agg = j.group_by(id_col).agg(
+            n_tokens=pl.col("tok").sum(),
+            n_oov=pl.col("oov").sum(),
+            logppl=-pl.col("lp").mean()).to_arrow()
+        # round with the same Arrow kernel the other float-checked queries
+        # use, so the rounding mode matches the passing-oracle convention
+        agg = agg.set_column(agg.schema.get_field_index("logppl"), "logppl",
+                             pc.round(agg["logppl"], 6))
+        return agg.cast(schema)
+
+    return ds.map_batches(score, batch_format="pyarrow")

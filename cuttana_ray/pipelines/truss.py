@@ -107,6 +107,63 @@ def _support_fn(csr_ref, alive_ref, V: int):
     return fn
 
 
+def trussness(graph: Graph, max_k: int = 64,
+              max_rounds: int = 500) -> pa.Table:
+    """Truss number per canonical edge: the largest k with the edge inside
+    the k-truss (every edge is trivially in the 2-truss). Successive peels
+    reuse the previous level's survivors ((k+1)-truss ⊆ k-truss, exactly
+    how ``kcore.coreness`` chains peels), so total work is ONE peel
+    sequence over the shared broadcast CSR, not ``max_k`` independent
+    runs. Output: ``(u, v, trussness)``, one row per canonical edge."""
+    u, v = _canonical_edges(graph)
+    E = len(u)
+    V = graph.num_vertices
+    if 2 * E > BROADCAST_MAX_EDGES:
+        raise NotImplementedError(
+            f"trussness broadcast regime is gated at {BROADCAST_MAX_EDGES} "
+            f"symmetrized edges (got {2 * E})")
+    out = np.full(E, 2, dtype=np.int64)
+    if E == 0:
+        return pa.table({"u": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "trussness": pa.array([], pa.int64())})
+    eid = np.arange(E, dtype=np.int64)
+    ss, tt = np.concatenate([u, v]), np.concatenate([v, u])
+    ee = np.concatenate([eid, eid])
+    order = np.lexsort((tt, ss))
+    ss, tt, ee = ss[order], tt[order], ee[order]
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    np.add.at(indptr, ss + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    csr_ref = ray.put((indptr, tt, ee))
+    ds = ray.data.from_arrow(pa.table({
+        "u": pa.array(u), "v": pa.array(v),
+        "eid": pa.array(eid)})).materialize()
+
+    alive = np.ones(E, dtype=bool)
+    support = np.zeros(E, dtype=np.int64)
+    for k in range(3, max_k + 1):
+        if not alive.any():
+            break
+        for _ in range(max_rounds):
+            alive_ref = ray.put(alive)
+            support[:] = 0
+            part = ds.map_batches(_support_fn(csr_ref, alive_ref, V),
+                                  batch_format="pyarrow", batch_size=65536)
+            for b in part.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+                support[b["eid"].to_numpy(zero_copy_only=False)] = \
+                    b["support"].to_numpy(zero_copy_only=False)
+            new_alive = alive & (support >= k - 2)
+            if (alive == new_alive).all():
+                break
+            alive = new_alive
+        out[alive] = k          # survivors of level k are in the k-truss
+    return pa.table({"u": pa.array(u, pa.int64()),
+                     "v": pa.array(v, pa.int64()),
+                     "trussness": pa.array(out, pa.int64())})
+
+
 def ktruss(graph: Graph, k: int, max_rounds: int = 500) -> TrussResult:
     """Exact k-truss (k ≥ 3) of the symmetrized link graph."""
     if k < 3:

@@ -88,3 +88,17 @@ def test_grouped_weighted_median_string_key_guarded(ray_session):
     """).fetchdf()
     assert (got["k"] == want["k"]).all()
     assert (got["wmedian"].to_numpy() == want["wmedian"].to_numpy()).all()
+
+
+def test_shard_cpu_reservation_leaves_a_whole_cpu_free():
+    from cuttana_ray.util import shard_cpu_reservation
+
+    for total in (2, 3, 4, 8, 16, 32):
+        for k in (2, 4, 8, 16):
+            per = shard_cpu_reservation(total, k)
+            assert 0.05 <= per <= 1.0
+            # the invariant that prevents the from_arrow_refs metadata-task
+            # deadlock: k actors never reserve past total-1
+            assert per * k <= max(total - 1, 0.05 * k) + 1e-9
+    # the exact config that deadlocked: 2 shards on 2 CPUs
+    assert shard_cpu_reservation(2, 2) * 2 <= 1.0 + 1e-9

@@ -926,3 +926,44 @@ def test_learn_bpe_known_answer_and_determinism():
     assert out1.equals(out2)                  # layout-invariant
     assert out1["left"].to_pylist() == ["e", "es", "est"]
     assert out1["right"].to_pylist() == ["s", "t", "</w>"]
+
+
+def test_unigram_logppl_matches_reference_model():
+    import math
+    import re
+    from collections import Counter
+
+    from cuttana_ray.functions.terms import unigram_logppl
+
+    texts = ["the cat sat on the mat", "the dog ate the cat food",
+             "zebra quux THE Cat", "", "!!! 123", "mat mat mat zebra"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+
+    # independent reference model
+    toks = [re.findall(r"[a-z]+", s.lower()) for s in texts]
+    cnt = Counter(w for ws in toks for w in ws)
+    K = 4
+    vocab = dict(sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:K])
+    N = sum(cnt.values())
+    oov_lp = math.log((N - sum(vocab.values())) / N)
+
+    def expect(ws):
+        if not ws:
+            return (0, 0, None)
+        lps = [math.log(vocab[w] / N) if w in vocab else oov_lp for w in ws]
+        return (len(ws), sum(w not in vocab for w in ws),
+                round(-sum(lps) / len(lps), 6))
+
+    for nb in (1, 3):
+        out = unigram_logppl(rd.from_arrow(t).repartition(nb), vocab_k=K) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert out.shape == (len(texts), 4)
+        for i, ws in enumerate(toks):
+            n_tok, n_oov, lp = expect(ws)
+            assert out.loc[i, "n_tokens"] == n_tok
+            assert out.loc[i, "n_oov"] == n_oov
+            if lp is None:
+                assert out.loc[i, "logppl"] != out.loc[i, "logppl"]  # NaN
+            else:
+                assert abs(out.loc[i, "logppl"] - lp) < 1e-9

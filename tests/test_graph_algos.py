@@ -967,3 +967,52 @@ def test_coloring_micro():
     rstar = greedy_coloring(graph_from_edges(STAR10, 11))
     assert rstar.num_colors == 2
     assert rstar.converged and rstar.rounds <= 3
+
+
+# -- Katz centrality -------------------------------------------------------
+
+def test_katz_matches_dense_numpy():
+    from cuttana_ray.pipelines.katz import katz
+
+    rng = np.random.default_rng(41)
+    n = 30
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (120, 2)) if a != b})
+    g = graph_from_edges(edges, n, num_blocks=3)
+    # dense oracle over the symmetrized weighted adjacency
+    et = g.edges.to_pandas()
+    A = np.zeros((n, n))
+    A[et["dst"], et["src"]] = et["weight"]   # x' = 1 + a * W^T-gather
+    x = np.ones(n)
+    for _ in range(6):
+        x = 1.0 + 0.01 * (A @ x)
+    got = katz(g, alpha=0.01, k=6)
+    assert np.allclose(got, x, rtol=1e-12, atol=1e-12)
+    got1 = katz(graph_from_edges(edges, n, num_blocks=1), alpha=0.01, k=6)
+    assert np.allclose(got, got1, rtol=1e-12, atol=1e-12)
+
+
+def test_trussness_vs_successive_brute_peels():
+    from cuttana_ray.pipelines.truss import trussness
+
+    rng = np.random.default_rng(53)
+    n = 30
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (180, 2)) if a != b})
+    want = {}
+    for k in range(3, 20):
+        surv = _brute_ktruss(edges, k)
+        if not surv:
+            break
+        for e in surv:
+            want[e] = k
+    got = trussness(graph_from_edges(edges, n, num_blocks=3))
+    gd = {(int(a), int(b)): int(t) for a, b, t in
+          zip(got["u"].to_pylist(), got["v"].to_pylist(),
+              got["trussness"].to_pylist())}
+    assert len(gd) == len(edges)
+    for e in edges:
+        assert gd[e] == want.get(e, 2)
+    # K4: every edge has trussness 4
+    g4 = trussness(graph_from_edges(K4, 4))
+    assert set(g4["trussness"].to_pylist()) == {4}
