@@ -217,6 +217,17 @@ class HashShard(_BSPShardMixin):
                 role = t["role"].to_numpy(zero_copy_only=False)
                 keep = role == 0
                 ks = role == 1
+                # routing invariant: role-0 rows are OUR non-hub in-edges,
+                # role-1 rows are OUR owned-src rows. A violation means
+                # route_edge_blocks delivered another shard's rows (the
+                # mixed-block bug class) — fail loudly, a silent drop or
+                # double-count corrupts every downstream algorithm.
+                if (keep & (((dst % k) != owner)
+                            | _insorted(self.hubs, dst))).any() \
+                        or (ks & ((src % k) != owner)).any():
+                    raise ValueError(
+                        f"HashShard {owner}: received misrouted edge rows "
+                        "(route_edge_blocks invariant violated)")
                 hkeep = ks & _insorted(self.hubs, dst)
             else:
                 dst_hub = _insorted(self.hubs, dst)
@@ -675,8 +686,21 @@ def discover_hubs(edges: "ray.data.Dataset", threshold: int) -> np.ndarray:
 
 
 @ray.remote
-def _block_part(t: pa.Table) -> int:
-    return int(t["part"][0].as_py()) if len(t) else -1
+def _block_parts(t: pa.Table) -> np.ndarray:
+    """Distinct ``part`` values present in the block (sorted)."""
+    if len(t) == 0:
+        return np.empty(0, np.int64)
+    return np.unique(t["part"].to_numpy(zero_copy_only=False))
+
+
+@ray.remote(num_returns="dynamic")
+def _split_block(t: pa.Table):
+    """Yield one sub-table per distinct ``part`` (ascending part order).
+    Only called on the rare mixed-part block; dynamic returns keep the
+    sub-block objects owned by the caller, never collected to the driver."""
+    parts = t["part"].to_numpy(zero_copy_only=False)
+    for p in np.unique(parts):
+        yield t.filter(pa.array(parts == p))
 
 
 def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
@@ -726,11 +750,23 @@ def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
         .map_groups(lambda t: t, batch_format="pyarrow") \
         .materialize()
     refs = grouped.to_arrow_refs()
-    parts = ray.get([_block_part.remote(r) for r in refs])
+    # groupby().map_groups sorts by key but does NOT guarantee one group
+    # per output block — the sort-shuffle's range partitioning can pack
+    # several parts into one block (block-boundary-dependent, so it shows
+    # up flakily). Read the full distinct-part set per block; the common
+    # single-part block ships as-is, a mixed block is split in one remote
+    # task (per-part sub-blocks stay in the object store).
+    parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
     buckets: list[list] = [[] for _ in range(k)]
-    for p, r in zip(parts, refs):
-        if p >= 0:
-            buckets[p].append(r)
+    for parts, r in zip(parts_per_block, refs):
+        if len(parts) == 0:
+            continue
+        if len(parts) == 1:
+            buckets[int(parts[0])].append(r)
+        else:
+            sub_refs = list(ray.get(_split_block.remote(r)))
+            for p, sr in zip(parts, sub_refs):
+                buckets[int(p)].append(sr)
     return buckets
 
 

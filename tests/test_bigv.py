@@ -476,3 +476,64 @@ def test_pre_route_parity_and_single_copy(ray_session):
     pdf = enc.to_pandas()
     n_hub_rows = int(pdf["dst"].isin(hubs).sum())
     assert routed_rows == 2 * (len(pdf) - n_hub_rows) + n_hub_rows
+
+def test_split_block_handles_mixed_part_blocks(ray_session):
+    """groupby().map_groups gives NO one-group-per-block guarantee: the
+    sort-shuffle's range partitioning can pack several parts into one
+    output block (observed flakily as an IndexError inside sharded_iter
+    when whole mixed blocks were routed by their first row's part).
+    _block_parts + _split_block must split such a block exactly."""
+    from cuttana_ray.pipelines.bigv import _block_parts, _split_block
+    t = pa.table({
+        "src": pa.array([10, 11, 12, 13, 14, 15], pa.int64()),
+        "dst": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+        "weight": pa.array([1] * 6, pa.int64()),
+        "part": pa.array([1, 2, 3, 1, 2, 3], pa.int64()),
+        "role": pa.array([0] * 6, pa.int8()),
+    })
+    parts = ray.get(_block_parts.remote(t))
+    assert parts.tolist() == [1, 2, 3]
+    subs = [ray.get(r) for r in ray.get(_split_block.remote(t))]
+    assert len(subs) == 3
+    for p, sub in zip(parts, subs):
+        assert (sub["part"].to_numpy(zero_copy_only=False) == p).all()
+    assert sum(len(s) for s in subs) == len(t)
+    # empty block → no parts
+    assert len(ray.get(_block_parts.remote(t.slice(0, 0)))) == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 2, 7, 40])
+def test_route_edge_blocks_exact_per_shard_rows(ray_session, nblocks):
+    """Per-shard EXACT row-multiset parity with the filter semantics the
+    HashShard constructor implements, for several input block layouts
+    (the mixed-part failure is layout-dependent): every shard p must
+    receive precisely its non-hub in-edges (role 0, dst%k==p, dst not a
+    hub) and its owned-src rows (role 1, src%k==p) — no more, no less."""
+    from cuttana_ray.pipelines.bigv import (
+        discover_hubs,
+        hash_encode_edges,
+        route_edge_blocks,
+    )
+    k = 4
+    enc = hash_encode_edges(_symmetrized_string_edges()) \
+        .repartition(nblocks).materialize()
+    hubs = discover_hubs(enc, 3)
+    pdf = enc.to_pandas()
+    is_hub = pdf["dst"].isin(hubs).to_numpy()
+    buckets = route_edge_blocks(enc, k, hubs)
+
+    def multiset(df):
+        return sorted(map(tuple, df[["src", "dst", "weight"]]
+                          .to_numpy().tolist()))
+
+    for p in range(k):
+        got = [ray.get(r) for r in buckets[p]]
+        got_t = pa.concat_tables(got) if got else None
+        gdf = got_t.to_pandas() if got_t is not None else None
+        want0 = pdf[(pdf["dst"] % k == p) & ~is_hub]
+        want1 = pdf[pdf["src"] % k == p]
+        if gdf is None:
+            assert len(want0) + len(want1) == 0
+            continue
+        assert multiset(gdf[gdf["role"] == 0]) == multiset(want0)
+        assert multiset(gdf[gdf["role"] == 1]) == multiset(want1)
