@@ -1106,7 +1106,13 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
         n_edges = enc.count() // 2
         num_partitions = max(1, min(pool_size()[1], n_edges // 65536 + 1))
 
-    ed = safe_join(enc.select_columns(["src", "dst"]),
+    # degree-attach joins run over the CANONICAL half (src < dst, E rows)
+    # of the doubled table — each undirected edge needs (du, dv) exactly
+    # once, so joining on the doubled 2E rows would double both exchanges
+    # for rows the orientation filter then throws away.
+    canon = enc.select_columns(["src", "dst"]) \
+        .filter(expr="src < dst")
+    ed = safe_join(canon,
                    deg.rename_columns({"src": "_a", "_deg": "_du"}),
                    join_type="inner", num_partitions=num_partitions,
                    on=("src",), right_on=("_a",))
@@ -1115,6 +1121,9 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
                    on=("dst",), right_on=("_b",))
 
     def orient(t: pa.Table) -> pa.Table:
+        # one canonical (s < d) row per undirected edge → emit it oriented
+        # low-degree → high-degree (degree ties keep the s < d direction,
+        # matching the dense path's total order)
         sch = pa.schema([("u", pa.int64()), ("v", pa.int64())])
         if len(t) == 0 or "src" not in t.column_names:
             return sch.empty_table()
@@ -1122,9 +1131,9 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
         d = t["dst"].to_numpy(zero_copy_only=False)
         du = t["_du"].to_numpy(zero_copy_only=False)
         dv = t["_dv"].to_numpy(zero_copy_only=False)
-        keep = (du < dv) | ((du == dv) & (s < d))
-        return pa.table({"u": pa.array(s[keep], pa.int64()),
-                         "v": pa.array(d[keep], pa.int64())})
+        swap = dv < du
+        return pa.table({"u": pa.array(np.where(swap, d, s), pa.int64()),
+                         "v": pa.array(np.where(swap, s, d), pa.int64())})
 
     o = ed.map_batches(orient, batch_format="pyarrow").materialize()
 
@@ -1139,15 +1148,16 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
     if o.count() == 0:
         return 0, universe.map_batches(zero_counts, batch_format="pyarrow")
 
+    # wedge and closing joins stream end to end: neither intermediate is
+    # consumed twice, so materializing them (the OLD shape) only parked the
+    # largest table of the whole pipeline — the wedge set, >> E on skewed
+    # graphs — in the object store for no reason.
     wedges = safe_join(o, o.rename_columns({"u": "v2", "v": "w"}),
                        join_type="inner", num_partitions=num_partitions,
-                       on=("v",), right_on=("v2",)).materialize()
-    if wedges.count() == 0:
-        return 0, universe.map_batches(zero_counts, batch_format="pyarrow")
+                       on=("v",), right_on=("v2",))
     tri = safe_join(wedges, o.rename_columns({"u": "cu", "v": "cv"}),
                     join_type="inner", num_partitions=num_partitions,
-                    on=("u", "w"), right_on=("cu", "cv")).materialize()
-    total = tri.count()
+                    on=("u", "w"), right_on=("cu", "cv"))
 
     def pv_partial(t: pa.Table) -> pa.Table:
         sch = pa.schema([("vertex", pa.int64()), ("partial", pa.int64())])
@@ -1161,7 +1171,13 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
                          "partial": pa.array(cnt.astype(np.int64))})
 
     counts = tri.map_batches(pv_partial, batch_format="pyarrow") \
-        .groupby("vertex").aggregate(Sum("partial", alias_name="_tc"))
+        .groupby("vertex").aggregate(Sum("partial", alias_name="_tc")) \
+        .materialize()
+    # each triangle contributes 3 per-vertex increments → the grand total
+    # is one metadata-cheap aggregate over the (small, per-vertex) counts,
+    # not a count() barrier over the full triangle-instance table
+    tc_sum = counts.sum("_tc") if counts.count() else None
+    total = int(tc_sum or 0) // 3
     joined = safe_join(universe, counts, join_type="left_outer",
                        num_partitions=num_partitions,
                        on=("node_id",), right_on=("vertex",))
