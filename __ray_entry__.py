@@ -2477,6 +2477,19 @@ def _q_triangles_events(sf_dir: str):
     })
 
 
+def _q_hyperball3_events(sf_dir: str):
+    """HyperBall (Boldi-Rosa-Vigna WWW'11): per-vertex approximate 3-hop
+    ball sizes — ONE HLL counter per vertex (p=6, 64 B state), iterated
+    as a register-wise max over neighbors; t rounds of hash join +
+    grouped register max, no O(V) driver object (pipelines/hyperball.py).
+    The vertex hash is DuckDB-hash-identical, so the oracle replays the
+    registers, estimate and small-range correction exactly in SQL over
+    the exact 3-hop reachable sets."""
+    from cuttana_ray.pipelines.hyperball import hyperball
+    g = _events_graph(sf_dir)
+    return hyperball(g.edges.select_columns(["src", "dst"]), t=3, p=6)
+
+
 def _q_graph_diameter_events(sf_dir: str):
     """Double-sweep diameter lower bound (the standard 2-BFS heuristic —
     exact on trees, a certified lower bound in general): BFS from vertex
@@ -7186,6 +7199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_k5_events": _q_ppr_k5_events,
         "bfs_events": _q_bfs_events,
         "graph_diameter_events": _q_graph_diameter_events,
+        "hyperball3_events": _q_hyperball3_events,
         "kcore_events": _q_kcore_events,
         "truss4_events": _q_truss4_events,
         "matching_events": _q_matching_events,
@@ -7503,6 +7517,48 @@ def _bigv_components_sql() -> str:
     FROM comp c JOIN h hv ON hv.node_id = c.vertex
                 JOIN mh ON mh.component = c.component
 """
+
+
+def _hyperball_sql(t: int = 3, p: int = 6) -> str:
+    """Exact SQL replay of the HyperBall estimate (hyperball3_events):
+    exact t-hop reachable sets via a bounded recursive CTE, then the
+    IDENTICAL HLL construction — DuckDB ``hash()`` == the engine's
+    ``murmur64_int``, register rank via an exact bit-length CASE ladder
+    (float LOG2 rounds wrong above 2^53 — the engine uses exact integer
+    bit-length, so must the oracle), alpha(64) = 0.709 (the special-cased
+    constant in ``sketches._hll_alpha``), small-range linear counting,
+    and ROUND half away from zero."""
+    m = 1 << p
+    rb = 64 - p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    whens = " ".join(f"WHEN rest >= {1 << (b - 1)} THEN {b}"
+                     for b in range(rb, 0, -1))
+    bitlen = f"(CASE {whens} ELSE 0 END)"
+    return "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + f""",
+    reach(v, w, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes
+        UNION
+        SELECT r.v, e.dst, r.d + 1
+        FROM reach r JOIN e ON e.src = r.w
+        WHERE r.d < {t}
+    ),
+    pairs AS (SELECT DISTINCT v, w FROM reach),
+    h AS (SELECT v AS k, hash(w) AS hv FROM pairs),
+    r0 AS (SELECT k, CAST(hv >> {rb} AS BIGINT) AS idx,
+                  CAST(hv & {(1 << rb) - 1} AS BIGINT) AS rest FROM h),
+    regs AS (SELECT k, idx, MAX({rb + 1} - {bitlen}) AS rank
+             FROM r0 GROUP BY 1, 2),
+    s AS (SELECT k, SUM(POWER(2.0, -rank)) AS sp, COUNT(*) AS present
+          FROM regs GROUP BY 1),
+    est AS (SELECT k, {alpha} * {m}.0 * {m}.0
+                      / (sp + ({m} - present)) AS e,
+                   ({m} - present) AS zeros FROM s)
+    SELECT k AS node_id,
+           CAST(FLOOR(CASE WHEN e <= 2.5 * {m} AND zeros > 0
+                      THEN {m}.0 * LN({m}.0 / zeros) ELSE e END + 0.5)
+                AS BIGINT) AS ball
+    FROM est ORDER BY 1"""
 
 
 def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
@@ -8545,6 +8601,7 @@ def oracle_sql() -> dict[str, str]:
         "components_events": _COMPONENTS_SQL,
         "bfs_events": _BFS_SQL,
         "graph_diameter_events": _DIAMETER_SQL,
+        "hyperball3_events": _hyperball_sql(3, 6),
         "eccentricity_events": _ECC_SQL,
         "harmonic_events": _HARMONIC_SQL,
         "betweenness_events": _betweenness_oracle_sql(),

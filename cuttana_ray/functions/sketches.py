@@ -57,12 +57,9 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
-    """One batch's register array (uint8, len 2^p) from 64-bit hashes."""
-    m = 1 << p
-    regs = np.zeros(m, dtype=np.uint8)
-    if not len(hashes):
-        return regs
+def hll_idx_rank(hashes: np.ndarray, p: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-hash HLL (register index, rank) pair: idx = top ``p`` bits,
+    rank = leading zeros of the remaining 64-p bits (capped) + 1."""
     idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
     rest = hashes << np.uint64(p)
     # exact vectorized bit_length via binary search (float log2 rounds wrong
@@ -77,6 +74,16 @@ def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
     bl += (v > 0).astype(np.uint8)
     lz = np.minimum((64 - bl).astype(np.uint8), np.uint8(64 - p))
     rank = (lz + 1).astype(np.uint8)
+    return idx, rank
+
+
+def hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """One batch's register array (uint8, len 2^p) from 64-bit hashes."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if not len(hashes):
+        return regs
+    idx, rank = hll_idx_rank(hashes, p)
     np.maximum.at(regs, idx, rank)
     return regs
 

@@ -1,0 +1,163 @@
+"""HyperBall: distributed per-vertex neighborhood-function estimation.
+
+``ball(v, t) = |{w : dist(v, w) <= t}|`` for EVERY vertex simultaneously,
+estimated with one HyperLogLog counter per vertex and iterated as a
+register-wise max over out-neighbors (Boldi, Rosa & Vigna, "HyperANF:
+approximating the neighbourhood function of very large graphs on a
+budget", WWW 2011; the register-max recursion is Palmer et al.'s ANF with
+HLL in place of Flajolet-Martin bitmasks). This is the web-scale distance
+primitive: exact all-sources BFS is O(V·E), HyperBall is ``t`` rounds of
+one hash join + one grouped register-max with m = 2^p BYTES of state per
+vertex (p=6 → 64 B), and underlies effective-diameter / centrality
+estimates on graphs where exact distances are unpayable.
+
+Ray-Data shape per round — no O(V) object on the driver at any point,
+state lives in the object store as a (v, regs) Dataset:
+
+    state(v, regs) ⋈ edges(src, dst) on v = dst    -- pull neighbor regs
+      ∪ state                                       -- keep own regs
+      → per-batch same-key pre-combine (sort + np.maximum.reduceat)
+      → groupby(v) register-wise max                -- ONE exchange
+
+Registers are ``fixed_size_binary(m)`` — packed/unpacked zero-copy as an
+(n, m) uint8 matrix per batch, so every combine is a vectorized NumPy
+max, never a per-row Python loop. The vertex hash is
+``sketches.murmur64_int`` — bit-identical to DuckDB's ``hash()`` for
+BIGINT — so registers, estimate and small-range correction can all be
+replayed exactly in SQL (``__ray_entry__`` ``hyperball3_events`` oracle).
+
+The reference engine has no distance sketches; this is an
+engine-designed operator (SURVEY.md §2.4 sketch family).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from cuttana_ray.functions.sketches import (
+    _hll_alpha,
+    hll_idx_rank,
+    murmur64_int,
+)
+from cuttana_ray.util import safe_join
+
+
+def _pack(v: np.ndarray, regs: np.ndarray) -> pa.Table:
+    """(v, (n, m) uint8 register matrix) → (v, fixed_size_binary(m))."""
+    n, m = regs.shape
+    data = pa.py_buffer(np.ascontiguousarray(regs).tobytes())
+    arr = pa.Array.from_buffers(pa.binary(m), n, [None, data])
+    return pa.table({"v": pa.array(v, pa.int64()), "regs": arr})
+
+
+def _unpack(col: "pa.ChunkedArray | pa.Array", m: int) -> np.ndarray:
+    """fixed_size_binary(m) column → (n, m) uint8 matrix (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, m), np.uint8)
+    buf = col.buffers()[1]
+    return np.frombuffer(buf, np.uint8, count=n * m,
+                         offset=col.offset * m).reshape(n, m)
+
+
+def _state_schema(m: int) -> pa.Schema:
+    return pa.schema([("v", pa.int64()), ("regs", pa.binary(m))])
+
+
+def _combine_same_key(t: pa.Table, m: int) -> pa.Table:
+    """Register-wise max over rows sharing a key (vectorized reduceat)."""
+    sch = _state_schema(m)
+    if len(t) == 0 or "v" not in t.column_names:
+        return sch.empty_table()
+    v = t["v"].to_numpy(zero_copy_only=False)
+    regs = _unpack(t["regs"], m)
+    order = np.argsort(v, kind="stable")
+    v = v[order]
+    regs = regs[order]
+    starts = np.concatenate([[0], np.nonzero(v[1:] != v[:-1])[0] + 1])
+    return _pack(v[starts], np.maximum.reduceat(regs, starts, axis=0))
+
+
+def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimate over an (n, m) register matrix, with the
+    standard small-range (linear counting) correction — float64 math in
+    the same shape the SQL replay uses. Returned UNROUNDED."""
+    n, m = regs.shape
+    est = _hll_alpha(m) * m * m / np.exp2(-regs.astype(np.float64)) \
+        .sum(axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    if small.any():
+        est[small] = m * np.log(m / zeros[small])
+    return est
+
+
+def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
+              num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-vertex t-hop ball-size estimates over a symmetrized int64
+    (src, dst) edge Dataset. Returns a Dataset ``(node_id: int64,
+    ball: int64)`` — ball = ROUND(HLL estimate of |{w : dist ≤ t}|),
+    half away from zero, matching DuckDB's ROUND for the SQL replay."""
+    from ray.data.aggregate import Count
+
+    from cuttana_ray.util import pool_size
+
+    m = 1 << p
+    if num_partitions is None:
+        num_partitions = max(1, min(pool_size()[1],
+                                    edges.count() // 65536 + 1))
+
+    # vertex universe: distinct src (edges are symmetrized, so every
+    # vertex appears as a source)
+    verts = edges.groupby("src").aggregate(Count(alias_name="_c")) \
+        .select_columns(["src"])
+
+    def init(tbl: pa.Table) -> pa.Table:
+        sch = _state_schema(m)
+        if len(tbl) == 0 or "src" not in tbl.column_names:
+            return sch.empty_table()
+        v = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx, rank = hll_idx_rank(murmur64_int(v), p)
+        regs = np.zeros((len(v), m), np.uint8)
+        regs[np.arange(len(v)), idx] = rank
+        return _pack(v, regs)
+
+    state = verts.map_batches(init, batch_format="pyarrow").materialize()
+    e2 = edges.select_columns(["src", "dst"])
+
+    def pre(tbl: pa.Table) -> pa.Table:
+        return _combine_same_key(tbl, m)
+
+    def gmax(tbl: pa.Table) -> pa.Table:
+        return _combine_same_key(tbl, m)
+
+    for _ in range(t):
+        nb = safe_join(e2, state, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("dst",), right_on=("v",)) \
+            .select_columns(["src", "regs"]) \
+            .rename_columns({"src": "v"})
+        state = nb.union(state) \
+            .map_batches(pre, batch_format="pyarrow") \
+            .groupby("v") \
+            .map_groups(gmax, batch_format="pyarrow") \
+            .materialize()
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()), ("ball", pa.int64())])
+        if len(tbl) == 0 or "v" not in tbl.column_names:
+            return sch.empty_table()
+        est = hll_estimate_rows(_unpack(tbl["regs"], m))
+        return pa.table({
+            "node_id": tbl["v"].cast(pa.int64()),
+            # floor(x + 0.5): ROUND-half-away-from-zero for positives
+            # (np.round is half-to-even and would diverge from DuckDB)
+            "ball": pa.array(np.floor(est + 0.5).astype(np.int64)),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow")
