@@ -2490,6 +2490,18 @@ def _q_hyperball3_events(sf_dir: str):
     return hyperball(g.edges.select_columns(["src", "dst"]), t=3, p=6)
 
 
+def _q_hyperanf_nf_events(sf_dir: str):
+    """HyperANF neighborhood function NF(t) for t = 0..5 from one
+    register iteration (pipelines/hyperball.py::hyperball_nf) with the
+    standard effective-diameter readout (smallest t with NF(t) ≥
+    0.9·NF(t_max)). Driver sees 6 scalars; per-vertex state never leaves
+    the object store."""
+    from cuttana_ray.pipelines.hyperball import hyperball_nf
+    g = _events_graph(sf_dir)
+    return hyperball_nf(g.edges.select_columns(["src", "dst"]),
+                        t_max=5, p=6)
+
+
 def _q_graph_diameter_events(sf_dir: str):
     """Double-sweep diameter lower bound (the standard 2-BFS heuristic —
     exact on trees, a certified lower bound in general): BFS from vertex
@@ -7200,6 +7212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_events": _q_bfs_events,
         "graph_diameter_events": _q_graph_diameter_events,
         "hyperball3_events": _q_hyperball3_events,
+        "hyperanf_nf_events": _q_hyperanf_nf_events,
         "kcore_events": _q_kcore_events,
         "truss4_events": _q_truss4_events,
         "matching_events": _q_matching_events,
@@ -7559,6 +7572,54 @@ def _hyperball_sql(t: int = 3, p: int = 6) -> str:
                       THEN {m}.0 * LN({m}.0 / zeros) ELSE e END + 0.5)
                 AS BIGINT) AS ball
     FROM est ORDER BY 1"""
+
+
+def _hyperanf_sql(t_max: int = 5, p: int = 6, frac: float = 0.9) -> str:
+    """hyperanf_nf_events oracle: NF(t) for t = 0..t_max replayed with the
+    same HLL construction as ``_hyperball_sql`` — min-distance pairs from
+    the bounded recursive CTE, per-(t, v) registers over pairs with
+    d ≤ t, per-vertex rounded ball estimates, summed per t; the
+    effective-diameter row is the smallest t with NF(t) ≥ frac·NF(t_max)."""
+    m = 1 << p
+    rb = 64 - p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    whens = " ".join(f"WHEN rest >= {1 << (b - 1)} THEN {b}"
+                     for b in range(rb, 0, -1))
+    bitlen = f"(CASE {whens} ELSE 0 END)"
+    return "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + f""",
+    reach(v, w, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes
+        UNION
+        SELECT r.v, e.dst, r.d + 1
+        FROM reach r JOIN e ON e.src = r.w
+        WHERE r.d < {t_max}
+    ),
+    mind AS MATERIALIZED (
+        SELECT v, w, MIN(d) AS d FROM reach GROUP BY 1, 2),
+    r0 AS (SELECT v, d, CAST(hash(w) >> {rb} AS BIGINT) AS idx,
+                  CAST(hash(w) & {(1 << rb) - 1} AS BIGINT) AS rest
+           FROM mind),
+    ts AS (SELECT UNNEST(range(0, {t_max + 1})) AS t),
+    regs AS (SELECT ts.t, r0.v, r0.idx,
+                    MAX({rb + 1} - {bitlen}) AS rank
+             FROM r0 JOIN ts ON r0.d <= ts.t GROUP BY 1, 2, 3),
+    s AS (SELECT t, v, SUM(POWER(2.0, -rank)) AS sp, COUNT(*) AS present
+          FROM regs GROUP BY 1, 2),
+    est AS (SELECT t, v, {alpha} * {m}.0 * {m}.0
+                         / (sp + ({m} - present)) AS e,
+                   ({m} - present) AS zeros FROM s),
+    balls AS (SELECT t, CAST(FLOOR(CASE WHEN e <= 2.5 * {m} AND zeros > 0
+                             THEN {m}.0 * LN({m}.0 / zeros) ELSE e END
+                             + 0.5) AS BIGINT) AS ball FROM est),
+    nf AS (SELECT t, CAST(SUM(ball) AS BIGINT) AS nf
+           FROM balls GROUP BY 1),
+    mx AS (SELECT nf AS last_nf FROM nf WHERE t = {t_max}),
+    eff AS (SELECT MIN(t) AS efft FROM nf, mx
+            WHERE nf >= {frac} * last_nf)
+    SELECT CAST(nf.t AS BIGINT) AS t, nf.nf,
+           (nf.t = eff.efft) AS is_effective_diameter
+    FROM nf, eff ORDER BY 1"""
 
 
 def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
@@ -8602,6 +8663,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_events": _BFS_SQL,
         "graph_diameter_events": _DIAMETER_SQL,
         "hyperball3_events": _hyperball_sql(3, 6),
+        "hyperanf_nf_events": _hyperanf_sql(5, 6, 0.9),
         "eccentricity_events": _ECC_SQL,
         "harmonic_events": _HARMONIC_SQL,
         "betweenness_events": _betweenness_oracle_sql(),

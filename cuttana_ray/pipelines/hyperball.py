@@ -97,23 +97,13 @@ def hll_estimate_rows(regs: np.ndarray) -> np.ndarray:
     return est
 
 
-def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
-              num_partitions: int | None = None) -> "ray.data.Dataset":
-    """Per-vertex t-hop ball-size estimates over a symmetrized int64
-    (src, dst) edge Dataset. Returns a Dataset ``(node_id: int64,
-    ball: int64)`` — ball = ROUND(HLL estimate of |{w : dist ≤ t}|),
-    half away from zero, matching DuckDB's ROUND for the SQL replay."""
+def _init_state(edges: "ray.data.Dataset", p: int) -> "ray.data.Dataset":
+    """Materialized (v, regs) state with each vertex's own hash set —
+    vertex universe = distinct src (edges are symmetrized, so every
+    vertex appears as a source)."""
     from ray.data.aggregate import Count
 
-    from cuttana_ray.util import pool_size
-
     m = 1 << p
-    if num_partitions is None:
-        num_partitions = max(1, min(pool_size()[1],
-                                    edges.count() // 65536 + 1))
-
-    # vertex universe: distinct src (edges are symmetrized, so every
-    # vertex appears as a source)
     verts = edges.groupby("src").aggregate(Count(alias_name="_c")) \
         .select_columns(["src"])
 
@@ -127,27 +117,29 @@ def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
         regs[np.arange(len(v)), idx] = rank
         return _pack(v, regs)
 
-    state = verts.map_batches(init, batch_format="pyarrow").materialize()
-    e2 = edges.select_columns(["src", "dst"])
+    return verts.map_batches(init, batch_format="pyarrow").materialize()
 
-    def pre(tbl: pa.Table) -> pa.Table:
+
+def _round(state: "ray.data.Dataset", e2: "ray.data.Dataset", m: int,
+           num_partitions: int) -> "ray.data.Dataset":
+    """One HyperBall round: pull neighbor registers through the edge
+    join, keep own registers, register-wise max per vertex."""
+    def combine(tbl: pa.Table) -> pa.Table:
         return _combine_same_key(tbl, m)
 
-    def gmax(tbl: pa.Table) -> pa.Table:
-        return _combine_same_key(tbl, m)
+    nb = safe_join(e2, state, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=("dst",), right_on=("v",)) \
+        .select_columns(["src", "regs"]) \
+        .rename_columns({"src": "v"})
+    return nb.union(state) \
+        .map_batches(combine, batch_format="pyarrow") \
+        .groupby("v") \
+        .map_groups(combine, batch_format="pyarrow") \
+        .materialize()
 
-    for _ in range(t):
-        nb = safe_join(e2, state, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("dst",), right_on=("v",)) \
-            .select_columns(["src", "regs"]) \
-            .rename_columns({"src": "v"})
-        state = nb.union(state) \
-            .map_batches(pre, batch_format="pyarrow") \
-            .groupby("v") \
-            .map_groups(gmax, batch_format="pyarrow") \
-            .materialize()
 
+def _ball_table(state: "ray.data.Dataset", m: int) -> "ray.data.Dataset":
     def finish(tbl: pa.Table) -> pa.Table:
         sch = pa.schema([("node_id", pa.int64()), ("ball", pa.int64())])
         if len(tbl) == 0 or "v" not in tbl.column_names:
@@ -161,3 +153,53 @@ def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
         })
 
     return state.map_batches(finish, batch_format="pyarrow")
+
+
+def _default_partitions(edges: "ray.data.Dataset") -> int:
+    from cuttana_ray.util import pool_size
+    return max(1, min(pool_size()[1], edges.count() // 65536 + 1))
+
+
+def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
+              num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Per-vertex t-hop ball-size estimates over a symmetrized int64
+    (src, dst) edge Dataset. Returns a Dataset ``(node_id: int64,
+    ball: int64)`` — ball = ROUND(HLL estimate of |{w : dist ≤ t}|),
+    half away from zero, matching DuckDB's ROUND for the SQL replay."""
+    m = 1 << p
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    state = _init_state(edges, p)
+    e2 = edges.select_columns(["src", "dst"])
+    for _ in range(t):
+        state = _round(state, e2, m, num_partitions)
+    return _ball_table(state, m)
+
+
+def hyperball_nf(edges: "ray.data.Dataset", t_max: int, p: int = 6,
+                 eff_frac: float = 0.9,
+                 num_partitions: int | None = None) -> pa.Table:
+    """HyperANF: the neighborhood function NF(t) = Σ_v ball(v, t) for
+    t = 0..t_max from ONE register iteration (each round adds a single
+    streamed estimate pass over the per-vertex state — the driver sees
+    t_max+1 scalars, never the state). Returns a small table
+    ``(t, nf, is_effective_diameter)`` where the flagged row is the
+    smallest t with NF(t) ≥ eff_frac · NF(t_max) — the standard
+    effective-diameter readout of the neighborhood function."""
+    m = 1 << p
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    state = _init_state(edges, p)
+    e2 = edges.select_columns(["src", "dst"])
+    nf = [int(_ball_table(state, m).sum("ball"))]
+    for _ in range(t_max):
+        state = _round(state, e2, m, num_partitions)
+        nf.append(int(_ball_table(state, m).sum("ball")))
+    thresh = eff_frac * nf[-1]
+    eff = next(i for i, x in enumerate(nf) if x >= thresh)
+    return pa.table({
+        "t": pa.array(np.arange(t_max + 1, dtype=np.int64)),
+        "nf": pa.array(nf, pa.int64()),
+        "is_effective_diameter": pa.array(
+            [i == eff for i in range(t_max + 1)], pa.bool_()),
+    })
