@@ -120,6 +120,48 @@ def _init_state(edges: "ray.data.Dataset", p: int) -> "ray.data.Dataset":
     return verts.map_batches(init, batch_format="pyarrow").materialize()
 
 
+def _grouped_register_max(ds: "ray.data.Dataset", m: int
+                          ) -> "ray.data.Dataset":
+    """Register-wise max per key over a (v, regs) Dataset with ONE sort
+    exchange and NO per-group Python call: each sorted block combines its
+    keys vectorized (reduceat); only the block-edge keys — the ≤2 rows per
+    block whose runs may continue in a neighbor block — ship to a driver
+    merge and re-enter as one tiny block (the boundary-carry pattern of
+    ``stages/edges.py``). A groupby().map_groups() here would pay one
+    Python call per VERTEX per round — the classic V-dominated cost this
+    file exists to avoid."""
+    sch = pa.schema([("v", pa.int64()), ("regs", pa.binary(m)),
+                     ("partial", pa.bool_())])
+
+    def combine_flag(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "v" not in t.column_names:
+            return sch.empty_table()
+        c = _combine_same_key(t, m)
+        v = c["v"].to_numpy(zero_copy_only=False)
+        part = (v == v[0]) | (v == v[-1])
+        return c.append_column("partial", pa.array(part))
+
+    combined = ds.sort("v") \
+        .map_batches(combine_flag, batch_format="pyarrow",
+                     batch_size=None).materialize()
+    complete = combined.filter(expr="partial == False") \
+        .select_columns(["v", "regs"])
+
+    @ray.remote
+    def _edges_of(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "partial" not in t.column_names:
+            return _state_schema(m).empty_table()
+        return t.filter(t["partial"]).select(["v", "regs"])
+
+    ptabs = [t for t in ray.get([_edges_of.remote(r)
+                                 for r in combined.to_arrow_refs()])
+             if len(t)]
+    if not ptabs:
+        return complete
+    fixed = _combine_same_key(pa.concat_tables(ptabs), m)
+    return complete.union(ray.data.from_arrow(fixed))
+
+
 def _round(state: "ray.data.Dataset", e2: "ray.data.Dataset", m: int,
            num_partitions: int) -> "ray.data.Dataset":
     """One HyperBall round: pull neighbor registers through the edge
@@ -132,11 +174,9 @@ def _round(state: "ray.data.Dataset", e2: "ray.data.Dataset", m: int,
                    on=("dst",), right_on=("v",)) \
         .select_columns(["src", "regs"]) \
         .rename_columns({"src": "v"})
-    return nb.union(state) \
-        .map_batches(combine, batch_format="pyarrow") \
-        .groupby("v") \
-        .map_groups(combine, batch_format="pyarrow") \
-        .materialize()
+    merged = nb.union(state) \
+        .map_batches(combine, batch_format="pyarrow")
+    return _grouped_register_max(merged, m).materialize()
 
 
 def _ball_table(state: "ray.data.Dataset", m: int) -> "ray.data.Dataset":
