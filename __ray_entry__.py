@@ -2502,6 +2502,19 @@ def _q_hyperanf_nf_events(sf_dir: str):
                         t_max=5, p=6)
 
 
+def _q_hyperball_harmonic_events(sf_dir: str):
+    """Approximate harmonic centrality from the HyperBall series (Boldi &
+    Vigna ICDMW'13): Σ_t (new vertices at distance t)/t off the rounded
+    per-round ball estimates — the scale-path sibling of the exact
+    ``harmonic_events`` BFS, same shape the repo uses for IVF vs
+    full-probe kNN. Oracle replays per-(t, vertex) balls and the same
+    increment sum in SQL."""
+    from cuttana_ray.pipelines.hyperball import hyperball_harmonic
+    g = _events_graph(sf_dir)
+    return hyperball_harmonic(g.edges.select_columns(["src", "dst"]),
+                              t_max=5, p=6)
+
+
 def _q_graph_diameter_events(sf_dir: str):
     """Double-sweep diameter lower bound (the standard 2-BFS heuristic —
     exact on trees, a certified lower bound in general): BFS from vertex
@@ -7213,6 +7226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter_events": _q_graph_diameter_events,
         "hyperball3_events": _q_hyperball3_events,
         "hyperanf_nf_events": _q_hyperanf_nf_events,
+        "hyperball_harmonic_events": _q_hyperball_harmonic_events,
         "kcore_events": _q_kcore_events,
         "truss4_events": _q_truss4_events,
         "matching_events": _q_matching_events,
@@ -7620,6 +7634,52 @@ def _hyperanf_sql(t_max: int = 5, p: int = 6, frac: float = 0.9) -> str:
     SELECT CAST(nf.t AS BIGINT) AS t, nf.nf,
            (nf.t = eff.efft) AS is_effective_diameter
     FROM nf, eff ORDER BY 1"""
+
+
+def _hyperball_harmonic_sql(t_max: int = 5, p: int = 6) -> str:
+    """hyperball_harmonic_events oracle: per-(t, vertex) rounded ball
+    estimates exactly as in ``_hyperanf_sql``, then
+    Σ_{t≥1} (ball_t - ball_{t-1}) / t per vertex, ROUND(, 8)."""
+    m = 1 << p
+    rb = 64 - p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    whens = " ".join(f"WHEN rest >= {1 << (b - 1)} THEN {b}"
+                     for b in range(rb, 0, -1))
+    bitlen = f"(CASE {whens} ELSE 0 END)"
+    return "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + f""",
+    reach(v, w, d) AS (
+        SELECT node_id, node_id, 0 FROM nodes
+        UNION
+        SELECT r.v, e.dst, r.d + 1
+        FROM reach r JOIN e ON e.src = r.w
+        WHERE r.d < {t_max}
+    ),
+    mind AS MATERIALIZED (
+        SELECT v, w, MIN(d) AS d FROM reach GROUP BY 1, 2),
+    r0 AS (SELECT v, d, CAST(hash(w) >> {rb} AS BIGINT) AS idx,
+                  CAST(hash(w) & {(1 << rb) - 1} AS BIGINT) AS rest
+           FROM mind),
+    ts AS (SELECT UNNEST(range(0, {t_max + 1})) AS t),
+    regs AS (SELECT ts.t, r0.v, r0.idx,
+                    MAX({rb + 1} - {bitlen}) AS rank
+             FROM r0 JOIN ts ON r0.d <= ts.t GROUP BY 1, 2, 3),
+    s AS (SELECT t, v, SUM(POWER(2.0, -rank)) AS sp, COUNT(*) AS present
+          FROM regs GROUP BY 1, 2),
+    est AS (SELECT t, v, {alpha} * {m}.0 * {m}.0
+                         / (sp + ({m} - present)) AS e,
+                   ({m} - present) AS zeros FROM s),
+    hb AS (SELECT t, v, CAST(FLOOR(CASE WHEN e <= 2.5 * {m}
+                             AND zeros > 0
+                             THEN {m}.0 * LN({m}.0 / zeros) ELSE e END
+                             + 0.5) AS BIGINT) AS ball FROM est),
+    inc AS (SELECT cur.v,
+                   SUM((cur.ball - prev.ball)
+                       / CAST(cur.t AS DOUBLE)) AS h
+            FROM hb cur JOIN hb prev
+                 ON prev.v = cur.v AND prev.t = cur.t - 1
+            WHERE cur.t >= 1 GROUP BY 1)
+    SELECT v AS node_id, ROUND(h, 8) AS hharm FROM inc ORDER BY 1"""
 
 
 def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
@@ -8664,6 +8724,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter_events": _DIAMETER_SQL,
         "hyperball3_events": _hyperball_sql(3, 6),
         "hyperanf_nf_events": _hyperanf_sql(5, 6, 0.9),
+        "hyperball_harmonic_events": _hyperball_harmonic_sql(5, 6),
         "eccentricity_events": _ECC_SQL,
         "harmonic_events": _HARMONIC_SQL,
         "betweenness_events": _betweenness_oracle_sql(),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -214,6 +215,72 @@ def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
     for _ in range(t):
         state = _round(state, e2, m, num_partitions)
     return _ball_table(state, m)
+
+
+def hyperball_harmonic(edges: "ray.data.Dataset", t_max: int, p: int = 6,
+                       num_partitions: int | None = None
+                       ) -> "ray.data.Dataset":
+    """Approximate harmonic centrality from the HyperBall series (Boldi &
+    Vigna, "In-core computation of geometric centralities with
+    HyperBall", ICDMW 2013): H(v) = Σ_w 1/dist(v,w) ≈ Σ_{t≥1}
+    (|ball(v,t)| - |ball(v,t-1)|) / t — the number of NEW vertices at
+    distance t, weighted 1/t, read off the rounded per-round ball
+    estimates. The scale-path sibling of the exact ``harmonic_events``
+    (O(V·E) BFS): t_max rounds of join + grouped register max + one
+    linear ball join per round, no O(V) driver object. Returns
+    ``(node_id: int64, hharm: float64 rounded to 8 dp)``."""
+    m = 1 << p
+    if num_partitions is None:
+        num_partitions = _default_partitions(edges)
+    state = _init_state(edges, p)
+    e2 = edges.select_columns(["src", "dst"])
+
+    def start(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()), ("prev", pa.int64()),
+                         ("acc", pa.float64())])
+        if len(tbl) == 0 or "node_id" not in tbl.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "node_id": tbl["node_id"],
+            "prev": tbl["ball"],
+            "acc": pa.array(np.zeros(len(tbl), np.float64))})
+
+    acc = _ball_table(state, m) \
+        .map_batches(start, batch_format="pyarrow").materialize()
+
+    for t in range(1, t_max + 1):
+        state = _round(state, e2, m, num_partitions)
+        balls = _ball_table(state, m) \
+            .rename_columns({"node_id": "_nid", "ball": "_ball"})
+        joined = safe_join(acc, balls, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("node_id",), right_on=("_nid",))
+
+        def step(tbl: pa.Table, _t=t) -> pa.Table:
+            sch = pa.schema([("node_id", pa.int64()),
+                             ("prev", pa.int64()), ("acc", pa.float64())])
+            if len(tbl) == 0 or "node_id" not in tbl.column_names:
+                return sch.empty_table()
+            prev = tbl["prev"].to_numpy(zero_copy_only=False)
+            ball = tbl["_ball"].to_numpy(zero_copy_only=False)
+            a = tbl["acc"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node_id": tbl["node_id"],
+                "prev": tbl["_ball"],
+                "acc": pa.array(a + (ball - prev) / float(_t))})
+
+        acc = joined.map_batches(step, batch_format="pyarrow") \
+            .materialize()
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()), ("hharm", pa.float64())])
+        if len(tbl) == 0 or "node_id" not in tbl.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "node_id": tbl["node_id"],
+            "hharm": pc.round(tbl["acc"], 8)})
+
+    return acc.map_batches(finish, batch_format="pyarrow")
 
 
 def hyperball_nf(edges: "ray.data.Dataset", t_max: int, p: int = 6,

@@ -102,3 +102,30 @@ def test_hyperball_t_monotone_and_saturating(ray_session):
     # at t=9 every vertex reaches the whole 10-vertex path; p=6 HLL on 10
     # elements lands in the linear-counting regime and is near-exact
     assert (np.abs(prev - 10) <= 1).all()
+
+
+def test_hyperball_harmonic_matches_per_round_fold(ray_session):
+    """hyperball_harmonic == the numpy fold of the per-round ball tables
+    (same t_max, p) — pins the incremental join/accumulate logic to the
+    independently-tested per-round estimates."""
+    import pandas as pd
+
+    from cuttana_ray.pipelines.hyperball import (
+        hyperball,
+        hyperball_harmonic,
+    )
+    src, dst = _random_sym_edges(V=60, E=180, seed=5)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    edges = rd.from_arrow(tbl).repartition(4)
+    T, P = 3, 6
+    balls = {}
+    for t in range(T + 1):
+        out = hyperball(rd.from_arrow(tbl).repartition(4), t, P) \
+            .to_pandas().set_index("node_id")["ball"]
+        balls[t] = out
+    want = sum((balls[t] - balls[t - 1]) / t for t in range(1, T + 1))
+    got = hyperball_harmonic(edges, T, P).to_pandas() \
+        .set_index("node_id")["hharm"]
+    got, want = got.sort_index(), want.sort_index().round(8)
+    assert (got.index == want.index).all()
+    assert np.allclose(got.to_numpy(), want.to_numpy(), atol=1e-8)
