@@ -2129,6 +2129,28 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (functions/embeddings.py semantic_dedup): k-means bucket
+    the embedding space (k=4, 2 Lloyd iterations, deterministic init),
+    then within each cluster drop any vector that has cosine >= 0.45 with
+    a lower-id clustermate. Full (vec_id, cluster, keep) parity against
+    the unrolled-Lloyd + EXISTS oracle."""
+    from cuttana_ray.functions.embeddings import semantic_dedup
+    return semantic_dedup(_read(sf_dir, "embeddings",
+                                columns=["vec_id", "embedding"]),
+                          k=4, iters=2, threshold=0.45)
+
+
+def _q_dup_ngram_spans(sf_dir: str):
+    """Exact repeated-span detection (functions/dedup.py
+    duplicate_ngram_spans): per document, how many of its word 5-gram
+    spans occur >= 2 times anywhere in the corpus."""
+    from cuttana_ray.functions.dedup import duplicate_ngram_spans
+    return duplicate_ngram_spans(_read(sf_dir, "documents",
+                                       columns=["doc_id", "text"]),
+                                 n=5, min_count=2)
+
+
 def _q_pii_scrub_docs(sf_dir: str):
     """PII redaction (functions/pii.py): the corpus text gets a
     deterministic doc_id-derived contact suffix appended (testdata has no
@@ -7200,6 +7222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": _q_pii_scrub_docs,
         "sequence_pack_docs": _q_sequence_pack_docs,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
+        "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms_docs": _q_top_terms_docs,
@@ -8684,6 +8708,52 @@ def _neardup_cluster_sizes_sql() -> str:
     """
 
 
+_KMEANS_CTE = """
+            -- Lloyd k-means, k=4, 2 iterations unrolled, matching
+            -- functions/embeddings.py kmeans: init = 4 smallest vec_ids,
+            -- distance Σ(v-c)², mean update, lowest-cluster tie-break.
+            WITH ex AS (
+                SELECT vec_id, CAST(i AS BIGINT) AS i,
+                       CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT vec_id, embedding,
+                             unnest(range(1, len(embedding) + 1)) AS i
+                      FROM embeddings)),
+            init AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+                      LIMIT 4)),
+            c0 AS (SELECT init.cl, ex.i, ex.v
+                   FROM ex JOIN init USING (vec_id)),
+            d1 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c0 c USING (i) GROUP BY 1, 2),
+            a1 AS (SELECT d1.vec_id, MIN(d1.cl) AS cl
+                   FROM d1 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d1 GROUP BY 1) m
+                     ON d1.vec_id = m.vec_id AND d1.d = m.md
+                   GROUP BY 1),
+            c1 AS (SELECT a1.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
+                   FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+            d2 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c1 c USING (i) GROUP BY 1, 2),
+            a2 AS (SELECT d2.vec_id, MIN(d2.cl) AS cl
+                   FROM d2 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d2 GROUP BY 1) m
+                     ON d2.vec_id = m.vec_id AND d2.d = m.md
+                   GROUP BY 1),
+            c2 AS (SELECT a2.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
+                   FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+            d3 AS (SELECT ex.vec_id, c.cl,
+                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
+                   FROM ex JOIN c2 c USING (i) GROUP BY 1, 2),
+            a3 AS (SELECT d3.vec_id, MIN(d3.cl) AS cl
+                   FROM d3 JOIN (SELECT vec_id, MIN(d) AS md
+                                 FROM d3 GROUP BY 1) m
+                     ON d3.vec_id = m.vec_id AND d3.d = m.md
+                   GROUP BY 1)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
@@ -9579,51 +9649,52 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "mis_users": _mis_oracle_sql(rounds=4),
-        "kmeans_embeddings": """
-            -- Lloyd k-means, k=4, 2 iterations unrolled, matching
-            -- functions/embeddings.py kmeans: init = 4 smallest vec_ids,
-            -- distance Σ(v-c)², mean update, lowest-cluster tie-break.
-            WITH ex AS (
-                SELECT vec_id, CAST(i AS BIGINT) AS i,
-                       CAST(embedding[i] AS DOUBLE) AS v
-                FROM (SELECT vec_id, embedding,
-                             unnest(range(1, len(embedding) + 1)) AS i
-                      FROM embeddings)),
-            init AS (
-                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl
-                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
-                      LIMIT 4)),
-            c0 AS (SELECT init.cl, ex.i, ex.v
-                   FROM ex JOIN init USING (vec_id)),
-            d1 AS (SELECT ex.vec_id, c.cl,
-                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
-                   FROM ex JOIN c0 c USING (i) GROUP BY 1, 2),
-            a1 AS (SELECT d1.vec_id, MIN(d1.cl) AS cl
-                   FROM d1 JOIN (SELECT vec_id, MIN(d) AS md
-                                 FROM d1 GROUP BY 1) m
-                     ON d1.vec_id = m.vec_id AND d1.d = m.md
-                   GROUP BY 1),
-            c1 AS (SELECT a1.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
-                   FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
-            d2 AS (SELECT ex.vec_id, c.cl,
-                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
-                   FROM ex JOIN c1 c USING (i) GROUP BY 1, 2),
-            a2 AS (SELECT d2.vec_id, MIN(d2.cl) AS cl
-                   FROM d2 JOIN (SELECT vec_id, MIN(d) AS md
-                                 FROM d2 GROUP BY 1) m
-                     ON d2.vec_id = m.vec_id AND d2.d = m.md
-                   GROUP BY 1),
-            c2 AS (SELECT a2.cl, ex.i, SUM(ex.v) / COUNT(*) AS v
-                   FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
-            d3 AS (SELECT ex.vec_id, c.cl,
-                          SUM((ex.v - c.v) * (ex.v - c.v)) AS d
-                   FROM ex JOIN c2 c USING (i) GROUP BY 1, 2),
-            a3 AS (SELECT d3.vec_id, MIN(d3.cl) AS cl
-                   FROM d3 JOIN (SELECT vec_id, MIN(d) AS md
-                                 FROM d3 GROUP BY 1) m
-                     ON d3.vec_id = m.vec_id AND d3.d = m.md
-                   GROUP BY 1)
+        "kmeans_embeddings": _KMEANS_CTE + """
             SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a3
+        """,
+        "semantic_dedup_embeddings": _KMEANS_CTE + """
+            -- SemDeDup keep rule on top of the identical unrolled Lloyd
+            -- assignment: drop iff a LOWER-id clustermate has cosine >=
+            -- 0.45 (functions/embeddings.py semantic_dedup).
+            SELECT e.vec_id, CAST(a.cl AS BIGINT) AS cluster,
+                   CAST(CASE WHEN EXISTS (
+                        SELECT 1 FROM a3 a2
+                        JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+                        WHERE a2.cl = a.cl AND a2.vec_id < a.vec_id
+                          AND list_cosine_similarity(e2.embedding,
+                                                     e.embedding) >= 0.45)
+                   THEN 0 ELSE 1 END AS BIGINT) AS keep
+            FROM a3 a JOIN embeddings e USING (vec_id)
+        """,
+        "dup_ngram_spans_docs": """
+            -- functions/dedup.py duplicate_ngram_spans: word 5-grams over
+            -- lowercased \\W+-tokenized text; a span is duplicated iff its
+            -- gram occurs >= 2 times anywhere in the corpus.
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                               lower(coalesce(text, '')), '\\W+'),
+                           t -> length(t) > 0) AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+                FROM toks,
+                     LATERAL (SELECT unnest(range(1, len(tk) - 3)) AS i) s
+                WHERE len(tk) >= 5),
+            cnt AS (SELECT gram, COUNT(*) AS c FROM grams GROUP BY 1),
+            dup AS (SELECT g.doc_id, g.gram
+                    FROM grams g JOIN cnt USING (gram) WHERE cnt.c >= 2),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                               COUNT(DISTINCT gram) AS n_dup_grams
+                        FROM dup GROUP BY 1),
+            totals AS (SELECT doc_id, CAST(len(tk) - 4 AS BIGINT) AS n_spans
+                       FROM toks WHERE len(tk) >= 5)
+            SELECT t.doc_id, t.n_spans,
+                   CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+                   ROUND(CAST(COALESCE(p.n_dup_spans, 0) AS DOUBLE)
+                         / GREATEST(t.n_spans, 1), 6) AS dup_frac
+            FROM totals t LEFT JOIN per_doc p USING (doc_id)
         """,
         "doc_text_normalize": """
             SELECT doc_id,

@@ -765,3 +765,156 @@ def neardup_clusters(ds: "ray.data.Dataset", text_col: str = "text",
                                 bands, threshold) \
         .select_columns(["doc_a", "doc_b"])
     return pair_components(pairs)
+
+
+# -- exact repeated-span detection (substring-level dedup) -------------------
+
+def duplicate_ngram_spans(ds: "ray.data.Dataset", n: int = 5,
+                          min_count: int = 2, text_col: str = "text",
+                          id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Exact repeated word-n-gram span detection (the substring-level dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — their suffix-array pass finds verbatim spans
+    repeated anywhere in the corpus; fixed-length word n-grams are the
+    shuffle-friendly form of the same signal).
+
+    Per document: how many of its word n-gram spans occur ≥ ``min_count``
+    times ANYWHERE in the corpus (including inside the same document), and
+    how many distinct such grams it contains. Output one row per document
+    with ≥ 1 span: ``(doc_id, n_spans, n_dup_spans, n_dup_grams,
+    dup_frac)`` — ``dup_frac`` rounded to 6.
+
+    Scale shape: tokenization and gram formation are one vectorized Arrow
+    pass (``split_pattern_regex`` + flat-array shifts joined with
+    ``binary_join_element_wise`` — no per-doc Python loop); the global
+    gram count is ONE ``groupby(gram)`` exchange whose UDF emits
+    occurrences only for grams meeting ``min_count`` (the dup-bearing
+    subset, small by construction), pre-aggregated per (doc, gram) before
+    the final per-doc rollup. At corpus scale the gram-string exchange
+    would key on a 64-bit gram hash instead (as ``exact_dedup`` does for
+    whole documents) — strings are kept here so the DuckDB oracle can
+    replay the pipeline verbatim.
+    """
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    occ_schema = pa.schema([("gram", pa.string()), (id_col, pa.int64())])
+
+    def _doc_tokens(batch: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+            pattern=r"\W+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        return flat.filter(pa.array(keep)), parents[keep]
+
+    def grams_fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return occ_schema.empty_table()
+        flat, parents = _doc_tokens(batch)
+        m = len(flat)
+        if m < n:
+            return occ_schema.empty_table()
+        shifted = [flat.slice(i, m - n + 1) for i in range(n)]
+        grams = pc.binary_join_element_wise(*shifted, " ")
+        valid = parents[:m - n + 1] == parents[n - 1:]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = ids[parents[:m - n + 1][valid]]
+        return pa.table({"gram": grams.filter(pa.array(valid)),
+                         id_col: pa.array(doc, pa.int64())})
+
+    def totals_fn(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("n_spans", pa.int64())])
+        if len(batch) == 0:
+            return sch.empty_table()
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+            pattern=r"\W+")
+        # empty-token removal: count non-empty tokens per doc
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        nt = np.bincount(parents[keep], minlength=len(batch)) \
+            .astype(np.int64)
+        spans = np.maximum(nt - n + 1, 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = spans > 0
+        return pa.table({id_col: pa.array(ids[has], pa.int64()),
+                         "n_spans": pa.array(spans[has], pa.int64())})
+
+    def dup_only(group: pa.Table) -> pa.Table:
+        """Emit occurrences of grams meeting min_count. map_groups may pack
+        several whole gram-groups per block — segment on the gram column."""
+        if len(group) == 0:
+            return occ_schema.empty_table()
+        t = group.sort_by("gram")
+        g = t["gram"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        neq = np.ones(len(t), bool)
+        neq[1:] = ~pc.equal(g.slice(1), g.slice(0, len(t) - 1)) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.nonzero(neq)[0]
+        ends = np.concatenate([starts[1:], [len(t)]])
+        cnt = ends - starts
+        big = cnt >= min_count
+        if not big.any():
+            return occ_schema.empty_table()
+        take = np.concatenate([np.arange(s, e) for s, e, b in
+                               zip(starts, ends, big) if b])
+        return t.take(take).cast(occ_schema)
+
+    occ = ds.map_batches(grams_fn, batch_format="pyarrow")
+    dup_occ = occ.groupby("gram").map_groups(dup_only,
+                                             batch_format="pyarrow")
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("gram", pa.string()),
+                         ("n", pa.int64())])
+        if len(t) == 0 or "gram" not in t.column_names:
+            return sch.empty_table()
+        return t.group_by([id_col, "gram"]).aggregate(
+            [("gram", "count")]).rename_columns(
+            [id_col, "gram", "n"]).cast(sch)
+
+    per_pair = dup_occ.map_batches(pre_agg, batch_format="pyarrow") \
+        .groupby([id_col, "gram"]).aggregate(_Sum("n", alias_name="n"))
+    from cuttana_ray.util import drop_empty_blocks
+    per_doc = drop_empty_blocks(per_pair).groupby(id_col).aggregate(
+        _Sum("n", alias_name="n_dup_spans"),
+        _Count(alias_name="n_dup_grams"))
+
+    totals = ds.map_batches(totals_fn, batch_format="pyarrow")
+    joined = safe_join(totals, per_doc, join_type="left_outer",
+                       num_partitions=8, on=(id_col,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("n_spans", pa.int64()),
+                         ("n_dup_spans", pa.int64()),
+                         ("n_dup_grams", pa.int64()),
+                         ("dup_frac", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ns = t["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = pc.fill_null(t["n_dup_spans"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ng = pc.fill_null(t["n_dup_grams"], 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        frac = np.round(nd / np.maximum(ns, 1), 6)
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            "n_spans": pa.array(ns, pa.int64()),
+            "n_dup_spans": pa.array(nd, pa.int64()),
+            "n_dup_grams": pa.array(ng, pa.int64()),
+            "dup_frac": pa.array(frac, pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -536,3 +536,92 @@ def pca_scores(ds: "ray.data.Dataset", k: int = 2,
 
     return (ds.map_batches(project, batch_format="pyarrow"),
             comps, eigvals)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup = k-means bucketing + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds: "ray.data.Dataset", k: int = 4, iters: int = 2,
+                   threshold: float = 0.45, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540): k-means
+    cluster the embedding space, then search for near-duplicates WITHIN
+    each cluster only — the global O(N²) pairwise pass becomes Σ O(n_c²),
+    and with k chosen ∝ N (the paper uses k in the tens of thousands at
+    LAION scale) expected cluster sizes stay bounded, so the per-cluster
+    matmul is a constant-sized task.
+
+    Keep rule (deterministic, order-free, SQL-replayable as one EXISTS):
+    a vector is DROPPED iff some LOWER-id vector in the same cluster has
+    cosine ≥ ``threshold`` with it — the greedy lowest-id-representative
+    variant. The decision for j never depends on whether i itself was
+    dropped, so no iteration is needed on either side.
+
+    Scale shape: clustering is the existing distributed Lloyd ``kmeans``
+    (k×d broadcast state, long-form partials); the final assignment is
+    re-derived per batch from the broadcast centroid matrix (identical
+    float64 argmin arithmetic to ``kmeans``'s own finalize pass), which
+    avoids joining the assignment table back onto the vectors — Arrow's
+    hash join cannot carry ``list<float>`` payload columns, and skipping
+    the join saves an exchange anyway. The within-cluster pass is then a
+    ``groupby(cluster).map_groups`` whose UDF is a vectorized float32
+    matmul (float32 matches ``embedding_cosine_pairs`` and DuckDB's
+    ``list_cosine_similarity`` over FLOAT[] to ~1e-7). The UDF splits its
+    input by the cluster column — map_groups may pack several whole
+    groups into one block — so cross-cluster pairs are never compared.
+
+    Output: ``(id_col, cluster:int64, keep:int64)`` for EVERY input row.
+    """
+    import ray
+
+    _, C = kmeans(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cref = ray.put(C)
+
+    def tag(batch: pa.Table, _cref=cref) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: batch[vec_col],
+                             "cluster": pa.array([], pa.int64())})
+        Cm = ray.get(_cref)
+        X = _batch_matrix(batch, vec_col).astype(np.float64)
+        diff = X[:, None, :] - Cm[None, :, :]
+        a = np.argmin((diff * diff).sum(axis=2), axis=1)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         vec_col: batch[vec_col],
+                         "cluster": pa.array(a, pa.int64())})
+
+    withvec = ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow")
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64()),
+                            ("keep", pa.int64())])
+
+    def per_cluster(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return out_schema.empty_table()
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = group["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _batch_matrix(group, vec_col).astype(np.float32)
+        order = np.lexsort((ids, cl))
+        ids, cl, X = ids[order], cl[order], X[order]
+        starts = np.concatenate([[0], np.nonzero(cl[1:] != cl[:-1])[0] + 1,
+                                 [len(cl)]])
+        keep = np.ones(len(ids), np.int64)
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            Xn = X[s:e]
+            Xn = Xn / np.maximum(
+                np.linalg.norm(Xn, axis=1, keepdims=True), 1e-12)
+            sim = Xn @ Xn.T
+            dup = np.triu(sim >= threshold, k=1).any(axis=0)
+            keep[s:e][dup] = 0
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "cluster": pa.array(cl, pa.int64()),
+                         "keep": pa.array(keep, pa.int64())})
+
+    return withvec.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")

@@ -967,3 +967,66 @@ def test_unigram_logppl_matches_reference_model():
                 assert out.loc[i, "logppl"] != out.loc[i, "logppl"]  # NaN
             else:
                 assert abs(out.loc[i, "logppl"] - lp) < 1e-9
+
+
+def test_semantic_dedup_known_answer_and_layout_invariance():
+    """Two tight clusters far apart; within each, one near-duplicate pair
+    and one distant vector. Only the higher-id member of each near-dup
+    pair is dropped, and block layout never changes the answer."""
+    from cuttana_ray.functions.embeddings import semantic_dedup
+
+    base = np.array([[10.0, 0.0], [-10.0, 0.0]])
+    vecs = [
+        base[0] + [0.0, 0.0],      # 0: cluster A representative
+        base[0] + [0.01, 0.01],    # 1: near-dup of 0 -> dropped
+        base[0] + [0.0, 30.0],     # 2: same cluster, ~45 deg away -> kept
+        base[1] + [0.0, 0.0],      # 3: cluster B representative
+        base[1] - [0.02, 0.01],    # 4: near-dup of 3 -> dropped
+        base[1] + [0.0, -30.0],    # 5: kept
+    ]
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32()))})
+    for nb in (1, 3):
+        out = semantic_dedup(rd.from_arrow(t).repartition(nb), k=2,
+                             iters=2, threshold=0.9) \
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert list(out["keep"]) == [1, 0, 1, 1, 0, 1]
+        # clustermates share a cluster id; the two clusters differ
+        assert len(set(out["cluster"][:3])) == 1
+        assert len(set(out["cluster"][3:])) == 1
+        assert out["cluster"][0] != out["cluster"][3]
+
+
+def test_duplicate_ngram_spans_known_answer():
+    """Handmade corpus: one 5-gram shared across docs 0 and 1, one
+    repeated inside doc 2, doc 3 clean, doc 4 too short to have a span."""
+    from cuttana_ray.functions.dedup import duplicate_ngram_spans
+
+    shared = "the quick brown fox jumps"
+    texts = [
+        f"intro {shared} over the lazy dog",
+        f"other words then {shared} indeed",
+        "a b c d e XX a b c d e",   # "a b c d e" twice inside doc 2
+        "totally unique words nothing repeats here at all",
+        "too short",                # < 5 tokens: no spans, no output row
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    for nb in (1, 4):
+        out = duplicate_ngram_spans(rd.from_arrow(t).repartition(nb),
+                                    n=5, min_count=2) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == [0, 1, 2, 3]
+        got = {r.doc_id: (r.n_spans, r.n_dup_spans, r.n_dup_grams)
+               for r in out.itertuples()}
+        # doc 0: 10 tokens -> 6 spans, 1 dup span ("the quick brown fox
+        # jumps" also in doc 1); doc 1: 9 tokens -> 5 spans
+        assert got[0] == (6, 1, 1)
+        assert got[1] == (5, 1, 1)
+        # doc 2: 11 tokens -> 7 spans; "a b c d e" occurs twice -> both
+        # occurrences count as dup spans of 1 distinct gram
+        assert got[2] == (7, 2, 1)
+        assert got[3] == (4, 0, 0)
+        assert out.loc[0, "dup_frac"] == pytest.approx(round(1 / 6, 6))
