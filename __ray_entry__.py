@@ -2129,6 +2129,26 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_bigram_logppl(sf_dir: str):
+    """Bigram LM quality filter (functions/terms.py bigram_logppl):
+    top-64 vocab + <unk>, add-1 smoothed p(w2|w1), per-doc mean
+    negative log-prob over adjacent token pairs."""
+    from cuttana_ray.functions.terms import bigram_logppl
+    return bigram_logppl(_read(sf_dir, "documents",
+                               columns=["doc_id", "text"]), vocab_k=64)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (functions/dsir.py): hashed-token-bucket
+    log-likelihood ratio of each document under the target (doc_id % 17
+    == 0) vs raw corpus distributions, add-1 smoothing, 256 buckets.
+    Full (doc_id, n_tokens, weight) parity against the FNV-replay SQL."""
+    from cuttana_ray.functions.dsir import dsir_weights
+    return dsir_weights(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]),
+                        n_buckets=256, target_mod=17)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (functions/embeddings.py semantic_dedup): k-means bucket
     the embedding space (k=4, 2 Lloyd iterations, deterministic init),
@@ -7223,6 +7243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack_docs": _q_sequence_pack_docs,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "dsir_weights_docs": _q_dsir_weights,
+        "bigram_logppl_docs": _q_bigram_logppl,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -8600,6 +8622,39 @@ def _ngram_containment_sql() -> str:
 # FNV-1a per token occurrence via list_reduce over the token's characters
 # (HUGEINT mod-2^64 fold), per-bit majority vote (strictly positive sum →
 # bit set), 4×16-bit band bucketing, Hamming ≤ 3 via bit_count(xor).
+_DSIR_SQL = f"""
+    -- functions/dsir.py dsir_weights: FNV-1a token buckets (mod 256),
+    -- target = doc_id % 17 == 0, add-1 smoothed log-likelihood ratio.
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+        FROM d),
+    tb AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(string_split(t, ''),
+                                      c -> ord(c)::HUGEINT)),
+                   (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                             % {_U64}) % 256 AS BIGINT) AS b
+        FROM tok),
+    counts AS (
+        SELECT b, COUNT(*) AS raw_n,
+               SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS tgt_n
+        FROM tb GROUP BY 1),
+    tot AS (SELECT SUM(raw_n) AS rt, SUM(tgt_n) AS tt FROM counts),
+    lam AS (
+        SELECT b, ln((tgt_n + 1.0) / (tt + 256.0))
+                  - ln((raw_n + 1.0) / (rt + 256.0)) AS l
+        FROM counts, tot),
+    per AS (SELECT tb.doc_id, COUNT(*) AS n_tokens, SUM(l) AS w
+            FROM tb JOIN lam USING (b) GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+           ROUND(COALESCE(per.w, 0.0), 6) AS weight
+    FROM d LEFT JOIN per USING (doc_id)
+"""
+
+
 _SIMHASH_SQL = f"""
     WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
     tok AS (
@@ -8762,6 +8817,43 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_docs": _ngram_containment_sql(),
         "neardup_clusters_docs": _neardup_clusters_sql(),
         "simhash_pairs_docs": _SIMHASH_SQL,
+        "dsir_weights_docs": _DSIR_SQL,
+        "bigram_logppl_docs": """
+            -- functions/terms.py bigram_logppl: top-64 vocab (count desc,
+            -- term asc) + <unk>; p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with
+            -- V = |vocab|+1 (the corpus may have < 64 distinct terms).
+            WITH toks AS (
+                SELECT doc_id, unnest(l) AS term,
+                       generate_subscripts(l, 1) AS pos
+                FROM (SELECT doc_id, regexp_extract_all(
+                          lower(COALESCE(text, '')), '[a-z]+') AS l
+                      FROM documents)),
+            cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+            vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 64),
+            vsz AS (SELECT COUNT(*) + 1.0 AS v FROM vocab),
+            m AS (SELECT t.doc_id, t.pos,
+                         CASE WHEN v.term IS NOT NULL THEN t.term
+                              ELSE '<unk>' END AS w
+                  FROM toks t LEFT JOIN vocab v USING (term)),
+            big AS MATERIALIZED (
+                SELECT a.doc_id, a.w AS w1, b.w AS w2
+                FROM m a JOIN m b
+                    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+            cb AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
+            cl AS (SELECT w1, SUM(n) AS nl FROM cb GROUP BY 1),
+            sc AS (SELECT g.doc_id,
+                          ln((cb.n + 1.0)
+                             / (cl.nl + (SELECT v FROM vsz))) AS lp
+                   FROM big g
+                   JOIN cb ON cb.w1 = g.w1 AND cb.w2 = g.w2
+                   JOIN cl ON cl.w1 = g.w1),
+            ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                          ROUND(-AVG(lp), 6) AS logppl
+                   FROM sc GROUP BY 1)
+            SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+                   a.logppl
+            FROM documents d LEFT JOIN ag a USING (doc_id)
+        """,
         "pagerank_k5_events": _pagerank_k5_sql(),
         "bigv_pagerank_k5_events": _pagerank_k5_sql(hashed_ids=True),
         "bigv_components_events": _bigv_components_sql(),

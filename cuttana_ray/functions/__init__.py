@@ -21,6 +21,7 @@ from cuttana_ray.functions.quantiles import (
     float_quantiles,
     grouped_float_quantiles,
 )
+from cuttana_ray.functions.dsir import dsir_weights
 from cuttana_ray.functions.sampling import hash_sample, stratified_sample
 from cuttana_ray.functions.terms import (
     bigram_counts,

@@ -463,3 +463,109 @@ def unigram_logppl(ds: "ray.data.Dataset", vocab_k: int = 4096,
         return agg.cast(schema)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_logppl(ds: "ray.data.Dataset", vocab_k: int = 64,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  pattern: str = _DEFAULT_PATTERN) -> "ray.data.Dataset":
+    """Per-document BIGRAM log-perplexity (the CCNet-style LM filter one
+    order up from ``unigram_logppl``): tokens outside the top-``vocab_k``
+    vocabulary fold into one ``<unk>`` symbol, and each adjacent in-doc
+    token pair scores ``ln p(w2|w1)`` under add-1 smoothing over the
+    ``vocab_k + 1`` mapped symbols: ``p = (c(w1,w2) + 1) / (c(w1) + V)``.
+
+    Scale shape: the model state is bounded by construction — the vocab is
+    ``vocab_k`` strings and the bigram table at most ``(vocab_k + 1)²``
+    counts — so one ``map_batches`` pass emits per-batch packed-code
+    partials (``np.bincount`` on ``w1·V + w2``), the driver folds them into
+    a dense ``V×V`` array (same bounded-partials regime as
+    ``embeddings.kmeans``), and the scoring pass broadcasts the model via
+    ``ray.put``. Besides the ``term_counts`` vocab exchange nothing
+    shuffles; docs never leave their batch.
+
+    Output: ``(doc_id, n_bigrams:int64, logppl:float64)``; docs with < 2
+    tokens keep a row with ``n_bigrams = 0`` and null ``logppl``.
+    """
+    import ray
+
+    counts = term_counts(ds, text_col, pattern).materialize()
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if len(t) <= vocab_k:
+            return t
+        order = pc.sort_indices(t, sort_keys=[("tf", "descending"),
+                                              ("term", "ascending")])
+        return t.take(order[:vocab_k])
+
+    vocab = [r["term"] for r in
+             counts.map_batches(local_topk, batch_format="pyarrow")
+             .sort(["tf", "term"], descending=[True, False])
+             .limit(vocab_k).take_all()]
+    V = len(vocab) + 1          # +1 for <unk>, code V-1
+    vref = ray.put(vocab)
+
+    def mapped_pairs(batch: pa.Table):
+        """Packed bigram codes (w1*V + w2) + parent doc index per pair."""
+        import polars as pl
+        texts = pl.from_arrow(
+            pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+            .combine_chunks())
+        t = texts.str.to_lowercase().str.extract_all(pattern) \
+            .to_frame("l").to_arrow()["l"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(t)
+        parents = pc.list_parent_indices(t).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vterms = ray.get(vref)
+        code = pc.fill_null(
+            pc.index_in(flat, value_set=pa.array(vterms, pa.string())),
+            V - 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        same = parents[1:] == parents[:-1]
+        w1, w2 = code[:-1][same], code[1:][same]
+        return w1 * V + w2, parents[:-1][same]
+
+    part_schema = pa.schema([("code", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return part_schema.empty_table()
+        packed, _ = mapped_pairs(batch)
+        if len(packed) == 0:
+            return part_schema.empty_table()
+        cnt = np.bincount(packed, minlength=V * V)
+        nz = cnt > 0
+        return pa.table({"code": pa.array(np.nonzero(nz)[0], pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    cb = np.zeros(V * V, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        np.add.at(cb, b["code"].to_numpy(zero_copy_only=False),
+                  b["n"].to_numpy(zero_copy_only=False))
+    cl = cb.reshape(V, V).sum(axis=1)                    # c(w1)
+    lp = np.log((cb + 1.0) / (np.repeat(cl, V) + float(V)))
+    lpref = ray.put(lp)
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_bigrams", pa.int64()),
+                            ("logppl", pa.float64())])
+
+    def score(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        packed, pair_parents = mapped_pairs(batch)
+        n = len(batch)
+        lpv = ray.get(lpref)
+        nb = np.bincount(pair_parents, minlength=n).astype(np.int64)
+        s = np.zeros(n, np.float64)
+        if len(packed):
+            np.add.at(s, pair_parents, lpv[packed])
+        logppl = np.round(-s / np.maximum(nb, 1), 6)
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "logppl": pa.array(logppl, pa.float64(), mask=nb == 0)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1030,3 +1030,115 @@ def test_duplicate_ngram_spans_known_answer():
         assert got[2] == (7, 2, 1)
         assert got[3] == (4, 0, 0)
         assert out.loc[0, "dup_frac"] == pytest.approx(round(1 / 6, 6))
+
+
+def test_dsir_weights_match_pure_python_reference():
+    """Hand-built corpus with an obvious 'target-like' token profile:
+    docs full of target-set tokens must outscore docs of off-target
+    tokens, and every value must match an independent pure-Python DSIR
+    computation bit-for-bit (same FNV bucketing, same smoothing)."""
+    import math
+    import re
+
+    from cuttana_ray.functions.dsir import dsir_weights
+
+    texts = [
+        "alpha beta alpha gamma",          # doc 0: target (0 % 3 == 0)
+        "delta epsilon zeta",              # doc 1
+        "alpha alpha beta beta",           # doc 2
+        "alpha beta gamma gamma",          # doc 3: target
+        "unrelated words entirely here",   # doc 4
+        "",                                # doc 5: empty -> weight 0
+        "alpha beta",                      # doc 6: target
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    B, MOD = 64, 3
+
+    def fnv(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in s.encode():
+            h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+        return h
+
+    toks = [re.findall(r"\w+", s.lower()) for s in texts]
+    raw = [0] * B
+    tgt = [0] * B
+    for i, ws in enumerate(toks):
+        for w in ws:
+            b = fnv(w) % B
+            raw[b] += 1
+            if i % MOD == 0:
+                tgt[b] += 1
+    rt, tt = sum(raw), sum(tgt)
+    lam = [math.log((tgt[b] + 1.0) / (tt + B))
+           - math.log((raw[b] + 1.0) / (rt + B)) for b in range(B)]
+
+    def expect(ws):
+        return round(sum(lam[fnv(w) % B] for w in ws), 6)
+
+    for nb in (1, 3):
+        out = dsir_weights(rd.from_arrow(t).repartition(nb), n_buckets=B,
+                           target_mod=MOD) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out["n_tokens"]) == [len(ws) for ws in toks]
+        for i, ws in enumerate(toks):
+            assert out.loc[i, "weight"] == pytest.approx(expect(ws),
+                                                         abs=2e-6)
+    # ranking sanity: the all-target-token docs outscore the off-target one
+    assert out.loc[2, "weight"] > out.loc[4, "weight"]
+
+
+def test_bigram_logppl_matches_pure_python_reference():
+    """Tiny corpus, vocab_k=3 (+<unk> = 4 symbols): every doc's bigram
+    log-perplexity must match an independent pure-Python bigram model
+    with identical vocab selection and add-1 smoothing."""
+    import math
+    import re
+    from collections import Counter
+
+    from cuttana_ray.functions.terms import bigram_logppl
+
+    texts = ["the cat sat on the mat", "the dog saw the cat",
+             "cat cat the dog", "zebra", "", "the the the"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    K = 3
+    toks = [re.findall(r"[a-z]+", s.lower()) for s in texts]
+    cnt = Counter(w for ws in toks for w in ws)
+    vocab = [w for w, _ in sorted(cnt.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:K]]
+    V = len(vocab) + 1
+    mp = {w: i for i, w in enumerate(vocab)}
+
+    def codes(ws):
+        return [mp.get(w, V - 1) for w in ws]
+
+    cb = Counter()
+    for ws in toks:
+        c = codes(ws)
+        for a, b in zip(c, c[1:]):
+            cb[(a, b)] += 1
+    cl = Counter()
+    for (a, _), n in cb.items():
+        cl[a] += n
+
+    def expect(ws):
+        c = codes(ws)
+        pairs = list(zip(c, c[1:]))
+        if not pairs:
+            return (0, None)
+        lps = [math.log((cb[(a, b)] + 1.0) / (cl[a] + V))
+               for a, b in pairs]
+        return (len(pairs), round(-sum(lps) / len(lps), 6))
+
+    for nb in (1, 3):
+        out = bigram_logppl(rd.from_arrow(t).repartition(nb), vocab_k=K) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        for i, ws in enumerate(toks):
+            n_big, lp = expect(ws)
+            assert out.loc[i, "n_bigrams"] == n_big
+            if lp is None:
+                assert out.loc[i, "logppl"] != out.loc[i, "logppl"]
+            else:
+                assert out.loc[i, "logppl"] == pytest.approx(lp, abs=2e-6)
