@@ -2129,6 +2129,35 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_conductance_mod16(sf_dir: str):
+    """Per-partition conductance (stages/metrics.py conductance_mod) of
+    the mod-16 assignment over the same disjoint int-id order-part graph
+    as cut_metrics_mod16/modularity_mod16."""
+    import pyarrow.compute as pc
+    from cuttana_ray.stages.edges import bipartite_edges, symmetrize
+    from cuttana_ray.stages.metrics import conductance_mod
+
+    def disjoint_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": pc.multiply(batch["l_orderkey"], pa.scalar(2, pa.int64())),
+            "p": pc.add(pc.multiply(batch["l_partkey"],
+                                    pa.scalar(2, pa.int64())),
+                        pa.scalar(1, pa.int64())),
+        })
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(disjoint_ids, batch_format="pyarrow")
+    return conductance_mod(symmetrize(bipartite_edges(li, "o", "p")), 16)
+
+
+def _q_rich_club_events(sf_dir: str):
+    """Rich-club coefficient phi(k) over the events link graph
+    (stages/metrics.py rich_club) at degree thresholds 1,2,4,8,16,32."""
+    from cuttana_ray.stages.metrics import rich_club
+    g = _events_graph(sf_dir)
+    return rich_club(g.edges, [1, 2, 4, 8, 16, 32])
+
+
 def _q_bigram_logppl(sf_dir: str):
     """Bigram LM quality filter (functions/terms.py bigram_logppl):
     top-64 vocab + <unk>, add-1 smoothed p(w2|w1), per-doc mean
@@ -7245,6 +7274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "dsir_weights_docs": _q_dsir_weights,
         "bigram_logppl_docs": _q_bigram_logppl,
+        "conductance_mod16": _q_conductance_mod16,
+        "rich_club_events": _q_rich_club_events,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -9067,6 +9098,56 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                        AS modularity
             FROM agg, tot
+        """,
+        "conductance_mod16": """
+            -- stages/metrics.py conductance_mod: phi(c) =
+            -- cut(c) / min(vol(c), 2m - vol(c)) under part = node mod 16
+            WITH e AS (
+                SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+                       COUNT(*) AS weight
+                FROM lineitem GROUP BY 1, 2),
+            sym AS (
+                SELECT src, dst, weight FROM e
+                UNION ALL SELECT dst AS src, src AS dst, weight FROM e),
+            agg AS (
+                SELECT src % 16 AS c, SUM(weight) AS vol,
+                       SUM(CASE WHEN src % 16 != dst % 16
+                           THEN weight ELSE 0 END) AS cut
+                FROM sym GROUP BY 1),
+            ks AS (SELECT unnest(range(16)) AS c),
+            tot AS (SELECT CAST(SUM(vol) AS DOUBLE) AS m2 FROM agg)
+            SELECT CAST(ks.c AS BIGINT) AS part,
+                   CAST(COALESCE(a.vol, 0) AS BIGINT) AS vol,
+                   CAST(COALESCE(a.cut, 0) AS BIGINT) AS cut,
+                   ROUND(CASE WHEN LEAST(COALESCE(a.vol, 0),
+                                         (SELECT m2 FROM tot)
+                                         - COALESCE(a.vol, 0)) > 0
+                         THEN COALESCE(a.cut, 0)
+                              / LEAST(CAST(COALESCE(a.vol, 0) AS DOUBLE),
+                                      (SELECT m2 FROM tot)
+                                      - COALESCE(a.vol, 0))
+                         ELSE 0.0 END, 6) AS conductance
+            FROM ks LEFT JOIN agg a ON a.c = ks.c
+        """,
+        "rich_club_events": "WITH " + _EVENTS_GRAPH_SQL + """,
+            deg AS (SELECT src AS v, COUNT(*) AS deg FROM e GROUP BY 1),
+            ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k),
+            nk AS (SELECT k, CAST(COALESCE(SUM(CASE WHEN deg.deg > ks.k
+                                  THEN 1 END), 0) AS BIGINT) AS n_nodes
+                   FROM ks, deg GROUP BY 1),
+            ej AS (SELECT LEAST(ds.deg, dd.deg) AS md
+                   FROM e JOIN deg ds ON ds.v = e.src
+                          JOIN deg dd ON dd.v = e.dst),
+            ek AS (SELECT k,
+                          COALESCE(SUM(CASE WHEN md > k THEN 1 END), 0)
+                              AS e2
+                   FROM ks, ej GROUP BY 1)
+            SELECT CAST(nk.k AS BIGINT) AS k, nk.n_nodes,
+                   CAST(ek.e2 / 2 AS BIGINT) AS n_edges,
+                   ROUND(CASE WHEN nk.n_nodes > 1
+                         THEN ek.e2 / (nk.n_nodes * (nk.n_nodes - 1.0))
+                         ELSE 0.0 END, 6) AS phi
+            FROM nk JOIN ek USING (k)
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

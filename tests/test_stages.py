@@ -1184,3 +1184,45 @@ def test_coalesce_intervals_matches_brute_force(num_blocks):
                                           "island_end", "n_intervals"]) \
         .astype("int64").sort_values(["k", "island"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_conductance_mod_known_answer():
+    """4-cycle 0-1-2-3 (unit weights) under mod-2: every edge crosses, each
+    side has volume 4 -> phi = 1.0 for both partitions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuttana_ray.stages.metrics import conductance_mod
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    sym = e + [(b, a) for a, b in e]
+    t = pa.table({"src": pa.array([a for a, _ in sym], pa.int64()),
+                  "dst": pa.array([b for _, b in sym], pa.int64()),
+                  "weight": pa.array([1] * len(sym), pa.int64())})
+    out = conductance_mod(rd.from_arrow(t).repartition(3), 2).to_pandas()
+    assert list(out["part"]) == [0, 1]
+    assert list(out["vol"]) == [4, 4]
+    assert list(out["cut"]) == [4, 4]
+    assert list(out["conductance"]) == [1.0, 1.0]
+
+
+def test_rich_club_known_answer():
+    """Star K1,3 plus a triangle on the hub's neighbors: degrees are
+    hub=3, leaves=3 (star edge + 2 triangle edges each)... construct
+    explicitly: vertices 0..3, edges 0-1,0-2,0-3,1-2,1-3,2-3 (K4).
+    Every vertex has degree 3: phi(2) = 1.0, phi(3) -> no vertices."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuttana_ray.stages.metrics import rich_club
+
+    e = [(a, b) for a in range(4) for b in range(4) if a < b]
+    sym = e + [(b, a) for a, b in e]
+    t = pa.table({"src": pa.array([a for a, _ in sym], pa.int64()),
+                  "dst": pa.array([b for _, b in sym], pa.int64()),
+                  "weight": pa.array([1] * len(sym), pa.int64())})
+    out = rich_club(rd.from_arrow(t).repartition(2), [1, 2, 3]) \
+        .to_pandas().set_index("k")
+    assert out.loc[1, "n_nodes"] == 4 and out.loc[1, "phi"] == 1.0
+    assert out.loc[2, "n_nodes"] == 4 and out.loc[2, "n_edges"] == 6
+    assert out.loc[3, "n_nodes"] == 0 and out.loc[3, "phi"] == 0.0
