@@ -2129,6 +2129,17 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_mg_heavy_hitters(sf_dir: str):
+    """Exact >=1% corpus-frequency terms via mergeable Misra-Gries
+    candidates + one exact recount (functions/sketches.py
+    mg_heavy_hitter_terms): O(k) driver state, zero shuffles — vs the
+    full-vocab groupby the plain top-k takes."""
+    from cuttana_ray.functions.sketches import mg_heavy_hitter_terms
+    return mg_heavy_hitter_terms(_read(sf_dir, "documents",
+                                       columns=["doc_id", "text"]),
+                                 frac=0.01, k=512)
+
+
 def _q_conductance_mod16(sf_dir: str):
     """Per-partition conductance (stages/metrics.py conductance_mod) of
     the mod-16 assignment over the same disjoint int-id order-part graph
@@ -7275,6 +7286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_docs": _q_dsir_weights,
         "bigram_logppl_docs": _q_bigram_logppl,
         "conductance_mod16": _q_conductance_mod16,
+        "mg_heavy_hitter_terms": _q_mg_heavy_hitters,
         "rich_club_events": _q_rich_club_events,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
@@ -9098,6 +9110,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                        AS modularity
             FROM agg, tot
+        """,
+        "mg_heavy_hitter_terms": """
+            -- exact threshold heavy hitters: every \\w+ token with corpus
+            -- frequency >= ceil(0.01 * N) (functions/sketches.py
+            -- mg_heavy_hitter_terms emits exact recounted values)
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(COALESCE(text, '')), '\\w+')) AS term
+                FROM documents),
+            tot AS (SELECT COUNT(*) AS n FROM toks),
+            cnt AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1)
+            SELECT term, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE) / (SELECT n FROM tot), 6)
+                       AS share
+            FROM cnt
+            WHERE n >= CEIL(0.01 * (SELECT n FROM tot))
         """,
         "conductance_mod16": """
             -- stages/metrics.py conductance_mod: phi(c) =

@@ -404,3 +404,132 @@ def grouped_approx_distinct(ds: "ray.data.Dataset", key: str, col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("k").map_groups(merge, batch_format="pyarrow")
+
+
+# -- Misra-Gries mergeable heavy hitters --------------------------------------
+
+def _mg_compress(terms: pa.Array, counts: np.ndarray, k: int
+                 ) -> "tuple[pa.Array, np.ndarray]":
+    """Compress an exact (term, count) summary to at most ``k`` entries by
+    the mergeable-summaries rule (Agarwal et al., PODS 2012): subtract the
+    (k+1)-th largest count from everything and drop the non-positive
+    remainder. The total undercount introduced across ALL compressions of
+    a dataset of N items is bounded by N/k."""
+    if len(counts) <= k:
+        return terms, counts
+    order = np.argsort(-counts, kind="stable")
+    pivot = counts[order[k]]
+    resid = counts - pivot
+    keep = resid > 0
+    return terms.filter(pa.array(keep)), resid[keep]
+
+
+def mg_heavy_hitter_terms(ds: "ray.data.Dataset", frac: float = 0.01,
+                          k: int = 512, text_col: str = "text"
+                          ) -> pa.Table:
+    """EXACT corpus-frequency heavy hitters with O(k) driver state and
+    ZERO shuffles — the scale-path complement to a full
+    ``groupby(term)`` top-k (which exchanges the whole vocabulary):
+
+    1. Pass 1: each block computes exact in-block term counts (one Arrow
+       ``group_by``) and Misra-Gries-compresses them to ``k`` entries;
+       the driver merges the O(#blocks·k) partials and compresses again.
+       Any term with true count ≥ N·frac survives as long as
+       ``frac ≥ 1/k`` (asserted), because total MG undercount ≤ N/k.
+    2. Pass 2: the ≤k candidates broadcast via ``ray.put``; each block
+       contributes an exact vectorized recount (``pc.index_in`` +
+       ``bincount``); the driver folds and applies the EXACT threshold
+       ``count ≥ ceil(N·frac)``.
+
+    Output: ``(term, n, share)`` for every term at or above the
+    threshold — exact values, layout-invariant (the MG pass only selects
+    candidates; the emitted numbers come from the recount).
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    assert frac >= 1.0 / k, f"need frac >= 1/k for exactness ({frac} < 1/{k})"
+
+    def toks(batch: pa.Table) -> pa.Array:
+        t = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+            pattern=r"\W+")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        flat = pc.list_flatten(t)
+        return flat.filter(pc.greater(pc.utf8_length(flat), 0))
+
+    summ_schema = pa.schema([("term", pa.string()), ("n", pa.int64()),
+                             ("total", pa.int64())])
+
+    def mg_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return summ_schema.empty_table()
+        flat = toks(batch)
+        if len(flat) == 0:
+            return summ_schema.empty_table()
+        g = pa.table({"term": flat}).group_by("term") \
+            .aggregate([("term", "count")])
+        terms = g["term"].combine_chunks()
+        counts = g["term_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        terms, counts = _mg_compress(terms, counts, k)
+        return pa.table({"term": terms,
+                         "n": pa.array(counts, pa.int64()),
+                         "total": pa.array(
+                             np.full(len(counts), len(flat), np.int64))})
+
+    # driver merge: O(#blocks·k) rows in, one group-sum, one compress
+    parts = []
+    total_n = 0
+    seen_totals = 0
+    for b in ds.map_batches(mg_block, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        parts.append(b.select(["term", "n"]))
+        total_n += int(b["total"][0].as_py())
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64())})
+    merged = pa.concat_tables(parts).group_by("term") \
+        .aggregate([("n", "sum")])
+    cand, _ = _mg_compress(merged["term"].combine_chunks(),
+                           merged["n_sum"].to_numpy(
+                               zero_copy_only=False).astype(np.int64), k)
+    cref = ray.put(cand)
+
+    cnt_schema = pa.schema([("i", pa.int64()), ("n", pa.int64())])
+
+    def recount(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return cnt_schema.empty_table()
+        flat = toks(batch)
+        if len(flat) == 0:
+            return cnt_schema.empty_table()
+        cv = ray.get(cref)
+        idx = pc.fill_null(pc.index_in(flat, value_set=cv), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = idx >= 0
+        c = np.bincount(idx[hit], minlength=len(cv))
+        nz = c > 0
+        return pa.table({"i": pa.array(np.nonzero(nz)[0], pa.int64()),
+                         "n": pa.array(c[nz], pa.int64())})
+
+    exact = np.zeros(len(cand), np.int64)
+    for b in ds.map_batches(recount, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if len(b):
+            np.add.at(exact, b["i"].to_numpy(zero_copy_only=False),
+                      b["n"].to_numpy(zero_copy_only=False))
+    thresh = math.ceil(total_n * frac)
+    keep = exact >= thresh
+    out = pa.table({
+        "term": cand.filter(pa.array(keep)),
+        "n": pa.array(exact[keep], pa.int64()),
+        "share": pa.array(np.round(exact[keep] / total_n, 6),
+                          pa.float64())})
+    return out.sort_by([("n", "descending"), ("term", "ascending")])

@@ -1142,3 +1142,29 @@ def test_bigram_logppl_matches_pure_python_reference():
                 assert out.loc[i, "logppl"] != out.loc[i, "logppl"]
             else:
                 assert out.loc[i, "logppl"] == pytest.approx(lp, abs=2e-6)
+
+
+def test_mg_heavy_hitters_exact_and_layout_invariant():
+    """A hot term spread thinly across many blocks (so no single block's
+    top-k is decisive) must still be found with its EXACT count, and the
+    result must be identical across block layouts."""
+    from cuttana_ray.functions.sketches import mg_heavy_hitter_terms
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(120):
+        # 20 unique filler words per doc + 1 occurrence of the hot term
+        filler = " ".join(f"u{i}x{j}" for j in range(20))
+        texts.append(filler + (" hotterm" if i % 2 == 0 else ""))
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    # N = 120*20 + 60 = 2460 tokens; hotterm count 60 -> share 0.0244
+    outs = []
+    for nb in (1, 6):
+        out = mg_heavy_hitter_terms(rd.from_arrow(t).repartition(nb),
+                                    frac=0.02, k=64).to_pandas()
+        outs.append(out)
+        assert list(out["term"]) == ["hotterm"]
+        assert out.loc[0, "n"] == 60
+        assert out.loc[0, "share"] == pytest.approx(round(60 / 2460, 6))
+    assert outs[0].equals(outs[1])
