@@ -2129,6 +2129,27 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_conv_role_transitions(sf_dir: str):
+    """Role-transition probability matrix over the DERIVED transcripts
+    (conversation-segmented, unlike event_transition_probs' whole-user
+    ordering): consecutive (role, next_role) pairs within each conv_id
+    via the boundary-exact consecutive_pairs exchange, then one bounded
+    groupby + per-source normalization."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.stages.edges import consecutive_pairs
+
+    tr = _q_transcripts_from_events(sf_dir)
+    pairs = consecutive_pairs(tr, "conv_id", ["turn_idx"], "role")
+    agg = pairs.groupby(["src", "dst"]).aggregate(
+        Sum("weight", alias_name="n")).to_pandas()
+    tot = agg.groupby("src")["n"].transform("sum")
+    agg["prob"] = (agg["n"] / tot).round(6)
+    agg = agg.rename(columns={"src": "role", "dst": "next_role"})
+    return agg.sort_values(["role", "next_role"]).reset_index(drop=True)
+
+
 def _q_mg_heavy_hitters(sf_dir: str):
     """Exact >=1% corpus-frequency terms via mergeable Misra-Gries
     candidates + one exact recount (functions/sketches.py
@@ -7287,6 +7308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logppl_docs": _q_bigram_logppl,
         "conductance_mod16": _q_conductance_mod16,
         "mg_heavy_hitter_terms": _q_mg_heavy_hitters,
+        "conv_role_transitions": _q_conv_role_transitions,
         "rich_club_events": _q_rich_club_events,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
@@ -9110,6 +9132,34 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                        AS modularity
             FROM agg, tot
+        """,
+        "conv_role_transitions": """
+            -- consecutive-role pairs within the derived conversations
+            -- (same sessionization CTE as transcripts_from_events)
+            WITH x AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (SELECT user_id, event_id, event_type, t,
+                         SUM(CASE WHEN pt IS NOT NULL
+                                   AND t - pt > 3600000000
+                             THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) + 1 AS sid
+                  FROM x),
+            p AS (SELECT event_type AS role,
+                         LEAD(event_type) OVER (
+                             PARTITION BY user_id, sid
+                             ORDER BY t, event_id) AS next_role
+                  FROM s),
+            c AS (SELECT role, next_role, COUNT(*) AS n
+                  FROM p WHERE next_role IS NOT NULL GROUP BY 1, 2)
+            SELECT role, next_role, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY role), 6) AS prob
+            FROM c
         """,
         "mg_heavy_hitter_terms": """
             -- exact threshold heavy hitters: every \\w+ token with corpus
