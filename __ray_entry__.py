@@ -2129,6 +2129,22 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_heavy_event_users(sf_dir: str):
+    """Heavy-KEY skew diagnostic (mg_heavy_hitter_terms tokenize=False):
+    user_ids owning >= 0.2% of all events, exact counts, via the MG
+    candidate pass + recount — the pre-shuffle skew probe a join planner
+    would run before choosing salting."""
+    from cuttana_ray.functions.sketches import mg_heavy_hitter_terms
+    t = mg_heavy_hitter_terms(_read(sf_dir, "events",
+                                    columns=["user_id"]),
+                              frac=0.002, k=1024, text_col="user_id",
+                              tokenize=False)
+    import pyarrow.compute as pc
+    return t.set_column(0, "user_id",
+                        pc.cast(t["term"], pa.int64())) \
+        .rename_columns(["user_id", "n", "share"])
+
+
 def _q_conv_role_transitions(sf_dir: str):
     """Role-transition probability matrix over the DERIVED transcripts
     (conversation-segmented, unlike event_transition_probs' whole-user
@@ -7309,6 +7325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_mod16": _q_conductance_mod16,
         "mg_heavy_hitter_terms": _q_mg_heavy_hitters,
         "conv_role_transitions": _q_conv_role_transitions,
+        "heavy_event_users": _q_heavy_event_users,
         "rich_club_events": _q_rich_club_events,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
@@ -9132,6 +9149,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                        AS modularity
             FROM agg, tot
+        """,
+        "heavy_event_users": """
+            WITH tot AS (SELECT COUNT(*) AS n FROM events),
+            cnt AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1)
+            SELECT user_id, CAST(n AS BIGINT) AS n,
+                   ROUND(CAST(n AS DOUBLE) / (SELECT n FROM tot), 6)
+                       AS share
+            FROM cnt WHERE n >= CEIL(0.002 * (SELECT n FROM tot))
         """,
         "conv_role_transitions": """
             -- consecutive-role pairs within the derived conversations

@@ -425,8 +425,8 @@ def _mg_compress(terms: pa.Array, counts: np.ndarray, k: int
 
 
 def mg_heavy_hitter_terms(ds: "ray.data.Dataset", frac: float = 0.01,
-                          k: int = 512, text_col: str = "text"
-                          ) -> pa.Table:
+                          k: int = 512, text_col: str = "text",
+                          tokenize: bool = True) -> pa.Table:
     """EXACT corpus-frequency heavy hitters with O(k) driver state and
     ZERO shuffles — the scale-path complement to a full
     ``groupby(term)`` top-k (which exchanges the whole vocabulary):
@@ -444,6 +444,11 @@ def mg_heavy_hitter_terms(ds: "ray.data.Dataset", frac: float = 0.01,
     Output: ``(term, n, share)`` for every term at or above the
     threshold — exact values, layout-invariant (the MG pass only selects
     candidates; the emitted numbers come from the recount).
+
+    With ``tokenize=False`` the column's values are the items directly
+    (cast to string, nulls dropped) — the heavy-KEY diagnostic used for
+    skew-aware shuffle planning: which join/groupby keys exceed frac of
+    the table, exactly, without ever shuffling the key column.
     """
     import math
 
@@ -453,6 +458,11 @@ def mg_heavy_hitter_terms(ds: "ray.data.Dataset", frac: float = 0.01,
     assert frac >= 1.0 / k, f"need frac >= 1/k for exactness ({frac} < 1/{k})"
 
     def toks(batch: pa.Table) -> pa.Array:
+        if not tokenize:
+            v = pc.cast(batch[text_col], pa.string())
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return v.drop_null()
         t = pc.split_pattern_regex(
             pc.utf8_lower(pc.fill_null(batch[text_col], "")),
             pattern=r"\W+")
