@@ -2129,6 +2129,16 @@ def _q_kmeans_embeddings(sf_dir: str):
     return assigns
 
 
+def _q_curation_funnel(sf_dir: str):
+    """End-to-end curation funnel (functions/curation.py): lang filter →
+    quality ≥ 0.5 → exact-dedup keep → decontam, cumulative survivor
+    counts; each stage is an already-SQL-checked operator, so the whole
+    composition replays as one DuckDB query."""
+    from cuttana_ray.functions.curation import curation_funnel
+    return curation_funnel(_read(sf_dir, "documents",
+                                 columns=["doc_id", "text"]))
+
+
 def _q_heavy_event_users(sf_dir: str):
     """Heavy-KEY skew diagnostic (mg_heavy_hitter_terms tokenize=False):
     user_ids owning >= 0.2% of all events, exact counts, via the MG
@@ -7326,6 +7336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_heavy_hitter_terms": _q_mg_heavy_hitters,
         "conv_role_transitions": _q_conv_role_transitions,
         "heavy_event_users": _q_heavy_event_users,
+        "curation_funnel_docs": _q_curation_funnel,
         "rich_club_events": _q_rich_club_events,
         "dup_ngram_spans_docs": _q_dup_ngram_spans,
         "mis_users": _q_mis_users,
@@ -9149,6 +9160,52 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(w_in / m2 - (d_c / m2) * (d_c / m2)), 6)
                        AS modularity
             FROM agg, tot
+        """,
+        "curation_funnel_docs": f"""
+            -- composition of the SQL-checked stage semantics: lang_id,
+            -- quality_scores, exact-dedup min-id keep, 5-shingle decontam
+            WITH q AS ({_DOC_QUALITY_SQL}),
+            l AS ({_LANG_ID_SQL}),
+            k AS (SELECT MIN(doc_id) AS doc_id FROM documents
+                  GROUP BY text),
+            dtoks AS (
+                SELECT doc_id,
+                       unnest(string_split(COALESCE(text, ''), ' ')) AS w,
+                       generate_subscripts(
+                           string_split(COALESCE(text, ''), ' '), 1) AS i
+                FROM documents),
+            dsh AS (
+                SELECT a.doc_id,
+                       a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w
+                           || ' ' || e.w AS s
+                FROM dtoks a
+                JOIN dtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN dtoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+                JOIN dtoks d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+                JOIN dtoks e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+            dbench AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 97 = 0),
+            dhits AS (SELECT doc_id, COUNT(*) AS n_hits FROM dsh
+                      WHERE s IN (SELECT s FROM dbench) GROUP BY 1),
+            flags AS (
+                SELECT d.doc_id,
+                       (l.lang_pred = 'en') AS f_lang,
+                       (q.quality >= 0.5) AS f_q,
+                       (d.doc_id IN (SELECT doc_id FROM k)) AS f_d,
+                       (COALESCE(h.n_hits, 0) = 0) AS f_c
+                FROM documents d
+                JOIN l USING (doc_id) JOIN q USING (doc_id)
+                LEFT JOIN dhits h USING (doc_id))
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS stage_idx, 'all' AS stage,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+                UNION ALL SELECT 1, 'lang_en', COUNT(*) FROM flags
+                    WHERE f_lang
+                UNION ALL SELECT 2, 'quality', COUNT(*) FROM flags
+                    WHERE f_lang AND f_q
+                UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM flags
+                    WHERE f_lang AND f_q AND f_d
+                UNION ALL SELECT 4, 'decontam', COUNT(*) FROM flags
+                    WHERE f_lang AND f_q AND f_d AND f_c)
         """,
         "heavy_event_users": """
             WITH tot AS (SELECT COUNT(*) AS n FROM events),
