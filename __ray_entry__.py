@@ -2838,6 +2838,23 @@ def _q_matching_events(sf_dir: str):
     return res.edges
 
 
+def _q_eigenvector_k6_events(sf_dir: str):
+    """Six L2-normalized power-iteration steps toward the principal
+    eigenvector of the weighted events graph (pipelines/katz.py
+    eigenvector); the oracle unrolls the identical steps. Rounded 8 dp —
+    the per-step norm division keeps values O(0.1), association noise
+    ~1e-14."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.katz import eigenvector
+    g = _events_graph(sf_dir)
+    x = eigenvector(g, k=6)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "eigc": pc.round(pa.array(x, pa.float64()), 8),
+    })
+
+
 def _q_katz_k6_events(sf_dir: str):
     """Six Katz-centrality iterations (pipelines/katz.py: x ← 1 + α·Wᵀx,
     α=1e-5, x₀=1) over the weighted events graph; the oracle unrolls the
@@ -7371,6 +7388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_events": _q_matching_events,
         "coloring_events": _q_coloring_events,
         "katz_k6_events": _q_katz_k6_events,
+        "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
         "sssp_events": _q_sssp_events,
@@ -8134,6 +8152,31 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
             ON s.v = n.node_id)""")
     parts.append(f"""
     SELECT v AS vertex, ROUND(x, 9) AS katz FROM k{k}""")
+    return "".join(parts)
+
+
+def _eigen_sql(k: int = 6) -> str:
+    """Unrolled power-iteration replay (pipelines/katz.py eigenvector):
+    x ← (Wᵀx)/‖Wᵀx‖₂ from x₀ = 1/√V."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    p0 AS MATERIALIZED (
+        SELECT node_id AS v,
+               CAST(1.0 / SQRT((SELECT COUNT(*) FROM nodes)) AS DOUBLE)
+                   AS x
+        FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    r{i} AS MATERIALIZED (
+        SELECT n.node_id AS v, COALESCE(s.sm, 0.0) AS x
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS v, SUM(e.weight * p.x) AS sm
+            FROM e JOIN p{i-1} p ON p.v = e.src GROUP BY 1) s
+            ON s.v = n.node_id),
+    p{i} AS MATERIALIZED (
+        SELECT v, x / (SELECT SQRT(SUM(x * x)) FROM r{i}) AS x
+        FROM r{i})""")
+    parts.append(f"""
+    SELECT v AS vertex, ROUND(x, 8) AS eigc FROM p{k}""")
     return "".join(parts)
 
 
@@ -8989,6 +9032,7 @@ def oracle_sql() -> dict[str, str]:
         "matching_events": _matching_sql(),
         "coloring_events": _coloring_sql(),
         "katz_k6_events": _katz_sql(),
+        "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,

@@ -51,3 +51,24 @@ def katz(graph: Graph, alpha: float = 0.01, k: int = 6) -> np.ndarray:
                       b["s"].to_numpy(zero_copy_only=False))
         x = 1.0 + alpha * nxt
     return x
+
+
+def eigenvector(graph: Graph, k: int = 6) -> np.ndarray:
+    """``k`` L2-normalized power-iteration steps ``x ← (Wᵀx)/‖Wᵀx‖₂``
+    from ``x₀ = 1/√V`` — eigenvector centrality as a fixed-step iteration
+    (same broadcast-vector small-V regime and per-round partial shape as
+    ``katz``; the symmetric weighted adjacency makes the power iteration
+    converge to the principal eigenvector)."""
+    V = graph.num_vertices
+    x = np.full(V, 1.0 / np.sqrt(V), dtype=np.float64)
+    for _ in range(k):
+        x_ref = ray.put(x)
+        part = graph.edges.map_batches(_partial_fn(x_ref),
+                                       batch_format="pyarrow")
+        nxt = np.zeros(V, dtype=np.float64)
+        for b in part.iter_batches(batch_size=None, batch_format="pyarrow"):
+            np.add.at(nxt, b["v"].to_numpy(zero_copy_only=False),
+                      b["s"].to_numpy(zero_copy_only=False))
+        nrm = float(np.sqrt((nxt * nxt).sum()))
+        x = nxt / nrm if nrm > 0 else nxt
+    return x
