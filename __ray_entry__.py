@@ -2899,6 +2899,16 @@ def _q_linkpred_events(sf_dir: str):
     return common_neighbor_pairs(g, min_common=2)
 
 
+def _q_adamic_adar_events(sf_dir: str):
+    """Adamic-Adar link prediction (pipelines/linkpred.py::adamic_adar_pairs):
+    non-adjacent pairs sharing ≥ 2 neighbors, scored Σ 1/ln(deg(witness)).
+    Witness weights come from in-batch adjacency list lengths — no degree
+    broadcast at all, unlike the Jaccard variant."""
+    from cuttana_ray.pipelines.linkpred import adamic_adar_pairs
+    g = _events_graph(sf_dir)
+    return adamic_adar_pairs(g, min_common=2)
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -7396,6 +7406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_events": _q_harmonic_events,
         "scc_events": _q_scc_events,
         "linkpred_events": _q_linkpred_events,
+        "adamic_adar_events": _q_adamic_adar_events,
         # rows-only
         "betweenness_events": _q_betweenness_events,
         "pagerank_events": _q_pagerank_events,
@@ -8005,6 +8016,24 @@ _LINKPRED_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
     SELECT s.a, s.b, CAST(s.cn AS BIGINT) AS common_neighbors,
            CAST(s.cn AS DOUBLE) / (da.d + db.d - s.cn) AS jaccard
     FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
+"""
+
+
+_ADAMIC_ADAR_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn,
+               SUM(1.0 / ln(dg.d)) AS aa
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN deg dg ON dg.v = e1.src
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sel AS (
+        SELECT a, b, cn, aa FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.src = cn.a AND e.dst = cn.b))
+    SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
+           aa AS adamic_adar
+    FROM sel
 """
 
 
@@ -9036,6 +9065,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,
+        "adamic_adar_events": _ADAMIC_ADAR_SQL,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,
