@@ -2155,6 +2155,20 @@ def _q_heavy_event_users(sf_dir: str):
         .rename_columns(["user_id", "n", "share"])
 
 
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup over the conversationalized event log
+    (functions/dedup.py::sequence_dedup): one kept conv_id per distinct
+    ordered turn-text sequence + duplicate count. Content never
+    concatenates and never keys an exchange — each turn ships a
+    position-mixed 64-bit fingerprint whose 32-bit halves combine under
+    plain Sum; the oracle groups by the ordered string_agg instead (the
+    grouping identity matches up to the documented ~2⁻⁶⁴ collision)."""
+    from cuttana_ray.functions.dedup import sequence_dedup
+    tr = _q_transcripts_from_events(sf_dir)
+    return sequence_dedup(tr, group_col="conv_id", order_col="turn_idx",
+                          text_col="text")
+
+
 def _q_conv_role_transitions(sf_dir: str):
     """Role-transition probability matrix over the DERIVED transcripts
     (conversation-segmented, unlike event_transition_probs' whole-user
@@ -7362,6 +7376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conductance_mod16": _q_conductance_mod16,
         "mg_heavy_hitter_terms": _q_mg_heavy_hitters,
         "conv_role_transitions": _q_conv_role_transitions,
+        "conv_dedup": _q_conv_dedup,
         "heavy_event_users": _q_heavy_event_users,
         "curation_funnel_docs": _q_curation_funnel,
         "rich_club_events": _q_rich_club_events,
@@ -9650,6 +9665,35 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY ts, event_id), '')
                        AS prev_event_type
             FROM events ORDER BY event_id
+        """,
+        "conv_dedup": """
+            WITH x AS (
+                SELECT user_id, event_id, props,
+                       epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pt
+                FROM events),
+            s AS (SELECT user_id, event_id, props, t,
+                         SUM(CASE WHEN pt IS NOT NULL
+                                   AND t - pt > 3600000000
+                             THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) + 1 AS sid
+                  FROM x),
+            tr AS (SELECT CAST(user_id * 1000000 + sid AS BIGINT)
+                              AS conv_id,
+                          CAST(ROW_NUMBER() OVER (
+                              PARTITION BY user_id, sid
+                              ORDER BY t, event_id) AS BIGINT) AS turn_idx,
+                          COALESCE(props, '') AS text
+                   FROM s),
+            per AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                           string_agg(text, chr(31) ORDER BY turn_idx)
+                               AS content
+                    FROM tr GROUP BY 1)
+            SELECT MIN(conv_id) AS conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups, n_turns
+            FROM per GROUP BY n_turns, content
         """,
         "conv_stats": """
             WITH x AS (

@@ -103,6 +103,83 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text",
     return agg.select_columns([id_col, "dup_count"])
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wraparound arithmetic);
+    the same mixer the partitioner's TieRng uses (state/core.py:131)."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def sequence_dedup(ds: "ray.data.Dataset", group_col: str = "conv_id",
+                   order_col: str = "turn_idx", text_col: str = "text"
+                   ) -> "ray.data.Dataset":
+    """Whole-SEQUENCE exact dedup: one representative (min id) per distinct
+    ordered (order_col → text) sequence + duplicate count — conversation-
+    level dedup when rows are transcript turns keyed by (conv_id, turn_idx).
+
+    Scale design: the sequence content never concatenates and never keys an
+    exchange. Each turn contributes a position-mixed 64-bit fingerprint
+    ``splitmix64(hash64(text) ^ splitmix64(turn_idx))``, split into two
+    32-bit halves so plain ``Sum`` aggregates combine them in any order
+    without overflow (2³² · rows-per-group ≪ 2⁶³). Folding the half-sums
+    mod 2³² yields an order-SENSITIVE, order-of-combination-INSENSITIVE
+    per-sequence fingerprint: equal (turn_idx, text) multisets — i.e. equal
+    ordered sequences, since turn_idx is a dense index — collide exactly;
+    unequal ones collide with probability ~2⁻⁶⁴ (documented, same contract
+    as ``exact_dedup``'s content hash). Two exchanges total, both keyed by
+    int64 columns: groupby(group) then groupby(n_turns, fingerprint).
+
+    Output: ``(group_col = min id, n_dups, n_turns)`` one row per distinct
+    sequence content.
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    def mix(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([(group_col, pa.int64()),
+                            ("fp_hi", pa.int64()), ("fp_lo", pa.int64())])
+        if len(batch) == 0:
+            return schema.empty_table()
+        txt = pc.fill_null(batch[text_col], "").combine_chunks()
+        h = pl.from_arrow(txt).hash(seed=42).to_numpy().astype(np.uint64)
+        idx = batch[order_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        m = _splitmix64(h ^ _splitmix64(idx))
+        return pa.table({
+            group_col: pc.cast(batch[group_col], pa.int64()),
+            "fp_hi": pa.array((m >> np.uint64(32)).astype(np.int64)),
+            "fp_lo": pa.array((m & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        }).cast(schema)
+
+    per_seq = ds.map_batches(mix, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("fp_hi", alias_name="fp_hi"),
+            Sum("fp_lo", alias_name="fp_lo"),
+            Count(alias_name="n_turns"))
+
+    def fold(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(group_col, pa.int64()),
+                            ("n_turns", pa.int64()),
+                            ("fp_hi", pa.int64()), ("fp_lo", pa.int64())])
+        if len(t) == 0 or group_col not in t.column_names:
+            return schema.empty_table()
+        hi = t["fp_hi"].to_numpy(zero_copy_only=False) % (1 << 32)
+        lo = t["fp_lo"].to_numpy(zero_copy_only=False) % (1 << 32)
+        return pa.table({group_col: t[group_col], "n_turns": t["n_turns"],
+                         "fp_hi": pa.array(hi.astype(np.int64)),
+                         "fp_lo": pa.array(lo.astype(np.int64))
+                         }).cast(schema)
+
+    folded = per_seq.map_batches(fold, batch_format="pyarrow")
+    out = folded.groupby(["n_turns", "fp_hi", "fp_lo"]).aggregate(
+        Min(group_col, alias_name=group_col),
+        Count(alias_name="n_dups"))
+    return out.select_columns([group_col, "n_dups", "n_turns"])
+
+
 # -- MinHash LSH ------------------------------------------------------------
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
