@@ -2913,6 +2913,18 @@ def _q_linkpred_events(sf_dir: str):
     return common_neighbor_pairs(g, min_common=2)
 
 
+def _q_mst_events(sf_dir: str):
+    """Boruvka minimum spanning forest of the events graph
+    (pipelines/mst.py): deterministic under the total (weight, a, b)
+    order, one map_batches selection pass per O(log V) round. The oracle
+    replays the identical rounds unrolled (≥ observed, asserted here)."""
+    from cuttana_ray.pipelines.mst import minimum_spanning_forest
+    g = _events_graph(sf_dir)
+    t, rounds, converged = minimum_spanning_forest(g, max_rounds=16)
+    assert converged and rounds <= 16
+    return t
+
+
 def _q_adamic_adar_events(sf_dir: str):
     """Adamic-Adar link prediction (pipelines/linkpred.py::adamic_adar_pairs):
     non-adjacent pairs sharing ≥ 2 neighbors, scored Σ 1/ln(deg(witness)).
@@ -7422,6 +7434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_events": _q_scc_events,
         "linkpred_events": _q_linkpred_events,
         "adamic_adar_events": _q_adamic_adar_events,
+        "mst_events": _q_mst_events,
         # rows-only
         "betweenness_events": _q_betweenness_events,
         "pagerank_events": _q_pagerank_events,
@@ -8032,6 +8045,51 @@ _LINKPRED_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            CAST(s.cn AS DOUBLE) / (da.d + db.d - s.cn) AS jaccard
     FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
 """
+
+
+def _mst_sql(rounds: int = 16) -> str:
+    """Unrolled Boruvka replaying pipelines/mst.py exactly: per round,
+    every component's minimum incident cross edge under the total order
+    (w, a, b) joins the forest (DISTINCT union — two components may pick
+    the same edge), and the contraction is a per-round recursive closure
+    over the forest so far. Extra rounds past convergence are no-ops, so
+    unrolling ≥ ⌈log₂ V⌉ rounds is exact."""
+    parts = [f"""WITH RECURSIVE {_EVENTS_GRAPH_SQL},
+    ce AS MATERIALIZED (
+        SELECT src AS a, dst AS b, weight AS w FROM e WHERE src < dst),
+    comp1 AS MATERIALIZED (SELECT node_id AS v, node_id AS c FROM nodes),
+    mst0 AS (SELECT CAST(NULL AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
+                    CAST(NULL AS BIGINT) AS w WHERE 1 = 0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    inc{i} AS (
+        SELECT ca.c AS c, ce.a, ce.b, ce.w
+        FROM ce JOIN comp{i} ca ON ca.v = ce.a
+                JOIN comp{i} cb ON cb.v = ce.b
+        WHERE ca.c <> cb.c
+        UNION ALL
+        SELECT cb.c AS c, ce.a, ce.b, ce.w
+        FROM ce JOIN comp{i} ca ON ca.v = ce.a
+                JOIN comp{i} cb ON cb.v = ce.b
+        WHERE ca.c <> cb.c),
+    sel{i} AS (SELECT a, b, w FROM (
+        SELECT a, b, w,
+               ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+        FROM inc{i}) WHERE rn = 1),
+    mst{i} AS MATERIALIZED (SELECT DISTINCT a, b, w FROM (
+        SELECT a, b, w FROM mst{i-1}
+        UNION ALL SELECT a, b, w FROM sel{i})),
+    reach{i}(v, lbl) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT x.o, r.lbl FROM reach{i} r JOIN (
+            SELECT a AS i, b AS o FROM mst{i}
+            UNION ALL SELECT b AS i, a AS o FROM mst{i}) x ON x.i = r.v),
+    comp{i+1} AS MATERIALIZED (
+        SELECT v, MIN(lbl) AS c FROM reach{i} GROUP BY 1)""")
+    parts.append(f"""
+    SELECT a, b, CAST(w AS BIGINT) AS weight FROM mst{rounds}""")
+    return "".join(parts)
 
 
 _ADAMIC_ADAR_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
@@ -9081,6 +9139,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
+        "mst_events": _mst_sql(16),
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,

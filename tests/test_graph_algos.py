@@ -1016,3 +1016,76 @@ def test_trussness_vs_successive_brute_peels():
     # K4: every edge has trussness 4
     g4 = trussness(graph_from_edges(K4, 4))
     assert set(g4["trussness"].to_pylist()) == {4}
+
+
+# -- minimum spanning forest (Boruvka) ---------------------------------------
+
+def _kruskal(und_edges, n):
+    """Independent oracle: Kruskal under the same (w, a, b) total order."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, min(a, b), max(a, b))
+                          for a, b, w in und_edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def test_mst_matches_kruskal_weighted():
+    from cuttana_ray.pipelines.mst import minimum_spanning_forest
+    rng = np.random.default_rng(7)
+    n = 60
+    # random weighted graph w/ duplicate weights to exercise tie-breaks,
+    # plus an isolated pair so the result is a forest
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.integers(0, n - 2, size=2)
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    und = [(a, b, int(rng.integers(1, 6))) for a, b in sorted(pairs)]
+    und.append((n - 2, n - 1, 3))
+    src = [a for a, b, w in und] + [b for a, b, w in und]
+    dst = [b for a, b, w in und] + [a for a, b, w in und]
+    wgt = [w for a, b, w in und] * 2
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(wgt, pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(rd.from_arrow(t).repartition(4).materialize(), nodes, n)
+    got, rounds, converged = minimum_spanning_forest(g)
+    assert converged and rounds <= 8
+    exp = _kruskal(und, n)
+    got_list = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                          got["weight"].to_pylist()))
+    assert got_list == exp
+
+
+def test_mst_forest_on_disconnected_graph():
+    from cuttana_ray.pipelines.mst import minimum_spanning_forest
+    und = [(0, 1, 1), (1, 2, 1), (0, 2, 2), (3, 4, 5)]
+    src = [a for a, b, w in und] + [b for a, b, w in und]
+    dst = [b for a, b, w in und] + [a for a, b, w in und]
+    wgt = [w for a, b, w in und] * 2
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(wgt, pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(5, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(5)]),
+                      "kind": pa.array(["v"] * 5)})
+    g = Graph(rd.from_arrow(t).repartition(2).materialize(), nodes, 5)
+    got, rounds, converged = minimum_spanning_forest(g)
+    assert converged
+    got_list = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist(),
+                          got["weight"].to_pylist()))
+    assert got_list == [(0, 1, 1), (1, 2, 1), (3, 4, 5)]
