@@ -2913,6 +2913,19 @@ def _q_linkpred_events(sf_dir: str):
     return common_neighbor_pairs(g, min_common=2)
 
 
+def _q_docs_stratified_sample(sf_dir: str):
+    """Quality-tiered training-data mix (functions/sampling.py::
+    stratified_sample): per-source permille rates over documents, keyed by
+    the deterministic Lehmer bucket of doc_id so reruns/resumes/layouts
+    agree row-for-row. The oracle replays the identical integer math."""
+    from cuttana_ray.functions.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "source",
+        rates={"src0": 1000, "src1": 600, "src2": 250},
+        default_permille=100, seed=7)
+
+
 def _q_mst_events(sf_dir: str):
     """Boruvka minimum spanning forest of the events graph
     (pipelines/mst.py): deterministic under the total (weight, a, b)
@@ -7435,6 +7448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_events": _q_linkpred_events,
         "adamic_adar_events": _q_adamic_adar_events,
         "mst_events": _q_mst_events,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         # rows-only
         "betweenness_events": _q_betweenness_events,
         "pagerank_events": _q_pagerank_events,
@@ -9140,6 +9154,12 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
         "mst_events": _mst_sql(16),
+        "docs_stratified_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE ((doc_id * 48271 + 7) % 2147483647) % 1000 <
+                  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
+                              WHEN 'src2' THEN 250 ELSE 100 END
+        """,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,
                    'event:' || event_type AS dst,
