@@ -1178,19 +1178,32 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
     # not a count() barrier over the full triangle-instance table
     tc_sum = counts.sum("_tc") if counts.count() else None
     total = int(tc_sum or 0) // 3
-    joined = safe_join(universe, counts, join_type="left_outer",
-                       num_partitions=num_partitions,
-                       on=("node_id",), right_on=("vertex",))
 
-    def finish(t: pa.Table) -> pa.Table:
-        sch = pa.schema([("node_id", pa.int64()), ("tri_count", pa.int64())])
+    # zero-fill against the vertex universe as a union + groupby-sum
+    # instead of a left join: the task-based aggregate exchange skips the
+    # hash-shuffle join's aggregator-pool fixed cost (~2.5 s warm on a
+    # 32-cpu box) and moves the same O(V) rows
+    def zero_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("vertex", pa.int64()), ("_tc", pa.int64())])
         if len(t) == 0 or "node_id" not in t.column_names:
             return sch.empty_table()
         return pa.table({
-            "node_id": pc.cast(t["node_id"], pa.int64()),
+            "vertex": pc.cast(t["node_id"], pa.int64()),
+            "_tc": pa.array(np.zeros(len(t), np.int64))})
+
+    unioned = universe.map_batches(zero_partial, batch_format="pyarrow") \
+        .union(counts) \
+        .groupby("vertex").aggregate(Sum("_tc", alias_name="_tc"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()), ("tri_count", pa.int64())])
+        if len(t) == 0 or "vertex" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "node_id": pc.cast(t["vertex"], pa.int64()),
             "tri_count": pc.cast(pc.fill_null(t["_tc"], 0), pa.int64())})
 
-    return total, joined.map_batches(finish, batch_format="pyarrow")
+    return total, unioned.map_batches(finish, batch_format="pyarrow")
 
 
 def pagerank_bigv(edges_str: "ray.data.Dataset", num_shards: int = 16,
