@@ -3097,6 +3097,40 @@ def _q_doc_fingerprints(sf_dir: str):
     return fingerprints(_read(sf_dir, "documents"))
 
 
+def _q_media_wav_stats(sf_dir: str):
+    """REAL audio decode, SQL-checked end to end: WAV payloads are
+    synthesized per doc_id with integer-formula PCM16 samples
+    (functions/multimodal.py::synth_wav_bytes), the engine parses the RIFF
+    container and decodes little-endian PCM (decode_wav_pcm16), and the
+    oracle replays the sample formula via generate_series — header parsing
+    or byte-order mistakes cannot reproduce the statistics."""
+    from cuttana_ray.functions.multimodal import synth_wav_table, wav_stats
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return synth_wav_table(ids)
+
+    media = ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    return wav_stats(media)
+
+
+def _q_media_image_stats(sf_dir: str):
+    """REAL image decode, SQL-checked end to end: P6 PPM payloads per
+    doc_id with integer-formula pixels, engine parses the ASCII header +
+    raw RGB (decode_ppm), oracle replays the pixel formula; the
+    position-weighted checksum pins the exact row-major RGB layout."""
+    from cuttana_ray.functions.multimodal import image_stats, synth_ppm_table
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return synth_ppm_table(ids)
+
+    media = ds.map_batches(synth, batch_format="pyarrow", batch_size=64)
+    return image_stats(media)
+
+
 def _q_media_features(sf_dir: str):
     import pyarrow.compute as _pc
     import ray.data as rd
@@ -7470,6 +7504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
         "media_features": _q_media_features,
+        "media_wav_stats": _q_media_wav_stats,
+        "media_image_stats": _q_media_image_stats,
         "transcript_passthrough": _q_transcript_passthrough,
         # seventh round-2 batch (all SQL-checked)
         "user_value_ewma": _q_user_value_ewma,
@@ -9154,6 +9190,56 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
         "mst_events": _mst_sql(16),
+        "media_wav_stats": """
+            WITH ids AS (
+                SELECT doc_id AS item_id,
+                       800 + (doc_id % 100) * 8 AS n
+                FROM documents),
+            ks AS (SELECT item_id, n,
+                          unnest(generate_series(0, n - 1)) AS k
+                   FROM ids),
+            v AS (SELECT item_id, n, k,
+                         ((item_id * 48271 + k * 9973 + 12345) % 65536)
+                             - 32768 AS s
+                  FROM ks),
+            v2 AS (SELECT item_id, n, k, s,
+                          ((item_id * 48271 + (k + 1) * 9973 + 12345)
+                               % 65536) - 32768 AS s_next
+                   FROM v)
+            SELECT item_id,
+                   CAST(8000 AS BIGINT) AS sample_rate,
+                   CAST(MAX(n) AS BIGINT) AS n_samples,
+                   CAST(MAX(n) * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   sqrt(SUM(POW(s / 32768.0, 2)) / MAX(n)) AS rms,
+                   CAST(SUM(CASE WHEN k < n - 1
+                                  AND s * s_next < 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS zero_crossings
+            FROM v2 GROUP BY 1
+        """,
+        "media_image_stats": """
+            WITH ids AS (
+                SELECT doc_id AS item_id,
+                       8 + (doc_id * 7) % 9 AS h,
+                       8 + doc_id % 9 AS w
+                FROM documents),
+            px AS (SELECT item_id, h, w,
+                          unnest(generate_series(0, h * w * 3 - 1)) AS p
+                   FROM ids),
+            v AS (SELECT item_id, h, w, p, p % 3 AS c,
+                         ((item_id * 31 + ((p // 3) // w) * 17
+                           + ((p // 3) % w) * 5 + (p % 3) * 11) % 256)
+                             AS val
+                  FROM px)
+            SELECT item_id,
+                   CAST(MAX(w) AS BIGINT) AS width,
+                   CAST(MAX(h) AS BIGINT) AS height,
+                   AVG(CASE WHEN c = 0 THEN val END) AS mean_r,
+                   AVG(CASE WHEN c = 1 THEN val END) AS mean_g,
+                   AVG(CASE WHEN c = 2 THEN val END) AS mean_b,
+                   CAST(SUM(val * (p + 1)) AS BIGINT) AS layout_checksum
+            FROM v GROUP BY 1
+        """,
         "docs_stratified_sample": """
             SELECT doc_id, source, lang FROM documents
             WHERE ((doc_id * 48271 + 7) % 2147483647) % 1000 <

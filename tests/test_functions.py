@@ -1168,3 +1168,82 @@ def test_mg_heavy_hitters_exact_and_layout_invariant():
         assert out.loc[0, "n"] == 60
         assert out.loc[0, "share"] == pytest.approx(round(60 / 2460, 6))
     assert outs[0].equals(outs[1])
+
+
+# -- real pure-NumPy media decoders ------------------------------------------
+
+def test_wav_decode_analytic_sine():
+    """Independent oracle: a pure sine at 1 kHz / 8 kHz over whole periods
+    has rms ≈ A/√2 and 2 zero crossings per period."""
+    from cuttana_ray.functions.multimodal import decode_wav_pcm16
+    # freq must not divide rate: a divisor puts exact-zero samples at every
+    # crossing and the strict sign-product counter sees none of them
+    rate, n, amp, freq = 8000, 8000, 0.5, 997
+    t = np.arange(n)
+    s = np.round(amp * 32767 * np.sin(2 * np.pi * freq * t / rate)) \
+        .astype(np.int16)
+    pcm = s.tobytes()
+    hdr = (b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(pcm).to_bytes(4, "little"))
+    got_rate, got = decode_wav_pcm16(hdr + pcm)
+    assert got_rate == rate and len(got) == n
+    rms = float(np.sqrt((got.astype(np.float64) ** 2).mean()))
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+    zc = int(((got[:-1].astype(np.float64) * got[1:]) < 0).sum())
+    assert abs(zc - 2 * freq) <= 3
+
+
+def test_wav_decode_stereo_and_chunk_walk():
+    """Stereo averages to mono; parser must skip an unknown (odd-sized,
+    padded) chunk before fmt/data."""
+    from cuttana_ray.functions.multimodal import decode_wav_pcm16
+    left = np.array([1000, -2000, 3000], np.int16)
+    right = np.array([3000, -4000, 1000], np.int16)
+    inter = np.empty(6, np.int16)
+    inter[0::2], inter[1::2] = left, right
+    pcm = inter.tobytes()
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    hdr = (b"RIFF" + (4 + len(junk) + 24 + 8 + len(pcm))
+           .to_bytes(4, "little") + b"WAVE" + junk
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + len(pcm).to_bytes(4, "little"))
+    rate, got = decode_wav_pcm16(hdr + pcm)
+    exp = (left.astype(np.float64) + right) / 2 / 32768.0
+    assert rate == 8000
+    np.testing.assert_allclose(got, exp, atol=1e-7)
+
+
+def test_ppm_decode_comment_header_and_resize():
+    from cuttana_ray.functions.multimodal import decode_ppm, resize_area_mean
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    payload = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
+    got = decode_ppm(payload)
+    np.testing.assert_array_equal(got, img)
+    r = resize_area_mean(img, 2, 2)
+    # output (0,0) = exact mean of the 2x3 top-left block, channel 0
+    assert r.shape == (2, 2, 3)
+    assert r[0, 0, 0] == img[:2, :3, 0].astype(int).sum() // 6
+    assert r[1, 1, 2] == img[2:, 3:, 2].astype(int).sum() // 6
+
+
+def test_media_synth_roundtrip_formulas():
+    from cuttana_ray.functions.multimodal import (
+        _ppm_dims, _wav_samples_formula, decode_ppm, decode_wav_pcm16,
+        synth_ppm_bytes, synth_wav_bytes)
+    for item in (0, 7, 123):
+        rate, s = decode_wav_pcm16(synth_wav_bytes(item))
+        n = 800 + (item % 100) * 8
+        assert rate == 8000 and len(s) == n
+        exp = _wav_samples_formula(item, n).astype(np.float64) / 32768.0
+        np.testing.assert_allclose(s, exp, atol=1e-7)
+        img = decode_ppm(synth_ppm_bytes(item))
+        h, w = _ppm_dims(item)
+        assert img.shape == (h, w, 3)
+        assert img[1, 2, 1] == (item * 31 + 17 + 2 * 5 + 11) % 256
