@@ -1247,3 +1247,74 @@ def test_media_synth_roundtrip_formulas():
         h, w = _ppm_dims(item)
         assert img.shape == (h, w, 3)
         assert img[1, 2, 1] == (item * 31 + 17 + 2 * 5 + 11) % 256
+
+
+def test_sequence_dedup_order_sensitive_and_layout_invariant():
+    """Conversation dedup: equal ordered sequences merge; the SAME turn
+    texts in a different order do NOT; output is block-layout invariant."""
+    import ray.data as rd
+    from cuttana_ray.functions.dedup import sequence_dedup
+    rows = []
+    # conv 1 and conv 5: identical ordered sequences (dups)
+    for conv in (1, 5):
+        rows += [(conv, 0, "hello"), (conv, 1, "world")]
+    # conv 2: same multiset, swapped order — must NOT merge with 1/5
+    rows += [(2, 0, "world"), (2, 1, "hello")]
+    # conv 3: subset length
+    rows += [(3, 0, "hello")]
+    # conv 4: null text counts as ''
+    rows += [(4, 0, None), (4, 1, "world")]
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                  "text": pa.array([r[2] for r in rows], pa.string())})
+    for parts in (1, 4):
+        out = sequence_dedup(rd.from_arrow(t).repartition(parts)) \
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        assert out["conv_id"].tolist() == [1, 2, 3, 4]
+        assert out.set_index("conv_id")["n_dups"].to_dict() == \
+            {1: 2, 2: 1, 3: 1, 4: 1}
+
+
+def test_adamic_adar_matches_bruteforce():
+    import ray.data as rd
+    from cuttana_ray.pipelines.graph import Graph
+    from cuttana_ray.pipelines.linkpred import adamic_adar_pairs
+    rng = np.random.default_rng(3)
+    n = 40
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.integers(0, n, size=2)
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    und = sorted(pairs)
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array([1] * len(src), pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(rd.from_arrow(t).repartition(4).materialize(), nodes, n)
+    got = adamic_adar_pairs(g, min_common=1).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # brute force
+    adj = [set() for _ in range(n)]
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                exp[(a, b)] = (len(common),
+                               sum(1.0 / np.log(len(adj[w]))
+                                   for w in common))
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        cn, aa = exp[(r["a"], r["b"])]
+        assert r["common_neighbors"] == cn
+        assert abs(r["adamic_adar"] - aa) < 1e-9
