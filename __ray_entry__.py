@@ -2913,6 +2913,80 @@ def _q_linkpred_events(sf_dir: str):
     return common_neighbor_pairs(g, min_common=2)
 
 
+def _q_user_degree_churn(sf_dir: str):
+    """Temporal link-graph churn: per-user distinct-event-type degree in
+    the first vs second half of the observation window (boundary =
+    integer midpoint of the epoch-µs range — deterministic and
+    SQL-replayable). Distinct counting is the per-block-collapse
+    distinct_count_agg exchange; the half pivot is a second small
+    groupby-sum. The churn column is the H2−H1 delta (new interests minus
+    abandoned ones)."""
+    from ray.data.aggregate import Max, Min, Sum
+    from cuttana_ray.stages.relational import distinct_count_agg
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("t_us", pa.int64()),
+                            ("event_type", pa.string())])
+        if len(t) == 0:
+            return schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"],
+            "t_us": pa.array(np.asarray(ts_to_us(t["ts"]), np.int64)),
+            "event_type": t["event_type"]}).cast(schema)
+
+    p = ev.map_batches(prep, batch_format="pyarrow").materialize()
+    agg = p.aggregate(Min("t_us"), Max("t_us"))
+    bd = (int(agg["min(t_us)"]) + int(agg["max(t_us)"])) // 2
+
+    def halve(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("half", pa.int64()),
+                            ("event_type", pa.string())])
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return schema.empty_table()
+        tu = t["t_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "half": pa.array(np.where(tu <= bd, 1, 2).astype(np.int64)),
+            "event_type": t["event_type"]}).cast(schema)
+
+    dc = distinct_count_agg(p.map_batches(halve, batch_format="pyarrow"),
+                            ["user_id", "half"], "event_type", alias="deg")
+
+    def pivot(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("h1", pa.int64()),
+                            ("h2", pa.int64())])
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return schema.empty_table()
+        h = t["half"].to_numpy(zero_copy_only=False)
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "h1": pa.array(np.where(h == 1, d, 0).astype(np.int64)),
+            "h2": pa.array(np.where(h == 2, d, 0).astype(np.int64)),
+        }).cast(schema)
+
+    out = dc.map_batches(pivot, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("h1", alias_name="deg_h1"),
+                                      Sum("h2", alias_name="deg_h2"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("deg_h1", pa.int64()),
+                            ("deg_h2", pa.int64()), ("churn", pa.int64())])
+        if len(t) == 0 or "user_id" not in t.column_names:
+            return schema.empty_table()
+        h1 = t["deg_h1"].to_numpy(zero_copy_only=False)
+        h2 = t["deg_h2"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"], "deg_h1": t["deg_h1"],
+                         "deg_h2": t["deg_h2"],
+                         "churn": pa.array((h2 - h1).astype(np.int64))
+                         }).cast(schema)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Quality-tiered training-data mix (functions/sampling.py::
     stratified_sample): per-source permille rates over documents, keyed by
@@ -7483,6 +7557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_events": _q_adamic_adar_events,
         "mst_events": _q_mst_events,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "user_degree_churn": _q_user_degree_churn,
         # rows-only
         "betweenness_events": _q_betweenness_events,
         "pagerank_events": _q_pagerank_events,
@@ -9190,6 +9265,28 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
         "mst_events": _mst_sql(16),
+        "user_degree_churn": """
+            WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type
+                       FROM events),
+            b AS (SELECT (MIN(t) + MAX(t)) // 2 AS bd FROM p),
+            d AS (SELECT user_id,
+                         CASE WHEN t <= (SELECT bd FROM b) THEN 1 ELSE 2
+                         END AS half,
+                         event_type
+                  FROM p),
+            c AS (SELECT user_id, half,
+                         COUNT(DISTINCT event_type) AS deg
+                  FROM d GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(COALESCE(SUM(CASE WHEN half = 1 THEN deg END), 0)
+                        AS BIGINT) AS deg_h1,
+                   CAST(COALESCE(SUM(CASE WHEN half = 2 THEN deg END), 0)
+                        AS BIGINT) AS deg_h2,
+                   CAST(COALESCE(SUM(CASE WHEN half = 2 THEN deg END), 0)
+                        - COALESCE(SUM(CASE WHEN half = 1 THEN deg END), 0)
+                        AS BIGINT) AS churn
+            FROM c GROUP BY 1
+        """,
         "media_wav_stats": """
             WITH ids AS (
                 SELECT doc_id AS item_id,
