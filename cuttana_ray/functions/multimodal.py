@@ -163,6 +163,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"truncated payload: chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain")
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt_tag = int.from_bytes(body[0:2], "little")
@@ -216,8 +220,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def resize_area_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-mean (box-filter) resize of an (h, w, c) uint8 image using
     integer-exact prefix sums — each output pixel is the exact mean of its
-    source rectangle (edges partitioned by the standard floor grid)."""
+    source rectangle (edges partitioned by the standard floor grid).
+    DOWNSCALE ONLY: upscaling would make some source rectangles empty."""
     h, w, c = img.shape
+    if out_h > h or out_w > w:
+        raise ValueError(
+            f"area-mean resize is downscale-only: ({h},{w}) → "
+            f"({out_h},{out_w}); use repetition/interpolation to upscale")
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     ps = np.zeros((h + 1, w + 1, c), np.int64)

@@ -38,49 +38,14 @@ from cuttana_ray.stages.relational import anti_join
 
 
 def _witness_pairs_fn(max_degree: int | None):
+    """Unweighted witness-pair expansion: the weighted kernel with the
+    Adamic-Adar column dropped (ONE vectorized gap-loop implementation —
+    `_witness_weighted_fn` — is the single source of truth; the inv-log
+    weight it also computes is a negligible per-batch vector op)."""
+    weighted = _witness_weighted_fn(max_degree)
+
     def fn(batch: pa.Table) -> pa.Table:
-        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                            ("cn", pa.int64())])
-        n = len(batch)
-        if n == 0 or "nbrs" not in batch.column_names:
-            return schema.empty_table()
-        nbrs = batch["nbrs"].combine_chunks()
-        flat = np.asarray(nbrs.values, dtype=np.int64)
-        offs = np.asarray(nbrs.offsets, dtype=np.int64)
-        deg = offs[1:] - offs[:-1]
-        keep = deg >= 2
-        if max_degree is not None:
-            keep &= deg <= max_degree
-        rows = np.nonzero(keep)[0]
-        if len(rows) == 0:
-            return schema.empty_table()
-        a_parts, b_parts = [], []
-        # pairs at list distance g: (flat[s+i], flat[s+i+g]) — lists are
-        # sorted, so a < b holds within every gap slice
-        max_g = int(deg[rows].max())
-        for g in range(1, max_g):
-            r = rows[deg[rows] > g]
-            if len(r) == 0:
-                break
-            cnt = (deg[r] - g).astype(np.int64)
-            base = np.repeat(offs[r], cnt)
-            local = np.arange(int(cnt.sum()), dtype=np.int64) - \
-                np.repeat(np.cumsum(cnt) - cnt, cnt)
-            i = base + local
-            a_parts.append(flat[i])
-            b_parts.append(flat[i + g])
-        a = np.concatenate(a_parts)
-        b = np.concatenate(b_parts)
-        # within-batch partial count before the shuffle
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        new = np.concatenate(
-            [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        starts = np.nonzero(new)[0]
-        cnt = np.diff(np.concatenate([starts, [len(a)]]))
-        return pa.table({"a": pa.array(a[starts], pa.int64()),
-                         "b": pa.array(b[starts], pa.int64()),
-                         "cn": pa.array(cnt.astype(np.int64))})
+        return weighted(batch).drop_columns(["aa"])
     return fn
 
 
@@ -216,12 +181,11 @@ def adamic_adar_pairs(graph: Graph, min_common: int = 2,
     """
     V = graph.num_vertices
     adj = build_adjacency(graph.edges)
-    from ray.data.aggregate import Sum as _Sum
     cand = adj.map_batches(_witness_weighted_fn(max_degree),
                            batch_format="pyarrow") \
         .groupby(["a", "b"]) \
-        .aggregate(_Sum("cn", alias_name="cn"),
-                   _Sum("aa", alias_name="aa")) \
+        .aggregate(Sum("cn", alias_name="cn"),
+                   Sum("aa", alias_name="aa")) \
         .filter(expr=f"cn >= {int(min_common)}")
 
     def pack_pair(t: pa.Table) -> pa.Table:
@@ -252,8 +216,10 @@ def adamic_adar_pairs(graph: Graph, min_common: int = 2,
                             ("adamic_adar", pa.float64())])
         if len(t) == 0 or "a" not in t.column_names:
             return schema.empty_table()
+        aa = np.round(t["aa"].to_numpy(zero_copy_only=False), 6)
         return pa.table({"a": t["a"], "b": t["b"],
                          "common_neighbors": t["cn"],
-                         "adamic_adar": t["aa"]}).cast(schema)
+                         "adamic_adar": pa.array(aa, pa.float64())
+                         }).cast(schema)
 
     return cand.map_batches(finish, batch_format="pyarrow")
