@@ -2903,6 +2903,22 @@ def _q_coloring_events(sf_dir: str):
     })
 
 
+def _q_louvain_k6_events(sf_dir: str):
+    """Synchronous Louvain-style local-moving communities over the weighted
+    events graph (pipelines/louvain.py): 6 deterministic rounds; each
+    vertex moves to the neighbor community with the best strictly-positive
+    modularity gain, ties to the smallest community id. Gains compare as
+    EXACT int64 scores ``2m·k_{v→c} − k_v·tot'(c)``, so the unrolled SQL
+    oracle is hash-exact (no float tolerance)."""
+    from cuttana_ray.pipelines.louvain import louvain_local_moving
+    g = _events_graph(sf_dir)
+    res = louvain_local_moving(g, max_rounds=6)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "community": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbor / Jaccard link prediction over the events graph:
     non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
@@ -7548,6 +7564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truss4_events": _q_truss4_events,
         "matching_events": _q_matching_events,
         "coloring_events": _q_coloring_events,
+        "louvain_k6_events": _q_louvain_k6_events,
         "katz_k6_events": _q_katz_k6_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -8078,6 +8095,58 @@ def _labelprop_sql(k: int = 10, hashed_ids: bool = False) -> str:
     out_col = "node_id" if hashed_ids else "vertex"
     parts.append(f"""
     SELECT v AS {out_col}, CAST(lbl AS BIGINT) AS label FROM lp{k}""")
+    return "WITH " + "".join(parts)
+
+
+def _louvain_sql(k: int = 6) -> str:
+    """Unrolled k-round synchronous Louvain local-moving matching
+    louvain_local_moving() exactly: integer gain scores
+    ``2m·k_{v→c} − k_v·(tot(c) − k_v·[c = own])``, move to the best
+    non-current community by (score DESC, c ASC) iff it strictly beats the
+    stay score. A zero-move round is a fixed point, so the engine's early
+    stop equals the full unroll."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    deg AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(CAST(SUM(e.weight) AS BIGINT), 0) AS kv
+        FROM nodes n LEFT JOIN e ON e.src = n.node_id GROUP BY 1),
+    w2 AS (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM e),
+    lv0 AS MATERIALIZED (SELECT node_id AS v, node_id AS c FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    tot{i} AS MATERIALIZED (
+        SELECT p.c AS c, CAST(SUM(d.kv) AS BIGINT) AS tot
+        FROM lv{i-1} p JOIN deg d ON d.v = p.v GROUP BY 1),
+    sc{i} AS MATERIALIZED (
+        SELECT kk.v, kk.c,
+               (SELECT w2 FROM w2) * kk.kin
+                 - d.kv * (t.tot - CASE WHEN kk.c = p.c
+                                        THEN d.kv ELSE 0 END) AS score,
+               (kk.c = p.c) AS is_stay
+        FROM (SELECT e.src AS v, p2.c AS c,
+                     CAST(SUM(e.weight) AS BIGINT) AS kin
+              FROM e JOIN lv{i-1} p2 ON p2.v = e.dst GROUP BY 1, 2) kk
+        JOIN deg d ON d.v = kk.v
+        JOIN lv{i-1} p ON p.v = kk.v
+        JOIN tot{i} t ON t.c = kk.c),
+    stay{i} AS (
+        SELECT p.v, COALESCE(s.score, -d.kv * (t.tot - d.kv)) AS sscore
+        FROM lv{i-1} p JOIN deg d ON d.v = p.v
+             JOIN tot{i} t ON t.c = p.c
+             LEFT JOIN (SELECT v, score FROM sc{i} WHERE is_stay) s
+                    ON s.v = p.v),
+    best{i} AS (
+        SELECT v, c AS newc, score FROM (
+            SELECT v, c, score, ROW_NUMBER() OVER (
+                PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+            FROM sc{i} WHERE NOT is_stay) WHERE rn = 1),
+    lv{i} AS MATERIALIZED (
+        SELECT p.v, CASE WHEN b.score > st.sscore
+                         THEN b.newc ELSE p.c END AS c
+        FROM lv{i-1} p JOIN stay{i} st ON st.v = p.v
+             LEFT JOIN best{i} b ON b.v = p.v)""")
+    parts.append(f"""
+    SELECT v AS vertex, CAST(c AS BIGINT) AS community FROM lv{k}""")
     return "WITH " + "".join(parts)
 
 
@@ -9261,6 +9330,7 @@ def oracle_sql() -> dict[str, str]:
         "truss4_events": _ktruss_sql(),
         "matching_events": _matching_sql(),
         "coloring_events": _coloring_sql(),
+        "louvain_k6_events": _louvain_sql(6),
         "katz_k6_events": _katz_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),

@@ -1,0 +1,197 @@
+"""Synchronous Louvain-style local-moving community detection.
+
+Modularity-gain community assignment over the symmetrized integer-weighted
+edge table (the engine's standard graph form: both directions present, no
+self-loops — ``pipelines/graph.py``). This is the local-moving phase of
+Louvain (Blondel et al. 2008) made DETERMINISTIC and SQL-replayable:
+
+* communities start as singletons (``c(v) = v``);
+* each round, every vertex v considers the communities of its neighbors.
+  The modularity gain of v joining community c — with v first removed from
+  its own community — is, up to the positive factor ``1/(2m²)``,
+
+      score(v, c) = 2m·k_{v→c} − k_v·(tot(c) − k_v·[c = c(v)])
+
+  where ``k_{v→c}`` is the total edge weight from v into c, ``k_v`` v's
+  weighted degree, ``tot(c)`` the summed weighted degree of c's members
+  and ``2m`` the total weight of the symmetrized table. All quantities are
+  int64, so scores are EXACT — the classic float ΔQ comparison becomes a
+  pure integer comparison that DuckDB replays bit-for-bit;
+* v moves to the best non-current community by ``(score DESC, c ASC)``
+  iff that score STRICTLY exceeds its stay score (classic Louvain moves
+  only on positive gain). Updates are synchronous; a round with zero moves
+  is a fixed point (early stop ≡ running the remaining rounds).
+
+The synchronous variant can oscillate on swap-symmetric structures instead
+of converging — fine here: we run a FIXED number of rounds and the oracle
+replays the identical dynamics. (The classic sequential sweep is
+order-dependent and therefore not reproducible across partitionings.)
+
+Iteration shape = ``labelprop.py``: broadcast labels (``ray.put`` once per
+round) → ``map_batches`` emits per-batch partial ``(v, community, weight)``
+sums → optional shuffle combine → driver-side vectorized argmax over ≤E
+small rows. The dense O(V) label/degree arrays are the documented small-V
+regime; the raw edge table never streams to the driver.
+
+Scale note: integer scores need ``2m·k_v < 2^63`` — i.e. total graph weight
+below ~3·10⁹ per the ``2m² < 2^63`` guard. Beyond that (the 10^12-turn
+regime) pass ``exact=False`` to score in float64: comparisons then carry
+~2^-52 relative tolerance, which only reorders near-exact ties.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from cuttana_ray.pipelines import checkpoint as ckpt
+from cuttana_ray.pipelines.graph import Graph
+from cuttana_ray.pipelines.pagerank import IterativeResult
+from cuttana_ray.util import resolve_combine
+
+
+def _comm_weight_fn(labels_ref):
+    """Per-batch partial k_{v→c}: sum edge weight by (src, label[dst])."""
+    def fn(batch: pa.Table) -> pa.Table:
+        labels = ray.get(labels_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False)
+        c = labels[dst]
+        order = np.lexsort((c, src))
+        v_s, c_s, w_s = src[order], c[order], w[order]
+        change = np.nonzero((v_s[1:] != v_s[:-1]) | (c_s[1:] != c_s[:-1]))[0] + 1
+        starts = np.concatenate([[0], change])
+        sums = np.add.reduceat(w_s, starts)
+        return pa.table({"v": pa.array(v_s[starts], pa.int64()),
+                         "c": pa.array(c_s[starts], pa.int64()),
+                         "kin": pa.array(sums, pa.int64())})
+    return fn
+
+
+def move_step(v: np.ndarray, c: np.ndarray, kin: np.ndarray,
+              labels: np.ndarray, kv: np.ndarray, w2: int,
+              exact: bool = True) -> np.ndarray:
+    """One synchronous move round given combined (v, c, kin) rows (unique
+    per pair). Pure NumPy — shared by the engine loop and the pytest
+    oracle so the rule has one implementation to diverge from."""
+    dt = np.int64 if exact else np.float64
+    V = len(labels)
+    own = labels[v]
+    tot = np.zeros(V, dtype=dt)
+    np.add.at(tot, labels, kv.astype(dt))
+    tot_adj = tot[c] - np.where(c == own, kv[v], 0).astype(dt)
+    score = dt(w2) * kin.astype(dt) - kv[v].astype(dt) * tot_adj
+
+    # stay score per vertex: kin into own community (0 if no such row)
+    kin_own = np.zeros(V, dtype=dt)
+    mask_own = c == own
+    kin_own[v[mask_own]] = kin[mask_own].astype(dt)
+    stay = dt(w2) * kin_own - kv.astype(dt) * (tot[labels] - kv.astype(dt))
+
+    # best non-own candidate per vertex: (score desc, c asc)
+    cand = ~mask_own
+    if not cand.any():
+        return labels.copy()
+    vc, cc, sc = v[cand], c[cand], score[cand]
+    order = np.lexsort((cc, -sc, vc))
+    v_s = vc[order]
+    first = np.concatenate([[0], np.nonzero(v_s[1:] != v_s[:-1])[0] + 1])
+    bv, bc, bs = v_s[first], cc[order][first], sc[order][first]
+    new = labels.copy()
+    movers = bs > stay[bv]
+    new[bv[movers]] = bc[movers]
+    return new
+
+
+def louvain_local_moving(graph: Graph, max_rounds: int = 10,
+                         workdir: str | None = None, resume: bool = False,
+                         combine: str = "auto",
+                         exact: bool = True) -> IterativeResult:
+    """Run the synchronous local-moving rounds; returns per-vertex
+    community labels in ``.values`` (int64, V-length)."""
+    V = graph.num_vertices
+    combine = resolve_combine(combine, V)
+    kv_f = graph.out_weights()
+    kv = np.rint(kv_f).astype(np.int64)
+    if not np.array_equal(kv.astype(np.float64), kv_f):
+        raise ValueError("louvain requires integer edge weights")
+    w2 = int(kv.sum())
+    if exact and w2 > 3_000_000_000:  # 2m^2 must stay below 2^63
+        raise ValueError(
+            f"total weight 2m={w2} too large for exact int64 scores "
+            "(needs 2m^2 < 2^63); pass exact=False for float scoring")
+    labels = np.arange(V, dtype=np.int64)
+    start_round = 0
+    if resume and workdir:
+        loaded = ckpt.load_latest_iteration(workdir, "louvain")
+        if loaded is not None:
+            start_round, labels, _ = loaded
+            labels = labels.astype(np.int64)
+            start_round += 1
+
+    res = IterativeResult(labels, 0, False)
+    for it in range(start_round, max_rounds):
+        t0 = time.perf_counter()
+        labels_ref = ray.put(labels)
+        partial = graph.edges.map_batches(_comm_weight_fn(labels_ref),
+                                          batch_format="pyarrow")
+        if combine == "shuffle":
+            partial = partial.groupby(["v", "c"]).aggregate(
+                Sum("kin", alias_name="kin"))
+        vs, cs, ks = [], [], []
+        for b in partial.iter_batches(batch_size=1 << 20,
+                                      batch_format="pyarrow"):
+            vs.append(b["v"].to_numpy(zero_copy_only=False))
+            cs.append(b["c"].to_numpy(zero_copy_only=False))
+            ks.append(b["kin"].to_numpy(zero_copy_only=False))
+        if vs:
+            v = np.concatenate(vs); c = np.concatenate(cs)
+            k = np.concatenate(ks)
+            # merge per-batch partials into unique (v, c) rows
+            order = np.lexsort((c, v))
+            v, c, k = v[order], c[order], k[order]
+            change = np.nonzero((v[1:] != v[:-1]) | (c[1:] != c[:-1]))[0] + 1
+            starts = np.concatenate([[0], change])
+            new = move_step(v[starts], c[starts],
+                            np.add.reduceat(k, starts),
+                            labels, kv, w2, exact=exact)
+        else:
+            new = labels.copy()
+        changed = int((new != labels).sum())
+        labels = new
+        dt = time.perf_counter() - t0
+        res.deltas.append(float(changed))
+        res.seconds_per_iter.append(dt)
+        if workdir:
+            ckpt.save_iteration(workdir, "louvain", it, labels,
+                                {"changed": changed, "seconds": dt})
+        if changed == 0:
+            res.iterations = it + 1
+            res.converged = True
+            break
+    else:
+        res.iterations = max_rounds
+    res.values = labels
+    return res
+
+
+def modularity_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                     labels: np.ndarray) -> float:
+    """Newman modularity Q over a symmetrized edge table (both directions
+    present, no self-loops): Q = Σ_c [in(c)/2m − (tot(c)/2m)²]. Test
+    helper; the distributed quality metric lives in ``stages/metrics``."""
+    w = w.astype(np.float64)
+    w2 = w.sum()
+    V = len(labels)
+    kv = np.zeros(V)
+    np.add.at(kv, src, w)
+    tot = np.zeros(V)
+    np.add.at(tot, labels, kv)
+    intra = w[labels[src] == labels[dst]].sum()
+    return float(intra / w2 - ((tot / w2) ** 2).sum())
