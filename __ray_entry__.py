@@ -2919,6 +2919,21 @@ def _q_louvain_k6_events(sf_dir: str):
     })
 
 
+def _q_louvain2_events(sf_dir: str):
+    """Two-level Louvain (pipelines/louvain.py louvain_two_level): 6 local-
+    moving rounds, contraction to the community quotient graph (degree and
+    2m are conserved, so no self-loop bookkeeping), 6 more rounds on the
+    quotient, projection back. Same exact-int64 gain arithmetic as
+    louvain_k6_events; the oracle unrolls both levels."""
+    from cuttana_ray.pipelines.louvain import louvain_two_level
+    g = _events_graph(sf_dir)
+    res = louvain_two_level(g, rounds1=6, rounds2=6)
+    return pa.table({
+        "vertex": pa.array(np.arange(g.num_vertices, dtype=np.int64)),
+        "community": pa.array(res.values, pa.int64()),
+    })
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbor / Jaccard link prediction over the events graph:
     non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
@@ -7565,6 +7580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_events": _q_matching_events,
         "coloring_events": _q_coloring_events,
         "louvain_k6_events": _q_louvain_k6_events,
+        "louvain2_events": _q_louvain2_events,
         "katz_k6_events": _q_katz_k6_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -8098,26 +8114,18 @@ def _labelprop_sql(k: int = 10, hashed_ids: bool = False) -> str:
     return "WITH " + "".join(parts)
 
 
-def _louvain_sql(k: int = 6) -> str:
-    """Unrolled k-round synchronous Louvain local-moving matching
-    louvain_local_moving() exactly: integer gain scores
+def _louvain_round(i: int, pfx: str, e: str, deg: str) -> str:
+    """One unrolled synchronous local-moving round (CTE names prefixed so
+    both Louvain levels can coexist in one statement): integer gain scores
     ``2m·k_{v→c} − k_v·(tot(c) − k_v·[c = own])``, move to the best
     non-current community by (score DESC, c ASC) iff it strictly beats the
-    stay score. A zero-move round is a fixed point, so the engine's early
-    stop equals the full unroll."""
-    parts = [_EVENTS_GRAPH_SQL, """,
-    deg AS MATERIALIZED (
-        SELECT n.node_id AS v,
-               COALESCE(CAST(SUM(e.weight) AS BIGINT), 0) AS kv
-        FROM nodes n LEFT JOIN e ON e.src = n.node_id GROUP BY 1),
-    w2 AS (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM e),
-    lv0 AS MATERIALIZED (SELECT node_id AS v, node_id AS c FROM nodes)"""]
-    for i in range(1, k + 1):
-        parts.append(f""",
-    tot{i} AS MATERIALIZED (
+    stay score."""
+    lv = f"{pfx}lv"
+    return f""",
+    {pfx}tot{i} AS MATERIALIZED (
         SELECT p.c AS c, CAST(SUM(d.kv) AS BIGINT) AS tot
-        FROM lv{i-1} p JOIN deg d ON d.v = p.v GROUP BY 1),
-    sc{i} AS MATERIALIZED (
+        FROM {lv}{i-1} p JOIN {deg} d ON d.v = p.v GROUP BY 1),
+    {pfx}sc{i} AS MATERIALIZED (
         SELECT kk.v, kk.c,
                (SELECT w2 FROM w2) * kk.kin
                  - d.kv * (t.tot - CASE WHEN kk.c = p.c
@@ -8125,28 +8133,74 @@ def _louvain_sql(k: int = 6) -> str:
                (kk.c = p.c) AS is_stay
         FROM (SELECT e.src AS v, p2.c AS c,
                      CAST(SUM(e.weight) AS BIGINT) AS kin
-              FROM e JOIN lv{i-1} p2 ON p2.v = e.dst GROUP BY 1, 2) kk
-        JOIN deg d ON d.v = kk.v
-        JOIN lv{i-1} p ON p.v = kk.v
-        JOIN tot{i} t ON t.c = kk.c),
-    stay{i} AS (
+              FROM {e} e JOIN {lv}{i-1} p2 ON p2.v = e.dst GROUP BY 1, 2) kk
+        JOIN {deg} d ON d.v = kk.v
+        JOIN {lv}{i-1} p ON p.v = kk.v
+        JOIN {pfx}tot{i} t ON t.c = kk.c),
+    {pfx}stay{i} AS (
         SELECT p.v, COALESCE(s.score, -d.kv * (t.tot - d.kv)) AS sscore
-        FROM lv{i-1} p JOIN deg d ON d.v = p.v
-             JOIN tot{i} t ON t.c = p.c
-             LEFT JOIN (SELECT v, score FROM sc{i} WHERE is_stay) s
+        FROM {lv}{i-1} p JOIN {deg} d ON d.v = p.v
+             JOIN {pfx}tot{i} t ON t.c = p.c
+             LEFT JOIN (SELECT v, score FROM {pfx}sc{i} WHERE is_stay) s
                     ON s.v = p.v),
-    best{i} AS (
+    {pfx}best{i} AS (
         SELECT v, c AS newc, score FROM (
             SELECT v, c, score, ROW_NUMBER() OVER (
                 PARTITION BY v ORDER BY score DESC, c ASC) AS rn
-            FROM sc{i} WHERE NOT is_stay) WHERE rn = 1),
-    lv{i} AS MATERIALIZED (
+            FROM {pfx}sc{i} WHERE NOT is_stay) WHERE rn = 1),
+    {lv}{i} AS MATERIALIZED (
         SELECT p.v, CASE WHEN b.score > st.sscore
                          THEN b.newc ELSE p.c END AS c
-        FROM lv{i-1} p JOIN stay{i} st ON st.v = p.v
-             LEFT JOIN best{i} b ON b.v = p.v)""")
+        FROM {lv}{i-1} p JOIN {pfx}stay{i} st ON st.v = p.v
+             LEFT JOIN {pfx}best{i} b ON b.v = p.v)"""
+
+
+_LOUVAIN_PRELUDE = """,
+    deg AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(CAST(SUM(e.weight) AS BIGINT), 0) AS kv
+        FROM nodes n LEFT JOIN e ON e.src = n.node_id GROUP BY 1),
+    w2 AS (SELECT CAST(SUM(weight) AS BIGINT) AS w2 FROM e),
+    lv0 AS MATERIALIZED (SELECT node_id AS v, node_id AS c FROM nodes)"""
+
+
+def _louvain_sql(k: int = 6) -> str:
+    """Unrolled k-round synchronous Louvain local-moving matching
+    louvain_local_moving() exactly. A zero-move round is a fixed point,
+    so the engine's early stop equals the full unroll."""
+    parts = [_EVENTS_GRAPH_SQL, _LOUVAIN_PRELUDE]
+    for i in range(1, k + 1):
+        parts.append(_louvain_round(i, "", "e", "deg"))
     parts.append(f"""
     SELECT v AS vertex, CAST(c AS BIGINT) AS community FROM lv{k}""")
+    return "WITH " + "".join(parts)
+
+
+def _louvain2_sql(k1: int = 6, k2: int = 6) -> str:
+    """Two-level Louvain matching louvain_two_level() exactly: k1 unrolled
+    rounds, contraction (super-vertex ids = phase-1 labels; degree is
+    conserved, so kv₂ = Σ member kv and 2m is unchanged), k2 more rounds
+    over the self-loop-free contracted edge table, then projection back to
+    original vertices."""
+    parts = [_EVENTS_GRAPH_SQL, _LOUVAIN_PRELUDE]
+    for i in range(1, k1 + 1):
+        parts.append(_louvain_round(i, "", "e", "deg"))
+    parts.append(f""",
+    deg2 AS MATERIALIZED (
+        SELECT p.c AS v, CAST(SUM(d.kv) AS BIGINT) AS kv
+        FROM lv{k1} p JOIN deg d ON d.v = p.v GROUP BY 1),
+    e2 AS MATERIALIZED (
+        SELECT ls.c AS src, ld.c AS dst,
+               CAST(SUM(e.weight) AS BIGINT) AS weight
+        FROM e JOIN lv{k1} ls ON ls.v = e.src
+               JOIN lv{k1} ld ON ld.v = e.dst
+        WHERE ls.c != ld.c GROUP BY 1, 2),
+    mlv0 AS MATERIALIZED (SELECT v, v AS c FROM deg2)""")
+    for i in range(1, k2 + 1):
+        parts.append(_louvain_round(i, "m", "e2", "deg2"))
+    parts.append(f"""
+    SELECT p.v AS vertex, CAST(m.c AS BIGINT) AS community
+    FROM lv{k1} p JOIN mlv{k2} m ON m.v = p.c""")
     return "WITH " + "".join(parts)
 
 
@@ -9331,6 +9385,7 @@ def oracle_sql() -> dict[str, str]:
         "matching_events": _matching_sql(),
         "coloring_events": _coloring_sql(),
         "louvain_k6_events": _louvain_sql(6),
+        "louvain2_events": _louvain2_sql(6, 6),
         "katz_k6_events": _katz_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),

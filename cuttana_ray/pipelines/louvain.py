@@ -57,7 +57,12 @@ from cuttana_ray.util import resolve_combine
 
 def _comm_weight_fn(labels_ref):
     """Per-batch partial k_{v→c}: sum edge weight by (src, label[dst])."""
+    schema = pa.schema([("v", pa.int64()), ("c", pa.int64()),
+                        ("kin", pa.int64())])
+
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return schema.empty_table()
         labels = ray.get(labels_ref)
         src = batch["src"].to_numpy(zero_copy_only=False)
         dst = batch["dst"].to_numpy(zero_copy_only=False)
@@ -109,27 +114,24 @@ def move_step(v: np.ndarray, c: np.ndarray, kin: np.ndarray,
     return new
 
 
-def louvain_local_moving(graph: Graph, max_rounds: int = 10,
-                         workdir: str | None = None, resume: bool = False,
-                         combine: str = "auto",
-                         exact: bool = True) -> IterativeResult:
-    """Run the synchronous local-moving rounds; returns per-vertex
-    community labels in ``.values`` (int64, V-length)."""
-    V = graph.num_vertices
-    combine = resolve_combine(combine, V)
-    kv_f = graph.out_weights()
-    kv = np.rint(kv_f).astype(np.int64)
-    if not np.array_equal(kv.astype(np.float64), kv_f):
-        raise ValueError("louvain requires integer edge weights")
-    w2 = int(kv.sum())
+def _check_weight_budget(w2: int, exact: bool) -> None:
     if exact and w2 > 3_000_000_000:  # 2m^2 must stay below 2^63
         raise ValueError(
             f"total weight 2m={w2} too large for exact int64 scores "
             "(needs 2m^2 < 2^63); pass exact=False for float scoring")
+
+
+def _run_rounds(edges: "ray.data.Dataset", V: int, kv: np.ndarray, w2: int,
+                max_rounds: int, combine: str, exact: bool,
+                workdir: str | None = None, resume: bool = False,
+                tag: str = "louvain") -> IterativeResult:
+    """The synchronous move loop over an arbitrary symmetrized edge table
+    (parallel edges allowed — the per-pair combine merges them) with an
+    explicit degree vector; shared by both Louvain levels."""
     labels = np.arange(V, dtype=np.int64)
     start_round = 0
     if resume and workdir:
-        loaded = ckpt.load_latest_iteration(workdir, "louvain")
+        loaded = ckpt.load_latest_iteration(workdir, tag)
         if loaded is not None:
             start_round, labels, _ = loaded
             labels = labels.astype(np.int64)
@@ -139,8 +141,8 @@ def louvain_local_moving(graph: Graph, max_rounds: int = 10,
     for it in range(start_round, max_rounds):
         t0 = time.perf_counter()
         labels_ref = ray.put(labels)
-        partial = graph.edges.map_batches(_comm_weight_fn(labels_ref),
-                                          batch_format="pyarrow")
+        partial = edges.map_batches(_comm_weight_fn(labels_ref),
+                                    batch_format="pyarrow")
         if combine == "shuffle":
             partial = partial.groupby(["v", "c"]).aggregate(
                 Sum("kin", alias_name="kin"))
@@ -169,7 +171,7 @@ def louvain_local_moving(graph: Graph, max_rounds: int = 10,
         res.deltas.append(float(changed))
         res.seconds_per_iter.append(dt)
         if workdir:
-            ckpt.save_iteration(workdir, "louvain", it, labels,
+            ckpt.save_iteration(workdir, tag, it, labels,
                                 {"changed": changed, "seconds": dt})
         if changed == 0:
             res.iterations = it + 1
@@ -179,6 +181,82 @@ def louvain_local_moving(graph: Graph, max_rounds: int = 10,
         res.iterations = max_rounds
     res.values = labels
     return res
+
+
+def _int_degrees(graph: Graph) -> np.ndarray:
+    kv_f = graph.out_weights()
+    kv = np.rint(kv_f).astype(np.int64)
+    if not np.array_equal(kv.astype(np.float64), kv_f):
+        raise ValueError("louvain requires integer edge weights")
+    return kv
+
+
+def louvain_local_moving(graph: Graph, max_rounds: int = 10,
+                         workdir: str | None = None, resume: bool = False,
+                         combine: str = "auto",
+                         exact: bool = True) -> IterativeResult:
+    """Run the synchronous local-moving rounds; returns per-vertex
+    community labels in ``.values`` (int64, V-length)."""
+    V = graph.num_vertices
+    combine = resolve_combine(combine, V)
+    kv = _int_degrees(graph)
+    w2 = int(kv.sum())
+    _check_weight_budget(w2, exact)
+    return _run_rounds(graph.edges, V, kv, w2, max_rounds, combine, exact,
+                       workdir=workdir, resume=resume)
+
+
+def _project_fn(labels_ref):
+    """Contract an edge batch by the phase-1 labels: endpoints become
+    community ids, intra-community rows (super-loops) drop. Parallel edges
+    stay — ``_run_rounds``'s per-pair combine merges them, so the quotient
+    needs NO groupby exchange of its own."""
+    def fn(batch: pa.Table) -> pa.Table:
+        labels = ray.get(labels_ref)
+        src = labels[batch["src"].to_numpy(zero_copy_only=False)]
+        dst = labels[batch["dst"].to_numpy(zero_copy_only=False)]
+        w = batch["weight"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64()),
+                         "weight": pa.array(w[keep], pa.int64())})
+    return fn
+
+
+def louvain_two_level(graph: Graph, rounds1: int = 6, rounds2: int = 6,
+                      combine: str = "auto",
+                      exact: bool = True) -> IterativeResult:
+    """Full two-level Louvain: local moving → contract communities into
+    super-vertices → local moving on the quotient → project back.
+
+    Degree is CONSERVED under contraction (a super-vertex's weighted degree
+    is the sum of its members' degrees — internal edges land in the members'
+    degrees exactly like a doubled self-loop would), so phase 2 needs no
+    self-loop bookkeeping: ``kv₂ = Σ_{v∈C} kv(v)`` and the contracted edge
+    table simply drops intra-community rows. 2m is likewise conserved.
+    Phase-2 vertex ids are the phase-1 community labels (a sparse subset of
+    [0, V)); non-community ids are inert zero-degree rows in the dense
+    small-V arrays. Returns per-ORIGINAL-vertex final labels."""
+    V = graph.num_vertices
+    combine = resolve_combine(combine, V)
+    kv = _int_degrees(graph)
+    w2 = int(kv.sum())
+    _check_weight_budget(w2, exact)
+    res1 = _run_rounds(graph.edges, V, kv, w2, rounds1, combine, exact)
+    lab1 = res1.values
+    kv2 = np.zeros(V, dtype=np.int64)
+    np.add.at(kv2, lab1, kv)
+    edges2 = graph.edges.map_batches(_project_fn(ray.put(lab1)),
+                                     batch_format="pyarrow")
+    res2 = _run_rounds(edges2, V, kv2, w2, rounds2, combine, exact,
+                       tag="louvain2")
+    final = res2.values[lab1]
+    out = IterativeResult(final, res1.iterations + res2.iterations,
+                          res1.converged and res2.converged)
+    out.deltas = res1.deltas + res2.deltas
+    out.seconds_per_iter = res1.seconds_per_iter + res2.seconds_per_iter
+    out.values = final
+    return out
 
 
 def modularity_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray,

@@ -151,3 +151,105 @@ def test_overflow_guard():
     # float path accepts the same graph
     res = louvain_local_moving(g, max_rounds=2, exact=False)
     assert len(res.values) == 2
+
+
+def two_level_loop(src, dst, w, n, r1, r2):
+    """Independent two-level replay: loop phase 1, contract with plain
+    dicts, loop phase 2 over the quotient, project back."""
+    lab1 = louvain_rounds_loop(src, dst, w, n, r1)
+    kv = [0] * n
+    for s, weight in zip(src, w):
+        kv[s] += int(weight)
+    kv2 = [0] * n
+    for v in range(n):
+        kv2[lab1[v]] += kv[v]
+    src2, dst2, w2l = [], [], []
+    for s, d, weight in zip(src, dst, w):
+        a, b = int(lab1[s]), int(lab1[d])
+        if a != b:
+            src2.append(a); dst2.append(b); w2l.append(int(weight))
+    # phase 2 via the same loop but with explicit degrees: rebuild by
+    # emitting kv2 through a degree-preserving trick — reimplement inline
+    labels = list(range(n))
+    w2 = sum(kv)
+    adj = {}
+    for s, d, weight in zip(src2, dst2, w2l):
+        adj.setdefault(s, []).append((d, weight))
+    for _ in range(r2):
+        tot = [0] * n
+        for v in range(n):
+            tot[labels[v]] += kv2[v]
+        new = list(labels)
+        moved = False
+        for v in range(n):
+            kin = {}
+            for u, weight in adj.get(v, []):
+                kin[labels[u]] = kin.get(labels[u], 0) + weight
+            own = labels[v]
+            stay = w2 * kin.get(own, 0) - kv2[v] * (tot[own] - kv2[v])
+            best_c, best_s = None, None
+            for c, k in sorted(kin.items()):
+                if c == own:
+                    continue
+                s = w2 * k - kv2[v] * tot[c]
+                if best_s is None or s > best_s:
+                    best_c, best_s = c, s
+            if best_s is not None and best_s > stay:
+                new[v] = best_c
+                moved = True
+        labels = new
+        if not moved:
+            break
+    return np.array([labels[lab1[v]] for v in range(n)], dtype=np.int64)
+
+
+# four 6-cliques; cliques (0,1) and (2,3) are pair-bridged densely,
+# one weak edge across the pairs
+def _clique(lo):
+    return [(a, b) for a in range(lo, lo + 6) for b in range(a + 1, lo + 6)]
+
+
+HIER = (_clique(0) + _clique(6) + _clique(12) + _clique(18)
+        + [(0, 6), (1, 7), (2, 8), (3, 9)]
+        + [(12, 18), (13, 19), (14, 20), (15, 21)]
+        + [(5, 17)])
+
+
+def test_two_level_merges_hierarchy():
+    from cuttana_ray.pipelines.louvain import louvain_two_level
+    g = graph_from_edges(HIER, 24)
+    res1 = louvain_local_moving(g, max_rounds=8)
+    res2 = louvain_two_level(g, rounds1=8, rounds2=8)
+    src, dst, w = arrays(g)
+    q1 = modularity_numpy(src, dst, w, res1.values)
+    q2 = modularity_numpy(src, dst, w, res2.values)
+    assert q2 >= q1 - 1e-12
+    # the two pair-bridged halves end in internally-consistent communities
+    lab = res2.values
+    assert len(set(lab[:12].tolist())) <= 2
+    assert len(set(lab[12:].tolist())) <= 2
+    assert set(lab[:12].tolist()).isdisjoint(set(lab[12:].tolist()))
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_two_level_parity_vs_loop(blocks):
+    from cuttana_ray.pipelines.louvain import louvain_two_level
+    rng = np.random.default_rng(11)
+    n = 36
+    pairs = sorted({(int(a), int(b)) for a, b in
+                    rng.integers(0, n, size=(100, 2)) if a != b})
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    weights = rng.integers(1, 5, size=len(und))
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    w = list(weights) + list(weights)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(w, pa.int64())})
+    nodes = pa.table({"node_id": np.arange(n, dtype=np.int64),
+                      "name": [f"v{i}" for i in range(n)],
+                      "kind": ["v"] * n})
+    g = Graph(rd.from_arrow(t).repartition(blocks).materialize(), nodes, n)
+    res = louvain_two_level(g, rounds1=4, rounds2=4)
+    expect = two_level_loop(src, dst, w, n, 4, 4)
+    assert (res.values == expect).all()
