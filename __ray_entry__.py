@@ -2934,6 +2934,17 @@ def _q_louvain2_events(sf_dir: str):
     })
 
 
+def _q_bigv_louvain_events(sf_dir: str):
+    """Big-V Louvain over hash ids (pipelines/louvain.py louvain_shuffle):
+    all per-vertex state — labels, degrees, community totals, scores —
+    lives in Datasets moved by join/groupby exchanges; no O(V) driver
+    object. Tie-breaks order over the 63-bit FNV ids, exactly like the
+    SQL oracle's hashed-id unroll."""
+    from cuttana_ray.pipelines.louvain import louvain_shuffle
+    enc = _bigv_events_edges(sf_dir)
+    return louvain_shuffle(enc, max_rounds=6)
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbor / Jaccard link prediction over the events graph:
     non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
@@ -7581,6 +7592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_events": _q_coloring_events,
         "louvain_k6_events": _q_louvain_k6_events,
         "louvain2_events": _q_louvain2_events,
+        "bigv_louvain_events": _q_bigv_louvain_events,
         "katz_k6_events": _q_katz_k6_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -8164,15 +8176,20 @@ _LOUVAIN_PRELUDE = """,
     lv0 AS MATERIALIZED (SELECT node_id AS v, node_id AS c FROM nodes)"""
 
 
-def _louvain_sql(k: int = 6) -> str:
+def _louvain_sql(k: int = 6, hashed_ids: bool = False) -> str:
     """Unrolled k-round synchronous Louvain local-moving matching
     louvain_local_moving() exactly. A zero-move round is a fixed point,
-    so the engine's early stop equals the full unroll."""
-    parts = [_EVENTS_GRAPH_SQL, _LOUVAIN_PRELUDE]
+    so the engine's early stop equals the full unroll. ``hashed_ids=True``
+    runs the identical rounds over the big-V 63-bit FNV ids (tie-breaks
+    then order over hash ids, like louvain_shuffle on hash-encoded
+    edges — bigv_louvain_events oracle)."""
+    graph = _events_graph_sql_hashed() if hashed_ids else _EVENTS_GRAPH_SQL
+    parts = [graph, _LOUVAIN_PRELUDE]
     for i in range(1, k + 1):
         parts.append(_louvain_round(i, "", "e", "deg"))
+    out_col = "node_id" if hashed_ids else "vertex"
     parts.append(f"""
-    SELECT v AS vertex, CAST(c AS BIGINT) AS community FROM lv{k}""")
+    SELECT v AS {out_col}, CAST(c AS BIGINT) AS community FROM lv{k}""")
     return "WITH " + "".join(parts)
 
 
@@ -9386,6 +9403,7 @@ def oracle_sql() -> dict[str, str]:
         "coloring_events": _coloring_sql(),
         "louvain_k6_events": _louvain_sql(6),
         "louvain2_events": _louvain2_sql(6, 6),
+        "bigv_louvain_events": _louvain_sql(6, hashed_ids=True),
         "katz_k6_events": _katz_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),

@@ -259,6 +259,27 @@ def louvain_two_level(graph: Graph, rounds1: int = 6, rounds2: int = 6,
     return out
 
 
+def _block_pair_sum(t: pa.Table, ka: str, kb: str, val: str,
+                    out: str) -> pa.Table:
+    """Per-block combiner: sum ``val`` over (ka, kb) runs — the partial
+    that keeps every exchange pre-aggregated."""
+    schema = pa.schema([(ka, pa.int64()), (kb, pa.int64()),
+                        (out, pa.int64())])
+    if len(t) == 0:
+        return schema.empty_table()
+    a = t[ka].to_numpy(zero_copy_only=False)
+    b = t[kb].to_numpy(zero_copy_only=False)
+    w = t[val].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a_s, b_s, w_s = a[order], b[order], w[order]
+    change = np.nonzero((a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))[0] + 1
+    starts = np.concatenate([[0], change])
+    return pa.table({ka: pa.array(a_s[starts], pa.int64()),
+                     kb: pa.array(b_s[starts], pa.int64()),
+                     out: pa.array(np.add.reduceat(w_s, starts),
+                                   pa.int64())}).cast(schema)
+
+
 def modularity_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
                      labels: np.ndarray) -> float:
     """Newman modularity Q over a symmetrized edge table (both directions
@@ -273,3 +294,149 @@ def modularity_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     np.add.at(tot, labels, kv)
     intra = w[labels[src] == labels[dst]].sum()
     return float(intra / w2 - ((tot / w2) ** 2).sum())
+
+
+
+
+def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
+                    exact: bool = True,
+                    num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Big-V Louvain local moving: EVERY piece of per-vertex state —
+    labels, degrees, community totals, gain scores — lives in Datasets and
+    moves through hash-join / pre-combined-groupby exchanges; no O(V)
+    object ever materializes on the driver (the only driver scalars are 2m
+    and the per-round move count). Vertex ids are arbitrary sparse int64
+    (e.g. the big-V 63-bit hash ids); the move rule is identical to
+    ``louvain_local_moving`` — exact int64 scores, (score DESC, c ASC),
+    strict improvement only — so results agree through the id mapping.
+
+    Cost shape per round: one pre-combined kin exchange, one tot groupby,
+    four hash joins (neighbor labels, own label, degree, tot-of-candidate
+    + tot-of-own), and ONE decision exchange — a ``groupby(v).map_groups``
+    whose callback resolves stay-vs-best vectorized across all complete
+    groups in its block (no per-group Python). The per-round label Dataset
+    re-materializes to cut lineage. This is the documented scale regime;
+    the broadcast path is ~an order of magnitude cheaper per round on
+    graphs whose dense vertex state fits one node.
+
+    Input: symmetrized ``(src, dst, weight:int64)`` with no self-loops.
+    Returns a Dataset ``(node_id, community)``.
+    """
+    import pyarrow.compute as pc
+
+    from cuttana_ray.util import drop_empty_blocks, pool_size, safe_join
+
+    npart = num_partitions if num_partitions is not None \
+        else pool_size()[1]
+    ndt = np.int64 if exact else np.float64
+
+    w2 = int(edges.aggregate(Sum("weight"))["sum(weight)"])
+    _check_weight_budget(w2, exact)
+
+    def kv_partial(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("src", pa.int64()), ("kv", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s_s, w_s = s[order], w[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(s_s[1:] != s_s[:-1])[0] + 1])
+        return pa.table({"src": pa.array(s_s[starts], pa.int64()),
+                         "kv": pa.array(np.add.reduceat(w_s, starts),
+                                        pa.int64())}).cast(schema)
+
+    kv = edges.map_batches(
+        kv_partial,
+        batch_format="pyarrow").groupby("src").aggregate(
+            Sum("kv", alias_name="kv")).rename_columns(
+                {"src": "v"}).materialize()
+    labels = kv.map_batches(
+        lambda t: pa.table({"v": t["v"],
+                            "c": pc.cast(t["v"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def decide_groups(t: pa.Table) -> pa.Table:
+        """One decision row per vertex, vectorized across every complete
+        group in the block: stay score = the own-community row's score if
+        present else ``−k_v·(tot(own) − k_v)`` (kin_own = 0); best
+        candidate by (score DESC, c ASC) among non-own rows; move iff
+        strictly better. ``map_groups`` guarantees group completeness but
+        packs several groups per block — everything here keys on the
+        per-row group id, never on block identity."""
+        schema = pa.schema([("v", pa.int64()), ("c", pa.int64()),
+                            ("chg", pa.int64())])
+        if len(t) == 0:
+            return schema.empty_table()
+        v = t["v"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        own = t["own"].to_numpy(zero_copy_only=False)
+        deg = t["kv"].to_numpy(zero_copy_only=False).astype(ndt)
+        kin = t["kin"].to_numpy(zero_copy_only=False).astype(ndt)
+        tt = t["tot"].to_numpy(zero_copy_only=False).astype(ndt)
+        tto = t["tot_own"].to_numpy(zero_copy_only=False).astype(ndt)
+        is_own = c == own
+        s = ndt(w2) * kin - deg * (tt - np.where(is_own, deg, 0)
+                                   .astype(ndt))
+        uniq, gid = np.unique(v, return_inverse=True)
+        G = len(uniq)
+        # first occurrence per group (v not necessarily sorted pre-unique)
+        first = np.full(G, len(v), dtype=np.int64)
+        np.minimum.at(first, gid, np.arange(len(v), dtype=np.int64))
+        stay = (-deg[first] * (tto[first] - deg[first])).astype(ndt)
+        stay[gid[is_own]] = s[is_own]
+        own_g = own[first]
+        cand = ~is_own
+        newc = own_g.copy()
+        chg = np.zeros(G, dtype=np.int64)
+        if cand.any():
+            gc, cc, sc_ = gid[cand], c[cand], s[cand]
+            order = np.lexsort((cc, -sc_, gc))
+            g_s = gc[order]
+            head = np.concatenate(
+                [[0], np.nonzero(g_s[1:] != g_s[:-1])[0] + 1])
+            bg, bc, bs = g_s[head], cc[order][head], sc_[order][head]
+            movers = bs > stay[bg]
+            newc[bg[movers]] = bc[movers]
+            chg[bg[movers]] = 1
+        return pa.table({"v": pa.array(uniq, pa.int64()),
+                         "c": pa.array(newc, pa.int64()),
+                         "chg": pa.array(chg, pa.int64())}).cast(schema)
+
+    for _ in range(max_rounds):
+        tot = safe_join(labels, kv, join_type="inner",
+                        num_partitions=npart, on=("v",), right_on=("v",)
+                        ).groupby("c").aggregate(
+                            Sum("kv", alias_name="tot")).materialize()
+        cdst = safe_join(edges,
+                         labels.rename_columns({"v": "_dv", "c": "cdst"}),
+                         join_type="inner", num_partitions=npart,
+                         on=("dst",), right_on=("_dv",))
+        kin = cdst.map_batches(
+            lambda t: _block_pair_sum(t, "src", "cdst", "weight", "kin"),
+            batch_format="pyarrow").groupby(["src", "cdst"]).aggregate(
+                Sum("kin", alias_name="kin"))
+        sc = safe_join(kin.rename_columns({"src": "v", "cdst": "c"}),
+                       labels.rename_columns({"v": "_lv", "c": "own"}),
+                       join_type="inner", num_partitions=npart,
+                       on=("v",), right_on=("_lv",))
+        sc = safe_join(sc, kv.rename_columns({"v": "_kv"}),
+                       join_type="inner", num_partitions=npart,
+                       on=("v",), right_on=("_kv",))
+        sc = safe_join(sc, tot, join_type="inner", num_partitions=npart,
+                       on=("c",), right_on=("c",))
+        sc = safe_join(sc, tot.rename_columns({"c": "own",
+                                               "tot": "tot_own"}),
+                       join_type="inner", num_partitions=npart,
+                       on=("own",), right_on=("own",))
+        decided = sc.groupby("v").map_groups(
+            decide_groups, batch_format="pyarrow").materialize()
+        changed = int(decided.aggregate(Sum("chg"))["sum(chg)"] or 0)
+        labels = drop_empty_blocks(decided.select_columns(["v", "c"]))
+        if changed == 0:
+            break
+
+    return labels.map_batches(
+        lambda t: pa.table({"node_id": t["v"], "community": t["c"]}),
+        batch_format="pyarrow")

@@ -253,3 +253,52 @@ def test_two_level_parity_vs_loop(blocks):
     res = louvain_two_level(g, rounds1=4, rounds2=4)
     expect = two_level_loop(src, dst, w, n, 4, 4)
     assert (res.values == expect).all()
+
+
+@pytest.mark.parametrize("blocks", [4])
+def test_shuffle_regime_parity(blocks):
+    """louvain_shuffle (all-Dataset state, sparse ids) equals the
+    broadcast path through an id mapping: run both on the same random
+    graph, shuffle over ids offset by a large sparse stride."""
+    from cuttana_ray.pipelines.louvain import louvain_shuffle
+    rng = np.random.default_rng(23)
+    n = 30
+    und = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                  for a, b in rng.integers(0, n, size=(80, 2)) if a != b})
+    weights = rng.integers(1, 5, size=len(und))
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    w = list(weights) + list(weights)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array(w, pa.int64())})
+    nodes = pa.table({"node_id": np.arange(n, dtype=np.int64),
+                      "name": [f"v{i}" for i in range(n)],
+                      "kind": ["v"] * n})
+    g = Graph(rd.from_arrow(t).repartition(blocks).materialize(), nodes, n)
+    dense = louvain_local_moving(g, max_rounds=4)
+
+    # identical ids → labels must match row for row; the shuffle path's
+    # vertex set IS the edge table's (isolated vertices don't exist in a
+    # graph built from edges — the Graph fixture can still pad V)
+    touched = sorted(set(src))
+    out = louvain_shuffle(g.edges, max_rounds=4).to_pandas()
+    got = out.set_index("node_id")["community"].to_dict()
+    assert got == {v: int(dense.values[v]) for v in touched}
+
+    # sparse non-dense ids (big-V shape): same partition up to relabeling,
+    # and the move rule's tie-breaks track the NEW ids — so map ids, rerun
+    # dense on remapped ids via the loop oracle, compare exactly
+    stride = 10_000_019
+    sp = pa.table({"src": pa.array([s * stride + 7 for s in src], pa.int64()),
+                   "dst": pa.array([d * stride + 7 for d in dst], pa.int64()),
+                   "weight": pa.array(w, pa.int64())})
+    out2 = louvain_shuffle(rd.from_arrow(sp).repartition(blocks).materialize(),
+                           max_rounds=4).to_pandas()
+    # replay with the loop oracle over the mapped ids: ranks of sparse ids
+    # preserve order (monotonic map), so tie-breaks agree with dense ids
+    expect = louvain_rounds_loop(src, dst, w, n, 4)
+    got2 = {int(r.node_id): int(r.community)
+            for r in out2.itertuples(index=False)}
+    assert got2 == {v * stride + 7: int(expect[v]) * stride + 7
+                    for v in touched}
