@@ -310,27 +310,39 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
     ``louvain_local_moving`` — exact int64 scores, (score DESC, c ASC),
     strict improvement only — so results agree through the id mapping.
 
-    Cost shape per round: one pre-combined kin exchange, one tot groupby,
-    four hash joins (neighbor labels, own label, degree, tot-of-candidate
-    + tot-of-own), and ONE decision exchange — a ``groupby(v).map_groups``
-    whose callback resolves stay-vs-best vectorized across all complete
-    groups in its block (no per-group Python). The per-round label Dataset
-    re-materializes to cut lineage. This is the documented scale regime;
-    the broadcast path is ~an order of magnitude cheaper per round on
-    graphs whose dense vertex state fits one node.
+    Cost shape per round: one tot groupby over the carried (v, c, kv)
+    state (labels and degrees ride ONE dataset, so attaching them costs
+    one join, not two, and tot needs no join at all), one pre-combined kin
+    exchange, three hash joins (neighbor labels; own-state + tot-of-own in
+    one; tot-of-candidate), and ONE decision exchange — a
+    ``groupby(v).map_groups`` whose callback resolves stay-vs-best
+    vectorized across all complete groups in its block (no per-group
+    Python) and carries kv through so the next round's state needs no
+    re-attach. The per-round state Dataset re-materializes to cut lineage.
+    This is the documented scale regime; the broadcast path is ~an order
+    of magnitude cheaper per round on graphs whose dense vertex state fits
+    one node.
+
+    ``num_partitions`` defaults to edge-count-scaled (≥64k rows per
+    partition, capped by the pool bound) — every exchange here carries a
+    per-partition aggregator-pool fixed cost (~1-2.5 s warm on this box),
+    so a small graph on a wide host must not fan each join out 8 ways.
 
     Input: symmetrized ``(src, dst, weight:int64)`` with no self-loops.
     Returns a Dataset ``(node_id, community)``.
     """
     import pyarrow.compute as pc
+    from ray.data.aggregate import Count
 
     from cuttana_ray.util import drop_empty_blocks, pool_size, safe_join
 
-    npart = num_partitions if num_partitions is not None \
-        else pool_size()[1]
     ndt = np.int64 if exact else np.float64
 
-    w2 = int(edges.aggregate(Sum("weight"))["sum(weight)"])
+    agg = edges.aggregate(Sum("weight"), Count(alias_name="_n"))
+    w2 = int(agg["sum(weight)"])
+    n_edges = int(agg["_n"])
+    npart = num_partitions if num_partitions is not None \
+        else max(1, min(pool_size()[1], n_edges // 65536 + 1))
     _check_weight_budget(w2, exact)
 
     def kv_partial(t: pa.Table) -> pa.Table:
@@ -347,14 +359,14 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
                          "kv": pa.array(np.add.reduceat(w_s, starts),
                                         pa.int64())}).cast(schema)
 
-    kv = edges.map_batches(
+    # carried per-vertex state: (v, c, kv) in ONE dataset — singleton init
+    state = edges.map_batches(
         kv_partial,
         batch_format="pyarrow").groupby("src").aggregate(
-            Sum("kv", alias_name="kv")).rename_columns(
-                {"src": "v"}).materialize()
-    labels = kv.map_batches(
-        lambda t: pa.table({"v": t["v"],
-                            "c": pc.cast(t["v"], pa.int64())}),
+            Sum("kv", alias_name="kv")).map_batches(
+        lambda t: pa.table({"v": t["src"],
+                            "c": pc.cast(t["src"], pa.int64()),
+                            "kv": t["kv"]}),
         batch_format="pyarrow").materialize()
 
     def decide_groups(t: pa.Table) -> pa.Table:
@@ -366,13 +378,14 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
         packs several groups per block — everything here keys on the
         per-row group id, never on block identity."""
         schema = pa.schema([("v", pa.int64()), ("c", pa.int64()),
-                            ("chg", pa.int64())])
+                            ("kv", pa.int64()), ("chg", pa.int64())])
         if len(t) == 0:
             return schema.empty_table()
         v = t["v"].to_numpy(zero_copy_only=False)
         c = t["c"].to_numpy(zero_copy_only=False)
         own = t["own"].to_numpy(zero_copy_only=False)
-        deg = t["kv"].to_numpy(zero_copy_only=False).astype(ndt)
+        kvi = t["kv"].to_numpy(zero_copy_only=False)
+        deg = kvi.astype(ndt)
         kin = t["kin"].to_numpy(zero_copy_only=False).astype(ndt)
         tt = t["tot"].to_numpy(zero_copy_only=False).astype(ndt)
         tto = t["tot_own"].to_numpy(zero_copy_only=False).astype(ndt)
@@ -402,15 +415,23 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
             chg[bg[movers]] = 1
         return pa.table({"v": pa.array(uniq, pa.int64()),
                          "c": pa.array(newc, pa.int64()),
+                         "kv": pa.array(kvi[first], pa.int64()),
                          "chg": pa.array(chg, pa.int64())}).cast(schema)
 
     for _ in range(max_rounds):
-        tot = safe_join(labels, kv, join_type="inner",
-                        num_partitions=npart, on=("v",), right_on=("v",)
-                        ).groupby("c").aggregate(
-                            Sum("kv", alias_name="tot")).materialize()
+        tot = state.groupby("c").aggregate(
+            Sum("kv", alias_name="tot")).materialize()
+        # own-community totals attach onto the state rows ONCE per round;
+        # the same joined table then serves both the kin attach (own, kv,
+        # tot_own in one join) — the old shape paid three separate joins
+        # for labels, kv and tot_own
+        st2 = safe_join(state, tot.rename_columns({"c": "_tc",
+                                                   "tot": "tot_own"}),
+                        join_type="inner", num_partitions=npart,
+                        on=("c",), right_on=("_tc",))
         cdst = safe_join(edges,
-                         labels.rename_columns({"v": "_dv", "c": "cdst"}),
+                         state.select_columns(["v", "c"]).rename_columns(
+                             {"v": "_dv", "c": "cdst"}),
                          join_type="inner", num_partitions=npart,
                          on=("dst",), right_on=("_dv",))
         kin = cdst.map_batches(
@@ -418,25 +439,18 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
             batch_format="pyarrow").groupby(["src", "cdst"]).aggregate(
                 Sum("kin", alias_name="kin"))
         sc = safe_join(kin.rename_columns({"src": "v", "cdst": "c"}),
-                       labels.rename_columns({"v": "_lv", "c": "own"}),
+                       st2.rename_columns({"v": "_sv", "c": "own"}),
                        join_type="inner", num_partitions=npart,
-                       on=("v",), right_on=("_lv",))
-        sc = safe_join(sc, kv.rename_columns({"v": "_kv"}),
-                       join_type="inner", num_partitions=npart,
-                       on=("v",), right_on=("_kv",))
+                       on=("v",), right_on=("_sv",))
         sc = safe_join(sc, tot, join_type="inner", num_partitions=npart,
                        on=("c",), right_on=("c",))
-        sc = safe_join(sc, tot.rename_columns({"c": "own",
-                                               "tot": "tot_own"}),
-                       join_type="inner", num_partitions=npart,
-                       on=("own",), right_on=("own",))
         decided = sc.groupby("v").map_groups(
             decide_groups, batch_format="pyarrow").materialize()
         changed = int(decided.aggregate(Sum("chg"))["sum(chg)"] or 0)
-        labels = drop_empty_blocks(decided.select_columns(["v", "c"]))
+        state = drop_empty_blocks(decided.select_columns(["v", "c", "kv"]))
         if changed == 0:
             break
 
-    return labels.map_batches(
+    return state.map_batches(
         lambda t: pa.table({"node_id": t["v"], "community": t["c"]}),
         batch_format="pyarrow")
