@@ -7,22 +7,32 @@ convention — on a symmetrized graph each unordered pair contributes from
 both endpoints); with a hash-spaced sample it is the standard scalable
 estimator (scale the result by V/|seeds| for an unbiased estimate).
 
-Per source the two sweeps are frontier-bounded edge passes, exactly the
-``pipelines/bfs.py`` discipline:
+Sources are processed in CHUNKS (multi-source Brandes batching): the
+per-source state (dist, σ, δ) becomes a V×S matrix and every frontier
+edge pass serves all S sources of the chunk at once, so the number of
+dataset executions is O(depth) per chunk instead of O(depth) per seed —
+at 300 seeds and depth 3 that is ~50× fewer streaming-executor launches
+for identical per-seed arithmetic:
 
 * forward, level t → t+1: σ (shortest-path counts) of next-level vertices
-  accumulate as a SUM over frontier in-edges — per-batch
-  ``np.add.reduceat`` partials, combined per ``resolve_combine``;
+  accumulate as a SUM over frontier in-edges — per-batch 2-D
+  ``np.add.reduceat`` partials (axis 0, one column per source);
 * backward, level t+1 → t: dependencies δ flow the other way,
   δ(u) += σ(u)/σ(w)·(1+δ(w)) summed over u's successors w in level t+1 —
   the same per-batch partial-sum shape with the roles of src/dst swapped.
 
-Work per round is O(edges touching the frontier), never O(E); the
-per-source state (dist, σ, δ) is O(V) driver/broadcast state in the same
-regime as the other iterative pipelines (``combine="shuffle"`` is the
-documented huge-V path). Seeds are processed sequentially — total passes
-are |seeds| × 2·depth; pick |seeds| accordingly (this is a sampled
-estimator by design at scale).
+Per-seed values are bit-stable vs the one-seed-at-a-time loop: a chunk
+pass keeps an edge row when ANY source's frontier covers it and
+contributes exactly 0.0 in the columns whose source does not, and IEEE
+addition of 0.0 preserves every partial sum; the final ``bc``
+accumulation stays sequential in seed order.
+
+Work per round is O(edges touching the union frontier), never O(E); the
+chunk state is O(V·S) driver/broadcast state in the same regime as the
+other iterative pipelines, with S capped so the state stays ≲100 MB
+(``combine="shuffle"`` in ``pipelines/bfs.py`` is the documented huge-V
+path). Reference partitioner quality metrics: /root/reference/src (the
+reference has no betweenness; this is an engine-designed operator).
 """
 
 from __future__ import annotations
@@ -34,40 +44,55 @@ import ray.data
 
 from cuttana_ray.pipelines.graph import Graph
 
+# broadcast chunk state is (bool + float64) × V × S — cap the cell count
+# so one ray.put stays well under the object-store slab size
+_MAX_STATE_CELLS = 8_000_000
+
 
 def _sum_partials_fn(state_ref, forward: bool):
-    """Edge pass emitting per-batch (vertex, weighted-sum) partials.
+    """Edge pass emitting per-batch (vertex, per-source weighted-sum)
+    partials over the chunk.
 
-    forward: src in frontier → contribute ``val[src]`` to dst.
-    backward: dst in frontier → contribute ``val[dst]`` to src.
+    forward: src in frontier → contribute ``val[src, s]`` to dst.
+    backward: dst in frontier → contribute ``val[dst, s]`` to src.
+    ``val`` is pre-masked (exact 0.0 outside the frontier), so the row
+    filter below is a pure work-skip and never changes a sum.
     """
     def fn(batch: pa.Table) -> pa.Table:
         mask, val = ray.get(state_ref)
+        S = val.shape[1]
+        empty = pa.table({
+            "v": pa.array([], pa.int64()),
+            "partial": pa.FixedSizeListArray.from_arrays(
+                pa.array([], pa.float64()), S)})
         a = batch["src" if forward else "dst"] \
             .to_numpy(zero_copy_only=False)
         b = batch["dst" if forward else "src"] \
             .to_numpy(zero_copy_only=False)
         keep = mask[a]
         if not keep.any():
-            return pa.table({"v": pa.array([], pa.int64()),
-                             "partial": pa.array([], pa.float64())})
+            return empty
         tgt, contrib = b[keep], val[a[keep]]
         order = np.argsort(tgt, kind="stable")
         tgt_s, c_s = tgt[order], contrib[order]
         starts = np.concatenate(
             [[0], np.nonzero(tgt_s[1:] != tgt_s[:-1])[0] + 1])
-        sums = np.add.reduceat(c_s, starts)
-        return pa.table({"v": pa.array(tgt_s[starts], pa.int64()),
-                         "partial": pa.array(sums, pa.float64())})
+        sums = np.add.reduceat(c_s, starts, axis=0)
+        return pa.table({
+            "v": pa.array(tgt_s[starts], pa.int64()),
+            "partial": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1), pa.float64()), S)})
     return fn
 
 
-def _combine(ds_partial, V: int) -> np.ndarray:
-    out = np.zeros(V, dtype=np.float64)
+def _combine(ds_partial, V: int, S: int) -> np.ndarray:
+    out = np.zeros((V, S), dtype=np.float64)
     for b in ds_partial.iter_batches(batch_size=1 << 20,
                                      batch_format="pyarrow"):
-        np.add.at(out, b["v"].to_numpy(zero_copy_only=False),
-                  b["partial"].to_numpy(zero_copy_only=False))
+        v = b["v"].to_numpy(zero_copy_only=False)
+        p = b["partial"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(-1, S)
+        np.add.at(out, v, p)
     return out
 
 
@@ -78,41 +103,53 @@ def betweenness(graph: Graph, seeds: "np.ndarray | list[int]",
     V = graph.num_vertices
     edges = graph.edges
     bc = np.zeros(V, dtype=np.float64)
+    seeds = np.asarray(seeds, dtype=np.int64)
+    chunk = max(1, min(len(seeds), _MAX_STATE_CELLS // max(V, 1)))
 
-    for s in np.asarray(seeds, dtype=np.int64):
-        dist = np.full(V, -1, dtype=np.int64)
-        sigma = np.zeros(V, dtype=np.float64)
-        dist[s] = 0
-        sigma[s] = 1.0
-        levels = [np.array([s], dtype=np.int64)]
-        # forward sweep: levels + path counts
+    for lo in range(0, len(seeds), chunk):
+        cs = seeds[lo:lo + chunk]
+        S = len(cs)
+        cols = np.arange(S)
+        dist = np.full((V, S), -1, dtype=np.int64)
+        sigma = np.zeros((V, S), dtype=np.float64)
+        dist[cs, cols] = 0
+        sigma[cs, cols] = 1.0
+        depth = 0
+        # forward sweep: levels + path counts, all chunk sources at once
         for t in range(max_depth):
-            frontier = np.zeros(V, dtype=bool)
-            frontier[levels[-1]] = True
-            ref = ray.put((frontier, sigma))
+            frontier = dist == t
+            active = frontier.any(axis=1)
+            if not active.any():
+                break
+            ref = ray.put((active, np.where(frontier, sigma, 0.0)))
             partial = edges.map_batches(_sum_partials_fn(ref, True),
                                         batch_format="pyarrow")
-            sums = _combine(partial, V)
+            sums = _combine(partial, V, S)
             new = (sums > 0) & (dist == -1)
             if not new.any():
                 break
             sigma[new] += sums[new]
             dist[new] = t + 1
-            levels.append(np.nonzero(new)[0].astype(np.int64))
+            depth = t + 1
         # backward sweep: dependency accumulation, deepest level first
-        delta = np.zeros(V, dtype=np.float64)
-        for t in range(len(levels) - 1, 0, -1):
-            wmask = np.zeros(V, dtype=bool)
-            wmask[levels[t]] = True
-            coeff = np.zeros(V, dtype=np.float64)
-            coeff[levels[t]] = (1.0 + delta[levels[t]]) / sigma[levels[t]]
-            ref = ray.put((wmask, coeff))
+        delta = np.zeros((V, S), dtype=np.float64)
+        for t in range(depth, 0, -1):
+            wmask = dist == t
+            active = wmask.any(axis=1)
+            if not active.any():
+                continue
+            coeff = np.where(wmask,
+                             (1.0 + delta) / np.where(sigma == 0.0, 1.0,
+                                                      sigma), 0.0)
+            ref = ray.put((active, coeff))
             partial = edges.map_batches(_sum_partials_fn(ref, False),
                                         batch_format="pyarrow")
-            sums = _combine(partial, V)
-            prev = levels[t - 1]
+            sums = _combine(partial, V, S)
             # only predecessors (dist == t-1) receive dependency
-            delta[prev] += sigma[prev] * sums[prev]
-        delta[s] = 0.0
-        bc += delta
+            pmask = dist == t - 1
+            delta[pmask] += (sigma * sums)[pmask]
+        delta[cs, cols] = 0.0
+        # seed-order accumulation (matches the sequential per-seed loop)
+        for j in range(S):
+            bc += delta[:, j]
     return bc
