@@ -28,7 +28,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from cuttana_ray.util import pool_size
 
 NODE_SCHEMA = pa.schema([
     ("node_id", pa.int64()), ("name", pa.string()), ("kind", pa.string()),
@@ -131,28 +130,25 @@ def encode_edges(edges: "ray.data.Dataset", vocab: pa.Table) -> "ray.data.Datase
     one ship per batch)."""
     vocab_ref = ray.put(vocab["name"].combine_chunks())
 
-    class Encode:
-        def __init__(self):
-            self.names = ray.get(vocab_ref)
+    # plain tasks, not an actor pool: the per-task ``ray.get`` of the
+    # broadcast vocab is a zero-copy mmap of the node-local object-store
+    # copy (one transfer per NODE on a cluster, free single-node), and
+    # ``index_in`` needs no per-worker prep — so an actor pool here buys
+    # nothing per batch while paying ~3.5 s pool spin-up per graph build
+    # (measured at sf0.1: 4.7 s actor-pool encode vs 1.2 s task encode)
+    def encode(batch: pa.Table) -> pa.Table:
+        names = ray.get(vocab_ref)
+        src = pc.index_in(pc.cast(batch["src"], pa.string()),
+                          value_set=names)
+        dst = pc.index_in(pc.cast(batch["dst"], pa.string()),
+                          value_set=names)
+        return pa.table({
+            "src": pc.cast(src, pa.int64()),
+            "dst": pc.cast(dst, pa.int64()),
+            "weight": batch["weight"],
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            src = pc.index_in(pc.cast(batch["src"], pa.string()),
-                              value_set=self.names)
-            dst = pc.index_in(pc.cast(batch["dst"], pa.string()),
-                              value_set=self.names)
-            return pa.table({
-                "src": pc.cast(src, pa.int64()),
-                "dst": pc.cast(dst, pa.int64()),
-                "weight": batch["weight"],
-            })
-
-    # max_restarts=0: the constructor closure holds an ObjectRef, and a
-    # restartable actor whose constructor args live in the object store
-    # logs core_worker warnings (ray#53727); the stage is deterministic
-    # and Ray Data replaces failed pool actors itself, so restarts add
-    # nothing here.
-    return edges.map_batches(Encode, batch_format="pyarrow",
-                             concurrency=pool_size(), max_restarts=0)
+    return edges.map_batches(encode, batch_format="pyarrow")
 
 
 def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
@@ -161,13 +157,11 @@ def decode_column(ds: "ray.data.Dataset", vocab: pa.Table,
     out = out or f"{column}_name"
     vocab_ref = ray.put(vocab["name"].combine_chunks())
 
-    class Decode:
-        def __init__(self):
-            self.names = ray.get(vocab_ref)
+    # tasks for the same reason as ``encode_edges``: zero-copy node-local
+    # broadcast fetch, no per-worker prep, no actor-pool spin-up
+    def decode(batch: pa.Table) -> pa.Table:
+        names = ray.get(vocab_ref)
+        ids = pc.cast(batch[column], pa.int64())
+        return batch.append_column(out, pc.take(names, ids))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = pc.cast(batch[column], pa.int64())
-            return batch.append_column(out, pc.take(self.names, ids))
-
-    return ds.map_batches(Decode, batch_format="pyarrow",
-                          concurrency=pool_size(), max_restarts=0)
+    return ds.map_batches(decode, batch_format="pyarrow")
