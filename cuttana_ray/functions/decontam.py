@@ -68,28 +68,26 @@ def decontaminate(ds: "ray.data.Dataset", bench_set: pa.Array,
     Every input document appears exactly once (zero-hit docs included)."""
     set_ref = ray.put(bench_set)
 
-    class Check:
-        def __init__(self):
-            self.value_set = ray.get(set_ref)
+    # plain tasks: the broadcast shingle set is a zero-copy node-local
+    # ``ray.get`` per task, no per-worker prep — no actor-pool spin-up
+    # (see stages/vocab.py encode_edges for the measurement)
+    def check(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([(id_col, pa.int64()),
+                            ("n_hits", pa.int64()),
+                            ("contaminated", pa.bool_())])
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return schema.empty_table()
+        value_set = ray.get(set_ref)
+        rows, sh = _batch_shingles(batch, text_col, n)
+        hits = np.zeros(len(batch), dtype=np.int64)
+        if len(rows):
+            isin = pc.is_in(sh, value_set=value_set) \
+                .to_numpy(zero_copy_only=False)
+            np.add.at(hits, rows, isin.astype(np.int64))
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "contaminated": pa.array(hits > 0, pa.bool_()),
+        }).cast(schema)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            schema = pa.schema([(id_col, pa.int64()),
-                                ("n_hits", pa.int64()),
-                                ("contaminated", pa.bool_())])
-            if len(batch) == 0 or text_col not in batch.column_names:
-                return schema.empty_table()
-            rows, sh = _batch_shingles(batch, text_col, n)
-            hits = np.zeros(len(batch), dtype=np.int64)
-            if len(rows):
-                isin = pc.is_in(sh, value_set=self.value_set) \
-                    .to_numpy(zero_copy_only=False)
-                np.add.at(hits, rows, isin.astype(np.int64))
-            return pa.table({
-                id_col: pc.cast(batch[id_col], pa.int64()),
-                "n_hits": pa.array(hits, pa.int64()),
-                "contaminated": pa.array(hits > 0, pa.bool_()),
-            }).cast(schema)
-
-    from cuttana_ray.util import pool_size
-    return ds.map_batches(Check, batch_format="pyarrow",
-                          concurrency=pool_size(), max_restarts=0)
+    return ds.map_batches(check, batch_format="pyarrow")

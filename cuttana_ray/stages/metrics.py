@@ -107,27 +107,25 @@ def partition_quality(edges: "ray.data.Dataset", part_of: np.ndarray,
     """Cut metrics for a symmetrized int edge table + assignment vector."""
     ref = ray.put(part_of)
 
-    class CutCounter:
-        def __init__(self):
-            self.part = ray.get(ref)
+    # plain tasks: the broadcast assignment vector is a zero-copy
+    # node-local ``ray.get`` per task and there is no per-worker prep, so
+    # an actor pool here only added spin-up cost (see stages/vocab.py
+    # encode_edges for the measurement)
+    def cut_counter(batch: pa.Table) -> pa.Table:
+        part = ray.get(ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False) if weighted \
+            else np.ones(len(src), dtype=np.int64)
+        cut = part[src] != part[dst]
+        return pa.table({
+            "cut": pa.array([int(w[cut].sum())], pa.int64()),
+            "total": pa.array([int(w.sum())], pa.int64()),
+            "rows": pa.array([len(src)], pa.int64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            src = batch["src"].to_numpy(zero_copy_only=False)
-            dst = batch["dst"].to_numpy(zero_copy_only=False)
-            w = batch["weight"].to_numpy(zero_copy_only=False) if weighted \
-                else np.ones(len(src), dtype=np.int64)
-            cut = self.part[src] != self.part[dst]
-            return pa.table({
-                "cut": pa.array([int(w[cut].sum())], pa.int64()),
-                "total": pa.array([int(w.sum())], pa.int64()),
-                "rows": pa.array([len(src)], pa.int64()),
-            })
-
-    # max_restarts=0: constructor closure holds an ObjectRef (ray#53727
-    # warning otherwise); deterministic stage, Ray Data replaces actors
-    partials = edges.map_batches(CutCounter, batch_format="pyarrow",
-                                 concurrency=pool_size(),
-                                 max_restarts=0).to_pandas()
+    partials = edges.map_batches(cut_counter,
+                                 batch_format="pyarrow").to_pandas()
     doubled_cut = int(partials["cut"].sum())
     edge_count = int(partials["total"].sum())  # directed endpoints (2E)
     cut_count = doubled_cut // 2               # each cut edge once

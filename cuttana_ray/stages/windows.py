@@ -188,27 +188,24 @@ def session_counts(ds: "ray.data.Dataset", key: str, ts: str,
     from cuttana_ray.util import drop_empty_blocks
     joins_ref = ray.put(joins)
 
-    class Finish:
-        def __init__(self):
-            self.joins = ray.get(joins_ref)
+    # plain tasks: the broadcast dict is a node-local ``ray.get`` per task
+    # with no per-worker prep (no actor-pool spin-up; see stages/vocab.py)
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.string()),
+                            ("n_sessions", pa.int64())])
+        if len(t) == 0 or "k" not in t.column_names:
+            return schema.empty_table()
+        jmap = ray.get(joins_ref)
+        j = np.fromiter((jmap.get(x, 0)
+                         for x in t["k"].to_pylist()),
+                        np.int64, len(t))
+        n = (t["breaks"].to_numpy(zero_copy_only=False)
+             + t["blocks"].to_numpy(zero_copy_only=False) - j)
+        return pa.table({"k": t["k"],
+                         "n_sessions": pa.array(n)}).cast(schema)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            schema = pa.schema([("k", pa.string()),
-                                ("n_sessions", pa.int64())])
-            if len(t) == 0 or "k" not in t.column_names:
-                return schema.empty_table()
-            j = np.fromiter((self.joins.get(x, 0)
-                             for x in t["k"].to_pylist()),
-                            np.int64, len(t))
-            n = (t["breaks"].to_numpy(zero_copy_only=False)
-                 + t["blocks"].to_numpy(zero_copy_only=False) - j)
-            return pa.table({"k": t["k"],
-                             "n_sessions": pa.array(n)}).cast(schema)
-
-    from cuttana_ray.util import pool_size
     return drop_empty_blocks(body).map_batches(
-        Finish, batch_format="pyarrow", concurrency=pool_size(),
-        max_restarts=0).sort("k")
+        finish, batch_format="pyarrow").sort("k")
 
 
 def hopping_window_agg(ds: "ray.data.Dataset", key: str, ts: str,
