@@ -41,7 +41,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from cuttana_ray.util import pool_size, safe_join
+from cuttana_ray.util import safe_join
 
 _MERSENNE = (1 << 61) - 1
 _HASH_SEED = 0x9E3779B97F4A7C15
@@ -371,8 +371,8 @@ def _lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
     shuffle, and signatures are never duplicated per band."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        _MinHashSig, batch_format="pyarrow", concurrency=pool_size(),
-        fn_constructor_args=(num_perm, shingle_k, text_col, id_col)) \
+        _MinHashSig(num_perm, shingle_k, text_col, id_col),
+        batch_format="pyarrow") \
         .materialize()  # consumed by both melt passes
 
     band_rows = sigs.map_batches(
@@ -650,9 +650,8 @@ def simhash_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``
     (guaranteed found when ≤ 3: pigeonhole over 4 bands). One melted
     (band, key) shuffle; within-bucket pairs + popcount fully vectorized."""
-    melted = ds.map_batches(_SimHasher, batch_format="pyarrow",
-                            concurrency=pool_size(),
-                            fn_constructor_args=(text_col, id_col))
+    melted = ds.map_batches(_SimHasher(text_col, id_col),
+                            batch_format="pyarrow")
 
     def band_pairs(group: pa.Table) -> pa.Table:
         out_empty = pa.table({"doc_a": pa.array([], pa.int64()),

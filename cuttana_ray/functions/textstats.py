@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from cuttana_ray.util import pool_size
+
 
 # BPE-ish token pattern: word pieces, numbers, or single non-space symbols
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
@@ -92,9 +92,8 @@ class _QualityScorer:
 
 def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
                    id_col: str = "doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(_QualityScorer, batch_format="pyarrow",
-                          concurrency=pool_size(),
-                          fn_constructor_args=(text_col, id_col))
+    return ds.map_batches(_QualityScorer(text_col, id_col),
+                          batch_format="pyarrow")
 
 
 class _LangId:
@@ -126,8 +125,7 @@ class _LangId:
 
 def lang_id(ds: "ray.data.Dataset", text_col: str = "text",
             id_col: str = "doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(_LangId, batch_format="pyarrow", concurrency=pool_size(),
-                          fn_constructor_args=(text_col, id_col))
+    return ds.map_batches(_LangId(text_col, id_col), batch_format="pyarrow")
 
 
 class _Fingerprinter:
@@ -168,9 +166,8 @@ class _Fingerprinter:
 def fingerprints(ds: "ray.data.Dataset", k: int = 8, w: int = 4,
                  text_col: str = "text",
                  id_col: str = "doc_id") -> "ray.data.Dataset":
-    return ds.map_batches(_Fingerprinter, batch_format="pyarrow",
-                          concurrency=pool_size(),
-                          fn_constructor_args=(k, w, text_col, id_col))
+    return ds.map_batches(_Fingerprinter(k, w, text_col, id_col),
+                          batch_format="pyarrow")
 
 
 def int_quantiles(ds: "ray.data.Dataset", col: str,
