@@ -124,15 +124,17 @@ def build_graph_from_events(events: "ray.data.Dataset",
     bipartite links + event_type→next-event_type adjacency per user ordered
     by (ts, event_id)."""
     from cuttana_ray.stages.edges import canonicalize_undirected
+    # dedup=False: both extractors return per-block partials (weights sum
+    # to the same totals); the ONE outer dedup after canonicalize merges
+    # directional splits, (a,b)/(b,a) splits and block partials in a
+    # single sort exchange — two fewer exchanges than dedup-per-extractor
     ue = bipartite_edges(events.select_columns(["user_id", "event_type"]),
-                         "user_id", "event_type", "user:", "event:")
+                         "user_id", "event_type", "user:", "event:",
+                         dedup=False)
     ee = consecutive_pairs(
         events.select_columns(["user_id", "ts", "event_id", "event_type"]),
-        "user_id", ["ts", "event_id"], "event_type", "event:", "event:")
-    # extractors dedup directionally; canonicalizing then re-deduping the
-    # (small, already-collapsed) union merges (a,b)/(b,a) weight splits in
-    # one exchange over N rows, so symmetrize is a flat map — cheaper than
-    # the old no-outer-dedup + sort-over-2N symmetrize
+        "user_id", ["ts", "event_id"], "event_type", "event:", "event:",
+        dedup=False)
     return _build(canonicalize_undirected(ue.union(ee)), workdir,
                   deduped=False, canonical=True)
 

@@ -48,11 +48,16 @@ def _partial_pair_counts(batch: pa.Table, src: str, dst: str) -> pa.Table:
 
 def bipartite_edges(ds: "ray.data.Dataset", src_col: str, dst_col: str,
                     src_prefix: str = "", dst_prefix: str = "",
-                    drop_null_dst: bool = True) -> "ray.data.Dataset":
+                    drop_null_dst: bool = True,
+                    dedup: bool = True) -> "ray.data.Dataset":
     """Weighted src→dst edges from two columns (e.g. conv_id→tool).
 
     Per-batch ``group_by`` combiner, then a global ``groupby().sum`` over the
     much smaller partials — the pre-aggregation pattern for skewed keys.
+
+    ``dedup=False`` returns the per-batch partials uncombined (parallel
+    rows whose weights sum to the same totals) for callers that run their
+    own downstream ``dedup_weighted`` anyway — skipping one sort exchange.
     """
     def extract(batch: pa.Table) -> pa.Table:
         if drop_null_dst:
@@ -71,7 +76,7 @@ def bipartite_edges(ds: "ray.data.Dataset", src_col: str, dst_col: str,
         return pa.table({"src": src, "dst": dst, "weight": t["weight"]})
 
     partial = ds.map_batches(extract, batch_format="pyarrow")
-    return dedup_weighted(partial)
+    return dedup_weighted(partial) if dedup else partial
 
 
 def dedup_weighted(edges: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -205,7 +210,8 @@ def symmetrize(edges: "ray.data.Dataset", drop_self_loops: bool = True,
 
 def consecutive_pairs(ds: "ray.data.Dataset", key: str, order: list[str],
                       value: str, src_prefix: str = "",
-                      dst_prefix: str = "") -> "ray.data.Dataset":
+                      dst_prefix: str = "",
+                      dedup: bool = True) -> "ray.data.Dataset":
     """Weighted (value_i → value_{i+1}) edges between consecutive rows of the
     same ``key``, ordered by ``order`` (SQL: ``lead(value) OVER (PARTITION BY
     key ORDER BY order)``).
@@ -310,7 +316,9 @@ def consecutive_pairs(ds: "ray.data.Dataset", key: str, order: list[str],
                 "weight": batch["weight"],
             })
         unioned = unioned.map_batches(add_prefix, batch_format="pyarrow")
-    return dedup_weighted(unioned)
+    # dedup=False: per-block partials + boundary extras (weights sum to the
+    # same totals) for callers running their own downstream dedup_weighted
+    return dedup_weighted(unioned) if dedup else unioned
 
 
 # ---------------------------------------------------------------------------
