@@ -95,7 +95,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         # -- flagship transcripts ------------------------------------------
         tdir = f"/tmp/cuttana_bench/transcripts_sf{sf}"
         write_synth_transcripts(tdir, n_convs, num_files=32)   # cached
-        transcripts = rd.read_parquet(tdir, file_extensions=["parquet"])
+        from cuttana_ray.pipelines.flagship import FLAGSHIP_COLUMNS
+        transcripts = rd.read_parquet(tdir, file_extensions=["parquet"],
+                                      columns=list(FLAGSHIP_COLUMNS))
         transcripts.count()  # warm page cache (untimed read)
 
         workdir = tempfile.mkdtemp(prefix="cuttana_bench_")

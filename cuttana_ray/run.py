@@ -46,13 +46,16 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data as rd
         from cuttana_ray.config import CuttanaConfig
         from cuttana_ray.pipelines.flagship import (
+            FLAGSHIP_COLUMNS,
             run_flagship,
             run_flagship_bigv,
         )
 
+        # prune at the read: neither flagship mode touches the text column
+        inp = rd.read_parquet(args.input, columns=list(FLAGSHIP_COLUMNS))
         if args.mode == "bigv":
             lineage = run_flagship_bigv(
-                rd.read_parquet(args.input), args.workdir,
+                inp, args.workdir,
                 num_shards=args.num_partitions,
                 pagerank_tol=args.pagerank_tol, lpa_iters=args.lpa_iters)
         else:
@@ -60,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
                                    balance_slack=args.balance_slack,
                                    seed=args.seed)
             lineage = run_flagship(
-                rd.read_parquet(args.input), args.workdir,
+                inp, args.workdir,
                 num_partitions=args.num_partitions, config=config,
                 mode=args.mode, pagerank_tol=args.pagerank_tol,
                 lpa_iters=args.lpa_iters)
