@@ -26,8 +26,6 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from cuttana_ray.util import pool_size
-
 
 def assignment_array(assignments: "ray.data.Dataset",
                      num_vertices: int) -> np.ndarray:
