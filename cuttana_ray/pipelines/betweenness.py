@@ -21,11 +21,15 @@ for identical per-seed arithmetic:
   δ(u) += σ(u)/σ(w)·(1+δ(w)) summed over u's successors w in level t+1 —
   the same per-batch partial-sum shape with the roles of src/dst swapped.
 
-Per-seed values are bit-stable vs the one-seed-at-a-time loop: a chunk
-pass keeps an edge row when ANY source's frontier covers it and
-contributes exactly 0.0 in the columns whose source does not, and IEEE
-addition of 0.0 preserves every partial sum; the final ``bc``
-accumulation stays sequential in seed order.
+Per-seed PARTIAL sums are bit-stable vs the one-seed-at-a-time loop: a
+chunk pass keeps an edge row when ANY source's frontier covers it and
+contributes exactly 0.0 in the columns whose source does not (IEEE
+addition of 0.0 preserves every partial sum), and the final ``bc``
+accumulation stays sequential in seed order. The only residual fp
+nondeterminism is the driver combine's block ARRIVAL order — present
+for any chunk size, including two identical runs — so end results agree
+to ~1 ulp (test: ``test_betweenness_chunking_matches_per_seed``), and
+callers that need reproducible hashes round (the driver query uses 8 dp).
 
 Work per round is O(edges touching the union frontier), never O(E); the
 chunk state is O(V·S) driver/broadcast state in the same regime as the

@@ -548,6 +548,24 @@ def test_betweenness_er_vs_brandes(er_graph):
     assert np.allclose(got, exp, atol=1e-9)
 
 
+def test_betweenness_chunking_matches_per_seed(er_graph, monkeypatch):
+    """Multi-source chunking is a pure batching change: forcing tiny
+    chunks (S=1 per-seed path and S=2) reproduces the one-chunk run to
+    ~1 ulp — rows outside a column's frontier contribute exact 0.0 and
+    the final accumulation stays sequential in seed order, so the only
+    residual fp difference is the driver-combine's block ARRIVAL order
+    (nondeterministic for any chunk size, including two identical runs)."""
+    import importlib
+    bw = importlib.import_module("cuttana_ray.pipelines.betweenness")
+    g, n = er_graph
+    seeds = np.array([0, 3, 101, 150], dtype=np.int64)
+    full = bw.betweenness(g, seeds)
+    for cells in (1, 2 * n):  # chunk size 1 and 2
+        monkeypatch.setattr(bw, "_MAX_STATE_CELLS", cells)
+        chunked = bw.betweenness(g, seeds)
+        assert np.allclose(full, chunked, rtol=1e-12, atol=1e-12)
+
+
 def _hits_oracle(src, dst, w, n, k):
     h = np.full(n, 1.0 / np.sqrt(n))
     a = np.zeros(n)

@@ -35,6 +35,24 @@ def test_bipartite_edges_vs_pandas(tiny_transcripts):
 
 
 @pytest.mark.parametrize("num_blocks", [1, 3, 17])
+def test_extractor_partials_sum_to_deduped(tiny_transcripts, num_blocks):
+    """dedup=False partials must reproduce the deduped output exactly
+    under one downstream dedup_weighted, at any block layout — the
+    contract build_graph_from_events relies on to fuse its exchanges."""
+    ds = rd.from_arrow(tiny_transcripts).repartition(num_blocks)
+    for make in (
+        lambda d, dd: bipartite_edges(d, "conv_id", "tool", "conv:",
+                                      "tool:", dedup=dd),
+        lambda d, dd: consecutive_pairs(d, "conv_id", ["turn_idx"], "role",
+                                        dedup=dd),
+    ):
+        exp = make(ds, True).to_pandas()
+        got = dedup_weighted(make(ds, False)).to_pandas()
+        key = lambda df: {(r.src, r.dst): r.weight for r in df.itertuples()}
+        assert key(got) == key(exp)
+
+
+@pytest.mark.parametrize("num_blocks", [1, 3, 17])
 def test_consecutive_pairs_exact_across_block_layouts(tiny_transcripts,
                                                       num_blocks):
     """lead() must be exact no matter how rows split into blocks."""
