@@ -3108,9 +3108,17 @@ def _q_ngram_jaccard_docs(sf_dir: str):
 def _q_neardup_clusters(sf_dir: str):
     """Near-dup clusters: connected components over the exact-Jaccard
     verified LSH pair graph via join+groupby(Min) label propagation —
-    the "keep one representative per near-dup group" primitive."""
-    from cuttana_ray.functions.dedup import neardup_clusters
-    return neardup_clusters(_read(sf_dir, "documents"), threshold=0.5)
+    the "keep one representative per near-dup group" primitive.
+
+    Cached per sf_dir (same pattern as ``_GRAPH_CACHE``):
+    ``neardup_cluster_sizes`` consumes the identical cluster table, so a
+    driver session sampling both pays the ~30 s LSH+verify pipeline once."""
+    key = ("neardup_clusters", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from cuttana_ray.functions.dedup import neardup_clusters
+        _GRAPH_CACHE[key] = neardup_clusters(
+            _read(sf_dir, "documents"), threshold=0.5).materialize()
+    return _GRAPH_CACHE[key]
 
 
 def _q_embedding_neardup(sf_dir: str):
