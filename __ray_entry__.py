@@ -7467,6 +7467,44 @@ def _q_chunk_dup_rate(sf_dir: str):
             pa.float64())})
 
 
+def _q_squares_events(sf_dir: str):
+    """Exact 4-cycle (square) census over the events graph: codegree
+    pairs from the shared wedge plan (one sort + per-block vectorized
+    expansion + single exchange), each 4-cycle counted once per diagonal
+    pair and halved — squares = Σ C(codeg,2)/2
+    (pipelines/triangles.py square_count)."""
+    from cuttana_ray.pipelines.triangles import square_count
+    g = _events_graph(sf_dir)
+    return square_count(g.edges)
+
+
+def _q_butterflies_parts(sf_dir: str):
+    """Butterfly (2×2-biclique) census of the customer–part bipartite
+    incidence graph, plus the caterpillar (3-path) count and bipartite
+    clustering coefficient 4B/C — the bipartite motif primitive
+    (functions/cooccur.py bipartite_motifs): butterflies from item-pair
+    codegrees (shared wedge plan), caterpillars from degree joins onto
+    the distinct edge table; only two scalars reach the driver."""
+    from cuttana_ray.functions.cooccur import bipartite_motifs
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    cp = safe_join(orders, line, join_type="inner", num_partitions=8,
+                   on=("o_orderkey",))
+    return bipartite_motifs(cp, "o_custkey", "l_partkey")
+
+
+def _q_quality_linear_docs(sf_dir: str):
+    """fastText/CCNet-shaped hashed linear quality scorer: token →
+    FNV-1a → hash bucket → deterministic weight, exact int64 weight sum
+    per doc, score = wsum/(n·2^32), keep = wsum>0
+    (functions/textstats.py hashed_linear_score — the weight table is a
+    replayable placeholder; a trained table broadcasts the same way)."""
+    from cuttana_ray.functions.textstats import hashed_linear_score
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hashed_linear_score(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-checked
@@ -7774,6 +7812,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_audit": _q_order_total_audit,
         # forty-fourth round-2 batch (SQL-checked)
         "chunk_dup_rate": _q_chunk_dup_rate,
+        # round-3 session-7 batch (all SQL-checked)
+        "squares_events": _q_squares_events,
+        "butterflies_parts": _q_butterflies_parts,
+        "quality_linear_docs": _q_quality_linear_docs,
     }
 
 
@@ -12159,5 +12201,68 @@ def oracle_sql() -> dict[str, str]:
                                  - cum2 / CAST(t.n2 AS DOUBLE))), 6)
                        AS ks
             FROM cum, t GROUP BY t.n1, t.n2
+        """,
+        "squares_events": "WITH " + _EVENTS_GRAPH_SQL + """,
+            w AS (SELECT a.dst AS u, b.dst AS w2, COUNT(*) AS co
+                  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+                  GROUP BY 1, 2)
+            SELECT CAST(COALESCE(SUM(co * (co - 1) // 2), 0) // 2
+                        AS BIGINT) AS squares,
+                   CAST(COALESCE(SUM(CASE WHEN co >= 2 THEN 1 ELSE 0 END),
+                                 0) AS BIGINT) AS codeg_pairs
+            FROM w
+        """,
+        "butterflies_parts": """
+            WITH ed AS (
+                SELECT DISTINCT o.o_custkey AS g, l.l_partkey AS i
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+            p AS (SELECT a.i AS p1, b.i AS p2, COUNT(*) AS co
+                  FROM ed a JOIN ed b ON a.g = b.g AND a.i < b.i
+                  GROUP BY 1, 2),
+            gd AS (SELECT g, COUNT(*) AS dg FROM ed GROUP BY 1),
+            idg AS (SELECT i, COUNT(*) AS di FROM ed GROUP BY 1),
+            b AS (SELECT COALESCE(SUM(co * (co - 1) // 2), 0) AS bf
+                  FROM p),
+            c AS (SELECT COALESCE(SUM((gd.dg - 1) * (idg.di - 1)), 0)
+                      AS ct
+                  FROM ed JOIN gd ON gd.g = ed.g
+                          JOIN idg ON idg.i = ed.i)
+            SELECT CAST(b.bf AS BIGINT) AS butterflies,
+                   CAST(c.ct AS BIGINT) AS caterpillars,
+                   COALESCE(ROUND(4.0 * b.bf / NULLIF(c.ct, 0), 6), 0.0)
+                       AS bcc
+            FROM b, c
+        """,
+        "quality_linear_docs": f"""
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                       FROM documents),
+            tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+                FROM d),
+            th AS MATERIALIZED (
+                SELECT doc_id,
+                       list_reduce(
+                           list_prepend(14695981039346656037::HUGEINT,
+                               list_transform(string_split(t, ''),
+                                              c -> ord(c)::HUGEINT)),
+                           (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+                                     % {_U64}) AS h
+                FROM tok),
+            w AS (SELECT doc_id,
+                         CAST(((h % 65536) * 2654435761::HUGEINT)
+                              % 4294967296::HUGEINT
+                              - 2147483648 AS BIGINT) AS wn
+                  FROM th),
+            agg AS (SELECT doc_id, COUNT(*) AS n, SUM(wn) AS ws
+                    FROM w GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(agg.ws, 0) AS BIGINT) AS wsum,
+                   COALESCE(ROUND(agg.ws / (agg.n * 4294967296.0), 6),
+                            0.0) AS score,
+                   COALESCE(agg.ws, 0) > 0 AS keep
+            FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
     }

@@ -63,3 +63,99 @@ def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
                          "cosine": pa.array(cos)}).cast(schema)
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+def bipartite_motifs(ds: "ray.data.Dataset", group: str, item: str
+                     ) -> pa.Table:
+    """Butterfly census of the bipartite (group, item) incidence graph —
+    the standard bipartite motif primitive (a butterfly is a 2×2 biclique;
+    a caterpillar is a 3-path). Returns a one-row table
+    ``(butterflies, caterpillars, bcc)`` with the bipartite clustering
+    coefficient ``bcc = 4·butterflies / caterpillars`` (0 when there are
+    no caterpillars).
+
+    Identities (exact, integer):
+      butterflies  = Σ_{i1<i2} C(co(i1,i2), 2)      — co = shared groups;
+                     each butterfly is counted once, by its item pair.
+      caterpillars = Σ_{(g,i)∈E} (deg(g)−1)·(deg(i)−1)
+                     — each 3-path once, by its center edge.
+
+    Scale plan: item-pair codegrees ride the shared wedge plan
+    (``stages/keyblocks._pairs_and_counts`` — one sort, per-block
+    vectorized expansion, pre-combined single exchange); degrees are
+    per-block partial counts + one small groupby each; the caterpillar
+    sum is two distributed hash joins of the O(V)-row degree tables onto
+    the distinct edge table, combined per batch. Nothing but the final
+    two scalars reaches the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.stages.edges import dedup_weighted
+    from cuttana_ray.stages.keyblocks import _pairs_and_counts
+    from cuttana_ray.util import drop_empty_blocks
+
+    pairs, icounts = _pairs_and_counts(ds, group, item)
+
+    def bf_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("bf", pa.int64())])
+        if len(t) == 0 or "co" not in t.column_names:
+            return sch.empty_table()
+        co = t["co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bf": pa.array(
+            [int((co * (co - 1) // 2).sum())], pa.int64())})
+
+    bf_agg = pairs.map_batches(bf_partial, batch_format="pyarrow").sum("bf")
+    butterflies = int(bf_agg or 0)
+
+    # distinct (group, item) edges via the sort-based exchange (weight is
+    # the per-block multiplicity — discarded; presence is what matters)
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or group not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"src": pc.cast(t[group], pa.int64()),
+                        "dst": pc.cast(t[item], pa.int64())}) \
+            .group_by(["src", "dst"]).aggregate([])
+        return pa.table({"src": out["src"], "dst": out["dst"],
+                         "weight": pa.array(np.ones(len(out), np.int64))
+                         }).cast(sch)
+
+    edges = drop_empty_blocks(dedup_weighted(
+        ds.map_batches(tag, batch_format="pyarrow"))) \
+        .select_columns(["src", "dst"])
+
+    def gdeg_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.int64()), ("c", pa.int64())])
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return t.select(["src"]).group_by(["src"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["src", "c"]).cast(sch)
+
+    gdeg = edges.map_batches(gdeg_partial, batch_format="pyarrow") \
+        .groupby("src").aggregate(Sum("c", alias_name="_dg"))
+    ideg = icounts.rename_columns({"i": "dst", "n_g": "_di"})
+
+    j = safe_join(safe_join(edges, drop_empty_blocks(gdeg),
+                            join_type="inner", num_partitions=4,
+                            on=("src",)),
+                  drop_empty_blocks(ideg), join_type="inner",
+                  num_partitions=4, on=("dst",))
+
+    def cat_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("ct", pa.int64())])
+        if len(t) == 0 or "_dg" not in t.column_names:
+            return sch.empty_table()
+        dg = t["_dg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        di = t["_di"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ct": pa.array(
+            [int(((dg - 1) * (di - 1)).sum())], pa.int64())})
+
+    ct_agg = j.map_batches(cat_partial, batch_format="pyarrow").sum("ct")
+    caterpillars = int(ct_agg or 0)
+
+    bcc = round(4.0 * butterflies / caterpillars, 6) if caterpillars \
+        else 0.0
+    return pa.table({"butterflies": pa.array([butterflies], pa.int64()),
+                     "caterpillars": pa.array([caterpillars], pa.int64()),
+                     "bcc": pa.array([bcc], pa.float64())})

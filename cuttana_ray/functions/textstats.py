@@ -331,3 +331,71 @@ def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
             "top_bigram_n": pa.array(top_big)}).cast(out_schema)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def hashed_linear_score(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", dim: int = 65536
+                        ) -> "ray.data.Dataset":
+    """fastText/CCNet-shaped hashed linear document scorer — the
+    production quality-filter shape: token → hash-bucket feature → weight
+    lookup → mean score → keep/drop. Weights here are a DETERMINISTIC
+    placeholder table ``w(b) = ((b·2654435761) mod 2^32) − 2^31`` (Knuth
+    multiplicative mix) so the whole operator is replayable in SQL; a
+    trained coefficient table would broadcast exactly the same way —
+    O(dim) per node, never O(corpus).
+
+    Output per doc: ``(doc_id, n_tokens, wsum, score, keep)`` where
+    ``wsum`` is the exact int64 weight sum (layout-invariant — no float
+    accumulation order anywhere), ``score = wsum / (n_tokens · 2^32)``
+    rounded to 6 dp, and ``keep = wsum > 0``. Tokenization and the
+    per-token 64-bit FNV-1a match the SimHash stage bit-for-bit
+    (``functions/dedup._hash_strings``), fully vectorized: one Arrow
+    regex split per batch, one NumPy pass per byte position, bincount
+    segment sums — no Python loop over docs or tokens.
+    """
+    from cuttana_ray.functions.dedup import _hash_strings
+
+    shift = 1 << 31
+    mod = 1 << 32
+
+    def score(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                         ("wsum", pa.int64()), ("score", pa.float64()),
+                         ("keep", pa.bool_())])
+        if len(t) == 0 or text_col not in t.column_names:
+            return sch.empty_table()
+        n = len(t)
+        texts = pc.cast(t[text_col], pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep_tok = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        ntok = np.zeros(n, np.int64)
+        wsum = np.zeros(n, np.int64)
+        if keep_tok.any():
+            hs = _hash_strings(flat.filter(pa.array(keep_tok)))
+            par = parents[keep_tok]
+            b = (hs % np.uint64(dim)).astype(np.int64)
+            wn = (b * 2654435761) % mod - shift
+            ntok += np.bincount(par, minlength=n).astype(np.int64)
+            # float64 bincount is exact here: |wn| < 2^31 and docs are
+            # ≪ 2^21 tokens, so every partial sum stays below 2^52
+            wsum += np.bincount(par, weights=wn.astype(np.float64),
+                                minlength=n).astype(np.int64)
+        # single division (wsum and ntok·2^32 both exact) — bit-identical
+        # to the oracle's wsum / (n * 4294967296.0)
+        sc = np.where(ntok > 0,
+                      np.round(wsum / (np.maximum(ntok, 1) * float(mod)), 6),
+                      0.0)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "n_tokens": pa.array(ntok),
+                         "wsum": pa.array(wsum),
+                         "score": pa.array(sc),
+                         "keep": pa.array(wsum > 0)}).cast(sch)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -204,3 +204,46 @@ def triangle_count(graph: Graph, mode: str = "auto") -> TriangleResult:
         raise ValueError(f"unknown mode {mode!r}")
     total = int(per_vertex.sum()) // 3
     return TriangleResult(per_vertex, total)
+
+
+def square_count(edges: "ray.data.Dataset") -> pa.Table:
+    """Exact 4-cycle (square) census over a SYMMETRIC distinct edge table
+    ``(src, dst, ...)`` — the next motif up from triangles (the reference
+    engine counts no motifs at all; its closest shape is the neighbour-set
+    scoring in ``/root/reference/src/core.rs``).
+
+    Identity: every 4-cycle a-b-c-d has exactly two diagonal pairs
+    ({a,c}, {b,d}), and a pair (u, w) with codegree c closes C(c, 2)
+    cycles, so  squares = Σ_{u<w} C(codeg(u,w), 2) / 2  (the sum is always
+    even). Codegrees come from the shared wedge plan
+    (``stages/keyblocks._pairs_and_counts``): ONE sort by center vertex,
+    per-block vectorized pair expansion pre-combined before the single
+    (u, w) exchange — same machinery as item co-occurrence, so wedge
+    volume Σ deg² is the inherent cost and hub-heavy graphs want the
+    documented upstream hub bucketing (the events graph is hub-light).
+
+    Returns a one-row table ``(squares, codeg_pairs)`` where
+    ``codeg_pairs`` is the number of vertex pairs with ≥2 common
+    neighbours (the candidate diagonals).
+    """
+    from cuttana_ray.stages.keyblocks import _pairs_and_counts
+
+    pairs, _ = _pairs_and_counts(
+        edges.select_columns(["src", "dst"]), "src", "dst")
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("s2", pa.int64()), ("p2", pa.int64())])
+        if len(t) == 0 or "co" not in t.column_names:
+            return sch.empty_table()
+        co = t["co"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "s2": pa.array([int((co * (co - 1) // 2).sum())], pa.int64()),
+            "p2": pa.array([int((co >= 2).sum())], pa.int64())})
+
+    # O(#blocks) scalar partials — driver combine is a constant-size sum
+    agg = pairs.map_batches(partial, batch_format="pyarrow") \
+        .sum(["s2", "p2"])
+    s2 = int(agg["sum(s2)"] or 0) if agg else 0
+    p2 = int(agg["sum(p2)"] or 0) if agg else 0
+    return pa.table({"squares": pa.array([s2 // 2], pa.int64()),
+                     "codeg_pairs": pa.array([p2], pa.int64())})

@@ -1,0 +1,151 @@
+"""Motif censuses: 4-cycle (square) count on general graphs, butterfly /
+caterpillar counts on bipartite incidence graphs, and the hashed linear
+document scorer — each checked against an independent brute-force oracle
+(itertools / dict loops, no shared machinery)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from cuttana_ray.functions.cooccur import bipartite_motifs
+from cuttana_ray.pipelines.triangles import square_count
+
+
+def _sym_edges(pairs: list[tuple[int, int]], nblocks: int = 3):
+    src, dst = [], []
+    for a, b in pairs:
+        src += [a, b]
+        dst += [b, a]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def _brute_squares(pairs: list[tuple[int, int]]) -> int:
+    es = {frozenset(p) for p in pairs}
+    vs = sorted({v for p in pairs for v in p})
+    n = 0
+    for a, b, c, d in itertools.combinations(vs, 4):
+        # the 3 distinct 4-cycles on {a,b,c,d}, one per diagonal pairing
+        for cyc in ((a, b, c, d), (a, b, d, c), (a, c, b, d)):
+            w, x, y, z = cyc
+            if ({frozenset((w, x)), frozenset((x, y)),
+                 frozenset((y, z)), frozenset((z, w))} <= es):
+                n += 1
+    return n
+
+
+def test_square_count_c4():
+    got = square_count(_sym_edges([(0, 1), (1, 2), (2, 3), (3, 0)]))
+    assert got["squares"][0].as_py() == 1
+
+
+def test_square_count_k23():
+    # complete bipartite K_{2,3}: C(2,2)*C(3,2) = 3 squares
+    pairs = [(a, b) for a in (0, 1) for b in (2, 3, 4)]
+    got = square_count(_sym_edges(pairs))
+    assert got["squares"][0].as_py() == 3
+
+
+def test_square_count_triangle_free_of_squares():
+    got = square_count(_sym_edges([(0, 1), (1, 2), (2, 0)]))
+    assert got["squares"][0].as_py() == 0
+    assert got["codeg_pairs"][0].as_py() == 0
+
+
+@pytest.mark.parametrize("seed,nblocks", [(7, 2), (8, 5), (9, 1)])
+def test_square_count_random_brute_force(seed, nblocks):
+    rng = np.random.default_rng(seed)
+    n = 14
+    pairs = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.3]
+    got = square_count(_sym_edges(pairs, nblocks))
+    assert got["squares"][0].as_py() == _brute_squares(pairs)
+
+
+def _bip_ds(edges: list[tuple[int, int]], nblocks: int = 3):
+    # deliberately duplicated rows: the operator must distinct first
+    e2 = edges + edges[: len(edges) // 2]
+    t = pa.table({"g": pa.array([a for a, _ in e2], pa.int64()),
+                  "i": pa.array([b for _, b in e2], pa.int64())})
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def _brute_bipartite(edges: list[tuple[int, int]]) -> tuple[int, int]:
+    es = set(edges)
+    items = sorted({i for _, i in es})
+    gdeg: dict[int, int] = {}
+    ideg: dict[int, int] = {}
+    for g, i in es:
+        gdeg[g] = gdeg.get(g, 0) + 1
+        ideg[i] = ideg.get(i, 0) + 1
+    bf = 0
+    for i1, i2 in itertools.combinations(items, 2):
+        co = len({g for g, i in es if i == i1}
+                 & {g for g, i in es if i == i2})
+        bf += co * (co - 1) // 2
+    ct = sum((gdeg[g] - 1) * (ideg[i] - 1) for g, i in es)
+    return bf, ct
+
+
+def test_bipartite_motifs_k23():
+    edges = [(a, b) for a in (10, 11) for b in (0, 1, 2)]
+    got = bipartite_motifs(_bip_ds(edges), "g", "i").to_pandas()
+    assert got["butterflies"][0] == 3
+    assert got["caterpillars"][0] == 12
+    assert got["bcc"][0] == 1.0  # complete bipartite graphs are closed
+
+
+@pytest.mark.parametrize("seed,nblocks", [(3, 2), (4, 4)])
+def test_bipartite_motifs_random_brute_force(seed, nblocks):
+    rng = np.random.default_rng(seed)
+    edges = sorted({(int(rng.integers(0, 9)), int(rng.integers(100, 112)))
+                    for _ in range(60)})
+    bf, ct = _brute_bipartite(edges)
+    got = bipartite_motifs(_bip_ds(edges, nblocks), "g", "i").to_pandas()
+    assert got["butterflies"][0] == bf
+    assert got["caterpillars"][0] == ct
+    exp_bcc = round(4.0 * bf / ct, 6) if ct else 0.0
+    assert got["bcc"][0] == pytest.approx(exp_bcc, abs=1e-9)
+
+
+def _fnv(token: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+def _brute_linear_score(text: str | None, dim: int = 65536):
+    import re
+    toks = [t for t in re.split(r"\W+", (text or "").lower()) if t]
+    wsum = 0
+    for t in toks:
+        b = _fnv(t) % dim
+        wsum += (b * 2654435761) % (1 << 32) - (1 << 31)
+    n = len(toks)
+    score = round(wsum / (n * float(1 << 32)), 6) if n else 0.0
+    return n, wsum, score, wsum > 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_hashed_linear_score_brute_force(nblocks):
+    from cuttana_ray.functions.textstats import hashed_linear_score
+    texts = ["The quick brown fox. Jumps!", "", None, "aaa aaa aaa",
+             "Ray Data engines stream Arrow batches 123 -- zero copy?",
+             "x", "mixed CASE Tokens, mixed case tokens"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = hashed_linear_score(rd.from_arrow(t).repartition(nblocks)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, text in enumerate(texts):
+        n, wsum, score, keep = _brute_linear_score(text)
+        assert got["n_tokens"][i] == n, (i, text)
+        assert got["wsum"][i] == wsum
+        assert got["score"][i] == pytest.approx(score, abs=1e-9)
+        assert bool(got["keep"][i]) == keep
