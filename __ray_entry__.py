@@ -7494,6 +7494,59 @@ def _q_butterflies_parts(sf_dir: str):
     return bipartite_motifs(cp, "o_custkey", "l_partkey")
 
 
+# fixed already-learned merge table for the tokenizer-APPLY query (a
+# trained tokenizer is a constant artifact; chained merges exercise
+# multi-char symbols). Shared verbatim by the oracle builder below.
+_BPE_FIXED_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                     ("an", "d"), ("e", "r"), ("o", "u"), ("r", "e")]
+
+
+def _q_bpe_encode_docs(sf_dir: str):
+    """BPE tokenizer APPLICATION (the SQL-checked sibling of the
+    rows-only ``bpe_merges_docs`` trainer): encode every document with
+    the fixed 8-merge table, per-doc word/char/symbol counts +
+    compression ratio (functions/bpe.py encode_with_merges — merge loop
+    once per unique word TYPE per batch, counts mapped back vectorized,
+    only integer sums leave the task)."""
+    from cuttana_ray.functions.bpe import encode_with_merges
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return encode_with_merges(ds, _BPE_FIXED_MERGES)
+
+
+def _bpe_encode_sql() -> str:
+    """Replay the greedy left-to-right merge scan in SQL: each word's
+    symbols ride a '·'-delimited string and each merge in order is ONE
+    non-overlapping left-to-right REPLACE — exactly the engine's scan
+    (`_encode_word`); symbol count = #delimiters − 1."""
+    s = "'·' || array_to_string(string_split(w, ''), '·') || '·'"
+    for a, b in _BPE_FIXED_MERGES:
+        s = f"replace({s}, '·{a}·{b}·', '·{a}{b}·')"
+    return f"""
+        WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                   FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS w
+            FROM d),
+        enc AS (
+            SELECT doc_id, length(w) AS n_chars,
+                   length({s})
+                   - length(replace({s}, '·', '')) - 1 AS n_syms
+            FROM tok),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS nw, SUM(n_chars) AS nc,
+                   SUM(n_syms) AS ns
+            FROM enc GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(COALESCE(agg.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(agg.nc, 0) AS BIGINT) AS n_chars,
+               CAST(COALESCE(agg.ns, 0) AS BIGINT) AS n_symbols,
+               COALESCE(ROUND(agg.nc / CAST(agg.ns AS DOUBLE), 6), 0.0)
+                   AS compression
+        FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """
+
+
 def _q_quality_linear_docs(sf_dir: str):
     """fastText/CCNet-shaped hashed linear quality scorer: token →
     FNV-1a → hash bucket → deterministic weight, exact int64 weight sum
@@ -7816,6 +7869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "squares_events": _q_squares_events,
         "butterflies_parts": _q_butterflies_parts,
         "quality_linear_docs": _q_quality_linear_docs,
+        "bpe_encode_docs": _q_bpe_encode_docs,
     }
 
 
@@ -12265,4 +12319,5 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(agg.ws, 0) > 0 AS keep
             FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
+        "bpe_encode_docs": _bpe_encode_sql(),
     }

@@ -92,3 +92,83 @@ def learn_bpe(ds: "ray.data.Dataset", num_merges: int = 10,
         "right": pa.array([m[1] for m in merges]),
         "pair_count": pa.array([m[2] for m in merges], pa.int64()),
     })
+
+
+def _encode_word(word: str, merges: "list[tuple[str, str]]") -> int:
+    """Number of symbols after applying ``merges`` in order, each with the
+    classic left-to-right non-overlapping scan (same loop as
+    ``_merge_loop``'s apply step)."""
+    w = list(word)
+    for a, b in merges:
+        ab = a + b
+        i = 0
+        while i < len(w) - 1:
+            if w[i] == a and w[i + 1] == b:
+                w[i:i + 2] = [ab]
+            else:
+                i += 1
+    return len(w)
+
+
+def encode_with_merges(ds: "ray.data.Dataset",
+                       merges: "list[tuple[str, str]]",
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> "ray.data.Dataset":
+    """Tokenizer APPLICATION — the other half of ``learn_bpe`` and the
+    single hottest stage of a real training-data pipeline: encode every
+    document with a fixed, already-learned merge table and report
+    ``(doc_id, n_words, n_chars, n_symbols, compression)`` where
+    ``compression = n_chars / n_symbols`` (0 for empty docs).
+
+    Scale shape: the merge table is a FIXED O(num_merges) constant shipped
+    inside the task closure (a trained tokenizer is a broadcast artifact,
+    never corpus-sized); per batch the corpus-sized work is one Arrow
+    regex split, and the merge loop runs once per UNIQUE word type in the
+    batch (the standard production trick — types ≪ tokens) with counts
+    mapped back vectorized. Word symbols never leave the task; only
+    per-doc integer sums do, so results are layout-invariant and
+    hash-exact."""
+    import pyarrow.compute as pc
+
+    def encode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        sch = pa.schema([(id_col, pa.int64()), ("n_words", pa.int64()),
+                         ("n_chars", pa.int64()), ("n_symbols", pa.int64()),
+                         ("compression", pa.float64())])
+        if len(t) == 0 or text_col not in t.column_names:
+            return sch.empty_table()
+        n = len(t)
+        texts = pc.cast(t[text_col], pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        n_words = np.zeros(n, np.int64)
+        n_chars = np.zeros(n, np.int64)
+        n_syms = np.zeros(n, np.int64)
+        if keep.any():
+            words = pd.Series(flat.filter(pa.array(keep)).to_pandas())
+            par = parents[keep]
+            uniq = pd.unique(words)
+            enc = {w: _encode_word(w, merges) for w in uniq}
+            syms = words.map(enc).to_numpy().astype(np.int64)
+            lens = words.str.len().to_numpy().astype(np.int64)
+            n_words += np.bincount(par, minlength=n).astype(np.int64)
+            n_chars += np.bincount(par, weights=lens.astype(np.float64),
+                                   minlength=n).astype(np.int64)
+            n_syms += np.bincount(par, weights=syms.astype(np.float64),
+                                  minlength=n).astype(np.int64)
+        comp = np.where(n_syms > 0,
+                        np.round(n_chars / np.maximum(n_syms, 1), 6), 0.0)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "n_words": pa.array(n_words),
+                         "n_chars": pa.array(n_chars),
+                         "n_symbols": pa.array(n_syms),
+                         "compression": pa.array(comp)}).cast(sch)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

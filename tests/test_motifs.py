@@ -149,3 +149,42 @@ def test_hashed_linear_score_brute_force(nblocks):
         assert got["wsum"][i] == wsum
         assert got["score"][i] == pytest.approx(score, abs=1e-9)
         assert bool(got["keep"][i]) == keep
+
+
+def _brute_bpe_word(word: str, merges) -> int:
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_encode_with_merges_brute_force(nblocks):
+    import re
+    from cuttana_ray.functions.bpe import encode_with_merges
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("e", "r")]
+    texts = ["the theory of everything", "aaaa aaa a", "", None,
+             "THE THETHE ther", "xyz", "er er era threr"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = encode_with_merges(rd.from_arrow(t).repartition(nblocks),
+                             merges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, text in enumerate(texts):
+        words = [w for w in re.split(r"\W+", (text or "").lower()) if w]
+        nc = sum(len(w) for w in words)
+        ns = sum(_brute_bpe_word(w, merges) for w in words)
+        assert got["n_words"][i] == len(words), (i, text)
+        assert got["n_chars"][i] == nc
+        assert got["n_symbols"][i] == ns, (i, text)
+        comp = round(nc / ns, 6) if ns else 0.0
+        assert got["compression"][i] == pytest.approx(comp, abs=1e-9)
+        assert got["n_symbols"][i] <= got["n_chars"][i]
