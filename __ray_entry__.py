@@ -7547,6 +7547,59 @@ def _bpe_encode_sql() -> str:
     """
 
 
+_BM25_TERMS = ["stream", "batch", "join"]
+
+
+def _q_bm25_scores_docs(sf_dir: str):
+    """Okapi BM25 (Lucene +1-idf variant) of every matching document
+    against a fixed query term set — the retrieval scorer
+    (functions/terms.py bm25_scores): tf per term via one vectorized
+    equality mask per batch, corpus stats (N, avgdl, df) as one-row
+    per-block partials, scores from broadcast scalar constants; no
+    (doc, term) exchange because the query side is O(#terms)."""
+    from cuttana_ray.functions.terms import bm25_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_scores(ds, _BM25_TERMS)
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+        WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
+                   FROM documents),
+        tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS t
+            FROM d),
+        dl AS (
+            SELECT d.doc_id, COUNT(tok.t) AS dl
+            FROM d LEFT JOIN tok ON tok.doc_id = d.doc_id GROUP BY 1),
+        stats AS (
+            SELECT COUNT(*) AS n,
+                   SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM dl),
+        tfs AS (
+            SELECT doc_id, t AS term, COUNT(*) AS tf
+            FROM tok WHERE t IN ({terms}) GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY 1),
+        sc AS (
+            SELECT tfs.doc_id,
+                   SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * (1 - 0.75
+                                      + 0.75 * dl.dl / stats.avgdl)))
+                       AS score,
+                   COUNT(*) AS n_matched
+            FROM tfs JOIN df USING (term)
+                     JOIN dl ON dl.doc_id = tfs.doc_id, stats
+            GROUP BY 1)
+        SELECT sc.doc_id, CAST(dl.dl AS BIGINT) AS dl,
+               CAST(sc.n_matched AS BIGINT) AS n_matched,
+               ROUND(sc.score, 6) AS score
+        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
+    """
+
+
 def _q_quality_linear_docs(sf_dir: str):
     """fastText/CCNet-shaped hashed linear quality scorer: token →
     FNV-1a → hash bucket → deterministic weight, exact int64 weight sum
@@ -7870,6 +7923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies_parts": _q_butterflies_parts,
         "quality_linear_docs": _q_quality_linear_docs,
         "bpe_encode_docs": _q_bpe_encode_docs,
+        "bm25_scores_docs": _q_bm25_scores_docs,
     }
 
 
@@ -12320,4 +12374,5 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
         """,
         "bpe_encode_docs": _bpe_encode_sql(),
+        "bm25_scores_docs": _bm25_sql(),
     }

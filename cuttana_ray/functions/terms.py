@@ -569,3 +569,104 @@ def bigram_logppl(ds: "ray.data.Dataset", vocab_k: int = 64,
             "logppl": pa.array(logppl, pa.float64(), mask=nb == 0)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_scores(ds: "ray.data.Dataset", query_terms: "list[str]",
+                text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75) -> "ray.data.Dataset":
+    """Okapi BM25 relevance of every document against a fixed query term
+    set (Robertson et al., TREC-3; the Lucene ``+1`` idf variant so
+    scores stay positive): for each doc with ≥1 match,
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t) = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+    Output ``(doc_id, dl, n_matched, score)`` (score rounded to 6 dp).
+
+    Scale shape: the query side is O(#terms) CONSTANTS — term frequencies
+    are counted per batch with one vectorized equality mask per term
+    (never a (doc, term) exchange over the whole vocabulary, unlike
+    ``doc_tfidf`` which must shuffle because its term set is unbounded);
+    corpus statistics (N, Σdl, per-term df) are one-row per-block
+    partials summed on the driver, then ride the scoring task's closure.
+    Two streaming passes over the per-doc stats, no join anywhere."""
+    query_terms = list(query_terms)
+    m = len(query_terms)
+
+    def perdoc(t: pa.Table) -> pa.Table:
+        fields = [(id_col, pa.int64()), ("dl", pa.int64())] + \
+            [(f"_tf{j}", pa.int64()) for j in range(m)]
+        sch = pa.schema(fields)
+        if len(t) == 0 or text_col not in t.column_names:
+            return sch.empty_table()
+        n = len(t)
+        texts = pc.cast(t[text_col], pa.string())
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        cols = {id_col: pc.cast(t[id_col], pa.int64()),
+                "dl": pa.array(np.bincount(
+                    parents[nonempty], minlength=n).astype(np.int64))}
+        for j, term in enumerate(query_terms):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            hit = np.nan_to_num(hit.astype(np.float64)) > 0  # nulls → miss
+            cols[f"_tf{j}"] = pa.array(np.bincount(
+                parents[hit], minlength=n).astype(np.int64))
+        return pa.table(cols).cast(sch)
+
+    stats = ds.map_batches(perdoc, batch_format="pyarrow").materialize()
+
+    def corpus_partial(t: pa.Table) -> pa.Table:
+        fields = [("n", pa.int64()), ("dls", pa.int64())] + \
+            [(f"_df{j}", pa.int64()) for j in range(m)]
+        sch = pa.schema(fields)
+        if len(t) == 0 or "dl" not in t.column_names:
+            return sch.empty_table()
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        row = {"n": [len(t)], "dls": [int(dl.sum())]}
+        for j in range(m):
+            tf = t[f"_tf{j}"].to_numpy(zero_copy_only=False)
+            row[f"_df{j}"] = [int((tf > 0).sum())]
+        return pa.table(row).cast(sch)
+
+    agg = stats.map_batches(corpus_partial, batch_format="pyarrow") \
+        .sum(["n", "dls"] + [f"_df{j}" for j in range(m)])
+    N = int(agg["sum(n)"] or 0) if agg else 0
+    if N == 0:
+        return stats.map_batches(
+            lambda t: pa.schema(
+                [(id_col, pa.int64()), ("dl", pa.int64()),
+                 ("n_matched", pa.int64()), ("score", pa.float64())]
+            ).empty_table(), batch_format="pyarrow")
+    avgdl = float(agg["sum(dls)"] or 0) / N
+    idf = [float(np.log((N - df + 0.5) / (df + 0.5) + 1.0))
+           for df in (int(agg[f"sum(_df{j})"] or 0) for j in range(m))]
+
+    def score(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("dl", pa.int64()),
+                         ("n_matched", pa.int64()),
+                         ("score", pa.float64())])
+        if len(t) == 0 or "dl" not in t.column_names:
+            return sch.empty_table()
+        n = len(t)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(n, np.float64)
+        matched = np.zeros(n, np.int64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        for j in range(m):
+            tf = t[f"_tf{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            total += idf[j] * tf * (k1 + 1.0) / (tf + norm)
+            matched += (tf > 0).astype(np.int64)
+        out = pa.table({id_col: t[id_col], "dl": t["dl"],
+                        "n_matched": pa.array(matched),
+                        "score": pa.array(np.round(total, 6))}).cast(sch)
+        return out.filter(pc.greater(out["n_matched"], 0))
+
+    return stats.map_batches(score, batch_format="pyarrow")

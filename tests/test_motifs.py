@@ -188,3 +188,41 @@ def test_encode_with_merges_brute_force(nblocks):
         comp = round(nc / ns, 6) if ns else 0.0
         assert got["compression"][i] == pytest.approx(comp, abs=1e-9)
         assert got["n_symbols"][i] <= got["n_chars"][i]
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_bm25_scores_brute_force(nblocks):
+    import math
+    import re
+    from cuttana_ray.functions.terms import bm25_scores
+    texts = ["stream batch join stream", "batch batch", "",
+             "nothing relevant here", None, "join", "stream " * 30]
+    terms = ["stream", "batch", "join"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = bm25_scores(rd.from_arrow(t).repartition(nblocks), terms) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    toks = [[w for w in re.split(r"\W+", (x or "").lower()) if w]
+            for x in texts]
+    N = len(texts)
+    avgdl = sum(len(ws) for ws in toks) / N
+    df = {q: sum(1 for ws in toks if q in ws) for q in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, ws in enumerate(toks):
+        s, nm = 0.0, 0
+        for q in terms:
+            tf = ws.count(q)
+            if tf:
+                idf = math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1.0) / (
+                    tf + k1 * (1.0 - b + b * len(ws) / avgdl))
+                nm += 1
+        if nm:
+            exp[i] = (len(ws), nm, round(s, 6))
+    assert set(got["doc_id"]) == set(exp)
+    for _, r in got.iterrows():
+        dl, nm, s = exp[r["doc_id"]]
+        assert r["dl"] == dl and r["n_matched"] == nm
+        assert r["score"] == pytest.approx(s, abs=1e-9)
