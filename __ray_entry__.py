@@ -2328,8 +2328,12 @@ def _q_bpe_merges_docs(sf_dir: str):
     """BPE tokenizer training (functions/bpe.py learn_bpe): the
     corpus-sized work (tokenize + word counts + top-cap) is the existing
     distributed term-count path; the merge loop runs on the capped word
-    table. Rows-only (the iterative merge loop is not SQL-expressible);
-    known-answer + layout-invariance pytest."""
+    table. SQL-checked since round 3: the oracle unrolls all 10 merge
+    rounds over individually-'·'-wrapped symbol strings — pair counts
+    via an adjacent-index self-join, argmax with the engine's exact
+    (count desc, pair asc) tie-break, merge application as one REPLACE
+    (see ``_bpe_merges_sql``). Known-answer + layout-invariance pytest
+    as before."""
     from cuttana_ray.functions.bpe import learn_bpe
     return learn_bpe(_read(sf_dir, "documents"), num_merges=10,
                      max_words=20_000)
@@ -7514,13 +7518,19 @@ def _q_bpe_encode_docs(sf_dir: str):
 
 
 def _bpe_encode_sql() -> str:
-    """Replay the greedy left-to-right merge scan in SQL: each word's
-    symbols ride a '·'-delimited string and each merge in order is ONE
-    non-overlapping left-to-right REPLACE — exactly the engine's scan
-    (`_encode_word`); symbol count = #delimiters − 1."""
-    s = "'·' || array_to_string(string_split(w, ''), '·') || '·'"
+    """Replay the greedy left-to-right merge scan in SQL: every symbol is
+    individually '·'-wrapped ('·a··b··c·'), so merge (a,b) is ONE
+    left-to-right REPLACE of '·a··b·' → '·ab·' per merge. The wrapping
+    matters: with SHARED delimiters ('·a·b·c·') two adjacent occurrences
+    of the same pair would share the middle '·' and the second would be
+    missed ('erer' under (e,r)), diverging from the engine's scan —
+    individually wrapped symbols never share characters, so REPLACE's
+    non-overlapping scan IS the greedy scan (`_encode_word`). Symbol
+    count = #delimiters / 2."""
+    s = ("array_to_string(list_transform(string_split(w, ''), "
+         "c -> '·' || c || '·'), '')")
     for a, b in _BPE_FIXED_MERGES:
-        s = f"replace({s}, '·{a}·{b}·', '·{a}{b}·')"
+        s = f"replace({s}, '·{a}··{b}·', '·{a}{b}·')"
     return f"""
         WITH d AS (SELECT doc_id, COALESCE(text, '') AS text
                    FROM documents),
@@ -7530,8 +7540,8 @@ def _bpe_encode_sql() -> str:
             FROM d),
         enc AS (
             SELECT doc_id, length(w) AS n_chars,
-                   length({s})
-                   - length(replace({s}, '·', '')) - 1 AS n_syms
+                   (length({s})
+                    - length(replace({s}, '·', ''))) // 2 AS n_syms
             FROM tok),
         agg AS (
             SELECT doc_id, COUNT(*) AS nw, SUM(n_chars) AS nc,
@@ -7545,6 +7555,57 @@ def _bpe_encode_sql() -> str:
                    AS compression
         FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
     """
+
+
+def _bpe_merges_sql(num_merges: int = 10, max_words: int = 20_000) -> str:
+    """Unrolled replay of ``learn_bpe``: words (plus the '</w>' marker)
+    ride individually-'·'-wrapped symbol strings; each round extracts
+    adjacent symbol pairs by zipped unnest + an (i, i+1) self-join,
+    SUM(tf)s them, picks the engine's exact argmax (count desc, then
+    lexicographically smallest pair — DuckDB's binary collation equals
+    Python tuple comparison for these ASCII symbols), and applies the
+    merge with one REPLACE over the wrapped string (individually wrapped
+    symbols never share characters, so the non-overlapping scan equals
+    the engine's greedy scan). The top-``max_words`` cap is replayed
+    with the same (tf desc, term asc) order."""
+    parts = [f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z]+')) AS term
+        FROM documents),
+    tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1),
+    w0 AS MATERIALIZED (
+        SELECT array_to_string(list_transform(string_split(term, ''),
+                   c -> '·' || c || '·'), '') || '·</w>·' AS s, tf
+        FROM (SELECT term, tf FROM tc
+              ORDER BY tf DESC, term ASC LIMIT {max_words}))"""]
+    for r in range(num_merges):
+        parts.append(f""",
+    sym{r} AS MATERIALIZED (
+        SELECT wid, tf, unnest(l) AS sym,
+               generate_subscripts(l, 1) AS i
+        FROM (SELECT row_number() OVER () AS wid, tf,
+                     string_split(trim(s, '·'), '··') AS l
+              FROM w{r})),
+    p{r} AS (
+        SELECT x.sym AS a, y.sym AS b, CAST(SUM(x.tf) AS BIGINT) AS cnt
+        FROM sym{r} x JOIN sym{r} y ON y.wid = x.wid AND y.i = x.i + 1
+        GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    w{r + 1} AS MATERIALIZED (
+        SELECT replace(w.s, '·' || m.a || '··' || m.b || '·',
+                       '·' || m.a || m.b || '·') AS s, w.tf
+        FROM w{r} w, m{r} m)""")
+    sel = " UNION ALL ".join(
+        f'SELECT {r + 1} AS rank, a, b, cnt FROM m{r}'
+        for r in range(num_merges))
+    parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, a AS "left", b AS "right",
+           cnt AS pair_count
+    FROM ({sel}) ORDER BY rank""")
+    return "".join(parts)
 
 
 _BM25_TERMS = ["stream", "batch", "join"]
@@ -12375,4 +12436,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode_docs": _bpe_encode_sql(),
         "bm25_scores_docs": _bm25_sql(),
+        "bpe_merges_docs": _bpe_merges_sql(),
     }

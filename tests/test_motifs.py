@@ -226,3 +226,33 @@ def test_bm25_scores_brute_force(nblocks):
         dl, nm, s = exp[r["doc_id"]]
         assert r["dl"] == dl and r["n_matched"] == nm
         assert r["score"] == pytest.approx(s, abs=1e-9)
+
+
+@pytest.mark.parametrize("qname,builder", [
+    ("bpe_encode_docs", "_bpe_encode_sql"),
+])
+def test_bpe_oracle_adjacent_merge_semantics(qname, builder):
+    """The SQL oracle's REPLACE replay must equal the engine's greedy
+    scan even when the SAME merge applies at ADJACENT positions ('erer'
+    under (e,r), 'thethe' under (th,e), 'aaaa' runs) — the case a
+    shared-delimiter encoding silently gets wrong."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from cuttana_ray.functions.bpe import encode_with_merges
+
+    texts = ["erer rere ththe thethe", "aaaa aaaaaa anand andand",
+             "ouou inin thth erere"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = encode_with_merges(rd.from_arrow(t).repartition(2),
+                             entry._BPE_FIXED_MERGES).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    exp = con.sql(getattr(entry, builder)()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con.close()
+    for col in ["n_words", "n_chars", "n_symbols"]:
+        assert list(got[col]) == list(exp[col]), col
+    assert np.allclose(got["compression"], exp["compression"], atol=1e-9)
