@@ -7608,6 +7608,47 @@ def _bpe_merges_sql(num_merges: int = 10, max_words: int = 20_000) -> str:
     return "".join(parts)
 
 
+def _q_bipartite_components_events(sf_dir: str):
+    """Per-component bipartiteness with odd-cycle witness counts
+    (pipelines/components.py bipartiteness): components → one multi-seed
+    BFS from each component's root → one streamed edge pass counting
+    same-parity edges, pre-combined per batch."""
+    from cuttana_ray.pipelines.components import bipartiteness
+    return bipartiteness(_events_graph(sf_dir))
+
+
+def _bipartite_sql() -> str:
+    return "WITH RECURSIVE " + _EVENTS_GRAPH_SQL + """,
+    comp(v, lbl) AS (
+        SELECT node_id, node_id FROM nodes
+        UNION
+        SELECT e.dst, c.lbl FROM comp c JOIN e ON e.src = c.v
+    ),
+    lab AS MATERIALIZED (SELECT v, MIN(lbl) AS component
+                         FROM comp GROUP BY 1),
+    walk(v, d) AS (
+        SELECT v, 0 FROM lab WHERE v = component
+        UNION
+        SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.d < 64
+    ),
+    dist AS MATERIALIZED (SELECT v, MIN(d) AS d FROM walk GROUP BY 1),
+    odd AS (
+        SELECT l.component, CAST(COUNT(*) AS BIGINT) AS odd_edges
+        FROM e JOIN dist a ON a.v = e.src
+               JOIN dist b ON b.v = e.dst
+               JOIN lab l ON l.v = e.src
+        WHERE e.src < e.dst AND (a.d + b.d) % 2 = 0
+        GROUP BY 1),
+    nv AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_vertices
+           FROM lab GROUP BY 1)
+    SELECT nv.component, nv.n_vertices,
+           CAST(COALESCE(odd.odd_edges, 0) AS BIGINT) AS odd_edges,
+           COALESCE(odd.odd_edges, 0) = 0 AS is_bipartite
+    FROM nv LEFT JOIN odd ON odd.component = nv.component
+    """
+
+
 _BM25_TERMS = ["stream", "batch", "join"]
 
 
@@ -7985,6 +8026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_linear_docs": _q_quality_linear_docs,
         "bpe_encode_docs": _q_bpe_encode_docs,
         "bm25_scores_docs": _q_bm25_scores_docs,
+        "bipartite_components_events": _q_bipartite_components_events,
     }
 
 
@@ -12437,4 +12479,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _bpe_encode_sql(),
         "bm25_scores_docs": _bm25_sql(),
         "bpe_merges_docs": _bpe_merges_sql(),
+        "bipartite_components_events": _bipartite_sql(),
     }

@@ -256,3 +256,72 @@ def test_bpe_oracle_adjacent_merge_semantics(qname, builder):
     for col in ["n_words", "n_chars", "n_symbols"]:
         assert list(got[col]) == list(exp[col]), col
     assert np.allclose(got["compression"], exp["compression"], atol=1e-9)
+
+
+def _brute_bipartite_check(und_edges, n):
+    """Independent 2-coloring via Python BFS per component; returns
+    {root: (n_vertices, odd_edges, is_bipartite)}."""
+    adj = [[] for _ in range(n)]
+    for a, b in und_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    comp = [-1] * n
+    dist = [0] * n
+    for s in range(n):
+        if comp[s] != -1:
+            continue
+        comp[s] = s
+        q = [s]
+        while q:
+            nxt = []
+            for v in q:
+                for w in adj[v]:
+                    if comp[w] == -1:
+                        comp[w] = s
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+            q = nxt
+    out = {}
+    for s in set(comp):
+        verts = [v for v in range(n) if comp[v] == s]
+        odd = sum(1 for a, b in und_edges
+                  if comp[a] == s and dist[a] % 2 == dist[b] % 2)
+        out[s] = (len(verts), odd, odd == 0)
+    return out
+
+
+@pytest.mark.parametrize("edges,n", [
+    # even cycle (bipartite) + triangle (odd) + isolated vertex
+    ([(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 4)], 8),
+    # C5: exactly one same-parity witness edge
+    ([(0, 1), (1, 2), (2, 3), (3, 4), (4, 0)], 5),
+    # K2,3 (bipartite even though it has 4-cycles)
+    ([(a, b) for a in (0, 1) for b in (2, 3, 4)], 5),
+])
+def test_bipartiteness_known_graphs(edges, n):
+    from cuttana_ray.pipelines.components import bipartiteness
+    from tests.test_graph_algos import graph_from_edges
+    got = bipartiteness(graph_from_edges(edges, n)).to_pandas() \
+        .set_index("component")
+    exp = _brute_bipartite_check(edges, n)
+    assert set(got.index) == set(exp)
+    for c, (nv, odd, bip) in exp.items():
+        assert got.loc[c, "n_vertices"] == nv
+        assert got.loc[c, "odd_edges"] == odd, (c, edges)
+        assert bool(got.loc[c, "is_bipartite"]) == bip
+
+
+def test_bipartiteness_random_brute_force():
+    from cuttana_ray.pipelines.components import bipartiteness
+    from tests.test_graph_algos import graph_from_edges
+    rng = np.random.default_rng(11)
+    n = 18
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.12]
+    got = bipartiteness(graph_from_edges(edges, n, num_blocks=4)) \
+        .to_pandas().set_index("component")
+    exp = _brute_bipartite_check(edges, n)
+    assert set(got.index) == set(exp)
+    for c, (nv, odd, bip) in exp.items():
+        assert (got.loc[c, "n_vertices"], got.loc[c, "odd_edges"],
+                bool(got.loc[c, "is_bipartite"])) == (nv, odd, bip)
