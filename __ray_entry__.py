@@ -7649,6 +7649,45 @@ def _bipartite_sql() -> str:
     """
 
 
+def _q_wl_refinement_events(sf_dir: str):
+    """3-round 1-WL color refinement over the events graph
+    (pipelines/wl.py wl_refinement): degree-seeded colors, exact
+    Mersenne31 multiset hash of neighbor colors per round (one streamed
+    pre-combined edge pass), dense-rank relabel — canonical vertex
+    classes, hash-exact."""
+    from cuttana_ray.pipelines.wl import wl_refinement
+    return wl_refinement(_events_graph(sf_dir), rounds=3)
+
+
+def _wl_sql(rounds: int = 3) -> str:
+    """Unrolled WL rounds replaying wl_refinement's exact arithmetic:
+    mix(c) = (c·48271) mod (2^31−1), per-vertex neighbor-sum mod P, then
+    DENSE_RANK() OVER (ORDER BY c, m) − 1 (= the engine's searchsorted
+    relabel under the same (c, m) order)."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM e GROUP BY 1),
+    c0 AS MATERIALIZED (
+        SELECT n.node_id AS v, COALESCE(d.c, 0) AS c
+        FROM nodes n LEFT JOIN deg d ON d.v = n.node_id)"""]
+    for r in range(rounds):
+        parts.append(f""",
+    m{r} AS (
+        SELECT cv.v, cv.c,
+               COALESCE(SUM((cn.c * 48271) % 2147483647), 0)
+                   % 2147483647 AS m
+        FROM c{r} cv LEFT JOIN e ON e.dst = cv.v
+                     LEFT JOIN c{r} cn ON cn.v = e.src
+        GROUP BY 1, 2),
+    c{r + 1} AS MATERIALIZED (
+        SELECT v, CAST(DENSE_RANK() OVER (ORDER BY c, m) - 1 AS BIGINT)
+                   AS c
+        FROM m{r})""")
+    parts.append(f"""
+    SELECT v AS vertex, c AS color FROM c{rounds}""")
+    return "".join(parts)
+
+
 _BM25_TERMS = ["stream", "batch", "join"]
 
 
@@ -8027,6 +8066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_docs": _q_bpe_encode_docs,
         "bm25_scores_docs": _q_bm25_scores_docs,
         "bipartite_components_events": _q_bipartite_components_events,
+        "wl_refinement_events": _q_wl_refinement_events,
     }
 
 
@@ -12480,4 +12520,5 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores_docs": _bm25_sql(),
         "bpe_merges_docs": _bpe_merges_sql(),
         "bipartite_components_events": _bipartite_sql(),
+        "wl_refinement_events": _wl_sql(),
     }

@@ -325,3 +325,76 @@ def test_bipartiteness_random_brute_force():
     for c, (nv, odd, bip) in exp.items():
         assert (got.loc[c, "n_vertices"], got.loc[c, "odd_edges"],
                 bool(got.loc[c, "is_bipartite"])) == (nv, odd, bip)
+
+
+def _brute_wl(und_edges, n, rounds=3):
+    """Independent per-vertex dict-loop WL with the same Mersenne31
+    multiset hash and dense-rank relabel."""
+    P, MULT = 2_147_483_647, 48_271
+    adj = [[] for _ in range(n)]
+    for a, b in und_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    colors = [len(set(adj[v])) for v in range(n)]
+    # engine graphs are distinct-pair symmetric: dedup adjacency
+    adj = [sorted(set(a)) for a in adj]
+    for _ in range(rounds):
+        sigs = [(colors[v],
+                 sum((colors[u] * MULT) % P for u in adj[v]) % P)
+                for v in range(n)]
+        ranks = {s: i for i, s in enumerate(sorted(set(sigs)))}
+        colors = [ranks[s] for s in sigs]
+    return colors
+
+
+@pytest.mark.parametrize("edges,n,expect_classes", [
+    ([(0, 1), (1, 2), (2, 3), (3, 4)], 5, 3),       # path P5: end/next/mid
+    ([(0, 1), (1, 2), (2, 3), (3, 0)], 4, 1),        # C4: vertex-transitive
+    # C6 vs 2xC3 in one graph: both 2-regular, 1-WL cannot separate them
+    ([(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+      (6, 7), (7, 8), (8, 6), (9, 10), (10, 11), (11, 9)], 12, 1),
+])
+def test_wl_refinement_known_graphs(edges, n, expect_classes):
+    from cuttana_ray.pipelines.wl import wl_refinement
+    from tests.test_graph_algos import graph_from_edges
+    got = wl_refinement(graph_from_edges(edges, n)).to_pandas() \
+        .sort_values("vertex")["color"].to_list()
+    assert got == _brute_wl(edges, n)
+    assert len(set(got)) == expect_classes
+
+
+@pytest.mark.parametrize("seed,nblocks,rounds", [(5, 2, 3), (6, 5, 4)])
+def test_wl_refinement_random_brute_force(seed, nblocks, rounds):
+    from cuttana_ray.pipelines.wl import wl_refinement
+    from tests.test_graph_algos import graph_from_edges
+    rng = np.random.default_rng(seed)
+    n = 16
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.2]
+    got = wl_refinement(graph_from_edges(edges, n, num_blocks=nblocks),
+                        rounds=rounds).to_pandas() \
+        .sort_values("vertex")["color"].to_list()
+    assert got == _brute_wl(edges, n, rounds)
+
+
+def test_wl_refinement_isomorphism_invariant():
+    """A relabeled isomorphic copy must land on the identical canonical
+    color partition (same class sizes per color id)."""
+    from cuttana_ray.pipelines.wl import wl_refinement
+    from tests.test_graph_algos import graph_from_edges
+    rng = np.random.default_rng(12)
+    n = 14
+    edges = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.25]
+    perm = rng.permutation(n)
+    pedges = [(int(perm[a]), int(perm[b])) for a, b in edges]
+    c1 = wl_refinement(graph_from_edges(edges, n)).to_pandas()
+    c2 = wl_refinement(graph_from_edges(pedges, n)).to_pandas()
+    h1 = c1.groupby("color").size().sort_index()
+    h2 = c2.groupby("color").size().sort_index()
+    assert list(h1.index) == list(h2.index)
+    assert list(h1) == list(h2)
+    # and the permutation maps colors pointwise
+    m1 = c1.set_index("vertex")["color"]
+    m2 = c2.set_index("vertex")["color"]
+    assert all(m2[perm[v]] == m1[v] for v in range(n))
