@@ -123,7 +123,6 @@ def bipartiteness(graph: Graph) -> pa.Table:
         return pa.table({"component": pa.array(comp, pa.int64()),
                          "odd": pa.array(cnt.astype(np.int64))}).cast(sch)
 
-    odd = np.zeros(0, np.int64)
     comps, nv = np.unique(labels, return_counts=True)
     odd_by = dict.fromkeys(comps.tolist(), 0)
     partial = graph.edges.map_batches(odd_partial, batch_format="pyarrow")
