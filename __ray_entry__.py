@@ -2768,6 +2768,22 @@ def _q_hits_k4_events(sf_dir: str):
     })
 
 
+def _q_salsa_k4_events(sf_dir: str):
+    """SALSA hubs/authorities (pipelines/hits.py salsa — Lempel & Moran's
+    degree-normalized random-walk HITS), exactly 4 iterations on the
+    DIRECTED events edge table with per-step L1 normalization; scores
+    rounded to 8 decimals on both sides (summation order differs at the
+    last ulp)."""
+    from cuttana_ray.pipelines.hits import salsa
+    edges, V = _events_digraph(sf_dir)
+    res = salsa(edges, V, max_iters=4, tol=0.0)
+    return pa.table({
+        "vertex": pa.array(np.arange(V, dtype=np.int64)),
+        "authority": pa.array(np.round(res.authority, 8), pa.float64()),
+        "hub": pa.array(np.round(res.hub, 8), pa.float64()),
+    })
+
+
 def _q_betweenness_events(sf_dir: str):
     """Sampled-Brandes betweenness (pipelines/betweenness.py) from every
     5th vertex. SQL-checked: the events graph's seed eccentricity is ≤2,
@@ -8067,6 +8083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores_docs": _q_bm25_scores_docs,
         "bipartite_components_events": _q_bipartite_components_events,
         "wl_refinement_events": _q_wl_refinement_events,
+        "salsa_k4_events": _q_salsa_k4_events,
     }
 
 
@@ -8136,6 +8153,53 @@ def _hits_k4_sql(k: int = 4) -> str:
     hr{i} AS MATERIALIZED (SELECT de.src AS v, SUM(de.weight * a.a) AS s
               FROM de JOIN a{i} a ON a.v = de.dst GROUP BY 1),
     hn{i} AS (SELECT sqrt(SUM(s * s)) AS nrm FROM hr{i}),
+    h{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(r.s, 0.0) / (SELECT nrm FROM hn{i}) AS h
+        FROM nodes n LEFT JOIN hr{i} r ON r.v = n.node_id)""")
+    parts.append(f"""
+    SELECT a.v AS vertex, ROUND(a.a, 8) AS authority, ROUND(h.h, 8) AS hub
+    FROM a{k} a JOIN h{k} h ON h.v = a.v""")
+    return "WITH " + "".join(parts)
+
+
+def _salsa_k4_sql(k: int = 4) -> str:
+    """Unrolled k-step SALSA matching salsa() exactly: a' =
+    L1-normalize(Σ_in (w/outw)·h), h' = L1-normalize(Σ_out (w/inw)·a'),
+    h0 = 1/V, over the DIRECTED edge table."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    de AS MATERIALIZED (
+        SELECT ns.node_id AS src, nd.node_id AS dst,
+               CAST(a.w AS DOUBLE) AS weight
+        FROM alle a JOIN nodes ns ON a.src = ns.name
+                    JOIN nodes nd ON a.dst = nd.name
+        WHERE a.src != a.dst),
+    ow AS MATERIALIZED (SELECT src AS v, SUM(weight) AS s
+                        FROM de GROUP BY 1),
+    iw AS MATERIALIZED (SELECT dst AS v, SUM(weight) AS s
+                        FROM de GROUP BY 1),
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    h0 AS MATERIALIZED (
+        SELECT node_id AS v, 1.0 / (SELECT v FROM vc) AS h
+        FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    ar{i} AS MATERIALIZED (
+        SELECT de.dst AS v, SUM(de.weight / ow.s * h.h) AS s
+        FROM de JOIN h{i - 1} h ON h.v = de.src
+                JOIN ow ON ow.v = de.src
+        GROUP BY 1),
+    an{i} AS (SELECT SUM(s) AS nrm FROM ar{i}),
+    a{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               COALESCE(r.s, 0.0) / (SELECT nrm FROM an{i}) AS a
+        FROM nodes n LEFT JOIN ar{i} r ON r.v = n.node_id),
+    hr{i} AS MATERIALIZED (
+        SELECT de.src AS v, SUM(de.weight / iw.s * a.a) AS s
+        FROM de JOIN a{i} a ON a.v = de.dst
+                JOIN iw ON iw.v = de.dst
+        GROUP BY 1),
+    hn{i} AS (SELECT SUM(s) AS nrm FROM hr{i}),
     h{i} AS MATERIALIZED (
         SELECT n.node_id AS v,
                COALESCE(r.s, 0.0) / (SELECT nrm FROM hn{i}) AS h
@@ -12521,4 +12585,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges_docs": _bpe_merges_sql(),
         "bipartite_components_events": _bipartite_sql(),
         "wl_refinement_events": _wl_sql(),
+        "salsa_k4_events": _salsa_k4_sql(),
     }

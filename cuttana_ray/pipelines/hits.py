@@ -98,3 +98,84 @@ def hits(edges: "ray.data.Dataset", num_vertices: int, max_iters: int = 50,
             converged = True
             break
     return HitsResult(a, h, it, converged, deltas)
+
+
+def _norm_gather_fn(state_ref, src_col: str, dst_col: str):
+    """Per-batch partials of ``out[dst_col] += (w / norm[src_col]) ·
+    vec[src_col]`` — the SALSA random-walk step (weights normalized by
+    the SOURCE side's total weight), pre-aggregated per destination."""
+    def fn(batch: pa.Table) -> pa.Table:
+        vec, norm = ray.get(state_ref)
+        a = batch[src_col].to_numpy(zero_copy_only=False)
+        b = batch[dst_col].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = vec[a] * (w / norm[a])
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=c)
+        return pa.table({"dst": pa.array(uniq, pa.int64()),
+                         "partial": pa.array(sums, pa.float64())})
+    return fn
+
+
+def salsa(edges: "ray.data.Dataset", num_vertices: int, max_iters: int = 4,
+          tol: float = 0.0, combine: str = "auto") -> HitsResult:
+    """SALSA (Lempel & Moran, WWW 2000; public algorithm): the
+    degree-normalized cousin of HITS — hubs and authorities are the two
+    sides of a random walk that alternates a forward step weighted by
+    ``w/outw(u)`` and a backward step weighted by ``w/inw(v)``:
+
+        a(v) = Σ_{u→v} (w(u,v) / outw(u)) · h(u),  then L1-normalize;
+        h(u) = Σ_{u→v} (w(u,v) / inw(v))  · a(v),  then L1-normalize.
+
+    ``h0`` uniform 1/V. Same shuffle-mode discipline as ``hits``: the
+    out/in weight vectors are computed ONCE from per-batch partials and
+    broadcast together with the current vector; every round is two
+    streamed pre-combined edge passes. Vertices with no out-(in-)edges
+    never appear as a normalized source, so the guard value 1.0 in the
+    norm vectors is never dereferenced."""
+    combine = resolve_combine(combine, num_vertices)
+
+    def total_weight(src_col: str) -> np.ndarray:
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch[src_col].to_numpy(zero_copy_only=False)
+            w = batch["weight"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            uniq, inv = np.unique(s, return_inverse=True)
+            return pa.table({"dst": pa.array(uniq, pa.int64()),
+                             "partial": pa.array(np.bincount(inv,
+                                                             weights=w))})
+        part = edges.map_batches(fn, batch_format="pyarrow")
+        return _grouped_sum_to_dense(part, num_vertices, combine=combine)
+
+    outw = total_weight("src")
+    inw = total_weight("dst")
+    outw_safe = np.where(outw > 0, outw, 1.0)
+    inw_safe = np.where(inw > 0, inw, 1.0)
+
+    h = np.full(num_vertices, 1.0 / num_vertices, dtype=np.float64)
+    a = np.zeros(num_vertices, dtype=np.float64)
+    deltas: list[float] = []
+    converged = False
+    it = 0
+    for it in range(1, max_iters + 1):
+        ref = ray.put((h, outw_safe))
+        part = edges.map_batches(_norm_gather_fn(ref, "src", "dst"),
+                                 batch_format="pyarrow")
+        a_new = _grouped_sum_to_dense(part, num_vertices, combine=combine)
+        s = float(a_new.sum())
+        if s > 0:
+            a_new = a_new / s
+        ref = ray.put((a_new, inw_safe))
+        part = edges.map_batches(_norm_gather_fn(ref, "dst", "src"),
+                                 batch_format="pyarrow")
+        h = _grouped_sum_to_dense(part, num_vertices, combine=combine)
+        s = float(h.sum())
+        if s > 0:
+            h = h / s
+        delta = float(np.abs(a_new - a).sum())
+        deltas.append(delta)
+        a = a_new
+        if tol > 0 and delta < tol:
+            converged = True
+            break
+    return HitsResult(a, h, it, converged, deltas)

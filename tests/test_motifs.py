@@ -398,3 +398,45 @@ def test_wl_refinement_isomorphism_invariant():
     m1 = c1.set_index("vertex")["color"]
     m2 = c2.set_index("vertex")["color"]
     assert all(m2[perm[v]] == m1[v] for v in range(n))
+
+
+def _brute_salsa(src, dst, w, n, iters=4):
+    outw = np.zeros(n)
+    inw = np.zeros(n)
+    np.add.at(outw, src, w)
+    np.add.at(inw, dst, w)
+    ow = np.where(outw > 0, outw, 1.0)
+    iw = np.where(inw > 0, inw, 1.0)
+    h = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        np.add.at(a, dst, h[src] * (w / ow[src]))
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = np.zeros(n)
+        np.add.at(h, src, a[dst] * (w / iw[dst]))
+        if h.sum() > 0:
+            h = h / h.sum()
+    return a, h
+
+
+@pytest.mark.parametrize("seed,nblocks,iters", [(21, 1, 4), (22, 4, 3)])
+def test_salsa_random_brute_force(seed, nblocks, iters):
+    from cuttana_ray.pipelines.hits import salsa
+    rng = np.random.default_rng(seed)
+    n, m = 12, 40
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 5, len(src)).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(w)})
+    res = salsa(rd.from_arrow(t).repartition(nblocks), n,
+                max_iters=iters, tol=0.0)
+    a, h = _brute_salsa(src, dst, w.astype(np.float64), n, iters)
+    np.testing.assert_allclose(res.authority, a, atol=1e-12)
+    np.testing.assert_allclose(res.hub, h, atol=1e-12)
+    # L1 normalization invariant
+    assert res.authority.sum() == pytest.approx(1.0)
+    assert res.hub.sum() == pytest.approx(1.0)
