@@ -8084,6 +8084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_components_events": _q_bipartite_components_events,
         "wl_refinement_events": _q_wl_refinement_events,
         "salsa_k4_events": _q_salsa_k4_events,
+        "weighted_clustering_events": _q_weighted_clustering_events,
     }
 
 
@@ -8208,6 +8209,41 @@ def _salsa_k4_sql(k: int = 4) -> str:
     SELECT a.v AS vertex, ROUND(a.a, 8) AS authority, ROUND(h.h, 8) AS hub
     FROM a{k} a JOIN h{k} h ON h.v = a.v""")
     return "WITH " + "".join(parts)
+
+
+_WCLUSTERING_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    wm AS (SELECT CAST(MAX(weight) AS DOUBLE) AS wm FROM e),
+    o AS MATERIALIZED (
+        SELECT e.src AS u, e.dst AS v, CAST(e.weight AS DOUBLE) AS w1
+        FROM e JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+        WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c,
+               cbrt(e1.w1 * e2.w1 * e3.w1) / (SELECT wm FROM wm) AS gm
+        FROM o e1 JOIN o e2 ON e2.u = e1.v
+                  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    pv AS (SELECT a AS v, gm FROM tri
+           UNION ALL SELECT b, gm FROM tri
+           UNION ALL SELECT c, gm FROM tri),
+    sm AS (SELECT v, SUM(gm) AS s FROM pv GROUP BY 1)
+    SELECT n.node_id AS vertex,
+           ROUND(CASE WHEN COALESCE(d.d, 0) >= 2
+                      THEN 2.0 * COALESCE(sm.s, 0.0) / (d.d * (d.d - 1))
+                      ELSE 0.0 END, 6) AS wclustering
+    FROM nodes n LEFT JOIN deg d ON d.v = n.node_id
+                 LEFT JOIN sm ON sm.v = n.node_id
+"""
+
+
+def _q_weighted_clustering_events(sf_dir: str):
+    """Onnela weighted local clustering coefficient
+    (pipelines/triangles.py weighted_clustering): per-vertex mean
+    geometric triangle intensity 2/(k(k−1))·Σ (ŵ₁ŵ₂ŵ₃)^{1/3}, ŵ = w/wmax
+    — distributed oriented wedge join with weights riding the joins,
+    per-triangle contributions scattered to all three corners."""
+    from cuttana_ray.pipelines.triangles import weighted_clustering
+    return weighted_clustering(_events_graph(sf_dir))
 
 
 def _fnv63_expr(col: str) -> str:
@@ -12586,4 +12622,5 @@ def oracle_sql() -> dict[str, str]:
         "bipartite_components_events": _bipartite_sql(),
         "wl_refinement_events": _wl_sql(),
         "salsa_k4_events": _salsa_k4_sql(),
+        "weighted_clustering_events": _WCLUSTERING_SQL,
     }

@@ -247,3 +247,87 @@ def square_count(edges: "ray.data.Dataset") -> pa.Table:
     p2 = int(agg["sum(p2)"] or 0) if agg else 0
     return pa.table({"squares": pa.array([s2 // 2], pa.int64()),
                      "codeg_pairs": pa.array([p2], pa.int64())})
+
+
+def weighted_clustering(graph: Graph) -> pa.Table:
+    """Onnela weighted local clustering coefficient (Onnela et al., PRE
+    2005; public formula): per vertex
+
+        C_w(v) = 2/(k_v(k_v−1)) · Σ_{triangles ∋ v} (ŵ₁ŵ₂ŵ₃)^{1/3}
+
+    with ŵ = w / max(w) and k = unweighted degree; 0 when k < 2. The
+    triangle enumeration is the distributed oriented wedge-join shape of
+    ``_triangles_join`` (each triangle materializes once, weights ride
+    the joins under distinct column names); per-triangle geometric means
+    scatter to all three corners as per-batch partials, combined on the
+    driver in the documented small-V dense regime. Returns
+    ``(vertex, wclustering)`` rounded to 6 dp."""
+    from cuttana_ray.util import drop_empty_blocks
+
+    V = graph.num_vertices
+    deg = graph.degrees()
+    deg_ref = ray.put(deg)
+    wmax_agg = graph.edges.max("weight")
+    wmax = float(wmax_agg if wmax_agg is not None else 1.0)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                         ("w1", pa.float64())])
+        if len(batch) == 0 or "src" not in batch.column_names:
+            return sch.empty_table()
+        d = ray.get(deg_ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        t = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["weight"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = (d[s] < d[t]) | ((d[s] == d[t]) & (s < t))
+        return pa.table({"u": pa.array(s[keep], pa.int64()),
+                         "v": pa.array(t[keep], pa.int64()),
+                         "w1": pa.array(w[keep])}).cast(sch)
+
+    o = drop_empty_blocks(
+        graph.edges.map_batches(orient, batch_format="pyarrow")) \
+        .materialize()
+    sums = np.zeros(V, dtype=np.float64)
+    n_edges = o.count()
+    if n_edges > 0:
+        npart = max(1, min(pool_size()[1], n_edges // 65536 + 1))
+        wedges = safe_join(
+            o, o.rename_columns({"u": "v2", "v": "w", "w1": "w2"}),
+            join_type="inner", num_partitions=npart,
+            on=("v",), right_on=("v2",)).materialize()
+        if wedges.count() > 0:
+            tri = safe_join(
+                wedges,
+                o.rename_columns({"u": "cu", "v": "cv", "w1": "w3"}),
+                join_type="inner", num_partitions=npart,
+                on=("u", "w"), right_on=("cu", "cv"))
+
+            def partial(batch: pa.Table) -> pa.Table:
+                sch = pa.schema([("vertex", pa.int64()),
+                                 ("partial", pa.float64())])
+                if len(batch) == 0 or "u" not in batch.column_names:
+                    return sch.empty_table()
+                w1 = batch["w1"].to_numpy(zero_copy_only=False)
+                w2 = batch["w2"].to_numpy(zero_copy_only=False)
+                w3 = batch["w3"].to_numpy(zero_copy_only=False)
+                gm = np.cbrt(w1 * w2 * w3) / wmax
+                ids = np.concatenate([
+                    batch["u"].to_numpy(zero_copy_only=False),
+                    batch["v"].to_numpy(zero_copy_only=False),
+                    batch["w"].to_numpy(zero_copy_only=False)])
+                uniq, inv = np.unique(ids, return_inverse=True)
+                s = np.bincount(inv, weights=np.tile(gm, 3))
+                return pa.table({"vertex": pa.array(uniq, pa.int64()),
+                                 "partial": pa.array(s)}).cast(sch)
+
+            part = tri.map_batches(partial, batch_format="pyarrow")
+            for b in part.iter_batches(batch_size=None,
+                                       batch_format="pyarrow"):
+                np.add.at(sums,
+                          b["vertex"].to_numpy(zero_copy_only=False),
+                          b["partial"].to_numpy(zero_copy_only=False))
+    denom = deg.astype(np.float64) * (deg - 1).astype(np.float64)
+    wc = np.where(deg >= 2, 2.0 * sums / np.maximum(denom, 1.0), 0.0)
+    return pa.table({"vertex": pa.array(np.arange(V, dtype=np.int64)),
+                     "wclustering": pa.array(np.round(wc, 6))})

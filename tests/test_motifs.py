@@ -440,3 +440,64 @@ def test_salsa_random_brute_force(seed, nblocks, iters):
     # L1 normalization invariant
     assert res.authority.sum() == pytest.approx(1.0)
     assert res.hub.sum() == pytest.approx(1.0)
+
+
+def _brute_weighted_clustering(und_edges_w, n):
+    """Independent dict-loop Onnela coefficient."""
+    w = {}
+    adj = [set() for _ in range(n)]
+    for a, b, x in und_edges_w:
+        w[frozenset((a, b))] = x
+        adj[a].add(b)
+        adj[b].add(a)
+    wmax = max(w.values()) if w else 1.0
+    out = []
+    for v in range(n):
+        k = len(adj[v])
+        if k < 2:
+            out.append(0.0)
+            continue
+        s = 0.0
+        for j, h in itertools.combinations(sorted(adj[v]), 2):
+            if h in adj[j]:
+                p = (w[frozenset((v, j))] * w[frozenset((j, h))]
+                     * w[frozenset((v, h))])
+                s += (p ** (1.0 / 3.0)) / wmax
+        out.append(round(2.0 * s / (k * (k - 1)), 6))
+    return out
+
+
+@pytest.mark.parametrize("seed,nblocks", [(31, 2), (32, 5)])
+def test_weighted_clustering_brute_force(seed, nblocks):
+    from cuttana_ray.pipelines.triangles import weighted_clustering
+    from cuttana_ray.pipelines.graph import Graph
+    rng = np.random.default_rng(seed)
+    n = 12
+    und = [(a, b, float(rng.integers(1, 9)))
+           for a, b in itertools.combinations(range(n), 2)
+           if rng.random() < 0.35]
+    src = [a for a, b, _ in und] + [b for a, b, _ in und]
+    dst = [b for a, b, _ in und] + [a for a, b, _ in und]
+    ws = [x for _, _, x in und] * 2
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array([int(x) for x in ws], pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(rd.from_arrow(t).repartition(nblocks).materialize(), nodes, n)
+    got = weighted_clustering(g).to_pandas().sort_values("vertex")
+    exp = _brute_weighted_clustering(und, n)
+    np.testing.assert_allclose(got["wclustering"].to_numpy(),
+                               np.array(exp), atol=1e-6)
+    # unweighted special case: all weights equal -> reduces to C(v)
+    eq = [(a, b, 1.0) for a, b, _ in und]
+    t2 = pa.table({"src": pa.array(src, pa.int64()),
+                   "dst": pa.array(dst, pa.int64()),
+                   "weight": pa.array([1] * len(src), pa.int64())})
+    g2 = Graph(rd.from_arrow(t2).repartition(nblocks).materialize(),
+               nodes, n)
+    got2 = weighted_clustering(g2).to_pandas().sort_values("vertex")
+    np.testing.assert_allclose(
+        got2["wclustering"].to_numpy(),
+        np.array(_brute_weighted_clustering(eq, n)), atol=1e-6)
