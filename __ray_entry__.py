@@ -8085,6 +8085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement_events": _q_wl_refinement_events,
         "salsa_k4_events": _q_salsa_k4_events,
         "weighted_clustering_events": _q_weighted_clustering_events,
+        "boilerplate_sentences_docs": _q_boilerplate_sentences_docs,
     }
 
 
@@ -8244,6 +8245,57 @@ def _q_weighted_clustering_events(sf_dir: str):
     per-triangle contributions scattered to all three corners."""
     from cuttana_ray.pipelines.triangles import weighted_clustering
     return weighted_clustering(_events_graph(sf_dir))
+
+
+def _q_boilerplate_sentences_docs(sf_dir: str):
+    """CCNet-style sentence-level boilerplate detection
+    (functions/textstats.py boilerplate_sentences): sentences recurring
+    in ≥2 distinct documents, with document counts — per-doc dedup is
+    in-batch (a doc lives in one row), the exchange moves pre-combined
+    per-sentence partials. The synthetic corpus has no naturally
+    recurring sentences, so (pii_scrub precedent) deterministic banner
+    sentences are appended to doc_id%3==0 / doc_id%7==0 docs on both
+    sides — the operator must recover exactly those with exact counts."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.textstats import boilerplate_sentences
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def banner(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        b3 = pa.array(np.where(did % 3 == 0,
+                               ". Subscribe to our newsletter now!", ""))
+        b7 = pa.array(np.where(did % 7 == 0,
+                               ". Cookie policy applies.", ""))
+        out = pc.binary_join_element_wise(text, b3, b7, "")
+        return t.set_column(t.schema.get_field_index("text"), "text", out)
+
+    return boilerplate_sentences(ds.map_batches(banner,
+                                                batch_format="pyarrow"),
+                                 min_docs=2)
+
+
+_BOILERPLATE_SQL = """
+    WITH d AS (
+        SELECT doc_id,
+               COALESCE(text, '')
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '. Subscribe to our newsletter now!'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN '. Cookie policy applies.' ELSE '' END AS text
+        FROM documents),
+    s AS (
+        SELECT DISTINCT doc_id, lower(trim(sent, ' ')) AS sentence
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(text, '[.!?]+')) AS sent
+              FROM d)
+        WHERE length(trim(sent, ' ')) > 0)
+    SELECT sentence, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1 HAVING COUNT(*) >= 2
+"""
 
 
 def _fnv63_expr(col: str) -> str:
@@ -12623,4 +12675,5 @@ def oracle_sql() -> dict[str, str]:
         "wl_refinement_events": _wl_sql(),
         "salsa_k4_events": _salsa_k4_sql(),
         "weighted_clustering_events": _WCLUSTERING_SQL,
+        "boilerplate_sentences_docs": _BOILERPLATE_SQL,
     }

@@ -399,3 +399,45 @@ def hashed_linear_score(ds: "ray.data.Dataset", text_col: str = "text",
                          "keep": pa.array(wsum > 0)}).cast(sch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def boilerplate_sentences(ds: "ray.data.Dataset", text_col: str = "text",
+                          id_col: str = "doc_id", min_docs: int = 2
+                          ) -> "ray.data.Dataset":
+    """CCNet-style boilerplate detection at the sentence level — the
+    dedup unit real web-corpus cleaners operate on (headers, footers,
+    cookie banners recur across DOCUMENTS, not within them): split every
+    document on sentence terminators, normalize (space-trim + lowercase),
+    and report each sentence appearing in ≥ ``min_docs`` DISTINCT
+    documents with its document count.
+
+    Scale shape: a document lives in one row, so its (doc, sentence)
+    pairs dedup entirely inside the batch (one Arrow group_by per batch)
+    and the exchange moves pre-combined per-sentence partial counts —
+    the combiner discipline; no raw sentence stream ever shuffles twice.
+    Output ``(sentence, n_docs)``."""
+    from ray.data.aggregate import Sum
+
+    def extract(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("sentence", pa.string()), ("c", pa.int64())])
+        if len(t) == 0 or text_col not in t.column_names:
+            return sch.empty_table()
+        texts = pc.cast(t[text_col], pa.string())
+        sents = pc.split_pattern_regex(
+            pc.fill_null(texts, ""), pattern=r"[.!?]+")
+        if isinstance(sents, pa.ChunkedArray):
+            sents = sents.combine_chunks()
+        flat = pc.utf8_lower(pc.utf8_trim(pc.list_flatten(sents), " "))
+        parents = pc.list_parent_indices(sents)
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        pairs = pa.table({"d": parents.filter(keep),
+                          "sentence": flat.filter(keep)}) \
+            .group_by(["d", "sentence"]).aggregate([])
+        out = pairs.select(["sentence"]).group_by(["sentence"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["sentence", "c"])
+        return out.cast(sch)
+
+    counts = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("sentence").aggregate(Sum("c", alias_name="n_docs"))
+    return counts.filter(expr=f"n_docs >= {int(min_docs)}")

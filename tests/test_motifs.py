@@ -501,3 +501,33 @@ def test_weighted_clustering_brute_force(seed, nblocks):
     np.testing.assert_allclose(
         got2["wclustering"].to_numpy(),
         np.array(_brute_weighted_clustering(eq, n)), atol=1e-6)
+
+
+@pytest.mark.parametrize("nblocks", [1, 3])
+def test_boilerplate_sentences_brute_force(nblocks):
+    import re
+    from cuttana_ray.functions.textstats import boilerplate_sentences
+    texts = ["Hello world. Subscribe now! Unique thought one.",
+             "Different body? Subscribe now! hello WORLD.",
+             "subscribe now!   Subscribe  now! Solo sentence.",
+             "", None, "No repeats here at all"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = boilerplate_sentences(rd.from_arrow(t).repartition(nblocks),
+                                min_docs=2).to_pandas() \
+        .sort_values("sentence").reset_index(drop=True)
+    # brute force: per-doc distinct normalized sentences, count docs
+    counts = {}
+    for x in texts:
+        seen = set()
+        for s in re.split(r"[.!?]+", x or ""):
+            s = s.strip(" ").lower()
+            if s:
+                seen.add(s)
+        for s in seen:
+            counts[s] = counts.get(s, 0) + 1
+    exp = sorted((s, c) for s, c in counts.items() if c >= 2)
+    assert list(zip(got["sentence"], got["n_docs"])) == exp
+    # 'subscribe now' appears in 3 docs despite intra-doc repeats
+    assert dict(exp)["subscribe now"] == 3
+    assert dict(exp)["hello world"] == 2
