@@ -3087,6 +3087,17 @@ def _q_adamic_adar_events(sf_dir: str):
     return adamic_adar_pairs(g, min_common=2)
 
 
+def _q_linkpred_ra_events(sf_dir: str):
+    """Resource-allocation + preferential-attachment link prediction
+    (pipelines/linkpred.py::resource_allocation_pairs): non-adjacent pairs
+    sharing ≥ 2 neighbors scored Σ 1/deg(witness) (Zhou-Lü-Zhang) and
+    deg(a)·deg(b) (exact int64). Same witness-expansion candidate
+    discipline as Adamic-Adar — never all pairs."""
+    from cuttana_ray.pipelines.linkpred import resource_allocation_pairs
+    g = _events_graph(sf_dir)
+    return resource_allocation_pairs(g, min_common=2)
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -7912,6 +7923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_events": _q_scc_events,
         "linkpred_events": _q_linkpred_events,
         "adamic_adar_events": _q_adamic_adar_events,
+        "linkpred_ra_events": _q_linkpred_ra_events,
         "mst_events": _q_mst_events,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "user_degree_churn": _q_user_degree_churn,
@@ -8828,6 +8840,25 @@ _ADAMIC_ADAR_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
     SELECT a, b, CAST(cn AS BIGINT) AS common_neighbors,
            ROUND(aa, 6) AS adamic_adar
     FROM sel
+"""
+
+
+_LINKPRED_RA_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn,
+               SUM(1.0 / dg.d) AS ra
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        JOIN deg dg ON dg.v = e1.src
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    sel AS (
+        SELECT a, b, cn, ra FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e
+                          WHERE e.src = cn.a AND e.dst = cn.b))
+    SELECT s.a, s.b, CAST(s.cn AS BIGINT) AS common_neighbors,
+           ROUND(s.ra, 6) AS resource_alloc,
+           CAST(da.d * db.d AS BIGINT) AS pref_attach
+    FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
 """
 
 
@@ -9863,6 +9894,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_events": _random_walks_sql(),
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
+        "linkpred_ra_events": _LINKPRED_RA_SQL,
         "mst_events": _mst_sql(16),
         "user_degree_churn": """
             WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type

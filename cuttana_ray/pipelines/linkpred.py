@@ -45,7 +45,7 @@ def _witness_pairs_fn(max_degree: int | None):
     weighted = _witness_weighted_fn(max_degree)
 
     def fn(batch: pa.Table) -> pa.Table:
-        return weighted(batch).drop_columns(["aa"])
+        return weighted(batch).drop_columns(["aa", "ra"])
     return fn
 
 
@@ -107,17 +107,20 @@ def common_neighbor_pairs(graph: Graph, min_common: int = 2,
 
 
 def _witness_weighted_fn(max_degree: int | None):
-    """Like ``_witness_pairs_fn`` but each witnessed pair also carries the
-    Adamic-Adar contribution of its witness, ``1 / ln(deg(witness))``.
+    """Like ``_witness_pairs_fn`` but each witnessed pair also carries two
+    weighted contributions of its witness ``w``: the Adamic-Adar weight
+    ``1 / ln(deg w)`` (column ``aa``) and the resource-allocation weight
+    ``1 / deg w`` (column ``ra``, Zhou-Lü-Zhang 2009).
 
     A witness needs deg ≥ 2 to witness anything, so ln(deg) ≥ ln 2 > 0 and
-    the weight is always finite. Same gap-loop vectorization; the
-    within-batch partial collapses BOTH the count and the weight sum before
+    both weights are always finite. Same gap-loop vectorization; the
+    within-batch partial collapses the count and BOTH weight sums before
     the single ``groupby(a, b)`` exchange.
     """
     def fn(batch: pa.Table) -> pa.Table:
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                            ("cn", pa.int64()), ("aa", pa.float64())])
+                            ("cn", pa.int64()), ("aa", pa.float64()),
+                            ("ra", pa.float64())])
         n = len(batch)
         if n == 0 or "nbrs" not in batch.column_names:
             return schema.empty_table()
@@ -133,7 +136,9 @@ def _witness_weighted_fn(max_degree: int | None):
             return schema.empty_table()
         inv_log = np.zeros(len(deg), dtype=np.float64)
         inv_log[rows] = 1.0 / np.log(deg[rows].astype(np.float64))
-        a_parts, b_parts, w_parts = [], [], []
+        inv_deg = np.zeros(len(deg), dtype=np.float64)
+        inv_deg[rows] = 1.0 / deg[rows].astype(np.float64)
+        a_parts, b_parts, w_parts, r_parts = [], [], [], []
         max_g = int(deg[rows].max())
         for g in range(1, max_g):
             r = rows[deg[rows] > g]
@@ -147,11 +152,13 @@ def _witness_weighted_fn(max_degree: int | None):
             a_parts.append(flat[i])
             b_parts.append(flat[i + g])
             w_parts.append(np.repeat(inv_log[r], cnt))
+            r_parts.append(np.repeat(inv_deg[r], cnt))
         a = np.concatenate(a_parts)
         b = np.concatenate(b_parts)
         w = np.concatenate(w_parts)
+        rw = np.concatenate(r_parts)
         order = np.lexsort((b, a))
-        a, b, w = a[order], b[order], w[order]
+        a, b, w, rw = a[order], b[order], w[order], rw[order]
         new = np.concatenate(
             [[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
         starts = np.nonzero(new)[0]
@@ -160,6 +167,8 @@ def _witness_weighted_fn(max_degree: int | None):
                          "b": pa.array(b[starts], pa.int64()),
                          "cn": pa.array(cnt.astype(np.int64)),
                          "aa": pa.array(np.add.reduceat(w, starts),
+                                        pa.float64()),
+                         "ra": pa.array(np.add.reduceat(rw, starts),
                                         pa.float64())})
     return fn
 
@@ -221,5 +230,79 @@ def adamic_adar_pairs(graph: Graph, min_common: int = 2,
                          "common_neighbors": t["cn"],
                          "adamic_adar": pa.array(aa, pa.float64())
                          }).cast(schema)
+
+    return cand.map_batches(finish, batch_format="pyarrow")
+
+
+def resource_allocation_pairs(graph: Graph, min_common: int = 2,
+                              max_degree: int | None = None
+                              ) -> "ray.data.Dataset":
+    """Resource-allocation + preferential-attachment link prediction for
+    non-adjacent pairs sharing ≥ ``min_common`` neighbors, a < b:
+
+    * ``resource_alloc(a, b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w)`` — the
+      Zhou-Lü-Zhang index (harsher hub down-weighting than Adamic-Adar's
+      1/ln deg; the best simple local index in their benchmark).
+    * ``pref_attach(a, b) = deg(a)·deg(b)`` — the Barabási-Albert growth
+      score, exact int64.
+
+    Same candidate discipline as ``adamic_adar_pairs``: witness expansion
+    over sorted adjacency lists (never all pairs), in-batch partial sums
+    before ONE ``groupby(a, b)`` exchange, adjacent pairs dropped by a
+    distributed anti-join on the packed pair key. The RA weight comes from
+    the witness's in-batch list length; only preferential attachment needs
+    endpoint degrees, broadcast once (``ray.put`` dense int64 — the
+    documented small-V driver regime; at conv-id scale join the degree
+    table instead, as ``pipelines/bigv.py`` does for its scores).
+    """
+    V = graph.num_vertices
+    adj = build_adjacency(graph.edges)
+    cand = adj.map_batches(_witness_weighted_fn(max_degree),
+                           batch_format="pyarrow") \
+        .groupby(["a", "b"]) \
+        .aggregate(Sum("cn", alias_name="cn"),
+                   Sum("ra", alias_name="ra")) \
+        .filter(expr=f"cn >= {int(min_common)}")
+
+    def pack_pair(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("cn", pa.int64()), ("ra", pa.float64()),
+                              ("pk", pa.int64())]).empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pk", pa.array(a * V + b, pa.int64()))
+
+    def pack_edge(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.schema([("pk", pa.int64())]).empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s < d
+        return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64())})
+
+    cand = anti_join(cand.map_batches(pack_pair, batch_format="pyarrow"),
+                     graph.edges.map_batches(pack_edge,
+                                             batch_format="pyarrow"),
+                     "pk", "pk").drop_columns(["pk"])
+
+    deg_ref = ray.put(graph.degrees())
+
+    def finish(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("common_neighbors", pa.int64()),
+                            ("resource_alloc", pa.float64()),
+                            ("pref_attach", pa.int64())])
+        if len(t) == 0 or "a" not in t.column_names:
+            return schema.empty_table()
+        deg = ray.get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ra = np.round(t["ra"].to_numpy(zero_copy_only=False), 6)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "common_neighbors": t["cn"],
+                         "resource_alloc": pa.array(ra, pa.float64()),
+                         "pref_attach": pa.array(deg[a] * deg[b],
+                                                 pa.int64())}).cast(schema)
 
     return cand.map_batches(finish, batch_format="pyarrow")

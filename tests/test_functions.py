@@ -1319,3 +1319,48 @@ def test_adamic_adar_matches_bruteforce():
         assert r["common_neighbors"] == cn
         # engine rounds to the repo's 6-dp float-output convention
         assert abs(r["adamic_adar"] - aa) < 5.1e-7
+
+
+def test_resource_allocation_matches_bruteforce():
+    import ray.data as rd
+    from cuttana_ray.pipelines.graph import Graph
+    from cuttana_ray.pipelines.linkpred import resource_allocation_pairs
+    rng = np.random.default_rng(11)
+    n = 40
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.integers(0, n, size=2)
+        if a != b:
+            pairs.add((min(int(a), int(b)), max(int(a), int(b))))
+    und = sorted(pairs)
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "weight": pa.array([1] * len(src), pa.int64())})
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(rd.from_arrow(t).repartition(4).materialize(), nodes, n)
+    got = resource_allocation_pairs(g, min_common=1).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    adj = [set() for _ in range(n)]
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                exp[(a, b)] = (len(common),
+                               sum(1.0 / len(adj[w]) for w in common),
+                               len(adj[a]) * len(adj[b]))
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        cn, ra, pref = exp[(r["a"], r["b"])]
+        assert r["common_neighbors"] == cn
+        assert abs(r["resource_alloc"] - ra) < 5.1e-7
+        assert r["pref_attach"] == pref
