@@ -3098,6 +3098,27 @@ def _q_linkpred_ra_events(sf_dir: str):
     return resource_allocation_pairs(g, min_common=2)
 
 
+def _q_edge_embeddedness_events(sf_dir: str):
+    """Edge-embeddedness histogram (pipelines/triangles.py::
+    edge_embeddedness): per-edge common-neighbor counts — triangles per
+    edge, Granovetter tie strength — via witness-pair expansion + ONE
+    tagged-union groupby that keeps 0-embeddedness edges (local bridges)
+    without an anti-join. The histogram is O(max embeddedness) rows, so
+    finishing the share column on the driver is legitimate small-result
+    materialization."""
+    from ray.data.aggregate import Count
+
+    from cuttana_ray.pipelines.triangles import edge_embeddedness
+    g = _events_graph(sf_dir)
+    hist = edge_embeddedness(g).groupby("embeddedness") \
+        .aggregate(Count(alias_name="n_edges")).to_pandas()
+    tot = int(hist["n_edges"].sum())
+    hist["embeddedness"] = hist["embeddedness"].astype(np.int64)
+    hist["n_edges"] = hist["n_edges"].astype(np.int64)
+    hist["share"] = (hist["n_edges"] / tot).round(6)
+    return hist
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -7924,6 +7945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_events": _q_linkpred_events,
         "adamic_adar_events": _q_adamic_adar_events,
         "linkpred_ra_events": _q_linkpred_ra_events,
+        "edge_embeddedness_events": _q_edge_embeddedness_events,
         "mst_events": _q_mst_events,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "user_degree_churn": _q_user_degree_churn,
@@ -8859,6 +8881,25 @@ _LINKPRED_RA_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
            ROUND(s.ra, 6) AS resource_alloc,
            CAST(da.d * db.d AS BIGINT) AS pref_attach
     FROM sel s JOIN deg da ON da.v = s.a JOIN deg db ON db.v = s.b
+"""
+
+
+_EDGE_EMBEDDEDNESS_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    ce AS (SELECT src AS a, dst AS b FROM e WHERE src < dst),
+    cn AS (
+        SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cn
+        FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        GROUP BY 1, 2),
+    emb AS (
+        SELECT ce.a, ce.b, COALESCE(cn.cn, 0) AS embeddedness
+        FROM ce LEFT JOIN cn ON cn.a = ce.a AND cn.b = ce.b),
+    h AS (SELECT embeddedness, COUNT(*) AS n_edges
+          FROM emb GROUP BY 1)
+    SELECT CAST(embeddedness AS BIGINT) AS embeddedness,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           ROUND(CAST(n_edges AS DOUBLE) / SUM(n_edges) OVER (), 6)
+               AS share
+    FROM h
 """
 
 
@@ -9895,6 +9936,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_events": _LINKPRED_SQL,
         "adamic_adar_events": _ADAMIC_ADAR_SQL,
         "linkpred_ra_events": _LINKPRED_RA_SQL,
+        "edge_embeddedness_events": _EDGE_EMBEDDEDNESS_SQL,
         "mst_events": _mst_sql(16),
         "user_degree_churn": """
             WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type

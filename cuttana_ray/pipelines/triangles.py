@@ -331,3 +331,70 @@ def weighted_clustering(graph: Graph) -> pa.Table:
     wc = np.where(deg >= 2, 2.0 * sums / np.maximum(denom, 1.0), 0.0)
     return pa.table({"vertex": pa.array(np.arange(V, dtype=np.int64)),
                      "wclustering": pa.array(np.round(wc, 6))})
+
+
+def edge_embeddedness(graph: Graph) -> "ray.data.Dataset":
+    """Per-edge embeddedness: for every undirected edge (a, b), a < b, the
+    number of common neighbors |N(a) ∩ N(b)| — the count of triangles the
+    edge participates in (Granovetter's tie-strength proxy). Edges with
+    embeddedness 0 are LOCAL BRIDGES (they sit in no triangle; removing
+    one raises the endpoints' distance above 2).
+
+    Plan: witness-pair expansion over sorted adjacency lists
+    (``pipelines/linkpred._witness_pairs_fn`` — pairs come only from shared
+    neighbors, never all pairs), then ONE tagged-union groupby exchange on
+    the packed pair key joins pair counts with the edge list itself, so
+    edges whose endpoints share nothing still appear (embeddedness 0)
+    without a second anti-join pass. Returns (a, b, embeddedness) int64.
+    """
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.pipelines.linkpred import _witness_pairs_fn
+    from cuttana_ray.stages.edges import build_adjacency
+
+    V = graph.num_vertices
+    adj = build_adjacency(graph.edges)
+    pairs = adj.map_batches(_witness_pairs_fn(None), batch_format="pyarrow")
+
+    usch = pa.schema([("pk", pa.int64()), ("cn", pa.int64()),
+                      ("is_edge", pa.int64())])
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return usch.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"pk": pa.array(a * V + b, pa.int64()),
+                         "cn": t["cn"],
+                         "is_edge": pa.array(np.zeros(len(t), np.int64))
+                         }).cast(usch)
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return usch.empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s < d  # canonical direction only (edges are symmetrized)
+        z = np.zeros(int(m.sum()), np.int64)
+        return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64()),
+                         "cn": pa.array(z),
+                         "is_edge": pa.array(z + 1)}).cast(usch)
+
+    agg = pairs.map_batches(tag_pairs, batch_format="pyarrow") \
+        .union(graph.edges.map_batches(tag_edges, batch_format="pyarrow")) \
+        .groupby("pk") \
+        .aggregate(Sum("cn", alias_name="cn"),
+                   Sum("is_edge", alias_name="is_edge")) \
+        .filter(expr="is_edge >= 1")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         ("embeddedness", pa.int64())])
+        if len(t) == 0 or "pk" not in t.column_names:
+            return sch.empty_table()
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(pk // V, pa.int64()),
+                         "b": pa.array(pk % V, pa.int64()),
+                         "embeddedness": t["cn"]}).cast(sch)
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

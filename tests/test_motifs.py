@@ -531,3 +531,53 @@ def test_boilerplate_sentences_brute_force(nblocks):
     # 'subscribe now' appears in 3 docs despite intra-doc repeats
     assert dict(exp)["subscribe now"] == 3
     assert dict(exp)["hello world"] == 2
+
+
+def test_edge_embeddedness_known():
+    # triangle 0-1-2 plus pendant edge 2-3: triangle edges have
+    # embeddedness 1, the pendant edge is a local bridge (0)
+    from cuttana_ray.pipelines.graph import Graph
+    from cuttana_ray.pipelines.triangles import edge_embeddedness
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    n = 4
+    edges = _sym_edges(pairs, 2).map_batches(
+        lambda t: t.append_column(
+            "weight", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(edges.materialize(), nodes, n)
+    got = edge_embeddedness(g).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    exp = {(0, 1): 1, (0, 2): 1, (1, 2): 1, (2, 3): 0}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["a"], r["b"])] == r["embeddedness"]
+
+
+@pytest.mark.parametrize("seed,nblocks", [(21, 2), (22, 5)])
+def test_edge_embeddedness_random_brute_force(seed, nblocks):
+    from cuttana_ray.pipelines.graph import Graph
+    from cuttana_ray.pipelines.triangles import edge_embeddedness
+    rng = np.random.default_rng(seed)
+    n = 16
+    pairs = [(a, b) for a, b in itertools.combinations(range(n), 2)
+             if rng.random() < 0.25]
+    edges = _sym_edges(pairs, nblocks).map_batches(
+        lambda t: t.append_column(
+            "weight", pa.array([1] * len(t), pa.int64())),
+        batch_format="pyarrow")
+    nodes = pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                      "name": pa.array([f"v{i}" for i in range(n)]),
+                      "kind": pa.array(["v"] * n)})
+    g = Graph(edges.materialize(), nodes, n)
+    got = edge_embeddedness(g).to_pandas()
+    adj = [set() for _ in range(n)]
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp = {(a, b): len(adj[a] & adj[b]) for a, b in pairs}
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["a"], r["b"])] == r["embeddedness"]
