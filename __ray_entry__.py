@@ -3119,6 +3119,27 @@ def _q_edge_embeddedness_events(sf_dir: str):
     return hist
 
 
+def _q_hitting_time_k6_events(sf_dir: str):
+    """Truncated hitting time E[min(τ_T, 6)] to the target set
+    {v : v % 31 == 0} (same seed discipline as sssp_events) under the
+    weighted random-walk kernel (pipelines/hitting.py — katz-shaped
+    k-step iteration, one streamed edge pass per round). The oracle
+    unrolls the identical six rounds; 9-dp rounding on both sides (values
+    are bounded by 6, so float-association noise is ~1e-13, far below
+    the grain)."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.hitting import truncated_hitting_time
+    g = _events_graph(sf_dir)
+    V = g.num_vertices
+    targets = (np.arange(V, dtype=np.int64) % 31) == 0
+    h = truncated_hitting_time(g, targets, k=6)
+    return pa.table({
+        "vertex": pa.array(np.arange(V, dtype=np.int64)),
+        "hit_time": pc.round(pa.array(h, pa.float64()), 9),
+    })
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -7935,6 +7956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain2_events": _q_louvain2_events,
         "bigv_louvain_events": _q_bigv_louvain_events,
         "katz_k6_events": _q_katz_k6_events,
+        "hitting_time_k6_events": _q_hitting_time_k6_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9050,6 +9072,34 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+def _hitting_sql(k: int = 6, mod: int = 31) -> str:
+    """Unrolled truncated-hitting-time replay (pipelines/hitting.py):
+    h ← 0 on targets, else 1 + Σ_out w·h / strength, from h₀ ≡ 0. The
+    events graph has no zero-strength vertices (every node comes from an
+    edge), so the stranded branch never fires and the inner join on
+    ``str`` is total."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    str AS MATERIALIZED (
+        SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS s
+        FROM e GROUP BY 1),
+    h0 AS MATERIALIZED (
+        SELECT node_id AS v, CAST(0.0 AS DOUBLE) AS h FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    h{i} AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               CASE WHEN n.node_id % {mod} = 0 THEN 0.0
+                    ELSE 1.0 + COALESCE(p.sm, 0.0) / st.s END AS h
+        FROM nodes n JOIN str st ON st.v = n.node_id
+        LEFT JOIN (
+            SELECT e.src AS v, SUM(e.weight * p.h) AS sm
+            FROM e JOIN h{i-1} p ON p.v = e.dst GROUP BY 1) p
+            ON p.v = n.node_id)""")
+    parts.append(f"""
+    SELECT v AS vertex, ROUND(h, 9) AS hit_time FROM h{k}""")
+    return "".join(parts)
+
+
 def _eigen_sql(k: int = 6) -> str:
     """Unrolled power-iteration replay (pipelines/katz.py eigenvector):
     x ← (Wᵀx)/‖Wᵀx‖₂ from x₀ = 1/√V."""
@@ -9930,6 +9980,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain2_events": _louvain2_sql(6, 6),
         "bigv_louvain_events": _louvain_sql(6, hashed_ids=True),
         "katz_k6_events": _katz_sql(),
+        "hitting_time_k6_events": _hitting_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

@@ -1107,3 +1107,47 @@ def test_mst_forest_on_disconnected_graph():
     got_list = sorted(zip(got["a"].to_pylist(), got["b"].to_pylist(),
                           got["weight"].to_pylist()))
     assert got_list == [(0, 1, 1), (1, 2, 1), (3, 4, 5)]
+
+
+def test_truncated_hitting_time_matches_dense_numpy():
+    from cuttana_ray.pipelines.hitting import truncated_hitting_time
+
+    rng = np.random.default_rng(47)
+    n = 30
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n - 1, (100, 2)) if a != b})
+    # vertex n-1 is deliberately isolated (stranded: h after round t = t)
+    g = graph_from_edges(edges, n, num_blocks=3)
+    targets = (np.arange(n) % 7) == 0
+    k = 6
+    # dense oracle: h = 0 on T, else 1 + P @ h, P = W / rowsum(W)
+    et = g.edges.to_pandas()
+    W = np.zeros((n, n))
+    W[et["src"], et["dst"]] = et["weight"]
+    s = W.sum(axis=1)
+    h = np.zeros(n)
+    for t in range(1, k + 1):
+        nxt = 1.0 + (W @ h) / np.where(s > 0, s, 1.0)
+        nxt[targets] = 0.0
+        nxt[(s <= 0) & ~targets] = float(t)
+        h = nxt
+    got = truncated_hitting_time(g, targets, k=k)
+    assert np.allclose(got, h, rtol=1e-12, atol=1e-12)
+    assert got[n - 1] == float(k)
+    assert np.all(got <= k + 1e-12) and np.all(got >= 0)
+    got1 = truncated_hitting_time(graph_from_edges(edges, n, num_blocks=1),
+                                  targets, k=k)
+    assert np.allclose(got, got1, rtol=1e-12, atol=1e-12)
+
+
+def test_truncated_hitting_time_unweighted_path():
+    # path 0-1-2, target {0}: h(0)=0; k=4
+    # h(1) = E[min(tau,4)]: from 1 -> 0 w.p. .5 (tau=1) or ->2 (then back)
+    from cuttana_ray.pipelines.hitting import truncated_hitting_time
+
+    g = graph_from_edges([(0, 1), (1, 2)], 3, num_blocks=1)
+    targets = np.array([True, False, False])
+    h = truncated_hitting_time(g, targets, k=4)
+    # dense replay: h1=(0,1,1); h2=(0, 1+.5*1, 2); h3=(0, 1+.5*2, 1+1.5)
+    # h4=(0, 1+.5*2.5, 1+2)
+    assert np.allclose(h, [0.0, 2.25, 3.0])
