@@ -3140,6 +3140,85 @@ def _q_hitting_time_k6_events(sf_dir: str):
     })
 
 
+def _q_nation_theil_index(sf_dir: str):
+    """Per-nation Theil T and Theil L inequality indices of customer
+    revenue. Both decompose algebraically — T = Σx·lnx/Σx − ln(Σx/n),
+    L = ln(Σx/n) − Σlnx/n — so ONE map_batches partial pass (Σx, Σx·lnx,
+    Σlnx, n per block per nation) and one small groupby(nation) exchange
+    compute them with no per-customer shuffle beyond the revenue rollup;
+    contrast the Gini, which needs a global revenue sort. Revenue is
+    exact int64 cents (same convention as customer_revenue_gini)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.util import safe_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        v = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(v)}).cast(sch)
+
+    rev = orders.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="rev"))
+    joined = safe_join(rev, cust, join_type="inner", num_partitions=8,
+                       on=("c",), right_on=("c_custkey",))
+
+    def partials(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("nation", pa.int64()), ("sx", pa.float64()),
+                         ("sxlx", pa.float64()), ("slx", pa.float64()),
+                         ("n", pa.int64())])
+        if len(t) == 0 or "rev" not in t.column_names:
+            return sch.empty_table()
+        x = t["rev"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nat = pc.cast(t["c_nationkey"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lx = np.log(x)
+        uniq, inv = np.unique(nat, return_inverse=True)
+        return pa.table({
+            "nation": pa.array(uniq, pa.int64()),
+            "sx": pa.array(np.bincount(inv, weights=x)),
+            "sxlx": pa.array(np.bincount(inv, weights=x * lx)),
+            "slx": pa.array(np.bincount(inv, weights=lx)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        }).cast(sch)
+
+    agg = joined.map_batches(partials, batch_format="pyarrow") \
+        .groupby("nation").aggregate(Sum("sx", alias_name="sx"),
+                                     Sum("sxlx", alias_name="sxlx"),
+                                     Sum("slx", alias_name="slx"),
+                                     Sum("n", alias_name="n_customers"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("nation", pa.int64()),
+                         ("n_customers", pa.int64()),
+                         ("theil_t", pa.float64()),
+                         ("theil_l", pa.float64())])
+        if len(t) == 0 or "sx" not in t.column_names:
+            return sch.empty_table()
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sxlx = t["sxlx"].to_numpy(zero_copy_only=False)
+        slx = t["slx"].to_numpy(zero_copy_only=False)
+        n = t["n_customers"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mu_ln = np.log(sx / n)
+        return pa.table({
+            "nation": t["nation"],
+            "n_customers": t["n_customers"],
+            "theil_t": pa.array(np.round(sxlx / sx - mu_ln, 6)),
+            "theil_l": pa.array(np.round(mu_ln - slx / n, 6)),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -7957,6 +8036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigv_louvain_events": _q_bigv_louvain_events,
         "katz_k6_events": _q_katz_k6_events,
         "hitting_time_k6_events": _q_hitting_time_k6_events,
+        "nation_theil_index": _q_nation_theil_index,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9072,6 +9152,25 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_NATION_THEIL_SQL = """
+    WITH rev AS (
+        SELECT o_custkey AS c,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders GROUP BY 1),
+    j AS (
+        SELECT CAST(cu.c_nationkey AS BIGINT) AS nation,
+               CAST(r.rev AS DOUBLE) AS x
+        FROM rev r JOIN customer cu ON cu.c_custkey = r.c)
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(x * ln(x)) / SUM(x) - ln(SUM(x) / COUNT(*)), 6)
+               AS theil_t,
+           ROUND(ln(SUM(x) / COUNT(*)) - SUM(ln(x)) / COUNT(*), 6)
+               AS theil_l
+    FROM j GROUP BY 1
+"""
+
+
 def _hitting_sql(k: int = 6, mod: int = 31) -> str:
     """Unrolled truncated-hitting-time replay (pipelines/hitting.py):
     h ← 0 on targets, else 1 + Σ_out w·h / strength, from h₀ ≡ 0. The
@@ -9981,6 +10080,7 @@ def oracle_sql() -> dict[str, str]:
         "bigv_louvain_events": _louvain_sql(6, hashed_ids=True),
         "katz_k6_events": _katz_sql(),
         "hitting_time_k6_events": _hitting_sql(),
+        "nation_theil_index": _NATION_THEIL_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
