@@ -3219,6 +3219,17 @@ def _q_nation_theil_index(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_readability_docs(sf_dir: str):
+    """Flesch reading ease + FK grade per document
+    (functions/textstats.py::readability_scores): vectorized Arrow regex
+    counts (words, sentence ends, vowel-group syllables), exact int64, so
+    the doubles are layout-invariant; oracle replays the same RE2
+    patterns via regexp_extract_all."""
+    from cuttana_ray.functions.textstats import readability_scores
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return readability_scores(ds)
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -8037,6 +8048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz_k6_events": _q_katz_k6_events,
         "hitting_time_k6_events": _q_hitting_time_k6_events,
         "nation_theil_index": _q_nation_theil_index,
+        "readability_docs": _q_readability_docs,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9152,6 +9164,25 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_READABILITY_SQL = r"""
+    WITH b AS (
+        SELECT doc_id,
+               GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS w,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                         - 84.6 * (CAST(y AS DOUBLE) / w), 6) AS flesch,
+           ROUND(0.39 * (CAST(w AS DOUBLE) / s)
+                 + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6) AS fk_grade
+    FROM b
+"""
+
+
 _NATION_THEIL_SQL = """
     WITH rev AS (
         SELECT o_custkey AS c,
@@ -10081,6 +10112,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_k6_events": _katz_sql(),
         "hitting_time_k6_events": _hitting_sql(),
         "nation_theil_index": _NATION_THEIL_SQL,
+        "readability_docs": _READABILITY_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

@@ -1364,3 +1364,30 @@ def test_resource_allocation_matches_bruteforce():
         assert r["common_neighbors"] == cn
         assert abs(r["resource_alloc"] - ra) < 5.1e-7
         assert r["pref_attach"] == pref
+
+
+def test_readability_scores_known_text():
+    import ray.data as rd
+    from cuttana_ray.functions.textstats import readability_scores
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "The cat sat. The dog ran!",   # 6 words, 2 sentences
+            "no punctuation here",          # 3 words, floor 1 sentence
+            "",                             # empty: floors kick in
+        ])})
+    got = readability_scores(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 1: words=6, sentences=2, vowel groups in
+    # "the cat sat. the dog ran!": e,a,a,e,o,a = 6
+    r = got.iloc[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    exp_flesch = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r["flesch"] - round(exp_flesch, 6)) < 1e-9
+    exp_fk = 0.39 * 3 + 11.8 * 1 - 15.59
+    assert abs(r["fk_grade"] - round(exp_fk, 6)) < 1e-9
+    r2 = got.iloc[1]
+    # "no punctuation here": o,u,ua,io,e,e -> 6 vowel groups
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (3, 1, 6)
+    r3 = got.iloc[2]
+    assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (1, 1, 0)
