@@ -3230,6 +3230,48 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_daily_revenue_cusum(sf_dir: str):
+    """CUSUM changepoint detection on the daily revenue series: the day
+    maximizing |S_t| where S_t = Σ_{i≤t}(x_i − x̄) — the classic Page
+    mean-shift statistic. The scan runs on exact integers (argmax over
+    |n·cum_t − t·total|, all int64 cents — no float ties), earliest day
+    wins ties; only the reported magnitude touches floats. Per-day totals
+    come from one distributed groupby; the O(#days) series is legitimate
+    small-result driver state (same regime as daily_revenue_autocorr)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64()), ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"d": pc.cast(d, pa.int64()),
+                         "cents": pa.array(cents)}).cast(sch)
+
+    daily = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("d").aggregate(Sum("cents", alias_name="s")) \
+        .to_pandas().sort_values("d").reset_index(drop=True)
+    d = daily["d"].to_numpy().astype(np.int64)
+    s = daily["s"].to_numpy().astype(np.int64)
+    n = len(s)
+    cum = np.cumsum(s)
+    total = int(cum[-1])
+    t_idx = np.arange(1, n + 1, dtype=np.int64)
+    score = np.abs(n * cum - t_idx * total)   # n·|S_t|, exact int64
+    i = int(np.argmax(score))                 # first max = earliest day
+    return pa.table({
+        "changepoint_day": pa.array([int(d[i])], pa.int64()),
+        "n_days": pa.array([n], pa.int64()),
+        "max_abs_cusum": pa.array([round(float(score[i]) / n, 6)],
+                                  pa.float64()),
+    })
+
+
 def _q_cuttana_assignments_events(sf_dir: str):
     assign, _, _ = _events_partition(sf_dir)
     return assign
@@ -8049,6 +8091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hitting_time_k6_events": _q_hitting_time_k6_events,
         "nation_theil_index": _q_nation_theil_index,
         "readability_docs": _q_readability_docs,
+        "daily_revenue_cusum": _q_daily_revenue_cusum,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9164,6 +9207,28 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_DAILY_CUSUM_SQL = """
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS s
+        FROM orders GROUP BY 1),
+    scan AS (
+        SELECT d,
+               SUM(s) OVER (ORDER BY d) AS cum,
+               ROW_NUMBER() OVER (ORDER BY d) AS t,
+               SUM(s) OVER () AS tot,
+               COUNT(*) OVER () AS n
+        FROM daily)
+    SELECT d AS changepoint_day,
+           CAST(n AS BIGINT) AS n_days,
+           ROUND(CAST(ABS(n * cum - t * tot) AS DOUBLE) / n, 6)
+               AS max_abs_cusum
+    FROM scan
+    ORDER BY ABS(n * cum - t * tot) DESC, d ASC LIMIT 1
+"""
+
+
 _READABILITY_SQL = r"""
     WITH b AS (
         SELECT doc_id,
@@ -10113,6 +10178,7 @@ def oracle_sql() -> dict[str, str]:
         "hitting_time_k6_events": _hitting_sql(),
         "nation_theil_index": _NATION_THEIL_SQL,
         "readability_docs": _READABILITY_SQL,
+        "daily_revenue_cusum": _DAILY_CUSUM_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
