@@ -3230,6 +3230,17 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_heaps_law_docs(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit V(N) = K·N^β over documents in
+    doc_id order (functions/terms.py::heaps_law): per-term first-doc via
+    one groupby(term).min exchange, block-carry prefix scans for the
+    cumulative series, one-row OLS partials per block. Oracle replays
+    first-occurrence counts + window prefix sums + the same closed-form
+    OLS."""
+    from cuttana_ray.functions.terms import heaps_law
+    return heaps_law(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_daily_revenue_cusum(sf_dir: str):
     """CUSUM changepoint detection on the daily revenue series: the day
     maximizing |S_t| where S_t = Σ_{i≤t}(x_i − x̄) — the classic Page
@@ -8092,6 +8103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_theil_index": _q_nation_theil_index,
         "readability_docs": _q_readability_docs,
         "daily_revenue_cusum": _q_daily_revenue_cusum,
+        "heaps_law_docs": _q_heaps_law_docs,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9207,6 +9219,41 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_HEAPS_LAW_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(
+            lower(COALESCE(text, '')), '[a-z]+')) AS term
+        FROM documents),
+    ntok AS (SELECT doc_id, COUNT(*) AS nt FROM toks GROUP BY 1),
+    firsts AS (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY 1),
+    newt AS (SELECT fd AS doc_id, COUNT(*) AS nv FROM firsts GROUP BY 1),
+    perdoc AS (
+        SELECT d.doc_id, COALESCE(n.nt, 0) AS nt, COALESCE(w.nv, 0) AS nv
+        FROM documents d
+        LEFT JOIN ntok n ON n.doc_id = d.doc_id
+        LEFT JOIN newt w ON w.doc_id = d.doc_id),
+    scan AS (
+        SELECT SUM(nt) OVER (ORDER BY doc_id) AS cumn,
+               SUM(nv) OVER (ORDER BY doc_id) AS cumv
+        FROM perdoc),
+    pts AS (
+        SELECT ln(CAST(cumn AS DOUBLE)) AS x, ln(CAST(cumv AS DOUBLE)) AS y
+        FROM scan WHERE cumn > 0 AND cumv > 0),
+    f AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT SUM(nt) FROM perdoc) AS BIGINT) AS total_tokens,
+           CAST((SELECT COUNT(*) FROM firsts) AS BIGINT) AS vocab_size,
+           ROUND(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      * sx) / n), 6) AS heaps_k,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS heaps_beta
+    FROM f
+"""
+
+
 _DAILY_CUSUM_SQL = """
     WITH daily AS (
         SELECT CAST(datediff('day', DATE '1970-01-01',
@@ -10179,6 +10226,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_theil_index": _NATION_THEIL_SQL,
         "readability_docs": _READABILITY_SQL,
         "daily_revenue_cusum": _DAILY_CUSUM_SQL,
+        "heaps_law_docs": _HEAPS_LAW_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

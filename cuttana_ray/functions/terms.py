@@ -670,3 +670,112 @@ def bm25_scores(ds: "ray.data.Dataset", query_terms: "list[str]",
         return out.filter(pc.greater(out["n_matched"], 0))
 
     return stats.map_batches(score, batch_format="pyarrow")
+
+
+def heaps_law(ds: "ray.data.Dataset", text_col: str = "text",
+              id_col: str = "doc_id",
+              pattern: str = _DEFAULT_PATTERN) -> pa.Table:
+    """Heaps'-law fit ``V(N) = K·N^β`` of vocabulary growth over the
+    corpus in ``id_col`` order — the standard sanity check that a crawl
+    slice is natural text (β ≈ 0.4-0.6) rather than boilerplate (β → 0)
+    or noise (β → 1).
+
+    Fully distributed: per-doc token counts are one vectorized regex pass;
+    each term's FIRST document is one ``groupby(term).min`` exchange (the
+    only vocabulary-sized shuffle — same cost as ``term_counts``); both
+    per-doc series turn into prefix sums with the block-carry scan
+    (``stages/running.py`` — O(#blocks) driver metadata, never O(#docs));
+    the log-log OLS fit folds one-row per-block partials. Returns ONE row:
+    (n_docs, total_tokens, vocab_size, heaps_k, heaps_beta).
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    from cuttana_ray.stages.running import running_agg
+    from cuttana_ray.util import safe_join
+
+    def ntok(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("nt", pa.int64()),
+                         ("_k", pa.int64())])
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return sch.empty_table()
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n = pc.count_substring_regex(pc.utf8_lower(text), pattern=pattern)
+        return pa.table({id_col: pc.cast(batch[id_col], pa.int64()),
+                         "nt": pc.cast(n, pa.int64()),
+                         "_k": pa.array(np.zeros(len(batch), np.int64))
+                         }).cast(sch)
+
+    per_doc = ds.map_batches(ntok, batch_format="pyarrow")
+
+    firsts = ds.map_batches(_extract_fn(text_col, id_col, pattern),
+                            batch_format="pyarrow") \
+        .groupby("term").aggregate(Min(id_col, alias_name="fd"))
+    new_terms = firsts.groupby("fd").aggregate(Count(alias_name="nv"))
+
+    joined = safe_join(per_doc, new_terms, join_type="left_outer",
+                       num_partitions=8, on=(id_col,), right_on=("fd",))
+
+    def fill(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(id_col, pa.int64()), ("nt", pa.int64()),
+                         ("nv", pa.int64()), ("_k", pa.int64())])
+        if len(t) == 0 or id_col not in t.column_names:
+            return sch.empty_table()
+        return pa.table({id_col: t[id_col], "nt": t["nt"],
+                         "nv": pc.fill_null(pc.cast(t["nv"], pa.int64()),
+                                            0),
+                         "_k": t["_k"]}).cast(sch)
+
+    filled = joined.map_batches(fill, batch_format="pyarrow")
+    # two block-carry prefix scans on the constant key (total order by id)
+    r1 = running_agg(filled, "_k", [id_col], "nt",
+                     keep=["_k", id_col, "nv"])
+    r1 = r1.map_batches(lambda t: t.rename_columns(
+        [{"running_sum": "cumn"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow")
+    r2 = running_agg(r1, "_k", [id_col], "nv", keep=["_k", id_col, "cumn"])
+
+    def ols_partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n", pa.int64()), ("sx", pa.float64()),
+                         ("sy", pa.float64()), ("sxy", pa.float64()),
+                         ("sxx", pa.float64()), ("nd", pa.int64()),
+                         ("tt", pa.int64()), ("vs", pa.int64())])
+        if len(t) == 0 or "cumn" not in t.column_names:
+            return sch.empty_table()
+        cumn = t["cumn"].to_numpy(zero_copy_only=False)
+        cumv = t["running_sum"].to_numpy(zero_copy_only=False)
+        m = (cumn > 0) & (cumv > 0)
+        x = np.log(cumn[m].astype(np.float64))
+        y = np.log(cumv[m].astype(np.float64))
+        return pa.table({
+            "n": pa.array([int(m.sum())], pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "nd": pa.array([len(t)], pa.int64()),
+            "tt": pa.array([0], pa.int64()),
+            "vs": pa.array([0], pa.int64()),
+        }).cast(sch)
+
+    parts = r2.map_batches(ols_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("nd", alias_name="nd"))
+    n = float(parts["n"])
+    sx, sy = float(parts["sx"]), float(parts["sy"])
+    sxy, sxx = float(parts["sxy"]), float(parts["sxx"])
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = float(np.exp((sy - beta * sx) / n))
+    # the two scalar totals ride on the same exchanges already run
+    tot = per_doc.aggregate(Sum("nt", alias_name="tt"))["tt"]
+    # NB: a global Count() with no `on` returns 0 in Ray 2.49 — count a
+    # concrete column instead
+    vocab = firsts.aggregate(Count(on="term", alias_name="vs"))["vs"]
+    return pa.table({
+        "n_docs": pa.array([int(parts["nd"])], pa.int64()),
+        "total_tokens": pa.array([int(tot)], pa.int64()),
+        "vocab_size": pa.array([int(vocab)], pa.int64()),
+        "heaps_k": pa.array([round(k, 6)], pa.float64()),
+        "heaps_beta": pa.array([round(beta, 6)], pa.float64()),
+    })

@@ -1391,3 +1391,44 @@ def test_readability_scores_known_text():
     assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (3, 1, 6)
     r3 = got.iloc[2]
     assert (r3["n_words"], r3["n_sentences"], r3["n_syllables"]) == (1, 1, 0)
+
+
+def test_heaps_law_matches_numpy_replay():
+    import ray.data as rd
+    from cuttana_ray.functions.terms import heaps_law
+    rng = np.random.default_rng(5)
+    import itertools as _it
+    vocab = ["".join(p) for p in _it.product("abcde", repeat=3)][:60]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+             for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts)})
+    outs = []
+    for parts in (1, 5):
+        got = heaps_law(rd.from_arrow(t).repartition(parts)).to_pandas()
+        outs.append(got)
+    # layout invariance
+    assert outs[0].equals(outs[1])
+    got = outs[0].iloc[0]
+    # numpy replay
+    seen, cumn, cumv, xs, ys = set(), 0, 0, [], []
+    total = 0
+    for txt in texts:
+        toks = txt.split()
+        total += len(toks)
+        new = [w for w in toks if w not in seen and not seen.add(w)]
+        cumn += len(toks)
+        cumv = len(seen)
+        if cumn > 0 and cumv > 0:
+            xs.append(np.log(cumn))
+            ys.append(np.log(cumv))
+    x, y = np.array(xs), np.array(ys)
+    n = float(len(x))
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / \
+        (n * (x * x).sum() - x.sum() ** 2)
+    k = np.exp((y.sum() - beta * x.sum()) / n)
+    assert got["n_docs"] == 40
+    assert got["total_tokens"] == total
+    assert got["vocab_size"] == len(seen)
+    assert abs(got["heaps_beta"] - round(beta, 6)) < 1e-9
+    assert abs(got["heaps_k"] - round(float(k), 6)) < 1e-6
