@@ -3230,6 +3230,48 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_kendall_degree_pagerank(sf_dir: str):
+    """Kendall tau-b rank agreement between degree and 5-step PageRank
+    over the top-200 degree vertices (tie-broken by vertex id) — the
+    standard check of whether an expensive centrality adds information
+    over the cheap one. PR values round to 8 dp on BOTH sides before
+    comparison so float-association noise cannot flip tie decisions; the
+    O(200²) concordance count on a fixed-size top-k slice is legitimate
+    small-result driver work (the slice size is a constant, not a data
+    scale)."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g = _events_graph(sf_dir)
+    V = g.num_vertices
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5)
+    t = res.table("rank")
+    pr = np.zeros(V, dtype=np.float64)
+    pr[t["vertex"].to_numpy(zero_copy_only=False)] = \
+        pc.round(t["rank"], 8).to_numpy(zero_copy_only=False)
+    deg = g.degrees()
+    order = np.lexsort((np.arange(V), -deg))[:200]
+    x = deg[order].astype(np.float64)
+    y = pr[order]
+    n = len(order)
+    dx = np.sign(x[:, None] - x[None, :])
+    dy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(n, k=1)
+    sx, sy = dx[iu], dy[iu]
+    conc = int(((sx * sy) > 0).sum())
+    disc = int(((sx * sy) < 0).sum())
+    n0 = n * (n - 1) // 2
+    n1 = int((sx == 0).sum())
+    n2 = int((sy == 0).sum())
+    tau = (conc - disc) / float(np.sqrt(float(n0 - n1) * float(n0 - n2)))
+    return pa.table({
+        "n_top": pa.array([n], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tau_b": pa.array([round(tau, 6)], pa.float64()),
+    })
+
+
 def _q_heaps_law_docs(sf_dir: str):
     """Heaps'-law vocabulary-growth fit V(N) = K·N^β over documents in
     doc_id order (functions/terms.py::heaps_law): per-term first-doc via
@@ -8104,6 +8146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": _q_readability_docs,
         "daily_revenue_cusum": _q_daily_revenue_cusum,
         "heaps_law_docs": _q_heaps_law_docs,
+        "kendall_degree_pagerank": _q_kendall_degree_pagerank,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -8511,6 +8554,60 @@ def _fnv63_expr(col: str) -> str:
         (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
                   % 18446744073709551616::HUGEINT)
         % 9223372036854775808::HUGEINT AS BIGINT)"""
+
+
+def _kendall_sql(k: int = 5, damping: float = 0.85, top: int = 200) -> str:
+    """Kendall tau-b between degree and k-step PageRank over the top-N
+    degree vertices: replays the _pagerank_k5_sql recursion, rounds to
+    8 dp (the shared tie grain), then counts concordant / discordant /
+    tied pairs over the O(N²) self-join of the fixed-size slice."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    outw AS (SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS w
+             FROM e GROUP BY 1),
+    pr0 AS MATERIALIZED (
+        SELECT node_id AS v, 1.0 / (SELECT v FROM vc) AS r FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS v, SUM(p.r * e.weight / ow.w) AS s
+             FROM e JOIN pr{i-1} p ON p.v = e.src
+                    JOIN outw ow ON ow.v = e.src
+             GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM pr{i-1} p
+             WHERE p.v NOT IN (SELECT v FROM outw)),
+    pr{i} AS MATERIALIZED (SELECT n.node_id AS v,
+                     (1.0 - {damping}) / (SELECT v FROM vc)
+                     + {damping} * (COALESCE(c.s, 0.0)
+                                    + (SELECT dm FROM d{i})
+                                      / (SELECT v FROM vc)) AS r
+              FROM nodes n LEFT JOIN c{i} c ON c.v = n.node_id)""")
+    parts.append(f""",
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    top AS MATERIALIZED (
+        SELECT n.node_id AS v,
+               CAST(COALESCE(dg.d, 0) AS DOUBLE) AS x,
+               ROUND(p.r, 8) AS y
+        FROM nodes n
+        LEFT JOIN deg dg ON dg.v = n.node_id
+        JOIN pr{k} p ON p.v = n.node_id
+        ORDER BY COALESCE(dg.d, 0) DESC, n.node_id ASC LIMIT {top}),
+    pairs AS (
+        SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+        FROM top a JOIN top b ON a.v < b.v),
+    s AS (SELECT
+        SUM(CASE WHEN (xa - xb) * (ya - yb) > 0 THEN 1 ELSE 0 END) AS c,
+        SUM(CASE WHEN (xa - xb) * (ya - yb) < 0 THEN 1 ELSE 0 END) AS d,
+        SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS n2,
+        COUNT(*) AS n0
+        FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM top) AS BIGINT) AS n_top,
+           CAST(c AS BIGINT) AS concordant,
+           CAST(d AS BIGINT) AS discordant,
+           ROUND((c - d) / SQRT(CAST(n0 - n1 AS DOUBLE)
+                                * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+    FROM s""")
+    return "WITH " + "".join(parts)
 
 
 def _pagerank_k5_sql(k: int = 5, damping: float = 0.85,
@@ -10227,6 +10324,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_docs": _READABILITY_SQL,
         "daily_revenue_cusum": _DAILY_CUSUM_SQL,
         "heaps_law_docs": _HEAPS_LAW_SQL,
+        "kendall_degree_pagerank": _kendall_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
