@@ -3230,6 +3230,34 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_type_daily_holt(sf_dir: str):
+    """Holt double-exponential smoothing (level + linear trend, α=0.5,
+    β=0.25 — dyadic so 1−β is exact in binary and the recursive-CTE
+    oracle replays bit-for-bit) over each event type's daily-count
+    series (stages/running.py::grouped_holt). Keys parallelize; the
+    per-key scan is inherently sequential."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from cuttana_ray.stages.running import grouped_holt
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_type", pa.string()), ("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"event_type": pc.cast(t["event_type"],
+                                               pa.string()),
+                         "d": pc.divide(us, 86_400_000_000)}).cast(sch)
+
+    daily = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby(["event_type", "d"]).aggregate(Count(alias_name="c"))
+    return grouped_holt(daily, "event_type", "d", "c",
+                        alpha=0.5, beta=0.25)
+
+
 def _q_kendall_degree_pagerank(sf_dir: str):
     """Kendall tau-b rank agreement between degree and 5-step PageRank
     over the top-200 degree vertices (tie-broken by vertex id) — the
@@ -8147,6 +8175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_cusum": _q_daily_revenue_cusum,
         "heaps_law_docs": _q_heaps_law_docs,
         "kendall_degree_pagerank": _q_kendall_degree_pagerank,
+        "type_daily_holt": _q_type_daily_holt,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9316,6 +9345,40 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_TYPE_HOLT_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    o AS (
+        SELECT event_type, CAST(c AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                   AS rn
+        FROM daily),
+    rec(event_type, rn, l, b) AS (
+        SELECT event_type, rn, x, CAST(0.0 AS DOUBLE) FROM o WHERE rn = 1
+        UNION ALL
+        SELECT event_type, rn, l2, 0.25 * (l2 - l) + 0.75 * b
+        FROM (
+            SELECT o.event_type, o.rn, r.l, r.b,
+                   0.5 * o.x + 0.5 * (r.l + r.b) AS l2
+            FROM rec r
+            JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1)),
+    fin AS (
+        SELECT event_type, rn, l, b,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY rn DESC) AS rr
+        FROM rec)
+    SELECT event_type,
+           CAST(rn AS BIGINT) AS n_points,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast1
+    FROM fin WHERE rr = 1
+"""
+
+
 _HEAPS_LAW_SQL = """
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(
@@ -10325,6 +10388,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_revenue_cusum": _DAILY_CUSUM_SQL,
         "heaps_law_docs": _HEAPS_LAW_SQL,
         "kendall_degree_pagerank": _kendall_sql(),
+        "type_daily_holt": _TYPE_HOLT_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

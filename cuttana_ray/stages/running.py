@@ -663,3 +663,46 @@ def running_max_agg(ds: "ray.data.Dataset", key: str, order: list[str],
     if value not in keep:
         raise ValueError("include the value column in keep")
     return stripped.map_batches(inclusive, batch_format="pyarrow")
+
+
+def grouped_holt(ds: "ray.data.Dataset", key: str, order: str, value: str,
+                 alpha: float = 0.5, beta: float = 0.25
+                 ) -> "ray.data.Dataset":
+    """Holt double-exponential smoothing (level + linear trend) per key
+    over the series ordered by ``order``:
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1},    l_1 = x_1, b_1 = 0
+
+    Returns one row per key: ``(key, n_points, level, trend, forecast1)``
+    with ``forecast1 = level + trend`` (the one-step-ahead forecast),
+    rounded 6 dp. The scan is inherently sequential WITHIN a key (each
+    state depends on the previous), so execution is ``groupby(key)
+    .map_groups`` — keys parallelize across the cluster, the per-key loop
+    is O(#points) scalar work. Use dyadic α/β (0.5, 0.25, …) when an SQL
+    replay must match bit-for-bit: ``1−β`` is then exact in binary.
+    """
+    def smooth(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key).type if len(t) else pa.int64()
+        sch = pa.schema([(key, ktype), ("n_points", pa.int64()),
+                         ("level", pa.float64()), ("trend", pa.float64()),
+                         ("forecast1", pa.float64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[(order, "ascending")])
+        t = t.take(idx)
+        x = t[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        lvl = x[0]
+        b = 0.0
+        for xt in x[1:]:
+            prev = lvl
+            lvl = alpha * xt + (1.0 - alpha) * (lvl + b)
+            b = beta * (lvl - prev) + (1.0 - beta) * b
+        return pa.table({key: t[key][:1],
+                         "n_points": pa.array([len(x)], pa.int64()),
+                         "level": pa.array([round(lvl, 6)], pa.float64()),
+                         "trend": pa.array([round(b, 6)], pa.float64()),
+                         "forecast1": pa.array([round(lvl + b, 6)],
+                                               pa.float64())}).cast(sch)
+
+    return ds.groupby(key).map_groups(smooth, batch_format="pyarrow")

@@ -1244,3 +1244,32 @@ def test_rich_club_known_answer():
     assert out.loc[1, "n_nodes"] == 4 and out.loc[1, "phi"] == 1.0
     assert out.loc[2, "n_nodes"] == 4 and out.loc[2, "n_edges"] == 6
     assert out.loc[3, "n_nodes"] == 0 and out.loc[3, "phi"] == 0.0
+
+
+def test_grouped_holt_matches_loop_replay():
+    import ray.data as rd
+
+    from cuttana_ray.stages.running import grouped_holt
+    rng = np.random.default_rng(9)
+    rows = []
+    for k in ("a", "b"):
+        for d in range(25):
+            rows.append((k, d, int(rng.integers(1, 20))))
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "d": pa.array([r[1] for r in rows], pa.int64()),
+                  "x": pa.array([r[2] for r in rows], pa.int64())})
+    for parts in (1, 4):
+        got = grouped_holt(rd.from_arrow(t).repartition(parts),
+                           "k", "d", "x").to_pandas() \
+            .sort_values("k").reset_index(drop=True)
+        for _, r in got.iterrows():
+            xs = [x for kk, _, x in rows if kk == r["k"]]
+            lvl, b = float(xs[0]), 0.0
+            for xt in xs[1:]:
+                prev = lvl
+                lvl = 0.5 * xt + 0.5 * (lvl + b)
+                b = 0.25 * (lvl - prev) + 0.75 * b
+            assert r["n_points"] == len(xs)
+            assert abs(r["level"] - round(lvl, 6)) < 1e-12
+            assert abs(r["trend"] - round(b, 6)) < 1e-12
+            assert abs(r["forecast1"] - round(lvl + b, 6)) < 1e-12
