@@ -3230,6 +3230,62 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_pagerank_assortativity(sf_dir: str):
+    """Numeric-attribute assortativity with PageRank as the attribute:
+    Pearson correlation of endpoint 5-step PageRank scores across all
+    directed edges — do high-rank vertices attach to each other? Scores
+    round to 8 dp on both sides first (the shared grain, as in
+    pagerank_k5_events); the correlation folds one-row per-block moment
+    partials, and the PR vector broadcasts once (documented small-V
+    regime — at conv-id scale join the rank table instead)."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g = _events_graph(sf_dir)
+    V = g.num_vertices
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5)
+    t = res.table("rank")
+    pr = np.zeros(V, dtype=np.float64)
+    pr[t["vertex"].to_numpy(zero_copy_only=False)] = \
+        pc.round(t["rank"], 8).to_numpy(zero_copy_only=False)
+    pr_ref = ray.put(pr)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("n", pa.int64()), ("sx", pa.float64()),
+                         ("sy", pa.float64()), ("sxy", pa.float64()),
+                         ("sxx", pa.float64()), ("syy", pa.float64())])
+        if len(batch) == 0 or "src" not in batch.column_names:
+            return sch.empty_table()
+        p = ray.get(pr_ref)
+        x = p[batch["src"].to_numpy(zero_copy_only=False)]
+        y = p[batch["dst"].to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+        }).cast(sch)
+
+    f = g.edges.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"))
+    n = float(f["n"])
+    sx, sy = float(f["sx"]), float(f["sy"])
+    sxy, sxx, syy = float(f["sxy"]), float(f["sxx"]), float(f["syy"])
+    r = (n * sxy - sx * sy) / float(
+        np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    return pa.table({
+        "n_edges": pa.array([int(f["n"])], pa.int64()),
+        "pr_assortativity": pa.array([round(r, 6)], pa.float64()),
+    })
+
+
 def _q_type_daily_holt(sf_dir: str):
     """Holt double-exponential smoothing (level + linear trend, α=0.5,
     β=0.25 — dyadic so 1−β is exact in binary and the recursive-CTE
@@ -8176,6 +8232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law_docs": _q_heaps_law_docs,
         "kendall_degree_pagerank": _q_kendall_degree_pagerank,
         "type_daily_holt": _q_type_daily_holt,
+        "pagerank_assortativity": _q_pagerank_assortativity,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -8636,6 +8693,47 @@ def _kendall_sql(k: int = 5, damping: float = 0.85, top: int = 200) -> str:
            ROUND((c - d) / SQRT(CAST(n0 - n1 AS DOUBLE)
                                 * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
     FROM s""")
+    return "WITH " + "".join(parts)
+
+
+def _pr_assortativity_sql(k: int = 5, damping: float = 0.85) -> str:
+    """Pearson correlation of endpoint PageRank (rounded 8 dp, the shared
+    grain) over all directed edges, on top of the _pagerank_k5_sql
+    recursion."""
+    parts = [_EVENTS_GRAPH_SQL, """,
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    outw AS (SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS w
+             FROM e GROUP BY 1),
+    pr0 AS MATERIALIZED (
+        SELECT node_id AS v, 1.0 / (SELECT v FROM vc) AS r FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS v, SUM(p.r * e.weight / ow.w) AS s
+             FROM e JOIN pr{i-1} p ON p.v = e.src
+                    JOIN outw ow ON ow.v = e.src
+             GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM pr{i-1} p
+             WHERE p.v NOT IN (SELECT v FROM outw)),
+    pr{i} AS MATERIALIZED (SELECT n.node_id AS v,
+                     (1.0 - {damping}) / (SELECT v FROM vc)
+                     + {damping} * (COALESCE(c.s, 0.0)
+                                    + (SELECT dm FROM d{i})
+                                      / (SELECT v FROM vc)) AS r
+              FROM nodes n LEFT JOIN c{i} c ON c.v = n.node_id)""")
+    parts.append(f""",
+    pr AS (SELECT v, ROUND(r, 8) AS r FROM pr{k}),
+    xy AS (SELECT ps.r AS x, pd.r AS y
+           FROM e JOIN pr ps ON ps.v = e.src
+                  JOIN pr pd ON pd.v = e.dst),
+    f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+                 SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                 SUM(y * y) AS syy
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS pr_assortativity
+    FROM f""")
     return "WITH " + "".join(parts)
 
 
@@ -10389,6 +10487,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law_docs": _HEAPS_LAW_SQL,
         "kendall_degree_pagerank": _kendall_sql(),
         "type_daily_holt": _TYPE_HOLT_SQL,
+        "pagerank_assortativity": _pr_assortativity_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
