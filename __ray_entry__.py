@@ -3230,6 +3230,16 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_source_term_cosine(sf_dir: str):
+    """Pairwise cosine similarity between per-source unigram tf vectors
+    (functions/terms.py::group_term_cosine): exact int64 dot products via
+    one groupby(term) cross-product exchange — the corpus-mixing
+    diagnostic for multi-source training data."""
+    from cuttana_ray.functions.terms import group_term_cosine
+    return group_term_cosine(
+        _read(sf_dir, "documents", columns=["source", "text"]))
+
+
 def _q_pagerank_assortativity(sf_dir: str):
     """Numeric-attribute assortativity with PageRank as the attribute:
     Pearson correlation of endpoint 5-step PageRank scores across all
@@ -8233,6 +8243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_degree_pagerank": _q_kendall_degree_pagerank,
         "type_daily_holt": _q_type_daily_holt,
         "pagerank_assortativity": _q_pagerank_assortativity,
+        "source_term_cosine": _q_source_term_cosine,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9443,6 +9454,28 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_SOURCE_COSINE_SQL = """
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(
+            lower(COALESCE(text, '')), '[a-z]+')) AS term
+        FROM documents),
+    tc AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    p AS (
+        SELECT a.source AS sa, b.source AS sb, SUM(a.tf * b.tf) AS dot
+        FROM tc a JOIN tc b ON a.term = b.term AND a.source <= b.source
+        GROUP BY 1, 2)
+    SELECT p.sa AS source_a, p.sb AS source_b,
+           CAST(p.dot AS BIGINT) AS dot,
+           ROUND(CAST(p.dot AS DOUBLE)
+                 / SQRT(CAST(na.dot AS DOUBLE) * CAST(nb.dot AS DOUBLE)),
+                 6) AS cosine
+    FROM p
+    JOIN p na ON na.sa = p.sa AND na.sb = p.sa
+    JOIN p nb ON nb.sa = p.sb AND nb.sb = p.sb
+    WHERE p.sa < p.sb
+"""
+
+
 _TYPE_HOLT_SQL = """
     WITH RECURSIVE daily AS (
         SELECT event_type,
@@ -10488,6 +10521,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_degree_pagerank": _kendall_sql(),
         "type_daily_holt": _TYPE_HOLT_SQL,
         "pagerank_assortativity": _pr_assortativity_sql(),
+        "source_term_cosine": _SOURCE_COSINE_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

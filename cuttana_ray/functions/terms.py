@@ -779,3 +779,80 @@ def heaps_law(ds: "ray.data.Dataset", text_col: str = "text",
         "heaps_k": pa.array([round(k, 6)], pa.float64()),
         "heaps_beta": pa.array([round(beta, 6)], pa.float64()),
     })
+
+
+def group_term_cosine(ds: "ray.data.Dataset", group_col: str = "source",
+                      text_col: str = "text",
+                      pattern: str = _DEFAULT_PATTERN
+                      ) -> "ray.data.Dataset":
+    """Pairwise cosine similarity between the unigram term-frequency
+    vectors of each document group (source, lang, …) — the standard
+    corpus-mixing diagnostic ("how lexically close are my sources?").
+
+    All heavy work is exact int64 and distributed: per-batch
+    (group, term, tf) partials (one polars extract_all pass), ONE
+    ``groupby(term)`` exchange whose map_groups emits each term's
+    cross-group products (#groups² rows per term, #groups is small by
+    construction), then one tiny ``groupby(pair)`` sum. The cosine
+    divides exact integer dot products, so results are layout-invariant
+    with no float folding at all. Returns (source_a, source_b, dot,
+    cosine) for a < b; pairs sharing NO term are absent (sparse-join
+    semantics — their cosine is 0 by definition).
+    """
+    from ray.data.aggregate import Sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        sch = pa.schema([("g", pa.string()), ("term", pa.string()),
+                         ("tf", pa.int64())])
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return sch.empty_table()
+        df = pl.from_arrow(pa.table({
+            "g": pc.cast(batch[group_col], pa.string()),
+            "text": pc.fill_null(pc.cast(batch[text_col], pa.string()),
+                                 "")}))
+        toks = df.with_columns(
+            pl.col("text").str.to_lowercase().str.extract_all(pattern)
+            .alias("term")).drop("text").explode("term") \
+            .drop_nulls("term")
+        out = toks.group_by(["g", "term"]).len(name="tf").to_arrow()
+        return pa.table({"g": pc.cast(out["g"], pa.string()),
+                         "term": pc.cast(out["term"], pa.string()),
+                         "tf": pc.cast(out["tf"], pa.int64())}).cast(sch)
+
+    counts = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby(["g", "term"]).aggregate(Sum("tf", alias_name="tf"))
+
+    def cross(t: pa.Table) -> pa.Table:
+        # vectorized upper-triangle outer product over the term's groups
+        # (#groups is small; the vocabulary dimension parallelizes)
+        sch = pa.schema([("sa", pa.string()), ("sb", pa.string()),
+                         ("p", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        g = np.asarray(t["g"].to_pylist())
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(g, kind="stable")
+        g, tf = g[order], tf[order]
+        n = len(g)
+        iu, ju = np.triu_indices(n, k=0)
+        return pa.table({"sa": pa.array(g[iu], pa.string()),
+                         "sb": pa.array(g[ju], pa.string()),
+                         "p": pa.array(tf[iu] * tf[ju], pa.int64())
+                         }).cast(sch)
+
+    pairs = counts.groupby("term").map_groups(cross,
+                                              batch_format="pyarrow") \
+        .groupby(["sa", "sb"]).aggregate(Sum("p", alias_name="dot")) \
+        .to_pandas()                       # #groups² rows — tiny
+    norms = {r["sa"]: int(r["dot"]) for _, r in pairs.iterrows()
+             if r["sa"] == r["sb"]}
+    out = pairs[pairs["sa"] < pairs["sb"]].sort_values(["sa", "sb"])
+    cos = [round(int(d) / float(np.sqrt(float(norms[a]) * norms[b])), 6)
+           for a, b, d in zip(out["sa"], out["sb"], out["dot"])]
+    return pa.table({
+        "source_a": pa.array(out["sa"].tolist(), pa.string()),
+        "source_b": pa.array(out["sb"].tolist(), pa.string()),
+        "dot": pa.array([int(v) for v in out["dot"]], pa.int64()),
+        "cosine": pa.array(cos, pa.float64()),
+    })

@@ -1432,3 +1432,36 @@ def test_heaps_law_matches_numpy_replay():
     assert got["vocab_size"] == len(seen)
     assert abs(got["heaps_beta"] - round(beta, 6)) < 1e-9
     assert abs(got["heaps_k"] - round(float(k), 6)) < 1e-6
+
+
+def test_group_term_cosine_matches_numpy():
+    import ray.data as rd
+    from cuttana_ray.functions.terms import group_term_cosine
+    t = pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"]),
+        "text": pa.array(["apple banana apple", "banana cherry",
+                          "apple apple banana", "durian"])})
+    for parts in (1, 3):
+        got = group_term_cosine(rd.from_arrow(t).repartition(parts)) \
+            .to_pandas().sort_values(["source_a", "source_b"]) \
+            .reset_index(drop=True)
+        # tf vectors over [apple, banana, cherry, durian]:
+        # s1 = [2, 2, 1, 0]; s2 = [2, 1, 0, 0]; s3 = [0, 0, 0, 1]
+        import numpy as _np
+        v = {"s1": _np.array([2, 2, 1, 0]), "s2": _np.array([2, 1, 0, 0]),
+             "s3": _np.array([0, 0, 0, 1])}
+        exp = {}
+        for a in v:
+            for b in v:
+                if a < b:
+                    d = int(v[a] @ v[b])
+                    exp[(a, b)] = (d, round(
+                        d / float(_np.sqrt(float(v[a] @ v[a])
+                                           * (v[b] @ v[b]))), 6))
+        # zero-overlap pairs (s3 vs others) are ABSENT, not 0 — the
+        # sparse-join semantics shared with the SQL oracle
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["source_a"], r["source_b"]) == ("s1", "s2")
+        d, c = exp[("s1", "s2")]
+        assert r["dot"] == d and abs(r["cosine"] - c) < 1e-12
