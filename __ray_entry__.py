@@ -6682,6 +6682,42 @@ def _q_neardup_cluster_sizes(sf_dir: str):
     return hist.map_batches(clean, batch_format="pyarrow")
 
 
+def _q_neardup_canonical_docs(sf_dir: str):
+    """Canonical-document selection per near-dup cluster — the step that
+    turns clusters into a keep-list: keep the LONGEST member (n_chars,
+    doc_id ascending tie-break), reporting cluster size. Consumes the
+    cached SQL-checked cluster table; the argmax is a per-cluster
+    map_groups (clusters are small by construction)."""
+    import pyarrow.compute as pc
+
+    clusters = _q_neardup_clusters(sf_dir)
+    if not hasattr(clusters, "groupby"):
+        import ray.data as rd
+        clusters = rd.from_arrow(clusters)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    j = safe_join(clusters, docs, join_type="inner", num_partitions=8,
+                  on=("doc_id",), right_on=("doc_id",))
+
+    def pick(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cluster_rep", pa.int64()),
+                         ("kept_doc", pa.int64()),
+                         ("kept_chars", pa.int64()),
+                         ("n_members", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("n_chars", "descending"),
+                                            ("doc_id", "ascending")])
+        top = t.take(idx[:1])
+        return pa.table({
+            "cluster_rep": pc.cast(top["cluster_rep"], pa.int64()),
+            "kept_doc": pc.cast(top["doc_id"], pa.int64()),
+            "kept_chars": pc.cast(top["n_chars"], pa.int64()),
+            "n_members": pa.array([len(t)], pa.int64())}).cast(sch)
+
+    return j.groupby("cluster_rep").map_groups(pick,
+                                               batch_format="pyarrow")
+
+
 def _q_user_gap_cv(sf_dir: str):
     """Per-user burstiness: coefficient of variation (sample sd / mean)
     of inter-event gaps in seconds — one block-carry LAG into the
@@ -8383,6 +8419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_trend": _q_customer_spend_trend,
         "daily_revenue_autocorr": _q_daily_revenue_autocorr,
         "neardup_cluster_sizes": _q_neardup_cluster_sizes,
+        "neardup_canonical_docs": _q_neardup_canonical_docs,
         # thirty-third round-2 batch (all SQL-checked)
         "user_gap_cv": _q_user_gap_cv,
         "brand_price_stats": _q_brand_price_stats,
@@ -10374,6 +10411,29 @@ def _neardup_cluster_sizes_sql() -> str:
             SELECT cluster_rep, CAST(COUNT(*) AS BIGINT) AS size
             FROM ({inner}) c GROUP BY 1) s
         GROUP BY 1
+    """
+
+
+def _neardup_canonical_sql() -> str:
+    """Longest-member (n_chars DESC, doc_id ASC) selection per cluster
+    over the same cluster replay as _neardup_clusters_sql."""
+    inner = _neardup_clusters_sql()
+    return f"""
+        WITH j AS (
+            SELECT cl.cluster_rep, cl.doc_id, d.n_chars
+            FROM ({inner}) cl JOIN documents d ON d.doc_id = cl.doc_id),
+        r AS (
+            SELECT cluster_rep, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                                      ORDER BY n_chars DESC, doc_id ASC)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY cluster_rep) AS nm
+            FROM j)
+        SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+               CAST(doc_id AS BIGINT) AS kept_doc,
+               CAST(n_chars AS BIGINT) AS kept_chars,
+               CAST(nm AS BIGINT) AS n_members
+        FROM r WHERE rn = 1
     """
 
 
@@ -12977,6 +13037,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
         """,
         "neardup_cluster_sizes": _neardup_cluster_sizes_sql(),
+        "neardup_canonical_docs": _neardup_canonical_sql(),
         "user_gap_cv": """
             WITH g AS (
                 SELECT user_id,
