@@ -3230,6 +3230,21 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_spectral_gap_events(sf_dir: str):
+    """λ₂ of the normalized adjacency D^{-1/2}WD^{-1/2} after exactly 8
+    deflated power-iteration steps (pipelines/spectral.py) — the
+    spectral-gap / mixing-time diagnostic. The principal eigenvector is
+    known in closed form (√strength), so deflation is exact; the oracle
+    unrolls the identical 8 rounds. 6 dp both sides."""
+    from cuttana_ray.pipelines.spectral import spectral_gap
+    g = _events_graph(sf_dir)
+    lam, _x = spectral_gap(g, k=8)
+    return pa.table({
+        "n_vertices": pa.array([g.num_vertices], pa.int64()),
+        "lambda2": pa.array([round(lam, 6)], pa.float64()),
+    })
+
+
 def _q_source_term_cosine(sf_dir: str):
     """Pairwise cosine similarity between per-source unigram tf vectors
     (functions/terms.py::group_term_cosine): exact int64 dot products via
@@ -8280,6 +8295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_daily_holt": _q_type_daily_holt,
         "pagerank_assortativity": _q_pagerank_assortativity,
         "source_term_cosine": _q_source_term_cosine,
+        "spectral_gap_events": _q_spectral_gap_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -8742,6 +8758,54 @@ def _kendall_sql(k: int = 5, damping: float = 0.85, top: int = 200) -> str:
                                 * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
     FROM s""")
     return "WITH " + "".join(parts)
+
+
+def _spectral_gap_sql(k: int = 8) -> str:
+    """Unrolled deflated power iteration on D^{-1/2}WD^{-1/2} replaying
+    pipelines/spectral.py: u = √s/‖√s‖ (closed-form principal vector),
+    x₀ = (v mod 7)+1 deflated+normalized, then k rounds of
+    y = N·x − (u·y)·u, λ = ‖y‖, x = y/λ."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    st AS MATERIALIZED (
+        SELECT src AS v, CAST(SUM(weight) AS DOUBLE) AS s
+        FROM e GROUP BY 1),
+    tot AS (SELECT SUM(s) AS t FROM st),
+    u AS MATERIALIZED (
+        SELECT v, SQRT(s) / SQRT((SELECT t FROM tot)) AS u FROM st),
+    x0raw AS (
+        SELECT n.node_id AS v,
+               CAST(n.node_id % 7 + 1 AS DOUBLE) AS x
+        FROM nodes n),
+    d0 AS (SELECT SUM(u.u * x.x) AS d
+           FROM u JOIN x0raw x ON x.v = u.v),
+    x0d AS MATERIALIZED (
+        SELECT x.v, x.x - (SELECT d FROM d0) * u.u AS x
+        FROM x0raw x JOIN u ON u.v = x.v),
+    n0 AS (SELECT SQRT(SUM(x * x)) AS n FROM x0d),
+    x0 AS MATERIALIZED (
+        SELECT v, x / (SELECT n FROM n0) AS x FROM x0d)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    m{i} AS (
+        SELECT e.src AS v, SUM(e.weight * p.x / SQRT(su.s)) AS m
+        FROM e JOIN x{i-1} p ON p.v = e.dst
+               JOIN st su ON su.v = e.dst
+        GROUP BY 1),
+    y{i} AS MATERIALIZED (
+        SELECT sv.v, COALESCE(m.m, 0.0) / SQRT(sv.s) AS y
+        FROM st sv LEFT JOIN m{i} m ON m.v = sv.v),
+    d{i} AS (SELECT SUM(u.u * y.y) AS d
+             FROM u JOIN y{i} y ON y.v = u.v),
+    yd{i} AS MATERIALIZED (
+        SELECT y.v, y.y - (SELECT d FROM d{i}) * u.u AS y
+        FROM y{i} y JOIN u ON u.v = y.v),
+    l{i} AS (SELECT SQRT(SUM(y * y)) AS l FROM yd{i}),
+    x{i} AS MATERIALIZED (
+        SELECT v, y / (SELECT l FROM l{i}) AS x FROM yd{i})""")
+    parts.append(f"""
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_vertices,
+           ROUND((SELECT l FROM l{k}), 6) AS lambda2""")
+    return "".join(parts)
 
 
 def _pr_assortativity_sql(k: int = 5, damping: float = 0.85) -> str:
@@ -10582,6 +10646,7 @@ def oracle_sql() -> dict[str, str]:
         "type_daily_holt": _TYPE_HOLT_SQL,
         "pagerank_assortativity": _pr_assortativity_sql(),
         "source_term_cosine": _SOURCE_COSINE_SQL,
+        "spectral_gap_events": _spectral_gap_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

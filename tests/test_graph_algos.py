@@ -1151,3 +1151,39 @@ def test_truncated_hitting_time_unweighted_path():
     # dense replay: h1=(0,1,1); h2=(0, 1+.5*1, 2); h3=(0, 1+.5*2, 1+1.5)
     # h4=(0, 1+.5*2.5, 1+2)
     assert np.allclose(h, [0.0, 2.25, 3.0])
+
+
+def test_spectral_gap_matches_dense_numpy():
+    from cuttana_ray.pipelines.spectral import spectral_gap
+
+    rng = np.random.default_rng(61)
+    n = 24
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (80, 2)) if a != b})
+    g = graph_from_edges(edges, n, num_blocks=3)
+    et = g.edges.to_pandas()
+    W = np.zeros((n, n))
+    W[et["src"], et["dst"]] = et["weight"]
+    s = W.sum(axis=1)
+    rs = np.where(s > 0, 1.0 / np.sqrt(np.where(s > 0, s, 1.0)), 0.0)
+    N = rs[:, None] * W * rs[None, :]
+    u = np.sqrt(np.maximum(s, 0.0))
+    u = u / np.sqrt((u * u).sum())
+    x = ((np.arange(n) % 7) + 1).astype(float)
+    x = x - (u @ x) * u
+    x = x / np.sqrt((x * x).sum())
+    lam = 0.0
+    for _ in range(8):
+        y = N @ x
+        y = y - (u @ y) * u
+        lam = float(np.sqrt((y * y).sum()))
+        x = y / lam
+    got, _ = spectral_gap(g, k=8)
+    assert abs(got - lam) < 1e-9
+    # against the true spectrum: after 8 steps the estimate must lie
+    # within the eigenvalue range (|λ2_true| >= estimate up to iteration
+    # error; assert the loose bracket)
+    ev = np.sort(np.abs(np.linalg.eigvalsh(N)))[::-1]
+    assert got <= ev[0] + 1e-9
+    got1, _ = spectral_gap(graph_from_edges(edges, n, num_blocks=1), k=8)
+    assert abs(got - got1) < 1e-9
