@@ -3230,6 +3230,17 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_split_overlap_docs(sf_dir: str):
+    """Cross-split contamination matrix (functions/decontam.py::
+    split_shingle_overlap): distinct 5-token shingles shared between the
+    train/val/test hash splits + shingle-set Jaccard — the leakage check
+    behind any held-out metric. Exact ints; one groupby(shingle)
+    exchange."""
+    from cuttana_ray.functions.decontam import split_shingle_overlap
+    return split_shingle_overlap(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
 def _q_spectral_gap_events(sf_dir: str):
     """λ₂ of the normalized adjacency D^{-1/2}WD^{-1/2} after exactly 8
     deflated power-iteration steps (pipelines/spectral.py) — the
@@ -8296,6 +8307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_assortativity": _q_pagerank_assortativity,
         "source_term_cosine": _q_source_term_cosine,
         "spectral_gap_events": _q_spectral_gap_events,
+        "split_overlap_docs": _q_split_overlap_docs,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9555,6 +9567,42 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_SPLIT_OVERLAP_SQL = """
+    WITH spl AS (
+        SELECT doc_id,
+               CASE WHEN hash(doc_id) % 10 < 8 THEN 'train'
+                    WHEN hash(doc_id) % 10 = 8 THEN 'val'
+                    ELSE 'test' END AS split,
+               string_split(COALESCE(text, ''), ' ') AS ws
+        FROM documents),
+    toks AS (
+        SELECT doc_id, split, unnest(ws) AS w,
+               generate_subscripts(ws, 1) AS i
+        FROM spl),
+    sh AS (
+        SELECT DISTINCT a.split,
+               a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' '
+                   || e.w AS s
+        FROM toks a
+        JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        JOIN toks d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        JOIN toks e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+    p AS (
+        SELECT x.split AS sa, y.split AS sb, COUNT(*) AS shared
+        FROM sh x JOIN sh y ON x.s = y.s AND x.split <= y.split
+        GROUP BY 1, 2)
+    SELECT p.sa AS split_a, p.sb AS split_b,
+           CAST(p.shared AS BIGINT) AS shared_shingles,
+           ROUND(CAST(p.shared AS DOUBLE)
+                 / (na.shared + nb.shared - p.shared), 6) AS jaccard
+    FROM p
+    JOIN p na ON na.sa = p.sa AND na.sb = p.sa
+    JOIN p nb ON nb.sa = p.sb AND nb.sb = p.sb
+    WHERE p.sa < p.sb
+"""
+
+
 _SOURCE_COSINE_SQL = """
     WITH toks AS (
         SELECT source, unnest(regexp_extract_all(
@@ -10647,6 +10695,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_assortativity": _pr_assortativity_sql(),
         "source_term_cosine": _SOURCE_COSINE_SQL,
         "spectral_gap_events": _spectral_gap_sql(),
+        "split_overlap_docs": _SPLIT_OVERLAP_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

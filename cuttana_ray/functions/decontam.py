@@ -91,3 +91,73 @@ def decontaminate(ds: "ray.data.Dataset", bench_set: pa.Array,
         }).cast(schema)
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def split_shingle_overlap(ds: "ray.data.Dataset", text_col: str = "text",
+                          id_col: str = "doc_id",
+                          n: int = 5) -> pa.Table:
+    """Cross-split contamination matrix: for the deterministic
+    train/val/test hash split (murmur64(doc_id) % 10 — the same
+    assignment as ``docs_train_val_test``), count the DISTINCT n-token
+    shingles shared by each split pair, plus the shingle-set Jaccard.
+    A non-trivial train∩test overlap means the random split leaks
+    near-verbatim text across the boundary — the check run before
+    trusting any held-out perplexity number.
+
+    Fully distributed: per-batch (split, shingle) pairs are built
+    vectorized and deduped in-batch, ONE ``groupby(shingle)`` exchange
+    co-locates each shingle's splits and emits its split-pair incidences
+    (≤ 6 rows per shingle), and a tiny ``groupby(pair)`` sum finishes.
+    Counts are exact ints; only the final Jaccard divides.
+    """
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.functions.sketches import murmur64_int
+
+    def tag(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("split", pa.string()), ("s", pa.string())])
+        if len(batch) == 0 or text_col not in batch.column_names:
+            return sch.empty_table()
+        rows, sh = _batch_shingles(batch, text_col, n)
+        if len(rows) == 0:
+            return sch.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (murmur64_int(ids) % np.uint64(10)).astype(np.int64)
+        split = np.where(b < 8, "train", np.where(b == 8, "val", "test"))
+        t = pa.table({"split": pa.array(split[rows].astype(object),
+                                        pa.string()),
+                      "s": sh})
+        return t.group_by(["split", "s"]).aggregate([]).cast(sch)
+
+    from ray.data.aggregate import Count
+    pairs = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["split", "s"]).aggregate(Count(on="s", alias_name="_c"))
+
+    def cross(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("sa", pa.string()), ("sb", pa.string()),
+                         ("c", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        g = np.sort(np.asarray(t["split"].to_pylist()))
+        m = len(g)
+        iu, ju = np.triu_indices(m, k=0)
+        return pa.table({"sa": pa.array(g[iu], pa.string()),
+                         "sb": pa.array(g[ju], pa.string()),
+                         "c": pa.array(np.ones(len(iu), np.int64))
+                         }).cast(sch)
+
+    agg = pairs.groupby("s").map_groups(cross, batch_format="pyarrow") \
+        .groupby(["sa", "sb"]).aggregate(Sum("c", alias_name="shared")) \
+        .to_pandas()                       # ≤ 6 rows
+    diag = {r["sa"]: int(r["shared"]) for _, r in agg.iterrows()
+            if r["sa"] == r["sb"]}
+    out = agg[agg["sa"] < agg["sb"]].sort_values(["sa", "sb"])
+    jac = [round(int(c) / float(diag[a] + diag[b] - int(c)), 6)
+           for a, b, c in zip(out["sa"], out["sb"], out["shared"])]
+    return pa.table({
+        "split_a": pa.array(out["sa"].tolist(), pa.string()),
+        "split_b": pa.array(out["sb"].tolist(), pa.string()),
+        "shared_shingles": pa.array([int(v) for v in out["shared"]],
+                                    pa.int64()),
+        "jaccard": pa.array(jac, pa.float64()),
+    })
