@@ -3230,6 +3230,34 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_transitivity_events(sf_dir: str):
+    """Global transitivity 3·T/#wedges plus the configuration-model
+    triangle lift T / E_config[T] with Newman's closed form
+    E = (1/6)·(Σd(d−1)/Σd)³ — "how many more triangles than a random
+    graph with this exact degree sequence". Triangle totals come from the
+    SQL-checked exact pipeline; wedge and lift terms are exact int64
+    degree moments, so only the two final divisions touch floats."""
+    from cuttana_ray.pipelines.triangles import triangle_count
+    g = _events_graph(sf_dir)
+    res = triangle_count(g)
+    T = int(np.asarray(res.per_vertex).sum()) // 3
+    d = g.degrees().astype(np.int64)
+    wedges = int((d * (d - 1)).sum()) // 2
+    sd = int(d.sum())
+    sdd = int((d * (d - 1)).sum())
+    transitivity = 3.0 * T / wedges if wedges else 0.0
+    # E_config[T] = (1/6)·(sdd/sd)^3  →  lift = 6·T·sd³ / sdd³
+    # (cubes as plain double products so the SQL replay is op-identical)
+    lift = 6.0 * T * (float(sd) * sd * sd) / (float(sdd) * sdd * sdd) \
+        if sdd else 0.0
+    return pa.table({
+        "n_triangles": pa.array([T], pa.int64()),
+        "n_wedges": pa.array([wedges], pa.int64()),
+        "transitivity": pa.array([round(transitivity, 6)], pa.float64()),
+        "config_lift": pa.array([round(lift, 6)], pa.float64()),
+    })
+
+
 def _q_split_overlap_docs(sf_dir: str):
     """Cross-split contamination matrix (functions/decontam.py::
     split_shingle_overlap): distinct 5-token shingles shared between the
@@ -8308,6 +8336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_term_cosine": _q_source_term_cosine,
         "spectral_gap_events": _q_spectral_gap_events,
         "split_overlap_docs": _q_split_overlap_docs,
+        "transitivity_events": _q_transitivity_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9254,6 +9283,28 @@ _TRIANGLES_TAIL = """,
     cnt AS (SELECT v, COUNT(*) AS c FROM pv GROUP BY 1)
     SELECT n.node_id AS {out_col}, CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
     FROM nodes n LEFT JOIN cnt c ON c.v = n.node_id
+"""
+
+
+_TRANSITIVITY_SQL = "WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    o AS (SELECT e.src AS u, e.dst AS v FROM e
+          JOIN deg du ON du.v = e.src JOIN deg dv ON dv.v = e.dst
+          WHERE du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM o e1 JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+    t AS (SELECT COUNT(*) AS t FROM tri),
+    m AS (SELECT SUM(d * (d - 1)) // 2 AS wedges,
+                 SUM(d) AS sd, SUM(d * (d - 1)) AS sdd
+          FROM deg)
+    SELECT CAST(t.t AS BIGINT) AS n_triangles,
+           CAST(m.wedges AS BIGINT) AS n_wedges,
+           ROUND(3.0 * t.t / m.wedges, 6) AS transitivity,
+           ROUND(6.0 * t.t * (CAST(m.sd AS DOUBLE) * m.sd * m.sd)
+                 / (CAST(m.sdd AS DOUBLE) * m.sdd * m.sdd), 6)
+               AS config_lift
+    FROM t, m
 """
 
 
@@ -10696,6 +10747,7 @@ def oracle_sql() -> dict[str, str]:
         "source_term_cosine": _SOURCE_COSINE_SQL,
         "spectral_gap_events": _spectral_gap_sql(),
         "split_overlap_docs": _SPLIT_OVERLAP_SQL,
+        "transitivity_events": _TRANSITIVITY_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
