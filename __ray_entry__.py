@@ -3230,6 +3230,77 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_conv_turn_echo(sf_dir: str):
+    """Per-conversation turn echo rate: mean token-SET Jaccard between
+    each turn's text and its previous turn (the repeated-content /
+    assistant-echo diagnostic over transcripts). Consecutive turns pair
+    up via the block-carry LAG (stages/running.py::lag_columns — one
+    sort, no per-group Python); the per-row set Jaccard is polars
+    list.set_intersection/union, exact ints divided once. Pairs where
+    either side has zero tokens drop (mirroring the SQL cnt join)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from cuttana_ray.stages.running import lag_columns
+
+    tr = _q_transcripts_from_events(sf_dir)
+    lag = lag_columns(tr, "conv_id", ["turn_idx"], ["text"],
+                      keep=["conv_id", "turn_idx", "text"])
+
+    def jac(t: pa.Table) -> pa.Table:
+        import polars as pl
+        sch = pa.schema([("conv_id", pa.int64()), ("j", pa.float64()),
+                         ("one", pa.int64())])
+        if len(t) == 0 or "prev_text" not in t.column_names:
+            return sch.empty_table()
+        t = t.filter(pc.is_valid(t["prev_text"]))
+        if len(t) == 0:
+            return sch.empty_table()
+        df = pl.from_arrow(pa.table({
+            "conv_id": pc.cast(t["conv_id"], pa.int64()),
+            "a": pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            "b": pc.fill_null(pc.cast(t["prev_text"], pa.string()), "")}))
+        pat = "[a-z0-9]+"
+        df = df.with_columns(
+            pl.col("a").str.to_lowercase().str.extract_all(pat)
+            .list.unique().alias("ta"),
+            pl.col("b").str.to_lowercase().str.extract_all(pat)
+            .list.unique().alias("tb"))
+        df = df.with_columns(
+            pl.col("ta").list.set_intersection(pl.col("tb")).list.len()
+            .cast(pl.Int64).alias("i"),
+            pl.col("ta").list.len().cast(pl.Int64).alias("na"),
+            pl.col("tb").list.len().cast(pl.Int64).alias("nb"))
+        df = df.filter((pl.col("na") > 0) & (pl.col("nb") > 0))
+        out = df.select(["conv_id", "i", "na", "nb"]).to_arrow()
+        i = out["i"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = out["na"].to_numpy(zero_copy_only=False)
+        nb = out["nb"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "j": pa.array(i / (na + nb - i), pa.float64()),
+            "one": pa.array(np.ones(len(out), np.int64)),
+        }).cast(sch)
+
+    agg = lag.map_batches(jac, batch_format="pyarrow") \
+        .groupby("conv_id").aggregate(Sum("j", alias_name="sj"),
+                                      Sum("one", alias_name="n_pairs"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("conv_id", pa.int64()), ("n_pairs", pa.int64()),
+                         ("echo", pa.float64())])
+        if len(t) == 0 or "sj" not in t.column_names:
+            return sch.empty_table()
+        sj = t["sj"].to_numpy(zero_copy_only=False)
+        n = t["n_pairs"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": t["conv_id"], "n_pairs": t["n_pairs"],
+            "echo": pa.array(np.round(sj / n, 6), pa.float64()),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_transitivity_events(sf_dir: str):
     """Global transitivity 3·T/#wedges plus the configuration-model
     triangle lift T / E_config[T] with Newman's closed form
@@ -8337,6 +8408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_gap_events": _q_spectral_gap_events,
         "split_overlap_docs": _q_split_overlap_docs,
         "transitivity_events": _q_transitivity_events,
+        "conv_turn_echo": _q_conv_turn_echo,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9618,6 +9690,51 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_CONV_ECHO_SQL = """
+    WITH x AS (
+        SELECT user_id, event_id, props, epoch_us(ts) AS t,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS pt
+        FROM events),
+    s AS (SELECT user_id, event_id, props, t,
+                 SUM(CASE WHEN pt IS NOT NULL AND t - pt > 3600000000
+                     THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) + 1 AS sid
+          FROM x),
+    tr AS (
+        SELECT CAST(user_id * 1000000 + sid AS BIGINT) AS conv_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                       ORDER BY t, event_id) AS BIGINT)
+                   AS turn_idx,
+               props AS text
+        FROM s),
+    tok AS (
+        SELECT DISTINCT conv_id, turn_idx,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[a-z0-9]+')) AS w
+        FROM tr),
+    cnt AS (SELECT conv_id, turn_idx, COUNT(*) AS n
+            FROM tok GROUP BY 1, 2),
+    inter AS (
+        SELECT a.conv_id, a.turn_idx, COUNT(*) AS i
+        FROM tok a JOIN tok b ON b.conv_id = a.conv_id
+                              AND b.turn_idx = a.turn_idx - 1
+                              AND b.w = a.w
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT c.conv_id, COALESCE(i.i, 0) AS i, c.n AS na, p.n AS nb
+        FROM cnt c
+        JOIN cnt p ON p.conv_id = c.conv_id
+                   AND p.turn_idx = c.turn_idx - 1
+        LEFT JOIN inter i ON i.conv_id = c.conv_id
+                          AND i.turn_idx = c.turn_idx)
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(CAST(i AS DOUBLE) / (na + nb - i)), 6) AS echo
+    FROM pairs GROUP BY 1
+"""
+
+
 _SPLIT_OVERLAP_SQL = """
     WITH spl AS (
         SELECT doc_id,
@@ -10748,6 +10865,7 @@ def oracle_sql() -> dict[str, str]:
         "spectral_gap_events": _spectral_gap_sql(),
         "split_overlap_docs": _SPLIT_OVERLAP_SQL,
         "transitivity_events": _TRANSITIVITY_SQL,
+        "conv_turn_echo": _CONV_ECHO_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
