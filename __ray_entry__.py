@@ -3230,6 +3230,81 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_graph_snapshot_diff(sf_dir: str):
+    """Temporal graph diff: the distinct user→event-type edge SET in the
+    first vs second half of the observation window (same integer-midpoint
+    boundary as user_degree_churn), reported as added/removed/common edge
+    counts + edge-set Jaccard — the drift check between graph snapshots.
+    Exact ints end to end: distinct (edge, half) partials per batch, ONE
+    groupby(edge) exchange folding half-presence indicators, one-row
+    per-block count partials; only the final Jaccard divides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("et", pa.string()),
+                         ("t", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "et": pc.cast(t["event_type"], pa.string()),
+            "t": pa.array(np.asarray(ts_to_us(t["ts"]), dtype=np.int64)),
+        }).cast(sch)
+
+    p = ev.map_batches(prep, batch_format="pyarrow")
+    mm = p.aggregate(Min("t", alias_name="mn"), Max("t", alias_name="mx"))
+    bd = (int(mm["mn"]) + int(mm["mx"])) // 2
+
+    def halves(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("et", pa.string()),
+                         ("h1", pa.int64()), ("h2", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        first = (ts <= bd).astype(np.int64)
+        tt = pa.table({"u": t["u"], "et": t["et"],
+                       "h1": pa.array(first),
+                       "h2": pa.array(1 - first)})
+        return tt.group_by(["u", "et"]).aggregate(
+            [("h1", "max"), ("h2", "max")]) \
+            .rename_columns(["u", "et", "h1", "h2"]).cast(sch)
+
+    edges = p.map_batches(halves, batch_format="pyarrow") \
+        .groupby(["u", "et"]).aggregate(Max("h1", alias_name="h1"),
+                                        Max("h2", alias_name="h2"))
+
+    def counts(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n1", pa.int64()), ("n2", pa.int64()),
+                         ("c", pa.int64())])
+        if len(t) == 0 or "h1" not in t.column_names:
+            return sch.empty_table()
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        return pa.table({"n1": pa.array([int(h1.sum())], pa.int64()),
+                         "n2": pa.array([int(h2.sum())], pa.int64()),
+                         "c": pa.array([int((h1 * h2).sum())], pa.int64())
+                         }).cast(sch)
+
+    f = edges.map_batches(counts, batch_format="pyarrow") \
+        .aggregate(Sum("n1", alias_name="n1"), Sum("n2", alias_name="n2"),
+                   Sum("c", alias_name="c"))
+    n1, n2, c = int(f["n1"]), int(f["n2"]), int(f["c"])
+    return pa.table({
+        "n_edges_h1": pa.array([n1], pa.int64()),
+        "n_edges_h2": pa.array([n2], pa.int64()),
+        "n_common": pa.array([c], pa.int64()),
+        "n_added": pa.array([n2 - c], pa.int64()),
+        "n_removed": pa.array([n1 - c], pa.int64()),
+        "edge_jaccard": pa.array([round(c / float(n1 + n2 - c), 6)],
+                                 pa.float64()),
+    })
+
+
 def _q_conv_turn_echo(sf_dir: str):
     """Per-conversation turn echo rate: mean token-SET Jaccard between
     each turn's text and its previous turn (the repeated-content /
@@ -8409,6 +8484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_overlap_docs": _q_split_overlap_docs,
         "transitivity_events": _q_transitivity_events,
         "conv_turn_echo": _q_conv_turn_echo,
+        "graph_snapshot_diff": _q_graph_snapshot_diff,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9690,6 +9766,28 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_GRAPH_SNAPSHOT_DIFF_SQL = """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    b AS (SELECT (MIN(t) + MAX(t)) // 2 AS bd FROM p),
+    d AS (SELECT DISTINCT user_id, event_type,
+                 CASE WHEN t <= (SELECT bd FROM b) THEN 1 ELSE 2 END
+                     AS half
+          FROM p),
+    e2 AS (SELECT user_id, event_type,
+                  MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS h1,
+                  MAX(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS h2
+           FROM d GROUP BY 1, 2)
+    SELECT CAST(SUM(h1) AS BIGINT) AS n_edges_h1,
+           CAST(SUM(h2) AS BIGINT) AS n_edges_h2,
+           CAST(SUM(h1 * h2) AS BIGINT) AS n_common,
+           CAST(SUM(h2 * (1 - h1)) AS BIGINT) AS n_added,
+           CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS n_removed,
+           ROUND(CAST(SUM(h1 * h2) AS DOUBLE)
+                 / (SUM(h1) + SUM(h2) - SUM(h1 * h2)), 6) AS edge_jaccard
+    FROM e2
+"""
+
+
 _CONV_ECHO_SQL = """
     WITH x AS (
         SELECT user_id, event_id, props, epoch_us(ts) AS t,
@@ -10866,6 +10964,7 @@ def oracle_sql() -> dict[str, str]:
         "split_overlap_docs": _SPLIT_OVERLAP_SQL,
         "transitivity_events": _TRANSITIVITY_SQL,
         "conv_turn_echo": _CONV_ECHO_SQL,
+        "graph_snapshot_diff": _GRAPH_SNAPSHOT_DIFF_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
