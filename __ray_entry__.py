@@ -3230,6 +3230,25 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_simrank_k3_events(sf_dir: str):
+    """SimRank (Jeh-Widom) after exactly 3 iterations, C=0.8, over the
+    events graph (pipelines/simrank.py): all-pairs by definition, run in
+    the gated dense small-V regime with the A·S·Aᵀ contraction as two
+    streamed edge passes per round. Reports pairs a<b with rounded
+    similarity ≥ 0.01; the oracle unrolls the identical 3 rounds."""
+    from cuttana_ray.pipelines.simrank import simrank
+    g = _events_graph(sf_dir)
+    S = simrank(g, c=0.8, k=3)
+    R = np.round(S, 6)
+    iu = np.triu_indices(g.num_vertices, k=1)
+    mask = R[iu] >= 0.01
+    return pa.table({
+        "a": pa.array(iu[0][mask].astype(np.int64)),
+        "b": pa.array(iu[1][mask].astype(np.int64)),
+        "simrank": pa.array(R[iu][mask], pa.float64()),
+    })
+
+
 def _q_graph_snapshot_diff(sf_dir: str):
     """Temporal graph diff: the distinct user→event-type edge SET in the
     first vs second half of the observation window (same integer-midpoint
@@ -8485,6 +8504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitivity_events": _q_transitivity_events,
         "conv_turn_echo": _q_conv_turn_echo,
         "graph_snapshot_diff": _q_graph_snapshot_diff,
+        "simrank_k3_events": _q_simrank_k3_events,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -8947,6 +8967,40 @@ def _kendall_sql(k: int = 5, damping: float = 0.85, top: int = 200) -> str:
                                 * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
     FROM s""")
     return "WITH " + "".join(parts)
+
+
+def _simrank_sql(k: int = 3, c: float = 0.8,
+                 threshold: float = 0.01) -> str:
+    """Unrolled SimRank replay (pipelines/simrank.py): s₀ = I, then
+    s'(a,b) = C/(d_a·d_b)·Σ_{e(a,i), e(b,j)} s(i,j) off-diagonal with the
+    diagonal pinned to 1; final projection keeps a<b pairs with rounded
+    similarity ≥ threshold."""
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
+    deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    s0 AS MATERIALIZED (
+        SELECT node_id AS i, node_id AS j, CAST(1.0 AS DOUBLE) AS s
+        FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    m{i} AS MATERIALIZED (
+        SELECT e1.src AS a, s.j, SUM(s.s) AS q
+        FROM e e1 JOIN s{i-1} s ON s.i = e1.dst
+        GROUP BY 1, 2),
+    t{i} AS (
+        SELECT m.a, e2.src AS b, SUM(m.q) AS q
+        FROM m{i} m JOIN e e2 ON e2.dst = m.j
+        GROUP BY 1, 2),
+    s{i} AS MATERIALIZED (
+        SELECT node_id AS i, node_id AS j, CAST(1.0 AS DOUBLE) AS s
+        FROM nodes
+        UNION ALL
+        SELECT t.a, t.b, {c} * t.q / (da.d * db.d)
+        FROM t{i} t JOIN deg da ON da.v = t.a JOIN deg db ON db.v = t.b
+        WHERE t.a <> t.b)""")
+    parts.append(f"""
+    SELECT i AS a, j AS b, ROUND(s, 6) AS simrank
+    FROM s{k} WHERE i < j AND ROUND(s, 6) >= {threshold}""")
+    return "".join(parts)
 
 
 def _spectral_gap_sql(k: int = 8) -> str:
@@ -10965,6 +11019,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity_events": _TRANSITIVITY_SQL,
         "conv_turn_echo": _CONV_ECHO_SQL,
         "graph_snapshot_diff": _GRAPH_SNAPSHOT_DIFF_SQL,
+        "simrank_k3_events": _simrank_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

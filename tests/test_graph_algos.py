@@ -1187,3 +1187,42 @@ def test_spectral_gap_matches_dense_numpy():
     assert got <= ev[0] + 1e-9
     got1, _ = spectral_gap(graph_from_edges(edges, n, num_blocks=1), k=8)
     assert abs(got - got1) < 1e-9
+
+
+def test_simrank_matches_dense_numpy():
+    from cuttana_ray.pipelines.simrank import simrank
+
+    rng = np.random.default_rng(71)
+    n = 18
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (50, 2)) if a != b})
+    g = graph_from_edges(edges, n, num_blocks=3)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[a, b] = A[b, a] = 1.0
+    d = A.sum(axis=1)
+    dd = np.outer(d, d)
+    safe = np.where(dd > 0, dd, 1.0)
+    S = np.eye(n)
+    for _ in range(3):
+        nxt = 0.8 * (A @ S @ A.T) / safe
+        nxt[dd <= 0] = 0.0
+        np.fill_diagonal(nxt, 1.0)
+        S = nxt
+    got = simrank(g, c=0.8, k=3)
+    assert np.allclose(got, S, rtol=1e-10, atol=1e-12)
+    # diagonal pinned, symmetric, bounded
+    assert np.allclose(np.diag(got), 1.0)
+    assert np.allclose(got, got.T)
+    assert got.min() >= 0 and got.max() <= 1 + 1e-12
+    got1 = simrank(graph_from_edges(edges, n, num_blocks=1), c=0.8, k=3)
+    assert np.allclose(got, got1, rtol=1e-12, atol=1e-12)
+
+
+def test_simrank_gate_raises():
+    import pytest as _pytest
+
+    from cuttana_ray.pipelines.simrank import simrank
+    g = graph_from_edges([(0, 1)], 3, num_blocks=1)
+    with _pytest.raises(ValueError, match="dense-regime gate"):
+        simrank(g, max_vertices=2)
