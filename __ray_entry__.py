@@ -6334,12 +6334,11 @@ def _q_events_daily_fano(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
-def _q_event_type_stationary_k6(sf_dir: str):
-    """Six power-iteration steps toward the stationary distribution of the
-    event-type Markov chain: the transition-count matrix comes from the
-    distributed LAG bigrams (a tiny #types² dimension table); the 6-step
-    vector recurrence is exact-order float arithmetic replayed by an
-    unrolled SQL CTE; 6 dp."""
+def _event_type_chain(sf_dir: str):
+    """(types, P, v6) of the event-type Markov chain: the transition-count
+    matrix comes from the distributed LAG bigrams (a tiny #types²
+    dimension table); the 6-step vector recurrence is exact-order float
+    arithmetic replayed by the unrolled SQL CTEs."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
     from cuttana_ray.stages.running import lag_columns
@@ -6388,9 +6387,36 @@ def _q_event_type_stationary_k6(sf_dir: str):
     v = np.full(m, 1.0 / m)
     for _ in range(6):
         v = v @ P
+    return types, P, v
+
+
+def _q_event_type_stationary_k6(sf_dir: str):
+    """Six power-iteration steps toward the stationary distribution of the
+    event-type Markov chain (see _event_type_chain); 6 dp."""
+    types, _P, v = _event_type_chain(sf_dir)
     return pa.table({
         "event_type": pa.array(types, pa.string()),
         "prob": pa.array(np.round(v, 6), pa.float64())})
+
+
+def _q_chain_entropy_rate(sf_dir: str):
+    """Entropy rate of the event-type Markov chain,
+    H = Σ_a π_a·(−Σ_b P_ab·log₂P_ab), with π the same 6-step stationary
+    estimate the SQL oracle unrolls — how predictable the next event type
+    is given the current one, against the log₂(#types) ceiling."""
+    types, P, v = _event_type_chain(sf_dir)
+    m = len(types)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lp = np.where(P > 0, np.log2(np.where(P > 0, P, 1.0)), 0.0)
+    h_row = -(P * lp).sum(axis=1)
+    H = float(v @ h_row)
+    mx = float(np.log2(m))
+    return pa.table({
+        "n_types": pa.array([m], pa.int64()),
+        "entropy_rate_bits": pa.array([round(H, 6)], pa.float64()),
+        "max_entropy_bits": pa.array([round(mx, 6)], pa.float64()),
+        "efficiency": pa.array([round(H / mx, 6)], pa.float64()),
+    })
 
 
 def _q_corpus_hapax_ratio(sf_dir: str):
@@ -8629,6 +8655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twenty-eighth round-2 batch (all SQL-checked)
         "events_daily_fano": _q_events_daily_fano,
         "event_type_stationary_k6": _q_event_type_stationary_k6,
+        "chain_entropy_rate": _q_chain_entropy_rate,
         # twenty-ninth round-2 batch (all SQL-checked)
         "corpus_hapax_ratio": _q_corpus_hapax_ratio,
         "source_doc_stats": _q_source_doc_stats,
@@ -10831,6 +10858,29 @@ def _stationary_sql(k: int = 6) -> str:
         SELECT ty.t AS event_type,
                ROUND(COALESCE(v{k}.v, 0.0), 6) AS prob
         FROM ty LEFT JOIN v{k} ON v{k}.t = ty.t""")
+    return "".join(parts)
+
+
+def _chain_entropy_sql(k: int = 6) -> str:
+    """Entropy rate on top of the _stationary_sql prelude:
+    H = Σ_a v_k(a)·(−Σ_b P(a,b)·log₂P(a,b)); types absent from v_k
+    contribute 0."""
+    prelude = _stationary_sql(k)
+    cut = prelude.rindex("SELECT ty.t AS event_type")
+    parts = [prelude[:cut].rstrip().rstrip("\n")]
+    # prelude ends with the final SELECT; strip it and keep the CTE chain
+    parts.append(f"""
+        , hrow AS (
+            SELECT a, SUM(-p * log2(p)) AS h FROM p GROUP BY 1),
+        ent AS (
+            SELECT SUM(COALESCE(v{k}.v, 0.0) * hrow.h) AS H
+            FROM hrow LEFT JOIN v{k} ON v{k}.t = hrow.a),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ty)
+        SELECT nt.m AS n_types,
+               ROUND(ent.H, 6) AS entropy_rate_bits,
+               ROUND(log2(nt.m), 6) AS max_entropy_bits,
+               ROUND(ent.H / log2(nt.m), 6) AS efficiency
+        FROM nt, ent""")
     return "".join(parts)
 
 
@@ -13345,6 +13395,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "event_type_stationary_k6": _stationary_sql(6),
+        "chain_entropy_rate": _chain_entropy_sql(6),
         "corpus_hapax_ratio": """
             WITH toks AS (
                 SELECT unnest(regexp_extract_all(
