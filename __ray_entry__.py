@@ -3230,6 +3230,107 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_pref_attachment_test(sf_dir: str):
+    """Temporal preferential-attachment test: Pearson correlation between
+    a user's first-half distinct-event-type degree and the number of NEW
+    types they attach to in the second half (same midpoint boundary as
+    user_degree_churn/graph_snapshot_diff) — rich-get-richer, measured
+    instead of assumed. Exact int per-user sums via the same
+    half-indicator groupby; corr folds one-row per-block moment
+    partials; users absent from the first half are excluded (they have
+    no degree to attach preferentially to)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("et", pa.string()),
+                         ("t", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "et": pc.cast(t["event_type"], pa.string()),
+            "t": pa.array(np.asarray(ts_to_us(t["ts"]), dtype=np.int64)),
+        }).cast(sch)
+
+    p = ev.map_batches(prep, batch_format="pyarrow")
+    mm = p.aggregate(Min("t", alias_name="mn"), Max("t", alias_name="mx"))
+    bd = (int(mm["mn"]) + int(mm["mx"])) // 2
+
+    def halves(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("et", pa.string()),
+                         ("h1", pa.int64()), ("h2", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        ts = t["t"].to_numpy(zero_copy_only=False)
+        first = (ts <= bd).astype(np.int64)
+        tt = pa.table({"u": t["u"], "et": t["et"],
+                       "h1": pa.array(first),
+                       "h2": pa.array(1 - first)})
+        return tt.group_by(["u", "et"]).aggregate(
+            [("h1", "max"), ("h2", "max")]) \
+            .rename_columns(["u", "et", "h1", "h2"]).cast(sch)
+
+    edges = p.map_batches(halves, batch_format="pyarrow") \
+        .groupby(["u", "et"]).aggregate(Max("h1", alias_name="h1"),
+                                        Max("h2", alias_name="h2"))
+
+    def per_user(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("d1", pa.int64()),
+                         ("new2", pa.int64())])
+        if len(t) == 0 or "h1" not in t.column_names:
+            return sch.empty_table()
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        tt = pa.table({"u": t["u"], "d1": pa.array(h1),
+                       "new2": pa.array(h2 * (1 - h1))})
+        return tt.group_by("u").aggregate(
+            [("d1", "sum"), ("new2", "sum")]) \
+            .rename_columns(["u", "d1", "new2"]).cast(sch)
+
+    users = edges.map_batches(per_user, batch_format="pyarrow") \
+        .groupby("u").aggregate(Sum("d1", alias_name="d1"),
+                                Sum("new2", alias_name="new2")) \
+        .filter(expr="d1 > 0")
+
+    def moments(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n", pa.int64()), ("sx", pa.float64()),
+                         ("sy", pa.float64()), ("sxy", pa.float64()),
+                         ("sxx", pa.float64()), ("syy", pa.float64())])
+        if len(t) == 0 or "d1" not in t.column_names:
+            return sch.empty_table()
+        x = t["d1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["new2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+        }).cast(sch)
+
+    f = users.map_batches(moments, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"),
+                   Sum("syy", alias_name="syy"))
+    n = float(f["n"])
+    sx, sy = float(f["sx"]), float(f["sy"])
+    sxy, sxx, syy = float(f["sxy"]), float(f["sxx"]), float(f["syy"])
+    den = float(np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    corr = round((n * sxy - sx * sy) / den, 6) if den > 0 else None
+    return pa.table({
+        "n_users": pa.array([int(f["n"])], pa.int64()),
+        "mean_new": pa.array([round(sy / n, 6)], pa.float64()),
+        "pa_corr": pa.array([corr], pa.float64()),
+    })
+
+
 def _q_simrank_k3_events(sf_dir: str):
     """SimRank (Jeh-Widom) after exactly 3 iterations, C=0.8, over the
     events graph (pipelines/simrank.py): all-pairs by definition, run in
@@ -8531,6 +8632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turn_echo": _q_conv_turn_echo,
         "graph_snapshot_diff": _q_graph_snapshot_diff,
         "simrank_k3_events": _q_simrank_k3_events,
+        "pref_attachment_test": _q_pref_attachment_test,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9847,6 +9949,35 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_PREF_ATTACH_SQL = """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+    b AS (SELECT (MIN(t) + MAX(t)) // 2 AS bd FROM p),
+    d AS (SELECT DISTINCT user_id, event_type,
+                 CASE WHEN t <= (SELECT bd FROM b) THEN 1 ELSE 2 END
+                     AS half
+          FROM p),
+    e2 AS (SELECT user_id, event_type,
+                  MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS h1,
+                  MAX(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS h2
+           FROM d GROUP BY 1, 2),
+    pu AS (SELECT user_id, SUM(h1) AS d1, SUM(h2 * (1 - h1)) AS new2
+           FROM e2 GROUP BY 1 HAVING SUM(h1) > 0),
+    f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(CAST(d1 AS DOUBLE)) AS sx,
+                 SUM(CAST(new2 AS DOUBLE)) AS sy,
+                 SUM(CAST(d1 AS DOUBLE) * new2) AS sxy,
+                 SUM(CAST(d1 AS DOUBLE) * d1) AS sxx,
+                 SUM(CAST(new2 AS DOUBLE) * new2) AS syy
+          FROM pu)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(sy / n, 6) AS mean_new,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS pa_corr
+    FROM f
+"""
+
+
 _GRAPH_SNAPSHOT_DIFF_SQL = """
     WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
     b AS (SELECT (MIN(t) + MAX(t)) // 2 AS bd FROM p),
@@ -11070,6 +11201,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_turn_echo": _CONV_ECHO_SQL,
         "graph_snapshot_diff": _GRAPH_SNAPSHOT_DIFF_SQL,
         "simrank_k3_events": _simrank_sql(),
+        "pref_attachment_test": _PREF_ATTACH_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
