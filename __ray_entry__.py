@@ -3230,6 +3230,37 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_ppr_sweep_cut(sf_dir: str):
+    """Local partitioning: the Andersen-Chung-Lang sweep cut over the
+    5-step personalized-PageRank vector (same restart set as
+    ppr_k5_events) — order by round(ppr,8)/degree, find the prefix of
+    minimum conductance (pipelines/spectral.py::sweep_cut: difference-
+    array cut profile from ONE streamed edge pass, never a per-prefix
+    recount). Exact int cut/vol; the conductance division is the only
+    float."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.pagerank import pagerank
+    from cuttana_ray.pipelines.spectral import sweep_cut
+    g = _events_graph(sf_dir)
+    V = g.num_vertices
+    p = np.zeros(V, dtype=np.float64)
+    seeds = np.arange(0, V, 13, dtype=np.int64)
+    p[seeds] = 1.0 / float(len(seeds))
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5, restart=p)
+    t = res.table("rank")
+    score = np.zeros(V, dtype=np.float64)
+    score[t["vertex"].to_numpy(zero_copy_only=False)] = \
+        pc.round(t["rank"], 8).to_numpy(zero_copy_only=False)
+    size, cut, vol, phi = sweep_cut(g, score)
+    return pa.table({
+        "prefix_size": pa.array([size], pa.int64()),
+        "cut_edges": pa.array([cut], pa.int64()),
+        "volume": pa.array([vol], pa.int64()),
+        "conductance": pa.array([round(phi, 6)], pa.float64()),
+    })
+
+
 def _q_pref_attachment_test(sf_dir: str):
     """Temporal preferential-attachment test: Pearson correlation between
     a user's first-half distinct-event-type degree and the number of NEW
@@ -8633,6 +8664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_snapshot_diff": _q_graph_snapshot_diff,
         "simrank_k3_events": _q_simrank_k3_events,
         "pref_attachment_test": _q_pref_attachment_test,
+        "ppr_sweep_cut": _q_ppr_sweep_cut,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9447,6 +9479,47 @@ def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
     parts.append(f"""
     SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
     return "WITH " + "".join(parts)
+
+
+def _sweep_cut_sql(k: int = 5, damping: float = 0.85,
+                   mod: int = 13) -> str:
+    """ACL sweep cut on the _ppr_k5_sql recursion: order by
+    round(r,8)/deg desc (vertex tie-break), difference-array cut profile
+    via window cumsums, min-conductance prefix (earliest on ties)."""
+    inner = _ppr_k5_sql(k, damping, mod)
+    cut_at = inner.rindex("SELECT v AS vertex")
+    prelude = inner[:cut_at].rstrip()
+    return prelude + f""",
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    sc AS (SELECT p.v, ROUND(p.r, 8) / dg.d AS s
+           FROM pr{k} p JOIN deg dg ON dg.v = p.v),
+    pos AS MATERIALIZED (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY s DESC, v ASC) - 1 AS t
+        FROM sc),
+    ce AS (SELECT LEAST(pa.t, pb.t) AS lo, GREATEST(pa.t, pb.t) AS hi
+           FROM e JOIN pos pa ON pa.v = e.src
+                  JOIN pos pb ON pb.v = e.dst
+           WHERE e.src < e.dst),
+    dv AS (SELECT t, SUM(d) AS d FROM (
+               SELECT lo AS t, 1 AS d FROM ce
+               UNION ALL SELECT hi AS t, -1 AS d FROM ce)
+           GROUP BY 1),
+    vv AS (SELECT pos.t, dg.d FROM pos JOIN deg dg ON dg.v = pos.v),
+    cc AS (SELECT vv.t,
+                  SUM(COALESCE(dv.d, 0)) OVER (ORDER BY vv.t) AS cut,
+                  SUM(vv.d) OVER (ORDER BY vv.t) AS vol
+           FROM vv LEFT JOIN dv ON dv.t = vv.t),
+    tot AS (SELECT SUM(d) AS td FROM deg),
+    cond AS (
+        SELECT t, cut, vol,
+               CAST(cut AS DOUBLE)
+                   / LEAST(vol, (SELECT td FROM tot) - vol) AS phi
+        FROM cc WHERE t < (SELECT COUNT(*) FROM pos) - 1)
+    SELECT CAST(t + 1 AS BIGINT) AS prefix_size,
+           CAST(cut AS BIGINT) AS cut_edges,
+           CAST(vol AS BIGINT) AS volume,
+           ROUND(phi, 6) AS conductance
+    FROM cond ORDER BY phi, t LIMIT 1"""
 
 
 def _events_graph_sql_hashed() -> str:
@@ -11202,6 +11275,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_snapshot_diff": _GRAPH_SNAPSHOT_DIFF_SQL,
         "simrank_k3_events": _simrank_sql(),
         "pref_attachment_test": _PREF_ATTACH_SQL,
+        "ppr_sweep_cut": _sweep_cut_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

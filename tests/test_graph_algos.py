@@ -1226,3 +1226,38 @@ def test_simrank_gate_raises():
     g = graph_from_edges([(0, 1)], 3, num_blocks=1)
     with _pytest.raises(ValueError, match="dense-regime gate"):
         simrank(g, max_vertices=2)
+
+
+def test_sweep_cut_matches_bruteforce():
+    from cuttana_ray.pipelines.spectral import sweep_cut
+
+    rng = np.random.default_rng(83)
+    n = 20
+    edges = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, n, (60, 2)) if a != b})
+    # ensure no isolated vertices (sweep assumes deg >= 1)
+    touched = {v for e in edges for v in e}
+    for v in range(n):
+        if v not in touched:
+            edges.append((v, (v + 1) % n))
+    edges = sorted(set(edges))
+    g = graph_from_edges(edges, n, num_blocks=3)
+    score = rng.random(n)
+    size, cut, vol, phi = sweep_cut(g, score)
+    # brute force: for every prefix of the same ordering, recount
+    deg = np.zeros(n, dtype=int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    order = np.lexsort((np.arange(n), -(score / deg)))
+    tot = int(deg.sum())
+    best = None
+    for t in range(n - 1):
+        S = set(order[:t + 1].tolist())
+        c = sum(1 for a, b in edges if (a in S) != (b in S))
+        v = int(deg[order[:t + 1]].sum())
+        p = c / min(v, tot - v)
+        if best is None or p < best[3] - 1e-15:
+            best = (t + 1, c, v, p)
+    assert (size, cut, vol) == best[:3]
+    assert abs(phi - best[3]) < 1e-12
