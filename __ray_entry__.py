@@ -3230,6 +3230,80 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_value_auc_view_purchase(sf_dir: str):
+    """Mann-Whitney U / AUC between 'view' and 'purchase' value
+    distributions — the rank-based complement to the KS distance, with
+    the exact tie convention (ties count ½; U is the PURCHASE side —
+    AUC = P(purchase value > view value) + ½·P(tie)). Same machinery as
+    value_ks_view_purchase: per-distinct-cents counts, one block-carry
+    prefix sum, then 2U = Σ_v c₂(v)·(2·cum₁(<v) + c₁(v)) folds exactly
+    in int64; AUC = U/(n₁·n₂). Only the two final divisions are float."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.stages.running import running_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cents", pa.int64()), ("c1", pa.int64()),
+                         ("c2", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        m1 = et == "view"
+        m2 = et == "purchase"
+        keep = m1 | m2
+        return pa.table({
+            "cents": pa.array(cents[keep]),
+            "c1": pa.array(m1[keep].astype(np.int64)),
+            "c2": pa.array(m2[keep].astype(np.int64))}).cast(sch)
+
+    counts = ds.map_batches(cells, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                    Sum("c2", alias_name="c2")) \
+        .materialize()
+    n1 = int(counts.sum("c1"))
+    n2 = int(counts.sum("c2"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("cents", pa.int64()), ("c1", pa.int64()),
+                         ("c2", pa.int64()), ("_k", pa.int64())])
+        if len(t) == 0 or "cents" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "c1": pc.cast(t["c1"], pa.int64()),
+            "c2": pc.cast(t["c2"], pa.int64()),
+            "_k": pa.array(np.zeros(len(t), np.int64))}).cast(sch)
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow")
+    r = running_agg(tagged, "_k", ["cents"], "c1",
+                    keep=["cents", "c1", "c2"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u2", pa.int64())])
+        if len(t) == 0 or "running_sum" not in t.column_names:
+            return sch.empty_table()
+        c1 = t["c1"].to_numpy(zero_copy_only=False)
+        c2 = t["c2"].to_numpy(zero_copy_only=False)
+        cum1 = t["running_sum"].to_numpy(zero_copy_only=False)
+        u2 = int((c2 * (2 * cum1 - c1)).sum())
+        return pa.table({"u2": pa.array([u2], pa.int64())}).cast(sch)
+
+    f = r.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("u2", alias_name="u2"))
+    u2 = int(f["u2"])
+    return pa.table({
+        "n_view": pa.array([n1], pa.int64()),
+        "n_purchase": pa.array([n2], pa.int64()),
+        "u_statistic": pa.array([round(u2 / 2.0, 6)], pa.float64()),
+        "auc": pa.array([round(u2 / (2.0 * n1 * n2), 6)], pa.float64()),
+    })
+
+
 def _q_ppr_sweep_cut(sf_dir: str):
     """Local partitioning: the Andersen-Chung-Lang sweep cut over the
     5-step personalized-PageRank vector (same restart set as
@@ -8665,6 +8739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank_k3_events": _q_simrank_k3_events,
         "pref_attachment_test": _q_pref_attachment_test,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
+        "value_auc_view_purchase": _q_value_auc_view_purchase,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -10022,6 +10097,29 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_VALUE_AUC_SQL = """
+    WITH c AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS c1,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS c2
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1),
+    r AS (SELECT cents, c1, c2,
+                 SUM(c1) OVER (ORDER BY cents) AS cum1
+          FROM c),
+    f AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                 SUM(c2 * (2 * cum1 - c1)) AS u2
+          FROM r)
+    SELECT CAST(n1 AS BIGINT) AS n_view,
+           CAST(n2 AS BIGINT) AS n_purchase,
+           ROUND(u2 / 2.0, 6) AS u_statistic,
+           ROUND(u2 / (2.0 * n1 * n2), 6) AS auc
+    FROM f
+"""
+
+
 _PREF_ATTACH_SQL = """
     WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
     b AS (SELECT (MIN(t) + MAX(t)) // 2 AS bd FROM p),
@@ -11276,6 +11374,7 @@ def oracle_sql() -> dict[str, str]:
         "simrank_k3_events": _simrank_sql(),
         "pref_attachment_test": _PREF_ATTACH_SQL,
         "ppr_sweep_cut": _sweep_cut_sql(),
+        "value_auc_view_purchase": _VALUE_AUC_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),

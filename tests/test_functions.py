@@ -1465,3 +1465,25 @@ def test_group_term_cosine_matches_numpy():
         assert (r["source_a"], r["source_b"]) == ("s1", "s2")
         d, c = exp[("s1", "s2")]
         assert r["dot"] == d and abs(r["cosine"] - c) < 1e-12
+
+
+def test_mann_whitney_auc_matches_scipy_style_bruteforce():
+    # replicate the engine's 2U identity on a small synthetic table via
+    # the O(n^2) definition: U = sum over (a in A, b in B) of
+    # [a > b] + 0.5*[a == b]
+    import __ray_entry__ as entrymod
+    import duckdb
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 20, 60)   # 'view' cents
+    b = rng.integers(5, 25, 40)   # 'purchase' cents
+    # U for the PURCHASE side: counts purchase > view, ties half
+    u = sum((1.0 if y > x else 0.5 if y == x else 0.0)
+            for x in a for y in b)
+    con = duckdb.connect()
+    con.sql("CREATE TABLE events AS SELECT * FROM (VALUES " +
+            ", ".join(f"('view', {int(v)/100.0})" for v in a) + ", " +
+            ", ".join(f"('purchase', {int(v)/100.0})" for v in b) +
+            ") t(event_type, value)")
+    got = con.sql(entrymod.oracle_sql()["value_auc_view_purchase"]).df()
+    assert abs(got["u_statistic"][0] - u) < 1e-9
+    assert abs(got["auc"][0] - round(u / (len(a) * len(b)), 6)) < 1e-9
