@@ -3230,6 +3230,94 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_signup_purchase_survival(sf_dir: str):
+    """Kaplan-Meier survival estimate of days from first signup to first
+    subsequent purchase, right-censored at the observation end — the
+    time-to-event analysis behind activation funnels. Per-user first
+    timestamps come from distributed groupbys + one hash join; the KM
+    table itself is O(#distinct durations) ≤ O(#days), legitimate
+    small-series driver state (same regime as daily_revenue_autocorr).
+    Survival = exp(Σ ln(1−d/n)) in ascending-duration order — identical
+    op order both sides, with the d=n exhaustion row pinned to 0 so
+    neither side takes ln(0)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from cuttana_ray.stages.windows import ts_to_us
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("et", pa.string()),
+                         ("t", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        return pa.table({
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "et": pc.cast(t["event_type"], pa.string()),
+            "t": pa.array(np.asarray(ts_to_us(t["ts"]), dtype=np.int64)),
+        }).cast(sch)
+
+    p = ev.map_batches(prep, batch_format="pyarrow")
+    end_us = int(p.aggregate(Max("t", alias_name="m"))["m"])
+    signup = p.filter(expr="et == 'signup'") \
+        .groupby("u").aggregate(Min("t", alias_name="s"))
+    purch = p.filter(expr="et == 'purchase'")
+    j = safe_join(purch, signup, join_type="inner", num_partitions=8,
+                  on=("u",), right_on=("u",))
+
+    def after(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("u", pa.int64()), ("t", pa.int64())])
+        if len(t) == 0 or "t" not in t.column_names:
+            return sch.empty_table()
+        keep = pc.greater_equal(t["t"], t["s"])
+        tt = t.filter(keep)
+        return pa.table({"u": tt["u"], "t": tt["t"]}).cast(sch)
+
+    first_p = j.map_batches(after, batch_format="pyarrow") \
+        .groupby("u").aggregate(Min("t", alias_name="p"))
+    d = safe_join(signup, first_p, join_type="left_outer",
+                  num_partitions=8, on=("u",), right_on=("u",))
+
+    def dur(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("dur", pa.int64()), ("ev", pa.int64())])
+        if len(t) == 0 or "s" not in t.column_names:
+            return sch.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False)
+        pp = t["p"].to_numpy(zero_copy_only=False)
+        has = pc.is_valid(t["p"]).to_numpy(zero_copy_only=False)
+        end = np.where(has, pp, end_us).astype(np.int64)
+        return pa.table({
+            "dur": pa.array((end - s) // 86_400_000_000, pa.int64()),
+            "ev": pa.array(has.astype(np.int64))}).cast(sch)
+
+    from ray.data.aggregate import Count, Sum
+    g = d.map_batches(dur, batch_format="pyarrow") \
+        .groupby("dur").aggregate(Sum("ev", alias_name="d"),
+                                  Count(on="ev", alias_name="tot")) \
+        .to_pandas().sort_values("dur").reset_index(drop=True)
+    dd = g["d"].to_numpy().astype(np.int64)
+    tot = g["tot"].to_numpy().astype(np.int64)
+    cc = tot - dd
+    n_total = int(tot.sum())
+    before = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    n = n_total - before
+    with np.errstate(divide="ignore"):
+        lf = np.where(dd < n, np.log(1.0 - dd / n.astype(np.float64)),
+                      0.0)
+    lsum = np.cumsum(lf)
+    dead = np.cumsum((dd >= n).astype(np.int64)) > 0
+    surv = np.where(dead, 0.0, np.round(np.exp(lsum), 6))
+    keep = dd > 0   # KM reports event times only
+    return pa.table({
+        "dur_days": pa.array(g["dur"].to_numpy()[keep], pa.int64()),
+        "at_risk": pa.array(n[keep], pa.int64()),
+        "n_events": pa.array(dd[keep], pa.int64()),
+        "n_censored": pa.array(cc[keep], pa.int64()),
+        "survival": pa.array(surv[keep], pa.float64()),
+    })
+
+
 def _q_value_auc_view_purchase(sf_dir: str):
     """Mann-Whitney U / AUC between 'view' and 'purchase' value
     distributions — the rank-based complement to the KS distance, with
@@ -8740,6 +8828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pref_attachment_test": _q_pref_attachment_test,
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "value_auc_view_purchase": _q_value_auc_view_purchase,
+        "signup_purchase_survival": _q_signup_purchase_survival,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -10097,6 +10186,49 @@ def _katz_sql(alpha: float = 0.00001, k: int = 6) -> str:
     return "".join(parts)
 
 
+_KM_SURVIVAL_SQL = """
+    WITH s AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS s FROM events
+        WHERE event_type = 'signup' GROUP BY 1),
+    mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+    p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS p
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s
+        GROUP BY 1),
+    d AS (
+        SELECT s.user_id,
+               CASE WHEN p.p IS NULL
+                    THEN ((SELECT m FROM mx) - s.s) // 86400000000
+                    ELSE (p.p - s.s) // 86400000000 END AS dur,
+               CASE WHEN p.p IS NULL THEN 0 ELSE 1 END AS ev
+        FROM s LEFT JOIN p ON p.user_id = s.user_id),
+    g AS (SELECT dur, SUM(ev) AS d, COUNT(*) AS tot FROM d GROUP BY 1),
+    km AS (
+        SELECT dur, d, tot - d AS c,
+               (SELECT COUNT(*) FROM d)
+               - COALESCE(SUM(tot) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n
+        FROM g),
+    o AS (
+        SELECT dur, d, c, n,
+               SUM(CASE WHEN d < n
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                        ELSE 0.0 END) OVER w AS lsum,
+               MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER w AS dead
+        FROM km
+        WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(exp(lsum), 6) END AS survival
+    FROM o WHERE d > 0
+"""
+
+
 _VALUE_AUC_SQL = """
     WITH c AS (
         SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,
@@ -11375,6 +11507,7 @@ def oracle_sql() -> dict[str, str]:
         "pref_attachment_test": _PREF_ATTACH_SQL,
         "ppr_sweep_cut": _sweep_cut_sql(),
         "value_auc_view_purchase": _VALUE_AUC_SQL,
+        "signup_purchase_survival": _KM_SURVIVAL_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
