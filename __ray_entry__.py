@@ -3230,6 +3230,54 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_textrank_keywords_docs(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea-Tarau 2004): PageRank over
+    the token co-occurrence graph (adjacent whitespace tokens, symmetric,
+    weight = bigram count), 6 forced power steps, top-20 terms by
+    (rounded score, term). Reuses the whole flagship machinery — the
+    distributed bigram partials feed the SAME vocab-encode + symmetrize +
+    Graph + pagerank path the transcript graph uses, so the word graph
+    scales exactly like the link graph (vocabulary never sits on the
+    driver until the final 20-row projection)."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.functions.terms import _bigram_fn
+    from cuttana_ray.pipelines.graph import _build
+    from cuttana_ray.pipelines.pagerank import pagerank
+    from cuttana_ray.stages.edges import canonicalize_undirected
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("src", pa.string()), ("dst", pa.string()),
+                         ("weight", pa.int64())])
+        if len(t) == 0 or "w1" not in t.column_names:
+            return sch.empty_table()
+        keep = pc.invert(pc.equal(t["w1"], t["w2"]))
+        tt = t.filter(keep)
+        return pa.table({"src": tt["w1"], "dst": tt["w2"],
+                         "weight": tt["tf"]}).cast(sch)
+
+    bigrams = docs.map_batches(_bigram_fn("text"), batch_format="pyarrow") \
+        .map_batches(as_edges, batch_format="pyarrow")
+    g = _build(canonicalize_undirected(bigrams), workdir=None,
+               deduped=False, canonical=True)
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=6)
+    t = res.table("rank")
+    r = np.zeros(g.num_vertices, dtype=np.float64)
+    r[t["vertex"].to_numpy(zero_copy_only=False)] = \
+        pc.round(t["rank"], 8).to_numpy(zero_copy_only=False)
+    nodes = g.nodes
+    names = np.asarray(nodes["name"].to_pylist())
+    ids = nodes["node_id"].to_numpy(zero_copy_only=False)
+    score = r[ids]
+    order = np.lexsort((names, -score))[:20]
+    return pa.table({
+        "term": pa.array(names[order], pa.string()),
+        "score": pa.array(score[order], pa.float64()),
+    })
+
+
 def _q_signup_purchase_survival(sf_dir: str):
     """Kaplan-Meier survival estimate of days from first signup to first
     subsequent purchase, right-censored at the observation end — the
@@ -8829,6 +8877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_sweep_cut": _q_ppr_sweep_cut,
         "value_auc_view_purchase": _q_value_auc_view_purchase,
         "signup_purchase_survival": _q_signup_purchase_survival,
+        "textrank_keywords_docs": _q_textrank_keywords_docs,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9643,6 +9692,51 @@ def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
     parts.append(f"""
     SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
     return "WITH " + "".join(parts)
+
+
+def _textrank_sql(k: int = 6, damping: float = 0.85,
+                  top: int = 20) -> str:
+    """TextRank replay: PageRank recursion keyed directly by the word
+    string over the symmetrized adjacent-token bigram graph (self-pairs
+    dropped), identical formula shape to _pagerank_k5_sql."""
+    parts = [f"""WITH w0 AS (
+        SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+        FROM documents),
+    toks AS (
+        SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        FROM w0),
+    cnt AS (
+        SELECT a.w AS src, b.w AS dst, COUNT(*) AS c
+        FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2),
+    e AS MATERIALIZED (
+        SELECT src, dst, CAST(SUM(c) AS DOUBLE) AS weight FROM (
+            SELECT src, dst, c FROM cnt
+            UNION ALL SELECT dst AS src, src AS dst, c FROM cnt)
+        WHERE src != dst GROUP BY 1, 2),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS w FROM e),
+    vc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM nodes),
+    outw AS (SELECT src AS w, SUM(weight) AS ow FROM e GROUP BY 1),
+    pr0 AS MATERIALIZED (
+        SELECT w, 1.0 / (SELECT v FROM vc) AS r FROM nodes)"""]
+    for i in range(1, k + 1):
+        parts.append(f""",
+    c{i} AS (SELECT e.dst AS w, SUM(p.r * e.weight / ow.ow) AS s
+             FROM e JOIN pr{i-1} p ON p.w = e.src
+                    JOIN outw ow ON ow.w = e.src
+             GROUP BY 1),
+    d{i} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM pr{i-1} p
+             WHERE p.w NOT IN (SELECT w FROM outw)),
+    pr{i} AS MATERIALIZED (SELECT n.w,
+                     (1.0 - {damping}) / (SELECT v FROM vc)
+                     + {damping} * (COALESCE(c.s, 0.0)
+                                    + (SELECT dm FROM d{i})
+                                      / (SELECT v FROM vc)) AS r
+              FROM nodes n LEFT JOIN c{i} c ON c.w = n.w)""")
+    parts.append(f"""
+    SELECT w AS term, ROUND(r, 8) AS score FROM pr{k}
+    ORDER BY ROUND(r, 8) DESC, w LIMIT {top}""")
+    return "".join(parts)
 
 
 def _sweep_cut_sql(k: int = 5, damping: float = 0.85,
@@ -11508,6 +11602,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_sweep_cut": _sweep_cut_sql(),
         "value_auc_view_purchase": _VALUE_AUC_SQL,
         "signup_purchase_survival": _KM_SURVIVAL_SQL,
+        "textrank_keywords_docs": _textrank_sql(),
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
