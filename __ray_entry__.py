@@ -3230,6 +3230,101 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_rrf_centrality_top10(sf_dir: str):
+    """Reciprocal-rank fusion of the degree and 5-step-PageRank rankings
+    (RRF, Cormack et al. SIGIR'09: Σ 1/(60+rank)) — the standard way to
+    combine centrality signals without score calibration. Ranks are
+    ROW_NUMBER under (score desc, vertex asc) on both sides (PR at the
+    8-dp shared grain), so the fusion is exactly replayable; top-10 by
+    (fused desc, vertex asc)."""
+    import pyarrow.compute as pc
+
+    from cuttana_ray.pipelines.pagerank import pagerank
+    g = _events_graph(sf_dir)
+    V = g.num_vertices
+    res = pagerank(g, damping=0.85, tol=0.0, max_iters=5)
+    t = res.table("rank")
+    pr = np.zeros(V, dtype=np.float64)
+    pr[t["vertex"].to_numpy(zero_copy_only=False)] = \
+        pc.round(t["rank"], 8).to_numpy(zero_copy_only=False)
+    deg = g.degrees().astype(np.float64)
+    ids = np.arange(V, dtype=np.int64)
+    rank_deg = np.empty(V, dtype=np.int64)
+    rank_deg[np.lexsort((ids, -deg))] = np.arange(1, V + 1)
+    rank_pr = np.empty(V, dtype=np.int64)
+    rank_pr[np.lexsort((ids, -pr))] = np.arange(1, V + 1)
+    fused = 1.0 / (60.0 + rank_deg) + 1.0 / (60.0 + rank_pr)
+    order = np.lexsort((ids, -np.round(fused, 9)))[:10]
+    return pa.table({
+        "vertex": pa.array(ids[order], pa.int64()),
+        "deg_rank": pa.array(rank_deg[order], pa.int64()),
+        "pr_rank": pa.array(rank_pr[order], pa.int64()),
+        "rrf": pa.array(np.round(fused[order], 9), pa.float64()),
+    })
+
+
+def _q_source_oov_rate(sf_dir: str):
+    """Per-source out-of-vocabulary rate against the global top-1000
+    terms — the domain-shift diagnostic for a fixed tokenizer vocabulary.
+    The top-1k vocab is bounded by construction, so it broadcasts
+    (ray.put) and the token stream filters with one is_in kernel per
+    batch; per-source totals are two exact int sums."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.functions.terms import top_terms
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    vocab = top_terms(docs, k=1000).to_pandas()["term"].tolist()
+    vocab_ref = ray.put(pa.array(sorted(vocab), pa.string()))
+
+    def rate(t: pa.Table) -> pa.Table:
+        import polars as pl
+        sch = pa.schema([("source", pa.string()), ("n_tokens", pa.int64()),
+                         ("n_oov", pa.int64())])
+        if len(t) == 0 or "text" not in t.column_names:
+            return sch.empty_table()
+        df = pl.from_arrow(pa.table({
+            "source": pc.cast(t["source"], pa.string()),
+            "text": pc.fill_null(pc.cast(t["text"], pa.string()), "")}))
+        toks = df.with_columns(
+            pl.col("text").str.to_lowercase().str.extract_all("[a-z]+")
+            .alias("w")).drop("text").explode("w").drop_nulls("w")
+        out = toks.to_arrow()
+        inv = pc.is_in(pc.cast(out["w"], pa.string()),
+                       value_set=ray.get(vocab_ref))
+        tt = pa.table({
+            "source": out["source"],
+            "one": pa.array(np.ones(len(out), np.int64)),
+            "oov": pa.array(
+                np.invert(inv.to_numpy(zero_copy_only=False))
+                .astype(np.int64))})
+        return tt.group_by("source").aggregate(
+            [("one", "sum"), ("oov", "sum")]) \
+            .rename_columns(["source", "n_tokens", "n_oov"]).cast(sch)
+
+    agg = docs.map_batches(rate, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                                     Sum("n_oov", alias_name="n_oov"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("n_tokens", pa.int64()),
+                         ("n_oov", pa.int64()), ("oov_rate", pa.float64())])
+        if len(t) == 0 or "n_oov" not in t.column_names:
+            return sch.empty_table()
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        no = t["n_oov"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"], "n_tokens": t["n_tokens"],
+            "n_oov": t["n_oov"],
+            "oov_rate": pa.array(
+                np.round(no / np.maximum(nt, 1).astype(np.float64), 6)),
+        }).cast(sch)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_textrank_keywords_docs(sf_dir: str):
     """TextRank keyword extraction (Mihalcea-Tarau 2004): PageRank over
     the token co-occurrence graph (adjacent whitespace tokens, symmetric,
@@ -8878,6 +8973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_auc_view_purchase": _q_value_auc_view_purchase,
         "signup_purchase_survival": _q_signup_purchase_survival,
         "textrank_keywords_docs": _q_textrank_keywords_docs,
+        "rrf_centrality_top10": _q_rrf_centrality_top10,
+        "source_oov_rate": _q_source_oov_rate,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
         "random_walks_events": _q_random_walks_events,
@@ -9692,6 +9789,49 @@ def _ppr_k5_sql(k: int = 5, damping: float = 0.85, mod: int = 13) -> str:
     parts.append(f"""
     SELECT v AS vertex, ROUND(r, 8) AS rank FROM pr{k}""")
     return "WITH " + "".join(parts)
+
+
+def _rrf_sql(k: int = 5, damping: float = 0.85, top: int = 10) -> str:
+    """Reciprocal-rank fusion replay on the _pagerank_k5_sql recursion:
+    ROW_NUMBER ranks under (score desc, vertex asc), fused 1/(60+r) sums,
+    top-N by rounded fusion."""
+    inner = _pagerank_k5_sql(k, damping)
+    cut_at = inner.rindex("SELECT")
+    prelude = inner[:cut_at].rstrip().rstrip(",")
+    return prelude + f""",
+    dg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    rd AS (SELECT n.node_id AS v,
+                  ROW_NUMBER() OVER (ORDER BY COALESCE(dg.d, 0) DESC,
+                                     n.node_id ASC) AS rdeg
+           FROM nodes n LEFT JOIN dg ON dg.v = n.node_id),
+    rp AS (SELECT v,
+                  ROW_NUMBER() OVER (ORDER BY ROUND(r, 8) DESC, v ASC)
+                      AS rpr
+           FROM pr{k}),
+    f AS (SELECT rd.v, rd.rdeg, rp.rpr,
+                 1.0 / (60.0 + rd.rdeg) + 1.0 / (60.0 + rp.rpr) AS rrf
+          FROM rd JOIN rp ON rp.v = rd.v)
+    SELECT v AS vertex, CAST(rdeg AS BIGINT) AS deg_rank,
+           CAST(rpr AS BIGINT) AS pr_rank, ROUND(rrf, 9) AS rrf
+    FROM f ORDER BY ROUND(rrf, 9) DESC, v ASC LIMIT {top}"""
+
+
+_SOURCE_OOV_SQL = """
+    WITH toks AS (
+        SELECT source, unnest(regexp_extract_all(
+            lower(COALESCE(text, '')), '[a-z]+')) AS w
+        FROM documents),
+    tc AS (SELECT w AS term, COUNT(*) AS tf FROM toks GROUP BY 1),
+    vocab AS (SELECT term FROM tc ORDER BY tf DESC, term LIMIT 1000)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN w NOT IN (SELECT term FROM vocab)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN w NOT IN (SELECT term FROM vocab)
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / GREATEST(COUNT(*), 1), 6) AS oov_rate
+    FROM toks GROUP BY 1
+"""
 
 
 def _textrank_sql(k: int = 6, damping: float = 0.85,
@@ -11603,6 +11743,8 @@ def oracle_sql() -> dict[str, str]:
         "value_auc_view_purchase": _VALUE_AUC_SQL,
         "signup_purchase_survival": _KM_SURVIVAL_SQL,
         "textrank_keywords_docs": _textrank_sql(),
+        "rrf_centrality_top10": _rrf_sql(),
+        "source_oov_rate": _SOURCE_OOV_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
         "random_walks_events": _random_walks_sql(),
