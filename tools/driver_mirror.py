@@ -1,0 +1,104 @@
+"""Driver-mirror sweep: run queries() vs oracle_sql() at a given sf dir.
+
+Usage:
+    PYTHONPATH=/root/repo python tools/driver_mirror.py [sf_dir] [names...]
+
+No names = all SQL-checked queries. Mirrors the grading driver's compare
+(row count + sorted-column schema + 6-dp values) plus a dtype-kind check
+(the driver's value hash is dtype-sensitive). Set SWEEP_OUT=<path> to
+also write the JSON result to a file. PYTHONPATH must include the repo
+root or Ray workers cannot import cuttana_ray.
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+NAMES = sys.argv[2:]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _to_pandas(obj):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(obj, ray.data.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{os.path.join(SF_DIR, t)}.parquet')")
+    return con.sql(sql).df()
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype(np.int64)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df
+
+
+def main():
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import __ray_entry__ as entrymod
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = NAMES or sorted(oracles.keys())
+    results, fails = {}, []
+    for name in names:
+        t0 = time.time()
+        try:
+            got = _normalize(_to_pandas(qs[name](SF_DIR)))
+            exp = _normalize(_duck(oracles[name]))
+            assert list(got.columns) == list(exp.columns), \
+                ("cols", list(got.columns), list(exp.columns))
+            assert len(got) == len(exp), ("rows", len(got), len(exp))
+            gk = [got[c].dtype.kind for c in got.columns]
+            ek = [exp[c].dtype.kind for c in exp.columns]
+            gk = ["i" if k == "u" else k for k in gk]
+            ek = ["i" if k == "u" else k for k in ek]
+            assert gk == ek, ("dtype kinds", list(zip(got.columns, gk, ek)))
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                          check_exact=False, atol=1e-6)
+            results[name] = {"ok": True, "rows": len(got),
+                             "sec": round(time.time() - t0, 2)}
+            print(f"OK   {name} rows={len(got)} "
+                  f"{results[name]['sec']}s", flush=True)
+        except Exception as e:
+            results[name] = {"ok": False, "err": str(e)[:500],
+                             "sec": round(time.time() - t0, 2)}
+            fails.append(name)
+            print(f"FAIL {name}: {str(e)[:300]}", flush=True)
+    print(json.dumps({"sf": SF_DIR, "n": len(names), "fail": fails,
+                      "results": results})[:2000])
+    out = os.environ.get("SWEEP_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"sf": SF_DIR, "n": len(names), "fail": fails,
+                       "results": results}, f, indent=1)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
