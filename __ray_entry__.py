@@ -3230,6 +3230,29 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: the heuristic lang_id predictions
+    crossed against the documents' labeled lang column, with per-label
+    recall shares — the evaluation view of a curation classifier. One
+    hash join + one groupby; exact counts."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from cuttana_ray.functions.textstats import lang_id
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = lang_id(docs)
+    lab = docs.select_columns(["doc_id", "lang"])
+    j = safe_join(pred, lab, join_type="inner", num_partitions=8,
+                  on=("doc_id",), right_on=("doc_id",))
+    agg = j.groupby(["lang", "lang_pred"]) \
+        .aggregate(Count(on="doc_id", alias_name="n")).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    tot = agg.groupby("lang")["n"].transform("sum")
+    agg["share"] = (agg["n"] / tot).round(6)
+    return agg[["lang", "lang_pred", "n", "share"]]
+
+
 def _q_rrf_centrality_top10(sf_dir: str):
     """Reciprocal-rank fusion of the degree and 5-step-PageRank rankings
     (RRF, Cormack et al. SIGIR'09: Σ 1/(60+rank)) — the standard way to
@@ -8974,6 +8997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_purchase_survival": _q_signup_purchase_survival,
         "textrank_keywords_docs": _q_textrank_keywords_docs,
         "rrf_centrality_top10": _q_rrf_centrality_top10,
+        "lang_confusion_docs": _q_lang_confusion,
         "source_oov_rate": _q_source_oov_rate,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -11744,6 +11768,16 @@ def oracle_sql() -> dict[str, str]:
         "signup_purchase_survival": _KM_SURVIVAL_SQL,
         "textrank_keywords_docs": _textrank_sql(),
         "rrf_centrality_top10": _rrf_sql(),
+        "lang_confusion_docs": f"""
+            WITH pred AS ({_LANG_ID_SQL}),
+            j AS (SELECT d.lang, p.lang_pred
+                  FROM documents d JOIN pred p ON p.doc_id = d.doc_id)
+            SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CAST(COUNT(*) AS DOUBLE)
+                         / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+                       AS share
+            FROM j GROUP BY 1, 2
+        """,
         "source_oov_rate": _SOURCE_OOV_SQL,
         "eigenvector_k6_events": _eigen_sql(),
         "sssp_events": _sssp_sql(),
