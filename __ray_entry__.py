@@ -3230,6 +3230,43 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_event_anomalous_days(sf_dir: str):
+    """Top-5 anomalous days of the event stream by |z-score| of the daily
+    count. The ORDERING key is the exact integer |n·x − Σx| (equivalent
+    to |z| since sd is constant across days — no float ties can flip the
+    ranking); only the reported z value divides. Day ties break
+    ascending."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("d", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"d": pc.divide(us, 86_400_000_000)}).cast(sch)
+
+    daily = ds.map_batches(to_day, batch_format="pyarrow") \
+        .groupby("d").aggregate(Count(on="d", alias_name="c")) \
+        .to_pandas().sort_values("d").reset_index(drop=True)
+    d = daily["d"].to_numpy().astype(np.int64)
+    x = daily["c"].to_numpy().astype(np.int64)
+    n = len(x)
+    tot = int(x.sum())
+    dev = np.abs(n * x - tot)              # exact int ordering key
+    mean = tot / n
+    sd = float(np.sqrt(((x - mean) ** 2).sum() / (n - 1)))
+    order = np.lexsort((d, -dev))[:5]
+    z = (x[order] - mean) / sd
+    return pa.table({
+        "day": pa.array(d[order], pa.int64()),
+        "n_events": pa.array(x[order], pa.int64()),
+        "z": pa.array(np.round(z, 6), pa.float64()),
+    })
+
+
 def _q_lang_confusion(sf_dir: str):
     """Language-ID confusion matrix: the heuristic lang_id predictions
     crossed against the documents' labeled lang column, with per-label
@@ -8998,6 +9035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords_docs": _q_textrank_keywords_docs,
         "rrf_centrality_top10": _q_rrf_centrality_top10,
         "lang_confusion_docs": _q_lang_confusion,
+        "event_anomalous_days": _q_event_anomalous_days,
         "source_oov_rate": _q_source_oov_rate,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -11768,6 +11806,21 @@ def oracle_sql() -> dict[str, str]:
         "signup_purchase_survival": _KM_SURVIVAL_SQL,
         "textrank_keywords_docs": _textrank_sql(),
         "rrf_centrality_top10": _rrf_sql(),
+        "event_anomalous_days": """
+            WITH daily AS (
+                SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                            AS BIGINT) AS d,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1),
+            st AS (SELECT COUNT(*) AS n, SUM(c) AS tot,
+                          AVG(CAST(c AS DOUBLE)) AS mu,
+                          STDDEV_SAMP(CAST(c AS DOUBLE)) AS sd
+                   FROM daily)
+            SELECT d AS day, CAST(c AS BIGINT) AS n_events,
+                   ROUND((c - st.mu) / st.sd, 6) AS z
+            FROM daily, st
+            ORDER BY ABS(st.n * c - st.tot) DESC, d ASC LIMIT 5
+        """,
         "lang_confusion_docs": f"""
             WITH pred AS ({_LANG_ID_SQL}),
             j AS (SELECT d.lang, p.lang_pred
