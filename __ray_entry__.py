@@ -3230,6 +3230,57 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_monthly_top10_stability(sf_dir: str):
+    """Month-over-month stability of the top-10 revenue customers:
+    Jaccard between consecutive months' top-10 SETS — the leaderboard-
+    churn diagnostic. Monthly top-10s come from the distributed
+    grouped_topk combiner exchange (≤ 10·#blocks rows per month move);
+    the 10-per-month result is legitimately tiny, so the adjacent-month
+    set compare finishes on the driver. Exact int revenue cents,
+    (rev desc, custkey asc) total order on both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.stages.relational import grouped_topk
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate",
+                                              "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("m", pa.int64()), ("c", pa.int64()),
+                         ("cents", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        d = pc.cast(t["o_orderdate"], pa.date32())
+        y = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        mo = pc.month(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(t["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"m": pa.array(y * 100 + mo),
+                         "c": pc.cast(t["o_custkey"], pa.int64()),
+                         "cents": pa.array(cents)}).cast(sch)
+
+    rev = orders.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["m", "c"]).aggregate(Sum("cents", alias_name="rev"))
+    top = grouped_topk(rev, ["m"], [("rev", "descending"),
+                                    ("c", "ascending")], 10) \
+        .to_pandas()                      # 10 rows per month — tiny
+    sets: dict[int, set] = {}
+    for m, grp in top.groupby("m"):
+        sets[int(m)] = set(grp["c"].astype(np.int64).tolist())
+    months = sorted(sets)
+    rows = []
+    for prev, cur in zip(months, months[1:]):
+        inter = len(sets[prev] & sets[cur])
+        union = len(sets[prev] | sets[cur])
+        rows.append((cur, inter, round(inter / union, 6)))
+    return pa.table({
+        "month": pa.array([r[0] for r in rows], pa.int64()),
+        "n_common": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def _q_event_anomalous_days(sf_dir: str):
     """Top-5 anomalous days of the event stream by |z-score| of the daily
     count. The ORDERING key is the exact integer |n·x − Σx| (equivalent
@@ -9036,6 +9087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_centrality_top10": _q_rrf_centrality_top10,
         "lang_confusion_docs": _q_lang_confusion,
         "event_anomalous_days": _q_event_anomalous_days,
+        "monthly_top10_stability": _q_monthly_top10_stability,
         "source_oov_rate": _q_source_oov_rate,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -11806,6 +11858,39 @@ def oracle_sql() -> dict[str, str]:
         "signup_purchase_survival": _KM_SURVIVAL_SQL,
         "textrank_keywords_docs": _textrank_sql(),
         "rrf_centrality_top10": _rrf_sql(),
+        "monthly_top10_stability": """
+            WITH rev AS (
+                SELECT CAST(year(CAST(o_orderdate AS DATE)) * 100
+                            + month(CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS m,
+                       o_custkey AS c,
+                       SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1, 2),
+            r AS (SELECT m, c,
+                         ROW_NUMBER() OVER (PARTITION BY m
+                             ORDER BY rev DESC, c ASC) AS rn
+                  FROM rev),
+            t AS (SELECT m, c FROM r WHERE rn <= 10),
+            sz AS (SELECT m, COUNT(*) AS s FROM t GROUP BY 1),
+            pairs AS (SELECT m AS prev, LEAD(m) OVER (ORDER BY m) AS cur
+                      FROM (SELECT DISTINCT m FROM t)),
+            ov AS (SELECT p.cur AS month, COUNT(*) AS n_common
+                   FROM pairs p
+                   JOIN t a ON a.m = p.prev
+                   JOIN t b ON b.m = p.cur AND b.c = a.c
+                   WHERE p.cur IS NOT NULL GROUP BY 1)
+            SELECT p.cur AS month,
+                   CAST(COALESCE(ov.n_common, 0) AS BIGINT) AS n_common,
+                   ROUND(CAST(COALESCE(ov.n_common, 0) AS DOUBLE)
+                         / (sa.s + sb.s - COALESCE(ov.n_common, 0)), 6)
+                       AS jaccard
+            FROM pairs p
+            JOIN sz sa ON sa.m = p.prev
+            JOIN sz sb ON sb.m = p.cur
+            LEFT JOIN ov ON ov.month = p.cur
+            WHERE p.cur IS NOT NULL
+        """,
         "event_anomalous_days": """
             WITH daily AS (
                 SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
