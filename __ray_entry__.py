@@ -3230,6 +3230,102 @@ def _q_readability_docs(sf_dir: str):
     return readability_scores(ds)
 
 
+def _q_dedup_decision_docs(sf_dir: str):
+    """Per-document curation decision integrating BOTH dedup signals:
+    exact content dedup (keep min doc_id per content group, hash-keyed
+    exchange — text never keys a shuffle) and near-dup clustering (keep
+    the canonical longest member per SQL-checked cluster). keep = not an
+    exact dup AND (not clustered OR the cluster's canonical doc) — the
+    row-level keep-list a training pipeline actually materializes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    import polars as pl
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text",
+                                               "n_chars"])
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()), ("h", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        h = pl.from_arrow(pa.table({
+            "t": pc.fill_null(pc.cast(t["text"], pa.string()), "")})) \
+            .select(pl.col("t").hash(seed=0).alias("h"))["h"] \
+            .to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "h": pa.array(h)}).cast(sch)
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow") \
+        .materialize()
+    keepers = hashed.groupby("h").aggregate(Min("doc_id",
+                                                alias_name="k"))
+    ex = safe_join(hashed, keepers, join_type="inner", num_partitions=8,
+                   on=("h",), right_on=("h",))
+
+    def exact_flag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()),
+                         ("is_exact_dup", pa.int64())])
+        if len(t) == 0 or "k" not in t.column_names:
+            return sch.empty_table()
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "is_exact_dup": pa.array((d != k)
+                                                  .astype(np.int64))
+                         }).cast(sch)
+
+    exact = ex.map_batches(exact_flag, batch_format="pyarrow")
+
+    clusters = _q_neardup_clusters(sf_dir)
+    if not hasattr(clusters, "groupby"):
+        import ray.data as rd
+        clusters = rd.from_arrow(clusters)
+    cj = safe_join(clusters,
+                   docs.select_columns(["doc_id", "n_chars"]),
+                   join_type="inner", num_partitions=8,
+                   on=("doc_id",), right_on=("doc_id",))
+
+    def pick(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()),
+                         ("is_canonical", pa.int64())])
+        if len(t) == 0:
+            return sch.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[("n_chars", "descending"),
+                                            ("doc_id", "ascending")])
+        t = t.take(idx)
+        flag = np.zeros(len(t), np.int64)
+        flag[0] = 1
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "is_canonical": pa.array(flag)}).cast(sch)
+
+    members = cj.groupby("cluster_rep").map_groups(
+        pick, batch_format="pyarrow")
+    j = safe_join(exact, members, join_type="left_outer",
+                  num_partitions=8, on=("doc_id",), right_on=("doc_id",))
+
+    def decide(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("doc_id", pa.int64()),
+                         ("is_exact_dup", pa.int64()),
+                         ("in_neardup_cluster", pa.int64()),
+                         ("keep", pa.int64())])
+        if len(t) == 0 or "is_exact_dup" not in t.column_names:
+            return sch.empty_table()
+        exd = t["is_exact_dup"].to_numpy(zero_copy_only=False)
+        canon = t["is_canonical"]
+        in_cl = pc.is_valid(canon).to_numpy(zero_copy_only=False)
+        is_can = pc.fill_null(pc.cast(canon, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        keep = ((exd == 0) & (~in_cl | (is_can == 1))).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "is_exact_dup": t["is_exact_dup"],
+            "in_neardup_cluster": pa.array(in_cl.astype(np.int64)),
+            "keep": pa.array(keep)}).cast(sch)
+
+    return j.map_batches(decide, batch_format="pyarrow")
+
+
 def _q_monthly_top10_stability(sf_dir: str):
     """Month-over-month stability of the top-10 revenue customers:
     Jaccard between consecutive months' top-10 SETS — the leaderboard-
@@ -9088,6 +9184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion_docs": _q_lang_confusion,
         "event_anomalous_days": _q_event_anomalous_days,
         "monthly_top10_stability": _q_monthly_top10_stability,
+        "dedup_decision_docs": _q_dedup_decision_docs,
         "source_oov_rate": _q_source_oov_rate,
         "eigenvector_k6_events": _q_eigenvector_k6_events,
         "clustering_events": _q_clustering_events,
@@ -11698,6 +11795,34 @@ def _neardup_canonical_sql() -> str:
                CAST(n_chars AS BIGINT) AS kept_chars,
                CAST(nm AS BIGINT) AS n_members
         FROM r WHERE rn = 1
+    """
+
+
+def _dedup_decision_sql() -> str:
+    """Per-doc keep decision: exact content groups (min doc_id keeps) ×
+    one near-dup cluster replay with the canonical-longest window pick."""
+    inner = _neardup_clusters_sql()
+    return f"""
+        WITH ek AS (SELECT text, MIN(doc_id) AS k
+                    FROM documents GROUP BY text),
+        ex AS (SELECT d.doc_id,
+                      CASE WHEN d.doc_id = ek.k THEN 0 ELSE 1 END
+                          AS is_exact_dup
+               FROM documents d JOIN ek ON ek.text IS NOT DISTINCT FROM
+                                           d.text),
+        cl AS MATERIALIZED ({inner}),
+        cj AS (SELECT cl.cluster_rep, cl.doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep
+                          ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+               FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+        SELECT e.doc_id,
+               CAST(e.is_exact_dup AS BIGINT) AS is_exact_dup,
+               CAST(CASE WHEN cj.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS in_neardup_cluster,
+               CAST(CASE WHEN e.is_exact_dup = 0
+                          AND (cj.doc_id IS NULL OR cj.rn = 1)
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM ex e LEFT JOIN cj ON cj.doc_id = e.doc_id
     """
 
 
@@ -14374,6 +14499,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_cluster_sizes": _neardup_cluster_sizes_sql(),
         "neardup_canonical_docs": _neardup_canonical_sql(),
+        "dedup_decision_docs": _dedup_decision_sql(),
         "user_gap_cv": """
             WITH g AS (
                 SELECT user_id,
