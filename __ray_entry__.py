@@ -11504,23 +11504,28 @@ def _shingle_sql(k: int) -> str:
 
 
 def _minhash_prelude_sql(est_cut: float) -> str:
+    # Permutations mod the Mersenne-31 prime (mirrors dedup.py _P31):
+    # h31 ≤ 2^31-2 and pa ≤ 2^31-2 keep h31*pa + pb < 2^63, so the hot
+    # sig projection (|shingles| × 64 rows) runs in native BIGINT. The
+    # 2^61-1 variant needed HUGEINT mod (~1 µs/op in DuckDB) and cost
+    # ~18 s per minhash-family oracle at sf0.001.
     rng = np.random.default_rng(42)
-    m = (1 << 61) - 1
+    m = (1 << 31) - 1
     a = rng.integers(1, m, 64, dtype=np.uint64)
     b = rng.integers(0, m, 64, dtype=np.uint64)
     perm_rows = ", ".join(
-        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
-        for p in range(64))
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64))
     return _shingle_sql(5) + f""",
+    sh31 AS MATERIALIZED (
+        SELECT doc_id, h, CAST(h % 2147483647 AS BIGINT) AS h31 FROM sh),
     perms(perm, pa, pb) AS (VALUES {perm_rows}),
     sig AS MATERIALIZED (
         SELECT doc_id, perm,
-               MIN((((sh.h * perms.pa) % {_U64} + perms.pb) % {_U64})
-                   % {_MERS}) AS s
-        FROM sh CROSS JOIN perms GROUP BY 1, 2),
+               MIN((sh31.h31 * perms.pa + perms.pb) % 2147483647) AS s
+        FROM sh31 CROSS JOIN perms GROUP BY 1, 2),
     bands AS MATERIALIZED (
         SELECT doc_id, perm // 4 AS band,
-               SUM(s) % {_MERS} AS band_hash
+               SUM(s) % 2147483647 AS band_hash
         FROM sig GROUP BY 1, 2),
     bucket_pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

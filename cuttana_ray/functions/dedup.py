@@ -44,6 +44,13 @@ from ray.data.aggregate import Count, Min
 from cuttana_ray.util import safe_join
 
 _MERSENNE = (1 << 61) - 1
+# MinHash permutations run mod the Mersenne-31 prime so the DuckDB oracle
+# replays them in native BIGINT (h31*a + b ≤ 2^62 < 2^63). The 2^61-1
+# variant forced HUGEINT arithmetic on the oracle side: DuckDB's software
+# 128-bit modulo costs ~1 µs/op, which made every minhash-family oracle
+# ~18 s at sf0.001 (round-3 heavy tail). 31-bit minima add ~1/2^31
+# collision bias to the Jaccard estimate — negligible.
+_P31 = (1 << 31) - 1
 _HASH_SEED = 0x9E3779B97F4A7C15
 
 
@@ -205,8 +212,8 @@ class _MinHashSig:
     def __init__(self, num_perm: int, shingle_k: int, text_col: str,
                  id_col: str):
         rng = np.random.default_rng(42)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.a = rng.integers(1, _P31, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _P31, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_col = text_col
@@ -217,9 +224,10 @@ class _MinHashSig:
         lens = np.array([len(s) for s in shs], dtype=np.int64)
         flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
         offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        flat31 = flat % _P31
         sig = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         for p in range(self.num_perm):
-            vals = (flat * self.a[p] + self.b[p]) % _MERSENNE
+            vals = (flat31 * self.a[p] + self.b[p]) % _P31
             sig[:, p] = np.minimum.reduceat(vals, offsets)
         return sig
 
@@ -258,7 +266,7 @@ def _band_rows_fn(bands: int, rows_per_band: int, num_perm: int):
         sig = _sig_matrix(batch["sig"], num_perm)
         # per-band hash: sum of the band's rows mod p (uint64 wraparound
         # semantics identical to the per-doc loop this replaces)
-        bh = sig.reshape(n, bands, rows_per_band).sum(axis=2) % _MERSENNE
+        bh = sig.reshape(n, bands, rows_per_band).sum(axis=2) % _P31
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
@@ -284,7 +292,7 @@ def _melt_active_fn(bands: int, rows_per_band: int, num_perm: int,
         active = ray.get(active_ref)  # dict band -> sorted hash array
         sig = _sig_matrix(batch["sig"], num_perm)
         bh = (sig.reshape(n, bands, rows_per_band).sum(axis=2)
-              % _MERSENNE).astype(np.int64)
+              % _P31).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         blobs = batch["sig"].to_pylist()
         out_id, out_band, out_hash, out_sig = [], [], [], []
@@ -751,9 +759,34 @@ def _table_len(t: pa.Table) -> tuple[int, int]:
 
 # -- near-dup clustering ----------------------------------------------------
 
+_LOCAL_CC_MAX_EDGES = 1 << 21
+
+
+def _local_min_label_components(u: np.ndarray, v: np.ndarray):
+    """Vectorized connected components over a small symmetrized edge list:
+    min-parent hooking + pointer doubling, O(E log V) numpy ops, no Python
+    per-edge loop. Returns (ids, component_min_label) — the same labels the
+    distributed join+groupby(Min) propagation converges to."""
+    ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    su, sv = inv[: len(u)], inv[len(u):]
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(parent[su], parent[sv])
+        new = parent.copy()
+        np.minimum.at(new, su, m)
+        np.minimum.at(new, sv, m)
+        new = new[new]
+        if np.array_equal(new, parent):
+            break
+        parent = new
+    # ids is sorted ascending, so the min parent INDEX is the min id
+    return ids, ids[parent]
+
+
 def pair_components(pairs: "ray.data.Dataset", a_col: str = "doc_a",
-                    b_col: str = "doc_b",
-                    max_iters: int = 50) -> "ray.data.Dataset":
+                    b_col: str = "doc_b", max_iters: int = 50,
+                    local_max_edges: int | None = None
+                    ) -> "ray.data.Dataset":
     """Connected components over a pair table with PURE Dataset ops.
 
     Min-label propagation: every node starts labeled with the smallest id it
@@ -782,11 +815,28 @@ def pair_components(pairs: "ray.data.Dataset", a_col: str = "doc_a",
         return pa.concat_tables([fwd, rev])
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
+    local_max = _LOCAL_CC_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    if n_edges <= local_max:
+        # Small pair graph (the dup-bearing subset, already materialized and
+        # counted — the gate costs nothing): one vectorized min-label pass on
+        # the driver beats ~5 Ray jobs per propagation round. ≤ 2M rows
+        # ≈ 32 MB; the distributed join+groupby(Min) path below is the
+        # 100-TB route and computes the identical component-min labels.
+        from cuttana_ray.util import local_table
+        t = local_table(edges)
+        ids, lbl = _local_min_label_components(
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False))
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_rep": pa.array(lbl, pa.int64())}))
     # pair tables are the dup-bearing subset: small → few join partitions so
     # no hash partition comes back empty/schemaless (Ray Data 2.49 quirk)
-    npart = max(1, min(4, edges.count() // 65536 + 1))
+    npart = max(1, min(4, n_edges // 65536 + 1))
 
     lab = edges.groupby("u").aggregate(Min("v", alias_name="lbl"))
     lab = lab.map_batches(

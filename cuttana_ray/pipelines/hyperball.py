@@ -201,13 +201,68 @@ def _default_partitions(edges: "ray.data.Dataset") -> int:
     return max(1, min(pool_size()[1], edges.count() // 65536 + 1))
 
 
+_LOCAL_HB_MAX_EDGES = 1 << 21
+
+
+def _local_ball_series(t: pa.Table, t_max: int, p: int):
+    """Size-gated local twin of the round loop: same register init
+    (``murmur64_int`` + ``hll_idx_rank``), same register-max recursion
+    (segment ``np.maximum.reduceat`` over src-sorted edges — one sort,
+    no per-round Python loop), same rounded ``hll_estimate_rows``
+    readout — so the (ids, ball_t) series is bit-identical to the
+    distributed path (parity pytest). Returns ``(ids, [ball_0..ball_t])``.
+    """
+    m = 1 << p
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = np.unique(src)  # symmetrized: every vertex appears as a src
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    idx, rank = hll_idx_rank(murmur64_int(ids), p)
+    regs = np.zeros((len(ids), m), np.uint8)
+    regs[np.arange(len(ids)), idx] = rank
+
+    order = np.argsort(s, kind="stable")
+    s_s, d_s = s[order], d[order]
+    starts = np.concatenate([[0], np.nonzero(s_s[1:] != s_s[:-1])[0] + 1])
+    tgt = s_s[starts]
+
+    def ball(r: np.ndarray) -> np.ndarray:
+        return np.floor(hll_estimate_rows(r) + 0.5).astype(np.int64)
+
+    balls = [ball(regs)]
+    for _ in range(t_max):
+        seg = np.maximum.reduceat(regs[d_s], starts, axis=0)
+        new = regs.copy()
+        new[tgt] = np.maximum(new[tgt], seg)
+        regs = new
+        balls.append(ball(regs))
+    return ids, balls
+
+
+def _local_edges_or_none(edges: "ray.data.Dataset",
+                         local_max_edges: int | None) -> "pa.Table | None":
+    from cuttana_ray.util import local_table
+    cap = _LOCAL_HB_MAX_EDGES if local_max_edges is None else local_max_edges
+    if cap and edges.count() <= cap:
+        return local_table(edges)
+    return None
+
+
 def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
-              num_partitions: int | None = None) -> "ray.data.Dataset":
+              num_partitions: int | None = None,
+              local_max_edges: int | None = None) -> "ray.data.Dataset":
     """Per-vertex t-hop ball-size estimates over a symmetrized int64
     (src, dst) edge Dataset. Returns a Dataset ``(node_id: int64,
     ball: int64)`` — ball = ROUND(HLL estimate of |{w : dist ≤ t}|),
     half away from zero, matching DuckDB's ROUND for the SQL replay."""
     m = 1 << p
+    lt = _local_edges_or_none(edges, local_max_edges)
+    if lt is not None:
+        ids, balls = _local_ball_series(lt, t, p)
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array(ids, pa.int64()),
+            "ball": pa.array(balls[t], pa.int64())}))
     if num_partitions is None:
         num_partitions = _default_partitions(edges)
     state = _init_state(edges, p)
@@ -218,7 +273,8 @@ def hyperball(edges: "ray.data.Dataset", t: int, p: int = 6,
 
 
 def hyperball_harmonic(edges: "ray.data.Dataset", t_max: int, p: int = 6,
-                       num_partitions: int | None = None
+                       num_partitions: int | None = None,
+                       local_max_edges: int | None = None
                        ) -> "ray.data.Dataset":
     """Approximate harmonic centrality from the HyperBall series (Boldi &
     Vigna, "In-core computation of geometric centralities with
@@ -230,6 +286,16 @@ def hyperball_harmonic(edges: "ray.data.Dataset", t_max: int, p: int = 6,
     linear ball join per round, no O(V) driver object. Returns
     ``(node_id: int64, hharm: float64 rounded to 8 dp)``."""
     m = 1 << p
+    lt = _local_edges_or_none(edges, local_max_edges)
+    if lt is not None:
+        ids, balls = _local_ball_series(lt, t_max, p)
+        acc_l = np.zeros(len(ids), np.float64)
+        for t in range(1, t_max + 1):
+            acc_l += (balls[t] - balls[t - 1]) / float(t)
+        return ray.data.from_arrow(pa.table({
+            "node_id": pa.array(ids, pa.int64()),
+            # pc.round, not np.round: exactly the distributed finish
+            "hharm": pc.round(pa.array(acc_l), 8)}))
     if num_partitions is None:
         num_partitions = _default_partitions(edges)
     state = _init_state(edges, p)
@@ -285,7 +351,8 @@ def hyperball_harmonic(edges: "ray.data.Dataset", t_max: int, p: int = 6,
 
 def hyperball_nf(edges: "ray.data.Dataset", t_max: int, p: int = 6,
                  eff_frac: float = 0.9,
-                 num_partitions: int | None = None) -> pa.Table:
+                 num_partitions: int | None = None,
+                 local_max_edges: int | None = None) -> pa.Table:
     """HyperANF: the neighborhood function NF(t) = Σ_v ball(v, t) for
     t = 0..t_max from ONE register iteration (each round adds a single
     streamed estimate pass over the per-vertex state — the driver sees
@@ -294,14 +361,19 @@ def hyperball_nf(edges: "ray.data.Dataset", t_max: int, p: int = 6,
     smallest t with NF(t) ≥ eff_frac · NF(t_max) — the standard
     effective-diameter readout of the neighborhood function."""
     m = 1 << p
-    if num_partitions is None:
-        num_partitions = _default_partitions(edges)
-    state = _init_state(edges, p)
-    e2 = edges.select_columns(["src", "dst"])
-    nf = [int(_ball_table(state, m).sum("ball"))]
-    for _ in range(t_max):
-        state = _round(state, e2, m, num_partitions)
-        nf.append(int(_ball_table(state, m).sum("ball")))
+    lt = _local_edges_or_none(edges, local_max_edges)
+    if lt is not None:
+        _, balls = _local_ball_series(lt, t_max, p)
+        nf = [int(b.sum()) for b in balls]
+    else:
+        if num_partitions is None:
+            num_partitions = _default_partitions(edges)
+        state = _init_state(edges, p)
+        e2 = edges.select_columns(["src", "dst"])
+        nf = [int(_ball_table(state, m).sum("ball"))]
+        for _ in range(t_max):
+            state = _round(state, e2, m, num_partitions)
+            nf.append(int(_ball_table(state, m).sum("ball")))
     thresh = eff_frac * nf[-1]
     eff = next(i for i, x in enumerate(nf) if x >= thresh)
     return pa.table({

@@ -298,9 +298,46 @@ def modularity_numpy(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
 
 
 
+_LOCAL_LOUVAIN_MAX_EDGES = 1 << 21
+
+
+def _louvain_local_edges(t: pa.Table, max_rounds: int, exact: bool,
+                         w2: int) -> pa.Table:
+    """Size-gated local twin of the ``louvain_shuffle`` round loop: dense-
+    ify the (sorted-unique) ids, run ``move_step`` — the ONE shared
+    implementation of the move rule — per round, map labels back. The
+    id→dense mapping is monotonic, so the rule's (score DESC, c ASC)
+    tie-break orders identically over dense indices and sparse 63-bit ids:
+    outputs are bit-identical to the distributed path (parity pytest)."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    w = t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)].astype(np.int64), inv[len(src):].astype(np.int64)
+    V = len(ids)
+    kv = np.zeros(V, np.int64)
+    np.add.at(kv, s, w)
+    labels = np.arange(V, dtype=np.int64)
+    for _ in range(max_rounds):
+        c = labels[d]
+        key = s * V + c
+        order = np.argsort(key, kind="stable")
+        ks, ws = key[order], w[order]
+        starts = np.concatenate([[0], np.nonzero(ks[1:] != ks[:-1])[0] + 1])
+        kin = np.add.reduceat(ws, starts)
+        kpair = ks[starts]
+        new = move_step(kpair // V, kpair % V, kin, labels, kv, w2, exact)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return pa.table({"node_id": pa.array(ids, pa.int64()),
+                     "community": pa.array(ids[labels], pa.int64())})
+
+
 def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
                     exact: bool = True,
-                    num_partitions: int | None = None) -> "ray.data.Dataset":
+                    num_partitions: int | None = None,
+                    local_max_edges: int | None = None) -> "ray.data.Dataset":
     """Big-V Louvain local moving: EVERY piece of per-vertex state —
     labels, degrees, community totals, gain scores — lives in Datasets and
     moves through hash-join / pre-combined-groupby exchanges; no O(V)
@@ -341,9 +378,20 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
     agg = edges.aggregate(Sum("weight"), Count(alias_name="_n"))
     w2 = int(agg["sum(weight)"])
     n_edges = int(agg["_n"])
+    _check_weight_budget(w2, exact)
+    local_max = _LOCAL_LOUVAIN_MAX_EDGES if local_max_edges is None \
+        else local_max_edges
+    if n_edges <= local_max:
+        # ~7 exchanges/round × 6 rounds is all fixed cost on a graph this
+        # size; the local twin runs the identical rule (see
+        # _louvain_local_edges) in one task's worth of numpy. ≤2M edge
+        # rows ≈ 48 MB — far below a worker heap.
+        from cuttana_ray.util import local_table
+        t = local_table(edges)
+        return ray.data.from_arrow(
+            _louvain_local_edges(t, max_rounds, exact, w2))
     npart = num_partitions if num_partitions is not None \
         else max(1, min(pool_size()[1], n_edges // 65536 + 1))
-    _check_weight_budget(w2, exact)
 
     def kv_partial(t: pa.Table) -> pa.Table:
         schema = pa.schema([("src", pa.int64()), ("kv", pa.int64())])

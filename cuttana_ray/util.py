@@ -56,6 +56,22 @@ def drop_empty_blocks(ds):
     return ray.data.from_arrow_refs(refs)
 
 
+def local_table(ds) -> "_pa.Table":
+    """Materialize a SMALL dataset to one driver-side Arrow table, skipping
+    the schema-less empty blocks groupby stages emit (see
+    ``drop_empty_blocks``). Callers gate on a row-count bound first — this
+    is the documented local finish for size-gated fast paths, never for
+    unbounded data."""
+    import pyarrow as _pa
+
+    import ray as _ray
+    tables = [t for t in _ray.get(ds.to_arrow_refs())
+              if len(t) > 0 and t.num_columns > 0]
+    if not tables:
+        return None
+    return _pa.concat_tables(tables)
+
+
 def safe_join(left, right, *args, **kwargs):
     """``Dataset.join`` with both sides cleaned of schema-less empty blocks
     first (see ``drop_empty_blocks``) — the package-internal join helper.

@@ -1,0 +1,87 @@
+"""Local fast-path parity: several iterative operators route small inputs
+(≤ a documented edge-count gate) to a vectorized driver-side twin of their
+distributed round loop — ~6 Ray exchanges per round is pure fixed cost on a
+graph that fits one numpy array. These tests pin the ONLY thing that makes
+the gates safe: on the same input, local (default at this size) and
+distributed (forced via ``local_max_edges=0``) paths return IDENTICAL rows.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _sym_edges(V=60, E=200, seed=11, weighted=False):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, V, E).astype(np.int64)
+    dst = rng.integers(0, V, E).astype(np.int64)
+    keep = src != dst
+    pairs = sorted({(a, b) for a, b in zip(src[keep], dst[keep])}
+                   | {(b, a) for a, b in zip(src[keep], dst[keep])})
+    s = np.array([a for a, _ in pairs], np.int64)
+    d = np.array([b for _, b in pairs], np.int64)
+    cols = {"src": pa.array(s), "dst": pa.array(d)}
+    if weighted:
+        cols["weight"] = pa.array(np.ones(len(s), np.int64))
+    return pa.table(cols)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_louvain_shuffle_local_vs_distributed(ray_session):
+    from cuttana_ray.pipelines.louvain import louvain_shuffle
+    t = _sym_edges(weighted=True)
+    # sparse 63-bit-ish ids: the exact regime the bigv query runs in
+    off = np.int64(3) << 40
+    t = pa.table({"src": pa.array(t["src"].to_numpy() * 977 + off),
+                  "dst": pa.array(t["dst"].to_numpy() * 977 + off),
+                  "weight": t["weight"]})
+    ds = rd.from_arrow(t).repartition(5).materialize()
+    local = _norm(louvain_shuffle(ds, max_rounds=4).to_pandas())
+    dist = _norm(louvain_shuffle(ds, max_rounds=4,
+                                 local_max_edges=0).to_pandas())
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_pair_components_local_vs_distributed(ray_session):
+    from cuttana_ray.functions.dedup import pair_components
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 200, 150).astype(np.int64)
+    b = rng.integers(0, 200, 150).astype(np.int64)
+    keep = a != b
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array(np.minimum(a, b)[keep]),
+        "doc_b": pa.array(np.maximum(a, b)[keep])})).repartition(4)
+    local = _norm(pair_components(pairs).to_pandas())
+    dist = _norm(pair_components(pairs, local_max_edges=0).to_pandas())
+    pd.testing.assert_frame_equal(local, dist)
+
+
+@pytest.mark.parametrize("t,p", [(1, 6), (3, 4)])
+def test_hyperball_local_vs_distributed(ray_session, t, p):
+    from cuttana_ray.pipelines.hyperball import hyperball
+    ds = rd.from_arrow(_sym_edges(seed=7)).repartition(6).materialize()
+    local = _norm(hyperball(ds, t, p).to_pandas())
+    dist = _norm(hyperball(ds, t, p, local_max_edges=0).to_pandas())
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_hyperball_harmonic_local_vs_distributed(ray_session):
+    from cuttana_ray.pipelines.hyperball import hyperball_harmonic
+    ds = rd.from_arrow(_sym_edges(seed=9)).repartition(4).materialize()
+    local = _norm(hyperball_harmonic(ds, t_max=4, p=5).to_pandas())
+    dist = _norm(hyperball_harmonic(ds, t_max=4, p=5,
+                                    local_max_edges=0).to_pandas())
+    pd.testing.assert_frame_equal(local, dist)
+
+
+def test_hyperball_nf_local_vs_distributed(ray_session):
+    from cuttana_ray.pipelines.hyperball import hyperball_nf
+    ds = rd.from_arrow(_sym_edges(seed=13)).repartition(4).materialize()
+    local = hyperball_nf(ds, t_max=4, p=5).to_pandas()
+    dist = hyperball_nf(ds, t_max=4, p=5, local_max_edges=0).to_pandas()
+    pd.testing.assert_frame_equal(local, dist)
