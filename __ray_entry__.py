@@ -36,6 +36,10 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None):
 # ---------------------------------------------------------------------------
 
 _GRAPH_CACHE: dict[str, Any] = {}
+# simrank runs on the top-degree induced subgraph past this many vertices
+# (O(V²) dense state is inherent to all-pairs SimRank); below it — every
+# test sf through sf0.1 (V=1505) — the whole graph is used.
+_SIMRANK_CAP = 2048
 
 
 def _events_graph(sf_dir: str):
@@ -3879,16 +3883,59 @@ def _q_simrank_k3_events(sf_dir: str):
     events graph (pipelines/simrank.py): all-pairs by definition, run in
     the gated dense small-V regime with the A·S·Aᵀ contraction as two
     streamed edge passes per round. Reports pairs a<b with rounded
-    similarity ≥ 0.01; the oracle unrolls the identical 3 rounds."""
+    similarity ≥ 0.01; the oracle unrolls the identical 3 rounds.
+
+    All-pairs state is O(V²) by definition, so past ``_SIMRANK_CAP``
+    vertices the query runs on the top-degree INDUCED SUBGRAPH
+    (degree DESC, id ASC — deterministic and replayed by the oracle);
+    below the cap (every test sf through sf0.1) it is the whole graph.
+    This closes the round-3 advisory: the dense gate used to make the
+    query ERROR at roughly sf ≥ 0.6 instead of returning rows."""
+    import ray
+
+    import pyarrow.compute as pc
+    from cuttana_ray.pipelines.graph import Graph
     from cuttana_ray.pipelines.simrank import simrank
     g = _events_graph(sf_dir)
+    top = None
+    if g.num_vertices > _SIMRANK_CAP:
+        d = g.degrees()
+        order = np.lexsort((np.arange(g.num_vertices), -d))
+        top = np.sort(order[:_SIMRANK_CAP])
+        top_ref = ray.put(top)
+
+        def induced(t: pa.Table) -> pa.Table:
+            sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                             ("weight", pa.int64())])
+            if len(t) == 0 or "src" not in t.column_names:
+                return sch.empty_table()
+            keep = ray.get(top_ref)
+            s = t["src"].to_numpy(zero_copy_only=False)
+            dd = t["dst"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(keep, s)
+            di = np.searchsorted(keep, dd)
+            si[si == len(keep)] = 0
+            di[di == len(keep)] = 0
+            m = (keep[si] == s) & (keep[di] == dd)
+            return pa.table({
+                "src": pa.array(si[m].astype(np.int64)),
+                "dst": pa.array(di[m].astype(np.int64)),
+                "weight": pc.cast(t["weight"], pa.int64()).take(
+                    pa.array(np.nonzero(m)[0]))}).cast(sch)
+
+        g = Graph(edges=g.edges.map_batches(
+            induced, batch_format="pyarrow").materialize(),
+            nodes=g.nodes, num_vertices=_SIMRANK_CAP)
     S = simrank(g, c=0.8, k=3)
     R = np.round(S, 6)
     iu = np.triu_indices(g.num_vertices, k=1)
     mask = R[iu] >= 0.01
+    a, b = iu[0][mask], iu[1][mask]
+    if top is not None:
+        a, b = top[a], top[b]
     return pa.table({
-        "a": pa.array(iu[0][mask].astype(np.int64)),
-        "b": pa.array(iu[1][mask].astype(np.int64)),
+        "a": pa.array(a.astype(np.int64)),
+        "b": pa.array(b.astype(np.int64)),
         "simrank": pa.array(R[iu][mask], pa.float64()),
     })
 
@@ -9657,24 +9704,32 @@ def _simrank_sql(k: int = 3, c: float = 0.8,
     s'(a,b) = C/(d_a·d_b)·Σ_{e(a,i), e(b,j)} s(i,j) off-diagonal with the
     diagonal pinned to 1; final projection keeps a<b pairs with rounded
     similarity ≥ threshold."""
-    parts = ["WITH " + _EVENTS_GRAPH_SQL + """,
-    deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY 1),
+    parts = ["WITH " + _EVENTS_GRAPH_SQL + f""",
+    degall AS (
+        SELECT n.node_id AS v, COUNT(e.src) AS d
+        FROM nodes n LEFT JOIN e ON e.src = n.node_id GROUP BY 1),
+    topv AS MATERIALIZED (
+        SELECT v FROM degall ORDER BY d DESC, v LIMIT {_SIMRANK_CAP}),
+    ef AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e
+        JOIN topv ta ON ta.v = e.src JOIN topv tb ON tb.v = e.dst),
+    deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS d FROM ef GROUP BY 1),
     s0 AS MATERIALIZED (
-        SELECT node_id AS i, node_id AS j, CAST(1.0 AS DOUBLE) AS s
-        FROM nodes)"""]
+        SELECT v AS i, v AS j, CAST(1.0 AS DOUBLE) AS s
+        FROM topv)"""]
     for i in range(1, k + 1):
         parts.append(f""",
     m{i} AS MATERIALIZED (
         SELECT e1.src AS a, s.j, SUM(s.s) AS q
-        FROM e e1 JOIN s{i-1} s ON s.i = e1.dst
+        FROM ef e1 JOIN s{i-1} s ON s.i = e1.dst
         GROUP BY 1, 2),
     t{i} AS (
         SELECT m.a, e2.src AS b, SUM(m.q) AS q
-        FROM m{i} m JOIN e e2 ON e2.dst = m.j
+        FROM m{i} m JOIN ef e2 ON e2.dst = m.j
         GROUP BY 1, 2),
     s{i} AS MATERIALIZED (
-        SELECT node_id AS i, node_id AS j, CAST(1.0 AS DOUBLE) AS s
-        FROM nodes
+        SELECT v AS i, v AS j, CAST(1.0 AS DOUBLE) AS s
+        FROM topv
         UNION ALL
         SELECT t.a, t.b, {c} * t.q / (da.d * db.d)
         FROM t{i} t JOIN deg da ON da.v = t.a JOIN deg db ON db.v = t.b
@@ -10943,12 +10998,13 @@ _DAILY_CUSUM_SQL = """
 
 
 _READABILITY_SQL = r"""
-    WITH b AS (
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    b AS (
         SELECT doc_id,
                GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS w,
                GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
                len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
-        FROM documents)
+        FROM d)
     SELECT doc_id,
            CAST(w AS BIGINT) AS n_words,
            CAST(s AS BIGINT) AS n_sentences,
@@ -11808,13 +11864,14 @@ def _dedup_decision_sql() -> str:
     one near-dup cluster replay with the canonical-longest window pick."""
     inner = _neardup_clusters_sql()
     return f"""
-        WITH ek AS (SELECT text, MIN(doc_id) AS k
-                    FROM documents GROUP BY text),
+        -- COALESCE matches the engine's fill_null('') before hashing:
+        -- a NULL-text doc and an empty-string doc are the same content
+        WITH ek AS (SELECT COALESCE(text, '') AS t, MIN(doc_id) AS k
+                    FROM documents GROUP BY 1),
         ex AS (SELECT d.doc_id,
                       CASE WHEN d.doc_id = ek.k THEN 0 ELSE 1 END
                           AS is_exact_dup
-               FROM documents d JOIN ek ON ek.text IS NOT DISTINCT FROM
-                                           d.text),
+               FROM documents d JOIN ek ON ek.t = COALESCE(d.text, '')),
         cl AS MATERIALIZED ({inner}),
         cj AS (SELECT cl.cluster_rep, cl.doc_id,
                       ROW_NUMBER() OVER (PARTITION BY cl.cluster_rep

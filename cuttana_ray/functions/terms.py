@@ -784,7 +784,7 @@ def heaps_law(ds: "ray.data.Dataset", text_col: str = "text",
 def group_term_cosine(ds: "ray.data.Dataset", group_col: str = "source",
                       text_col: str = "text",
                       pattern: str = _DEFAULT_PATTERN
-                      ) -> "ray.data.Dataset":
+                      ) -> pa.Table:
     """Pairwise cosine similarity between the unigram term-frequency
     vectors of each document group (source, lang, …) — the standard
     corpus-mixing diagnostic ("how lexically close are my sources?").

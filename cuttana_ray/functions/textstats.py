@@ -472,7 +472,9 @@ def readability_scores(ds: "ray.data.Dataset", text_col: str = "text",
                          ("fk_grade", pa.float64())])
         if len(batch) == 0 or text_col not in batch.column_names:
             return sch.empty_table()
-        text = pc.cast(batch[text_col], pa.string())
+        # fill_null like every sibling: a NULL text otherwise propagates
+        # through count_substring_regex as null → NaN → INT64_MIN garbage
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
         w = np.maximum(pc.count_substring_regex(text, pattern=r"\S+")
                        .to_numpy(zero_copy_only=False).astype(np.int64), 1)
         s = np.maximum(pc.count_substring_regex(text, pattern=r"[.!?]+")

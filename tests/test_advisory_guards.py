@@ -102,3 +102,58 @@ def test_shard_cpu_reservation_leaves_a_whole_cpu_free():
             assert per * k <= max(total - 1, 0.05 * k) + 1e-9
     # the exact config that deadlocked: 2 shards on 2 CPUs
     assert shard_cpu_reservation(2, 2) * 2 <= 1.0 + 1e-9
+
+
+def test_simrank_query_capped_path_matches_oracle(ray_session):
+    """Round-3 advisory: simrank_k3_events used to ERROR past the dense
+    V-gate (V tracks users, so roughly sf >= 0.6). Now the query runs on
+    the top-degree induced subgraph past _SIMRANK_CAP; forcing a tiny cap
+    at sf0.001 must still match the (identically capped) SQL oracle."""
+    import duckdb
+
+    import pandas as pd
+
+    import __ray_entry__ as entry
+    old = entry._SIMRANK_CAP
+    entry._SIMRANK_CAP = 8
+    try:
+        sf = "/root/testdata/sf0.001"
+        got = entry.queries()["simrank_k3_events"](sf)
+        if hasattr(got, "to_pandas"):
+            got = got.to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+        exp = con.sql(entry.oracle_sql()["simrank_k3_events"]).df()
+    finally:
+        entry._SIMRANK_CAP = old
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype.kind == "f":
+                df[c] = df[c].round(6)
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert len(got) == len(exp) and len(got) > 0
+    pd.testing.assert_frame_equal(norm(got), norm(exp),
+                                  check_dtype=False, atol=1e-6)
+
+
+def test_readability_scores_null_text(ray_session):
+    """Round-3 advisory: a NULL text propagated null -> NaN -> INT64_MIN
+    through count_substring_regex; fill_null must make NULL behave like
+    the empty string."""
+    from cuttana_ray.functions.textstats import readability_scores
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["One sentence. Two!", None], pa.string()),
+    })
+    out = readability_scores(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(out) == 2
+    row = out.iloc[1]
+    # empty-string semantics: clamped word/sentence counts, zero syllables
+    assert row["n_words"] == 1 and row["n_sentences"] == 1
+    assert row["n_syllables"] == 0
+    assert np.isfinite(row["flesch"]) and np.isfinite(row["fk_grade"])

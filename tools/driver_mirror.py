@@ -45,14 +45,16 @@ def _duck(sql):
 
 
 def _normalize(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # round floats BEFORE sorting: row alignment must use the same 6-dp
+    # grain as the value comparison, or sub-1e-6 engine/oracle noise near
+    # a sort boundary misaligns rows and produces spurious FAILs
+    df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype.kind in "iu":
             df[c] = df[c].astype(np.int64)
         elif df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
-    return df
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def main():
