@@ -4396,6 +4396,57 @@ def _q_embedding_neardup(sf_dir: str):
     return out.map_batches(round_cos, batch_format="pyarrow")
 
 
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Bucketed embedding near-dup — the 100-TB path for
+    embedding_neardup (functions/dedup.py embedding_cosine_pairs_lsh):
+    axis-sign hyperplane LSH buckets (16 bands × 4 bits), active-bucket
+    SEMI-join (no driver key fold), exact in-bucket cosine. The oracle
+    replays the identical deterministic bucketing, so both sides miss the
+    SAME below-recall pairs and the check stays exact."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.dedup import embedding_cosine_pairs_lsh
+    out = embedding_cosine_pairs_lsh(_read(sf_dir, "embeddings"),
+                                     threshold=0.45)
+
+    def round_cos(batch: pa.Table) -> pa.Table:
+        sch = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                         ("cosine", pa.float64())])
+        if len(batch) == 0 or "cosine" not in batch.column_names:
+            return sch.empty_table()
+        return batch.set_column(batch.column_names.index("cosine"),
+                                "cosine",
+                                pc.round(batch["cosine"], 3)).cast(sch)
+    return out.map_batches(round_cos, batch_format="pyarrow")
+
+
+def _embedding_lsh_sql(threshold: float = 0.45, bands: int = 16,
+                       bits: int = 4) -> str:
+    """SQL replay of embedding_cosine_pairs_lsh: per-band sign-bit keys as
+    CASE sums over embedding coordinates, bucket-mate candidates, exact
+    cosine ≥ threshold."""
+    selects = []
+    for b in range(bands):
+        expr = " + ".join(
+            f"(CASE WHEN embedding[{b * bits + r + 1}] >= 0 "
+            f"THEN {1 << r} ELSE 0 END)" for r in range(bits))
+        selects.append(f"SELECT vec_id, {b} AS band, {expr} AS bkey "
+                       "FROM embeddings")
+    bands_sql = "\n        UNION ALL ".join(selects)
+    return f"""
+    WITH bnd AS MATERIALIZED ({bands_sql}),
+    cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+             FROM bnd a JOIN bnd b
+                  ON a.band = b.band AND a.bkey = b.bkey
+                     AND a.vec_id < b.vec_id)
+    SELECT c.ia AS id_a, c.ib AS id_b,
+           ROUND(CAST(list_cosine_similarity(ea.embedding, eb.embedding)
+                      AS DOUBLE), 3) AS cosine
+    FROM cand c JOIN embeddings ea ON ea.vec_id = c.ia
+                JOIN embeddings eb ON eb.vec_id = c.ib
+    WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+          >= {threshold}"""
+
+
 def _q_knn_ivf_top5(sf_dir: str):
     import pyarrow.parquet as pq
     from cuttana_ray.functions.simsearch import knn_ivf
@@ -9263,6 +9314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_distinct_users_hll": _q_type_distinct_users_hll,
         "bpe_merges_docs": _q_bpe_merges_docs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_ivf_top5": _q_knn_ivf_top5,
         "lang_id_docs": _q_lang_id_docs,
         "doc_quality": _q_doc_quality,
@@ -12003,6 +12055,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
         """,
+        "embedding_neardup_lsh": _embedding_lsh_sql(),
         "labelprop_events": _labelprop_sql(),
         "triangles_events": _TRIANGLES_SQL,
         "clustering_events": _CLUSTERING_SQL,
