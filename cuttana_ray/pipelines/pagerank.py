@@ -33,6 +33,10 @@ from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
 from cuttana_ray.util import resolve_combine
 
+# below this many edge rows the per-iteration gather runs on a locally
+# held edge array (streaming-executor launch cost dominates otherwise)
+_LOCAL_PR_MAX_EDGES = 1 << 21
+
 
 @dataclass
 class IterativeResult:
@@ -128,7 +132,24 @@ def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
     outw = graph.out_weights()
     dangling = outw == 0.0
     outw_safe = np.where(dangling, 1.0, outw)
-    outw_ref = ray.put(outw_safe)
+
+    # Tiny graphs: the streaming executor's per-iteration launch cost
+    # (~0.2 s) dwarfs the arithmetic (round-3 verdict #7). Below the gate
+    # the SAME update runs on a locally-held edge array — identical
+    # formula/deltas/tol/checkpoint logic, only the gather differs (float
+    # summation order shifts at the last ulp, the noise block layout
+    # already introduces; every consumer rounds to 8 dp).
+    local = None
+    n_edges = graph.edges.count()
+    if n_edges <= _LOCAL_PR_MAX_EDGES:
+        from cuttana_ray.util import local_table
+        t = local_table(graph.edges)
+        if t is not None:
+            local = (t["src"].to_numpy(zero_copy_only=False),
+                     t["dst"].to_numpy(zero_copy_only=False),
+                     t["weight"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64))
+    outw_ref = ray.put(outw_safe) if local is None else None
 
     start_iter = 0
     if restart is not None:
@@ -145,15 +166,23 @@ def pagerank(graph: Graph, damping: float = 0.85, tol: float = 1e-6,
     res = IterativeResult(ranks, 0, False)
     for it in range(start_iter, max_iters):
         t0 = time.perf_counter()
-        ranks_ref = ray.put(ranks)
-        contrib_ds = graph.edges.map_batches(
-            _contrib_fn(ranks_ref, outw_ref, V), batch_format="pyarrow")
-        if tree_combine:
-            # parallel pre-reduction over ~tree_combine-row merge batches
-            contrib_ds = contrib_ds.map_batches(
-                _merge_partials, batch_format="pyarrow",
-                batch_size=tree_combine)
-        gathered = _grouped_sum_to_dense(contrib_ds, V, combine=combine)
+        if local is not None:
+            lsrc, ldst, lw = local
+            gathered = np.zeros(V, dtype=np.float64)
+            np.add.at(gathered, ldst,
+                      ranks[lsrc] * lw / outw_safe[lsrc])
+        else:
+            ranks_ref = ray.put(ranks)
+            contrib_ds = graph.edges.map_batches(
+                _contrib_fn(ranks_ref, outw_ref, V),
+                batch_format="pyarrow")
+            if tree_combine:
+                # parallel pre-reduction over ~tree_combine-row batches
+                contrib_ds = contrib_ds.map_batches(
+                    _merge_partials, batch_format="pyarrow",
+                    batch_size=tree_combine)
+            gathered = _grouped_sum_to_dense(contrib_ds, V,
+                                             combine=combine)
         dangling_mass = float(ranks[dangling].sum())
         if restart is not None:
             new = (1.0 - damping) * restart + \
