@@ -4396,9 +4396,23 @@ def _q_simhash_pairs_docs(sf_dir: str):
     return simhash_pairs(_read(sf_dir, "documents"), max_hamming=3)
 
 
+def _ngram_pairs_cached(sf_dir: str, measure: str):
+    """LSH + exact-shingle verify, cached per (sf_dir, measure): four
+    contract queries (ngram_jaccard, ngram_containment, neardup_clusters
+    via the jaccard pairs, dedup_decision via the clusters) consume this
+    pipeline — one driver session pays the ~7 s candidate/verify chain
+    once instead of four times."""
+    key = ("ngram_pairs", sf_dir, measure)
+    if key not in _GRAPH_CACHE:
+        from cuttana_ray.functions.dedup import ngram_jaccard_pairs
+        _GRAPH_CACHE[key] = ngram_jaccard_pairs(
+            _read(sf_dir, "documents", columns=["doc_id", "text"]),
+            threshold=0.5, measure=measure).materialize()
+    return _GRAPH_CACHE[key]
+
+
 def _q_ngram_jaccard_docs(sf_dir: str):
-    from cuttana_ray.functions.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.5)
+    return _ngram_pairs_cached(sf_dir, "jaccard")
 
 
 def _q_neardup_clusters(sf_dir: str):
@@ -4411,9 +4425,12 @@ def _q_neardup_clusters(sf_dir: str):
     driver session sampling both pays the ~30 s LSH+verify pipeline once."""
     key = ("neardup_clusters", sf_dir)
     if key not in _GRAPH_CACHE:
-        from cuttana_ray.functions.dedup import neardup_clusters
-        _GRAPH_CACHE[key] = neardup_clusters(
-            _read(sf_dir, "documents"), threshold=0.5).materialize()
+        from cuttana_ray.functions.dedup import pair_components
+        # same composition as functions/dedup.neardup_clusters, but the
+        # verified jaccard pair table comes from the shared query cache
+        pairs = _ngram_pairs_cached(sf_dir, "jaccard") \
+            .select_columns(["doc_a", "doc_b"])
+        _GRAPH_CACHE[key] = pair_components(pairs).materialize()
     return _GRAPH_CACHE[key]
 
 
@@ -6248,11 +6265,39 @@ def _q_session_length_quantiles(sf_dir: str):
         (0.5, 0.9)).drop_columns(["k"])
 
 
+def _nation_region_maps(sf_dir: str):
+    """Dense lookup arrays nationkey → (n_name, r_name): nation (25 rows)
+    and region (5 rows) are FIXED-size dimension tables at any TPC-H
+    scale, so broadcasting them into a map_batches closure is the correct
+    100-TB plan — a hash join would shuffle the whole fact side to
+    co-locate with 25 rows (and each Ray hash join costs ~1 s of
+    aggregator spin-up besides)."""
+    key = ("nation_region_maps", sf_dir)
+    if key not in _GRAPH_CACHE:
+        import pyarrow.parquet as pq
+        nt = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+        rt = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+        nk = nt["n_nationkey"].to_numpy()
+        rk = rt["r_regionkey"].to_numpy()
+        n_name = np.empty(nk.max() + 1, dtype=object)
+        n_name[nk] = np.asarray(nt["n_name"].to_pylist(), dtype=object)
+        r_of_n = np.zeros(nk.max() + 1, np.int64)
+        r_of_n[nk] = nt["n_regionkey"].to_numpy()
+        r_name = np.empty(rk.max() + 1, dtype=object)
+        r_name[rk] = np.asarray(rt["r_name"].to_pylist(), dtype=object)
+        _GRAPH_CACHE[key] = (n_name, r_name[r_of_n])
+    return _GRAPH_CACHE[key]
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H Q5-flavoured multi-join chain: lineitem revenue pre-aggregated
     per order BEFORE any join (the combiner-first discipline — the big
-    fact table collapses to one row per order), then order→customer→
-    nation hash joins and one final groupby. Exact int cents."""
+    fact table collapses to one row per order), then order→customer hash
+    joins; the constant-size nation dimension attaches as a BROADCAST
+    lookup inside map_batches (see _nation_region_maps), and one final
+    groupby. Exact int cents."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -6276,17 +6321,27 @@ def _q_nation_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]) \
         .rename_columns({"c_custkey": "o_custkey"})
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
-        .rename_columns({"n_nationkey": "c_nationkey"})
 
     from cuttana_ray.util import drop_empty_blocks
-    j = safe_join(safe_join(safe_join(drop_empty_blocks(per_order), orders, join_type="inner", num_partitions=8,
-              on=("o_orderkey",)), cust, join_type="inner", num_partitions=8,
-              on=("o_custkey",)), nation, join_type="inner", num_partitions=4,
-              on=("c_nationkey",))
+    j = safe_join(safe_join(drop_empty_blocks(per_order), orders,
+                            join_type="inner", num_partitions=8,
+                            on=("o_orderkey",)),
+                  cust, join_type="inner", num_partitions=8,
+                  on=("o_custkey",))
+    n_name, _ = _nation_region_maps(sf_dir)
 
-    agg = j.groupby("n_name").aggregate(Sum("cents",
-                                            alias_name="revenue_cents"))
+    def attach(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_name", pa.string()), ("cents", pa.int64())])
+        if len(t) == 0 or "c_nationkey" not in t.column_names:
+            return sch.empty_table()
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array(n_name[nk].tolist(), pa.string()),
+            "cents": pc.cast(t["cents"], pa.int64())}).cast(sch)
+
+    agg = j.map_batches(attach, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("cents",
+                                         alias_name="revenue_cents"))
 
     def clean(t: pa.Table) -> pa.Table:
         sch = pa.schema([("n_name", pa.string()),
@@ -6521,9 +6576,7 @@ def _q_ngram_containment_docs(sf_dir: str):
     ``|A∩B| / min(|A|,|B|)`` over MinHash-LSH candidates — same
     distributed shingle-verify plan as ngram_jaccard_docs with the
     asymmetric-robust score (functions/dedup.py, measure='containment')."""
-    from cuttana_ray.functions.dedup import ngram_jaccard_pairs
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, threshold=0.5, measure="containment")
+    return _ngram_pairs_cached(sf_dir, "containment")
 
 
 def _q_revenue_lorenz_deciles(sf_dir: str):
@@ -8264,20 +8317,28 @@ def _q_region_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]) \
         .rename_columns({"c_custkey": "o_custkey"})
-    nation = _read(sf_dir, "nation",
-                   columns=["n_nationkey", "n_regionkey"]) \
-        .rename_columns({"n_nationkey": "c_nationkey"})
-    region = _read(sf_dir, "region",
-                   columns=["r_regionkey", "r_name"]) \
-        .rename_columns({"r_regionkey": "n_regionkey"})
 
-    j = safe_join(safe_join(safe_join(safe_join(drop_empty_blocks(per_order), orders, join_type="inner", num_partitions=8,
-              on=("o_orderkey",)), cust, join_type="inner", num_partitions=8,
-              on=("o_custkey",)), nation, join_type="inner", num_partitions=4,
-              on=("c_nationkey",)), region, join_type="inner", num_partitions=4,
-              on=("n_regionkey",))
-    agg = j.groupby("r_name").aggregate(Sum("cents",
-                                            alias_name="revenue_cents"))
+    j = safe_join(safe_join(drop_empty_blocks(per_order), orders,
+                            join_type="inner", num_partitions=8,
+                            on=("o_orderkey",)),
+                  cust, join_type="inner", num_partitions=8,
+                  on=("o_custkey",))
+    # nation→region resolves through the broadcast dimension lookup
+    # (fixed 25/5 rows at any scale; see _nation_region_maps)
+    _, r_of_nation = _nation_region_maps(sf_dir)
+
+    def attach(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("r_name", pa.string()), ("cents", pa.int64())])
+        if len(t) == 0 or "c_nationkey" not in t.column_names:
+            return sch.empty_table()
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "r_name": pa.array(r_of_nation[nk].tolist(), pa.string()),
+            "cents": pc.cast(t["cents"], pa.int64())}).cast(sch)
+
+    agg = j.map_batches(attach, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(Sum("cents",
+                                         alias_name="revenue_cents"))
 
     def clean(t: pa.Table) -> pa.Table:
         sch = pa.schema([("r_name", pa.string()),

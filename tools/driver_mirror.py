@@ -2,12 +2,21 @@
 
 Usage:
     PYTHONPATH=/root/repo python tools/driver_mirror.py [sf_dir] [names...]
+    PYTHONPATH=/root/repo python tools/driver_mirror.py --budget TOTAL_S \\
+        [PER_QUERY_S] [sf_dir]
 
 No names = all SQL-checked queries. Mirrors the grading driver's compare
 (row count + sorted-column schema + 6-dp values) plus a dtype-kind check
 (the driver's value hash is dtype-sensitive). Set SWEEP_OUT=<path> to
 also write the JSON result to a file. PYTHONPATH must include the repo
 root or Ray workers cannot import cuttana_ray.
+
+``--budget`` mode proves the whole sweep fits a wall budget (the round-3
+correctness artifact came back empty, most plausibly a driver-harness
+time budget vs the contract's heavy tail): it runs everything, then
+FAILS (exit 1) if total wall exceeds TOTAL_S or any single query exceeds
+PER_QUERY_S (default 15 s) — run it per-round and archive the JSON in
+BENCH/ so the tail can never silently regress.
 """
 import json
 import os
@@ -20,8 +29,18 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-NAMES = sys.argv[2:]
+argv = sys.argv[1:]
+BUDGET_TOTAL = None
+BUDGET_QUERY = 15.0
+if argv and argv[0] == "--budget":
+    BUDGET_TOTAL = float(argv[1])
+    argv = argv[2:]
+    if argv and argv[0].replace(".", "").isdigit():
+        BUDGET_QUERY = float(argv[0])
+        argv = argv[1:]
+
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
+NAMES = argv[1:]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -92,14 +111,30 @@ def main():
                              "sec": round(time.time() - t0, 2)}
             fails.append(name)
             print(f"FAIL {name}: {str(e)[:300]}", flush=True)
-    print(json.dumps({"sf": SF_DIR, "n": len(names), "fail": fails,
-                      "results": results})[:2000])
+    total = round(sum(r["sec"] for r in results.values()), 1)
+    payload = {"sf": SF_DIR, "n": len(names), "fail": fails,
+               "total_sec": total, "results": results}
+    rc = 0
+    if BUDGET_TOTAL is not None:
+        over = {n: r["sec"] for n, r in results.items()
+                if r["sec"] > BUDGET_QUERY}
+        payload["budget"] = {
+            "total_budget_sec": BUDGET_TOTAL,
+            "per_query_budget_sec": BUDGET_QUERY,
+            "total_ok": total <= BUDGET_TOTAL,
+            "over_per_query": over,
+        }
+        print(f"BUDGET total={total}s (cap {BUDGET_TOTAL}s) "
+              f"over-per-query({BUDGET_QUERY}s): {over or 'none'}")
+        if total > BUDGET_TOTAL or over or fails:
+            rc = 1
+    print(json.dumps(payload)[:2000])
     out = os.environ.get("SWEEP_OUT")
     if out:
         with open(out, "w") as f:
-            json.dump({"sf": SF_DIR, "n": len(names), "fail": fails,
-                       "results": results}, f, indent=1)
+            json.dump(payload, f, indent=1)
     ray.shutdown()
+    sys.exit(rc)
 
 
 if __name__ == "__main__":
