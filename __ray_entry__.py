@@ -7589,14 +7589,37 @@ def _q_customer_rfm_segments(sf_dir: str):
     def score(ds_in, col, alias):
         ranked = rank_windows(ds_in, "_k", [col, "c"], tiles=5,
                               keep=["_k", "c"])
-        out = ranked.select_columns(["c", "ntile"]) \
-            .rename_columns({"ntile": alias})
-        return out
 
-    r = score(rfm, "recency", "r_score")
-    f = score(rfm, "freq", "f_score")
-    m = score(rfm, "monetary", "m_score")
-    joined = safe_join(safe_join(safe_join(rfm.select_columns(["c", "recency", "freq", "monetary"]), r, join_type="inner", num_partitions=8, on=("c",)), f, join_type="inner", num_partitions=8, on=("c",)), m, join_type="inner", num_partitions=8, on=("c",))
+        def tag(t: pa.Table, _a=alias) -> pa.Table:
+            sch = pa.schema([("c", pa.int64()), ("r_score", pa.int64()),
+                             ("f_score", pa.int64()),
+                             ("m_score", pa.int64())])
+            if len(t) == 0 or "c" not in t.column_names:
+                return sch.empty_table()
+            z = pa.array(np.zeros(len(t), np.int64))
+            cols = {"c": pc.cast(t["c"], pa.int64()),
+                    "r_score": z, "f_score": z, "m_score": z}
+            cols[_a] = pc.cast(t["ntile"], pa.int64())
+            return pa.table(cols).cast(sch)
+
+        return ranked.select_columns(["c", "ntile"]) \
+            .map_batches(tag, batch_format="pyarrow")
+
+    # the three per-dimension score tables pivot back through ONE union +
+    # masked-column Sum groupby (each row carries its ntile in its own
+    # score column, zeros elsewhere) instead of three ~1s hash joins
+    scores = score(rfm, "recency", "r_score") \
+        .union(score(rfm, "freq", "f_score"),
+               score(rfm, "monetary", "m_score"))
+    pivoted = scores.groupby("c").aggregate(
+        Sum("r_score", alias_name="r_score"),
+        Sum("f_score", alias_name="f_score"),
+        Sum("m_score", alias_name="m_score"))
+    joined = safe_join(rfm.select_columns(["c", "recency", "freq",
+                                           "monetary"]),
+                       pivoted.rename_columns({"c": "_c"}),
+                       join_type="inner", num_partitions=8,
+                       on=("c",), right_on=("_c",))
 
     def finish(t: pa.Table) -> pa.Table:
         sch = pa.schema([("o_custkey", pa.int64()),
