@@ -424,8 +424,12 @@ def run_scaling(sf_dir: str, lo: int = 2, hi: int = 8,
     pr_eff = (eps_hi / eps_lo) / (hi / lo)
 
     # big-V BSP pool pair (num_shards = num_cpus: the N-node analogy on the
-    # no-O(V) path); 50M-row input keeps the k=lo pool build tractable
-    benv = {"SCALING_EDGES": "50000000"}
+    # no-O(V) path). 200M rows — the same input as the criterion metric —
+    # so the per-shard payload is representative; the round-3 run used 50M
+    # and under-read the mode (0.64 vs 0.69; cause analysis in BASELINE.md
+    # round-4 section). The k=lo pool build is slow (~10 min at 2 cpus)
+    # but excluded from the per-iteration metric.
+    benv = {"SCALING_EDGES": "200000000"}
     b_lo = pr(lo, repeats=2, flag="--bigv-scaling-worker", env=benv)
     b_hi = pr(hi, repeats=2, flag="--bigv-scaling-worker", env=benv)
     bigv_eff = (b_hi["edges_per_sec_per_iter"]

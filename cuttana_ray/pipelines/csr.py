@@ -43,7 +43,12 @@ from cuttana_ray.util import shard_cpu_reservation
 # shards otherwise costs O(k²) object-store round-trips (~1ms each), which
 # dominates when hub-splitting has already made the payloads small. Large
 # payloads still take the zero-copy object-store path.
-_INLINE_MAX_BYTES = 256 << 10
+# BSP message payloads at or below this ride inline through the driver's
+# route step; larger ones go ray.put → peer-to-peer object store.
+# Env-tunable because the right point is workload-dependent (the round-4
+# scaling investigation measured both regimes; see BASELINE.md).
+_INLINE_MAX_BYTES = int(os.environ.get(
+    "CUTTANA_INLINE_MAX_BYTES", str(256 << 10)))
 
 
 def _payload_nbytes(obj) -> int:
