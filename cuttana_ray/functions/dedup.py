@@ -34,6 +34,8 @@ Deterministic: hash seeds fixed; outputs sorted-normalized (a < b).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -276,6 +278,47 @@ def _band_rows_fn(bands: int, rows_per_band: int, num_perm: int):
     return melt
 
 
+def _hot_band_rows_fn(bands: int, rows_per_band: int, num_perm: int,
+                      keys_ref):
+    """Broadcast-gated LSH round 2: re-melt (doc_id, sig) rows to
+    (doc_id, band, band_hash, sig) keeping ONLY rows whose composite
+    band·2^31+hash key is in the broadcast sorted active-key array
+    (``ray.get`` of the shared ref is plasma-cached zero-copy per
+    worker). The sig blob rides along per surviving row — the same
+    shipping volume as the semi-join path's signature join, with zero
+    join exchanges."""
+    def melt_hot(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int64()),
+                          "band_hash": pa.array([], pa.int64()),
+                          "sig": pa.array([], pa.binary())})
+        if n == 0:
+            return empty
+        keys = ray.get(keys_ref)
+        sig = _sig_matrix(batch["sig"], num_perm)
+        bh = (sig.reshape(n, bands, rows_per_band).sum(axis=2)
+              % _P31).astype(np.int64)                    # (n, bands)
+        band_ids = np.arange(bands, dtype=np.int64)
+        comp = (band_ids[None, :] << 31) + bh             # composite keys
+        flat = comp.reshape(-1)
+        pos = np.searchsorted(keys, flat)
+        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
+                                   == flat)
+        if not hit.any():
+            return empty
+        doc_idx, band_idx = np.nonzero(hit.reshape(n, bands))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[doc_idx], pa.int64()),
+            "band": pa.array(band_ids[band_idx]),
+            "band_hash": pa.array(bh[doc_idx, band_idx]),
+            "sig": batch["sig"].combine_chunks().take(
+                pa.array(doc_idx)),
+        })
+    return melt_hot
+
+
 def _bucket_est_fn(num_perm: int, threshold: float):
     """Within one active bucket: vectorized pairwise signature agreement,
     est-filtered BEFORE anything leaves the bucket (a hot bucket's n²
@@ -328,14 +371,19 @@ def _lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
     Two-round active-bucket LSH, FULLY distributed (round-3 verdict weak
     #3 closed — no driver-side active-key fold): (1) slim (doc_id, band,
     band_hash) rows → bucket-size groupby → the active (≥2 doc) bucket
-    keys stay a Dataset and re-attach to the slim rows by a hash
-    SEMI-join; (2) signature blobs hash-join onto those rows only — they
-    ship exclusively into buckets where duplicates can exist, never 16×
-    per doc — and the estimate is computed vectorized in-bucket, filtered
-    before any further exchange. Hot buckets therefore never spill their
-    n² candidates into a shuffle, and the driver holds no per-bucket
-    state at any dup density."""
-    from cuttana_ray.util import pool_size
+    keys either BROADCAST (size-gated: sorted int64 key array via one
+    ``ray.put``, re-melt the signatures filtering to active buckets
+    in-stream — zero joins) or stay a Dataset and re-attach by hash
+    SEMI-join + a signature hash-join (the any-dup-density 100-TB path,
+    zero driver state). Both shapes ship signature blobs exclusively
+    into buckets where duplicates can exist, never 16× per doc, and the
+    estimate is computed vectorized in-bucket, filtered before any
+    further exchange — a hot bucket's n² candidates never hit a
+    shuffle. The gate (``CUTTANA_LSH_BROADCAST_MAX`` keys, default 4 M
+    ≈ 32 MB) mirrors how engines pick broadcast-vs-shuffle joins by
+    build-side size; measured fixed cost of the two Ray hash joins it
+    avoids is ~1 s each regardless of size (BASELINE.md round 4)."""
+    from cuttana_ray.util import local_table, pool_size
 
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
@@ -350,16 +398,30 @@ def _lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
         Count(alias_name="n")).filter(expr="n >= 2") \
         .select_columns(["band", "band_hash"]) \
         .rename_columns({"band": "_b", "band_hash": "_h"}).materialize()
-    if active.count() == 0:
+    n_active = active.count()
+    if n_active == 0:
         return None
-    npart = max(1, min(pool_size()[1],
-                       band_rows.count() // 262144 + 1))
-    hot = safe_join(band_rows, active, join_type="inner",
-                    num_partitions=npart,
-                    on=("band", "band_hash"), right_on=("_b", "_h"))
-    rows = safe_join(hot, sigs.rename_columns({"doc_id": "_did"}),
-                     join_type="inner", num_partitions=npart,
-                     on=("doc_id",), right_on=("_did",))
+    broadcast_max = int(os.environ.get(
+        "CUTTANA_LSH_BROADCAST_MAX", 4_000_000))
+    if n_active <= broadcast_max:
+        # band ∈ [0, bands), band_hash ∈ [0, 2^31) → band·2^31 + hash is
+        # a collision-free int64 composite key
+        at = local_table(active)
+        keys = np.sort((at["_b"].to_numpy().astype(np.int64) << 31)
+                       + at["_h"].to_numpy().astype(np.int64))
+        keys_ref = ray.put(keys)
+        melt_hot = _hot_band_rows_fn(bands, rows_per_band, num_perm,
+                                     keys_ref)
+        rows = sigs.map_batches(melt_hot, batch_format="pyarrow")
+    else:
+        npart = max(1, min(pool_size()[1],
+                           band_rows.count() // 262144 + 1))
+        hot = safe_join(band_rows, active, join_type="inner",
+                        num_partitions=npart,
+                        on=("band", "band_hash"), right_on=("_b", "_h"))
+        rows = safe_join(hot, sigs.rename_columns({"doc_id": "_did"}),
+                         join_type="inner", num_partitions=npart,
+                         on=("doc_id",), right_on=("_did",))
     return rows.groupby(["band", "band_hash"]).map_groups(
         _bucket_est_fn(num_perm, threshold), batch_format="pyarrow")
 

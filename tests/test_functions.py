@@ -80,6 +80,17 @@ def test_minhash_and_jaccard_find_near_dup(docs):
     assert j[(0, 40)] == pytest.approx(1.0)
 
 
+def test_minhash_broadcast_gate_parity(docs, monkeypatch):
+    """The size-gated broadcast round 2 (zero joins) must return exactly
+    the semi-join path's pairs — same active buckets, same estimates."""
+    fast = minhash_lsh_pairs(docs, threshold=0.5).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    monkeypatch.setenv("CUTTANA_LSH_BROADCAST_MAX", "0")
+    slow = minhash_lsh_pairs(docs, threshold=0.5).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow[fast.columns])
+
+
 def test_simhash_pairs_find_exact_dups(docs):
     pairs = simhash_pairs(docs, max_hamming=3).to_pandas()
     found = set(zip(pairs["doc_a"], pairs["doc_b"]))
