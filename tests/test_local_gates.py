@@ -85,3 +85,20 @@ def test_hyperball_nf_local_vs_distributed(ray_session):
     local = hyperball_nf(ds, t_max=4, p=5).to_pandas()
     dist = hyperball_nf(ds, t_max=4, p=5, local_max_edges=0).to_pandas()
     pd.testing.assert_frame_equal(local, dist)
+
+
+def test_triangles_bigv_local_vs_distributed(ray_session):
+    from cuttana_ray.pipelines.bigv import triangles_bigv
+    t = _sym_edges(V=50, E=400, seed=17)
+    # sparse hash-like ids, including a hub (vertex 0 gets extra edges)
+    off = np.int64(5) << 40
+    s = t["src"].to_numpy() * 1313 + off
+    d = t["dst"].to_numpy() * 1313 + off
+    ds = rd.from_arrow(pa.table({"src": pa.array(s), "dst": pa.array(d)})) \
+        .repartition(5).materialize()
+    lt_total, lt_ds = triangles_bigv(ds)
+    dt_total, dt_ds = triangles_bigv(ds, local_max_edges=0)
+    assert lt_total == dt_total
+    pd.testing.assert_frame_equal(_norm(lt_ds.to_pandas()),
+                                  _norm(dt_ds.to_pandas()))
+    assert lt_total > 0  # fixture actually has triangles
