@@ -1169,8 +1169,12 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None,
     n_rows = enc.count()
     cap = _LOCAL_TRI_MAX_ROWS if local_max_edges is None else local_max_edges
     if cap and n_rows <= cap:
-        return _local_triangles_bigv(
-            local_table(enc.select_columns(["src", "dst"])))
+        lt = local_table(enc.select_columns(["src", "dst"]))
+        if lt is None:    # empty input: no vertices, no triangles
+            return 0, ray.data.from_arrow(pa.table({
+                "node_id": pa.array([], pa.int64()),
+                "tri_count": pa.array([], pa.int64())}))
+        return _local_triangles_bigv(lt)
 
     deg = enc.groupby("src").aggregate(Count(alias_name="_deg")) \
         .materialize()
