@@ -295,16 +295,14 @@ def _hot_band_rows_fn(bands: int, rows_per_band: int, num_perm: int,
                           "sig": pa.array([], pa.binary())})
         if n == 0:
             return empty
+        from cuttana_ray.util import in_sorted
         keys = ray.get(keys_ref)
         sig = _sig_matrix(batch["sig"], num_perm)
         bh = (sig.reshape(n, bands, rows_per_band).sum(axis=2)
               % _P31).astype(np.int64)                    # (n, bands)
         band_ids = np.arange(bands, dtype=np.int64)
         comp = (band_ids[None, :] << 31) + bh             # composite keys
-        flat = comp.reshape(-1)
-        pos = np.searchsorted(keys, flat)
-        hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)]
-                                   == flat)
+        hit = in_sorted(keys, comp.reshape(-1))
         if not hit.any():
             return empty
         doc_idx, band_idx = np.nonzero(hit.reshape(n, bands))

@@ -1082,32 +1082,50 @@ def hash_mod_quality(enc: "ray.data.Dataset", num_shards: int) -> dict:
 # edges): below it the four-join distributed pipeline is pure exchange
 # fixed cost (~2 s/join aggregator spin-up, 8.7 s total measured on a
 # 527k-edge graph at 32 cpus) for work one numpy task finishes in well
-# under a second. Same pattern/cap as the hyperball/louvain local twins.
+# under a second. Same pattern/cap as the hyperball/louvain local twins;
+# the wedge-count ceiling below additionally protects against dense
+# graphs whose expansion is superlinear in the row count.
 _LOCAL_TRI_MAX_ROWS = 1 << 21
 
 
-def _local_triangles_bigv(t: "pa.Table") -> "tuple[int, ray.data.Dataset]":
+# Wedge-count ceiling for the local twin: the wedge expansion is the
+# E^1.5-worst-case term (the row cap bounds E, NOT the wedge count — a
+# near-clique just under the row cap has ~5e8 wedges), so a graph whose
+# oriented wedge total exceeds this falls through to the partitioned
+# streaming join pipeline, which spreads exactly that expansion across
+# tasks. Chunked enumeration below additionally bounds PEAK memory to
+# ~6 arrays × _TRI_CHUNK_WEDGES regardless of the total.
+_LOCAL_TRI_MAX_WEDGES = 1 << 26
+_TRI_CHUNK_WEDGES = 1 << 22
+
+
+def _local_triangles_bigv(t: "pa.Table") \
+        -> "tuple[int, ray.data.Dataset] | None":
     """One-task numpy twin of the distributed ``triangles_bigv`` join
-    pipeline — bit-identical outputs (exact counting, shared orientation
-    rule). Worst-case working set is the wedge expansion (~E^1.5 on
-    adversarial skew); the caller's row cap bounds it to one task's
-    memory. Inner-join semantics are mirrored: canonical edges whose
-    endpoint never appears as ``src`` (impossible on a symmetrized
-    doubled table) are dropped, like the degree-attach inner joins."""
+    pipeline — bit-identical outputs including duplicate-edge
+    multiplicity (a duplicated closing edge multiplies the hash join's
+    output rows; the twin weighs each wedge by the closing edge's row
+    count). Returns None when the oriented wedge total exceeds
+    ``_LOCAL_TRI_MAX_WEDGES`` — the caller then runs the distributed
+    path, whose partitioned joins are built for that expansion.
+    Inner-join semantics are mirrored: canonical edges whose endpoint
+    never appears as ``src`` (impossible on a symmetrized doubled
+    table) are dropped, like the degree-attach inner joins."""
+    from cuttana_ray.util import in_sorted
+
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     nodes, degs = np.unique(src, return_counts=True)
     V = len(nodes)
-    empty = ray.data.from_arrow(pa.table({
-        "node_id": pa.array(nodes, pa.int64()),
-        "tri_count": pa.array(np.zeros(V, np.int64))}))
     half = src < dst
     s, d = src[half], dst[half]
     pos_d = np.searchsorted(nodes, d)
-    ok = (pos_d < V) & (nodes[np.minimum(pos_d, V - 1)] == d)
+    ok = in_sorted(nodes, d)
     s, d, pos_d = s[ok], d[ok], pos_d[ok]
     if len(s) == 0:
-        return 0, empty
+        return 0, ray.data.from_arrow(pa.table({
+            "node_id": pa.array(nodes, pa.int64()),
+            "tri_count": pa.array(np.zeros(V, np.int64))}))
     pos_s = np.searchsorted(nodes, s)
     swap = degs[pos_d] < degs[pos_s]
     iu = np.where(swap, pos_d, pos_s)
@@ -1119,18 +1137,35 @@ def _local_triangles_bigv(t: "pa.Table") -> "tuple[int, ray.data.Dataset]":
     lo = np.searchsorted(ou, iv, "left")
     cnt = np.searchsorted(ou, iv, "right") - lo
     off = np.concatenate([[0], np.cumsum(cnt)])
-    li = np.repeat(np.arange(len(iu), dtype=np.int64), cnt)
-    ri = (np.arange(off[-1], dtype=np.int64)
-          - np.repeat(off[:-1], cnt) + np.repeat(lo, cnt))
-    wa, wm, ww = iu[li], iv[li], ov[ri]
-    ck = wa * V + ww
-    cpos = np.searchsorted(ekeys, ck)
-    closed = (cpos < len(ekeys)) & \
-        (ekeys[np.minimum(cpos, len(ekeys) - 1)] == ck)
-    ta, tm, tw = wa[closed], wm[closed], ww[closed]
-    counts = np.bincount(np.concatenate([ta, tm, tw]),
-                         minlength=V).astype(np.int64)
-    return int(len(ta)), ray.data.from_arrow(pa.table({
+    if off[-1] > _LOCAL_TRI_MAX_WEDGES:
+        return None
+    counts = np.zeros(V, np.int64)
+    total = 0
+    # chunk over left edges so peak memory tracks _TRI_CHUNK_WEDGES
+    bounds = np.searchsorted(
+        off, np.arange(_TRI_CHUNK_WEDGES, off[-1], _TRI_CHUNK_WEDGES))
+    for a, b in zip(np.concatenate([[0], bounds]),
+                    np.concatenate([bounds, [len(iu)]])):
+        if a >= b:
+            continue
+        c = cnt[a:b]
+        li = np.repeat(np.arange(a, b, dtype=np.int64), c)
+        o0 = off[a:b] - off[a]
+        ri = (np.arange(off[b] - off[a], dtype=np.int64)
+              - np.repeat(o0, c) + np.repeat(lo[a:b], c))
+        wa, wm, ww = iu[li], iv[li], ov[ri]
+        ck = wa * V + ww
+        # closing-edge MULTIPLICITY, not membership: the distributed
+        # join emits one triangle row per duplicate closing-edge row
+        mult = (np.searchsorted(ekeys, ck, "right")
+                - np.searchsorted(ekeys, ck, "left"))
+        hit = mult > 0
+        w = mult[hit]
+        total += int(w.sum())
+        for ids in (wa[hit], wm[hit], ww[hit]):
+            counts += np.bincount(ids, weights=w,
+                                  minlength=V).astype(np.int64)
+    return total, ray.data.from_arrow(pa.table({
         "node_id": pa.array(nodes, pa.int64()),
         "tri_count": pa.array(counts)}))
 
@@ -1174,7 +1209,11 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None,
             return 0, ray.data.from_arrow(pa.table({
                 "node_id": pa.array([], pa.int64()),
                 "tri_count": pa.array([], pa.int64())}))
-        return _local_triangles_bigv(lt)
+        res = _local_triangles_bigv(lt)
+        if res is not None:
+            return res
+        # wedge total over _LOCAL_TRI_MAX_WEDGES (dense graph under the
+        # row cap): fall through to the partitioned join pipeline
 
     deg = enc.groupby("src").aggregate(Count(alias_name="_deg")) \
         .materialize()

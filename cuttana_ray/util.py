@@ -135,6 +135,17 @@ def ensure_int64_key(ds, key: str, out: str = "_ik"):
     return keyed, out
 
 
+def in_sorted(keys, vals):
+    """Boolean membership of ``vals`` in the SORTED int array ``keys``
+    (np.searchsorted + clamped equality — the shared idiom for broadcast
+    key-set filters). Returns a bool array aligned with ``vals``."""
+    import numpy as np
+    if len(keys) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(keys, vals)
+    return (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == vals)
+
+
 def shard_cpu_reservation(total: float, k: int) -> float:
     """Per-actor ``num_cpus`` for a k-shard BSP pool on a ``total``-CPU
     cluster: ``min(1, total/k/1.5, (total-1)/k)``, floored at 0.05.

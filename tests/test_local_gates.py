@@ -102,3 +102,48 @@ def test_triangles_bigv_local_vs_distributed(ray_session):
     pd.testing.assert_frame_equal(_norm(lt_ds.to_pandas()),
                                   _norm(dt_ds.to_pandas()))
     assert lt_total > 0  # fixture actually has triangles
+
+
+def test_triangles_bigv_duplicate_edges_parity(ray_session):
+    """A duplicated edge row multiplies the distributed hash join's
+    triangle instances; the local twin must weigh identically."""
+    from cuttana_ray.pipelines.bigv import triangles_bigv
+    # triangle 1-2-3 with the (1,3) pair duplicated, plus pendants
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (1, 3), (3, 1),
+             (2, 3), (3, 2), (2, 4), (4, 2), (3, 5), (5, 3)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in pairs], pa.int64()),
+        "dst": pa.array([b for _, b in pairs], pa.int64())})) \
+        .repartition(3).materialize()
+    lt_total, lt_ds = triangles_bigv(ds)
+    dt_total, dt_ds = triangles_bigv(ds, local_max_edges=0)
+    assert lt_total == dt_total == 2
+    pd.testing.assert_frame_equal(_norm(lt_ds.to_pandas()),
+                                  _norm(dt_ds.to_pandas()))
+
+
+def test_triangles_bigv_chunked_parity(ray_session, monkeypatch):
+    """Forcing a tiny wedge chunk must not change any count."""
+    import cuttana_ray.pipelines.bigv as bigv
+    t = _sym_edges(V=40, E=300, seed=23)
+    ds = rd.from_arrow(t).repartition(4).materialize()
+    base_total, base_ds = bigv.triangles_bigv(ds)
+    base = _norm(base_ds.to_pandas())
+    monkeypatch.setattr(bigv, "_TRI_CHUNK_WEDGES", 7)
+    ch_total, ch_ds = bigv.triangles_bigv(ds)
+    assert ch_total == base_total
+    pd.testing.assert_frame_equal(_norm(ch_ds.to_pandas()), base)
+
+
+def test_triangles_bigv_wedge_cap_falls_back(ray_session, monkeypatch):
+    """Over the wedge ceiling the gate must route to the distributed
+    join pipeline (and still agree)."""
+    import cuttana_ray.pipelines.bigv as bigv
+    ds = rd.from_arrow(_sym_edges(V=30, E=150, seed=29)) \
+        .repartition(3).materialize()
+    base_total, base_ds = bigv.triangles_bigv(ds, local_max_edges=0)
+    monkeypatch.setattr(bigv, "_LOCAL_TRI_MAX_WEDGES", 1)
+    capped_total, capped_ds = bigv.triangles_bigv(ds)
+    assert capped_total == base_total
+    pd.testing.assert_frame_equal(_norm(capped_ds.to_pandas()),
+                                  _norm(base_ds.to_pandas()))
