@@ -3003,14 +3003,27 @@ def _q_bigv_louvain_events(sf_dir: str):
     return louvain_shuffle(enc, max_rounds=6)
 
 
+def _linkpred_cand_cached(sf_dir: str):
+    """Shared witness-expansion candidate core (a, b, cn, aa, ra) for the
+    three link-prediction queries — the expansion + groupby + anti-join
+    chain is identical across them, so one driver session pays it once
+    (same pattern as ``_ngram_pairs_cached``)."""
+    key = ("linkpred_cand", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from cuttana_ray.pipelines.linkpred import witness_pair_scores
+        _GRAPH_CACHE[key] = witness_pair_scores(
+            _events_graph(sf_dir), min_common=2).materialize()
+    return _GRAPH_CACHE[key]
+
+
 def _q_linkpred_events(sf_dir: str):
     """Common-neighbor / Jaccard link prediction over the events graph:
     non-adjacent pairs sharing ≥ 2 neighbors (pipelines/linkpred.py —
     witness-pair expansion, never all pairs). Jaccard is an int/int double
     division, bit-identical to the SQL oracle."""
-    from cuttana_ray.pipelines.linkpred import common_neighbor_pairs
-    g = _events_graph(sf_dir)
-    return common_neighbor_pairs(g, min_common=2)
+    from cuttana_ray.pipelines.linkpred import finish_jaccard
+    return finish_jaccard(_linkpred_cand_cached(sf_dir),
+                          _events_graph(sf_dir))
 
 
 def _q_user_degree_churn(sf_dir: str):
@@ -3120,9 +3133,8 @@ def _q_adamic_adar_events(sf_dir: str):
     non-adjacent pairs sharing ≥ 2 neighbors, scored Σ 1/ln(deg(witness)).
     Witness weights come from in-batch adjacency list lengths — no degree
     broadcast at all, unlike the Jaccard variant."""
-    from cuttana_ray.pipelines.linkpred import adamic_adar_pairs
-    g = _events_graph(sf_dir)
-    return adamic_adar_pairs(g, min_common=2)
+    from cuttana_ray.pipelines.linkpred import finish_adamic_adar
+    return finish_adamic_adar(_linkpred_cand_cached(sf_dir))
 
 
 def _q_linkpred_ra_events(sf_dir: str):
@@ -3130,10 +3142,10 @@ def _q_linkpred_ra_events(sf_dir: str):
     (pipelines/linkpred.py::resource_allocation_pairs): non-adjacent pairs
     sharing ≥ 2 neighbors scored Σ 1/deg(witness) (Zhou-Lü-Zhang) and
     deg(a)·deg(b) (exact int64). Same witness-expansion candidate
-    discipline as Adamic-Adar — never all pairs."""
-    from cuttana_ray.pipelines.linkpred import resource_allocation_pairs
-    g = _events_graph(sf_dir)
-    return resource_allocation_pairs(g, min_common=2)
+    discipline as Adamic-Adar — never all pairs (shared cached core)."""
+    from cuttana_ray.pipelines.linkpred import finish_resource_allocation
+    return finish_resource_allocation(_linkpred_cand_cached(sf_dir),
+                                      _events_graph(sf_dir))
 
 
 def _q_edge_embeddedness_events(sf_dir: str):

@@ -49,43 +49,59 @@ def _witness_pairs_fn(max_degree: int | None):
     return fn
 
 
-def common_neighbor_pairs(graph: Graph, min_common: int = 2,
-                          max_degree: int | None = None,
-                          include_adjacent: bool = False
-                          ) -> "ray.data.Dataset":
-    """(a, b, common_neighbors, jaccard) for every pair sharing ≥
-    ``min_common`` neighbors, a < b; existing edges excluded unless
-    ``include_adjacent``."""
+def witness_pair_scores(graph: Graph, min_common: int = 2,
+                        max_degree: int | None = None,
+                        include_adjacent: bool = False
+                        ) -> "ray.data.Dataset":
+    """Shared candidate core for every local link-prediction index:
+    ``(a, b, cn, aa, ra)`` for pairs sharing ≥ ``min_common`` neighbors,
+    a < b — the common-neighbor count plus BOTH witness-weighted sums
+    (Adamic-Adar ``Σ 1/ln(deg w)``, resource-allocation ``Σ 1/deg w``),
+    adjacent pairs dropped via the packed-key anti-join unless
+    ``include_adjacent``. One witness expansion + ONE ``groupby(a, b)``
+    exchange feeds all three public indices (and the contract's three
+    queries, which ``materialize()`` this table once per session instead
+    of re-running the expansion per score)."""
     V = graph.num_vertices
     adj = build_adjacency(graph.edges)
-    cn = adj.map_batches(_witness_pairs_fn(max_degree),
-                         batch_format="pyarrow") \
-        .groupby(["a", "b"]).aggregate(Sum("cn", alias_name="cn")) \
+    cand = adj.map_batches(_witness_weighted_fn(max_degree),
+                           batch_format="pyarrow") \
+        .groupby(["a", "b"]) \
+        .aggregate(Sum("cn", alias_name="cn"),
+                   Sum("aa", alias_name="aa"),
+                   Sum("ra", alias_name="ra")) \
         .filter(expr=f"cn >= {int(min_common)}")
+    if include_adjacent:
+        return cand
 
-    if not include_adjacent:
-        def pack_pair(t: pa.Table) -> pa.Table:
-            if len(t) == 0 or "a" not in t.column_names:
-                return pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                                  ("cn", pa.int64()),
-                                  ("pk", pa.int64())]).empty_table()
-            a = t["a"].to_numpy(zero_copy_only=False)
-            b = t["b"].to_numpy(zero_copy_only=False)
-            return t.append_column("pk", pa.array(a * V + b, pa.int64()))
+    def pack_pair(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                              ("cn", pa.int64()), ("aa", pa.float64()),
+                              ("ra", pa.float64()),
+                              ("pk", pa.int64())]).empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return t.append_column("pk", pa.array(a * V + b, pa.int64()))
 
-        def pack_edge(t: pa.Table) -> pa.Table:
-            if len(t) == 0 or "src" not in t.column_names:
-                return pa.schema([("pk", pa.int64())]).empty_table()
-            s = t["src"].to_numpy(zero_copy_only=False)
-            d = t["dst"].to_numpy(zero_copy_only=False)
-            m = s < d  # canonical direction only (edges are symmetrized)
-            return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64())})
+    def pack_edge(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return pa.schema([("pk", pa.int64())]).empty_table()
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s < d  # canonical direction only (edges are symmetrized)
+        return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64())})
 
-        cn = anti_join(cn.map_batches(pack_pair, batch_format="pyarrow"),
-                       graph.edges.map_batches(pack_edge,
-                                               batch_format="pyarrow"),
-                       "pk", "pk").drop_columns(["pk"])
+    return anti_join(cand.map_batches(pack_pair, batch_format="pyarrow"),
+                     graph.edges.map_batches(pack_edge,
+                                             batch_format="pyarrow"),
+                     "pk", "pk").drop_columns(["pk"])
 
+
+def finish_jaccard(cand: "ray.data.Dataset",
+                   graph: Graph) -> "ray.data.Dataset":
+    """(a, b, common_neighbors, jaccard) from the shared candidate core;
+    degrees broadcast once for the |N(a) ∪ N(b)| denominator."""
     deg_ref = ray.put(graph.degrees())
 
     def score(t: pa.Table) -> pa.Table:
@@ -103,7 +119,19 @@ def common_neighbor_pairs(graph: Graph, min_common: int = 2,
                          "common_neighbors": t["cn"],
                          "jaccard": pa.array(j, pa.float64())}).cast(schema)
 
-    return cn.map_batches(score, batch_format="pyarrow")
+    return cand.map_batches(score, batch_format="pyarrow")
+
+
+def common_neighbor_pairs(graph: Graph, min_common: int = 2,
+                          max_degree: int | None = None,
+                          include_adjacent: bool = False
+                          ) -> "ray.data.Dataset":
+    """(a, b, common_neighbors, jaccard) for every pair sharing ≥
+    ``min_common`` neighbors, a < b; existing edges excluded unless
+    ``include_adjacent``."""
+    return finish_jaccard(
+        witness_pair_scores(graph, min_common, max_degree,
+                            include_adjacent), graph)
 
 
 def _witness_weighted_fn(max_degree: int | None):
@@ -188,37 +216,12 @@ def adamic_adar_pairs(graph: Graph, min_common: int = 2,
     length inside the batch, so (unlike the Jaccard score) no degree vector
     is broadcast at all.
     """
-    V = graph.num_vertices
-    adj = build_adjacency(graph.edges)
-    cand = adj.map_batches(_witness_weighted_fn(max_degree),
-                           batch_format="pyarrow") \
-        .groupby(["a", "b"]) \
-        .aggregate(Sum("cn", alias_name="cn"),
-                   Sum("aa", alias_name="aa")) \
-        .filter(expr=f"cn >= {int(min_common)}")
+    return finish_adamic_adar(
+        witness_pair_scores(graph, min_common, max_degree))
 
-    def pack_pair(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "a" not in t.column_names:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                              ("cn", pa.int64()), ("aa", pa.float64()),
-                              ("pk", pa.int64())]).empty_table()
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        return t.append_column("pk", pa.array(a * V + b, pa.int64()))
 
-    def pack_edge(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "src" not in t.column_names:
-            return pa.schema([("pk", pa.int64())]).empty_table()
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        m = s < d
-        return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64())})
-
-    cand = anti_join(cand.map_batches(pack_pair, batch_format="pyarrow"),
-                     graph.edges.map_batches(pack_edge,
-                                             batch_format="pyarrow"),
-                     "pk", "pk").drop_columns(["pk"])
-
+def finish_adamic_adar(cand: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(a, b, common_neighbors, adamic_adar) from the shared core."""
     def finish(t: pa.Table) -> pa.Table:
         schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                             ("common_neighbors", pa.int64()),
@@ -255,37 +258,14 @@ def resource_allocation_pairs(graph: Graph, min_common: int = 2,
     documented small-V driver regime; at conv-id scale join the degree
     table instead, as ``pipelines/bigv.py`` does for its scores).
     """
-    V = graph.num_vertices
-    adj = build_adjacency(graph.edges)
-    cand = adj.map_batches(_witness_weighted_fn(max_degree),
-                           batch_format="pyarrow") \
-        .groupby(["a", "b"]) \
-        .aggregate(Sum("cn", alias_name="cn"),
-                   Sum("ra", alias_name="ra")) \
-        .filter(expr=f"cn >= {int(min_common)}")
+    return finish_resource_allocation(
+        witness_pair_scores(graph, min_common, max_degree), graph)
 
-    def pack_pair(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "a" not in t.column_names:
-            return pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                              ("cn", pa.int64()), ("ra", pa.float64()),
-                              ("pk", pa.int64())]).empty_table()
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        return t.append_column("pk", pa.array(a * V + b, pa.int64()))
 
-    def pack_edge(t: pa.Table) -> pa.Table:
-        if len(t) == 0 or "src" not in t.column_names:
-            return pa.schema([("pk", pa.int64())]).empty_table()
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        m = s < d
-        return pa.table({"pk": pa.array(s[m] * V + d[m], pa.int64())})
-
-    cand = anti_join(cand.map_batches(pack_pair, batch_format="pyarrow"),
-                     graph.edges.map_batches(pack_edge,
-                                             batch_format="pyarrow"),
-                     "pk", "pk").drop_columns(["pk"])
-
+def finish_resource_allocation(cand: "ray.data.Dataset",
+                               graph: Graph) -> "ray.data.Dataset":
+    """(a, b, common_neighbors, resource_alloc, pref_attach) from the
+    shared core; degrees broadcast once for preferential attachment."""
     deg_ref = ray.put(graph.degrees())
 
     def finish(t: pa.Table) -> pa.Table:
