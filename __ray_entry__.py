@@ -3306,35 +3306,66 @@ def _q_dedup_decision_docs(sf_dir: str):
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "h": pa.array(h)}).cast(sch)
 
+    # zero hash joins: every attach below is a union + groupby-Max
+    # aggregate exchange (the measured ~1-2.5 s/join aggregator-pool
+    # fixed cost does not apply to task-based aggregates; see
+    # functions/curation.py for the same trade)
+    from ray.data.aggregate import Max
+
+    from cuttana_ray.util import drop_empty_blocks
+
     hashed = docs.map_batches(add_hash, batch_format="pyarrow") \
         .materialize()
     keepers = hashed.groupby("h").aggregate(Min("doc_id",
                                                 alias_name="k"))
-    ex = safe_join(hashed, keepers, join_type="inner", num_partitions=8,
-                   on=("h",), right_on=("h",))
 
-    def exact_flag(t: pa.Table) -> pa.Table:
-        sch = pa.schema([("doc_id", pa.int64()),
-                         ("is_exact_dup", pa.int64())])
+    m_sch = pa.schema([("doc_id", pa.int64()), ("is_keeper", pa.int64()),
+                       ("cluster_rep", pa.int64()),
+                       ("n_chars", pa.int64())])
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return m_sch.empty_table()
+        n = len(t)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "is_keeper": pa.array(np.zeros(n, np.int64)),
+            "cluster_rep": pa.array(np.full(n, -1, np.int64)),
+            "n_chars": pc.cast(t["n_chars"], pa.int64())}).cast(m_sch)
+
+    def keeper_rows(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "k" not in t.column_names:
-            return sch.empty_table()
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        k = t["k"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": t["doc_id"],
-                         "is_exact_dup": pa.array((d != k)
-                                                  .astype(np.int64))
-                         }).cast(sch)
-
-    exact = ex.map_batches(exact_flag, batch_format="pyarrow")
+            return m_sch.empty_table()
+        n = len(t)
+        return pa.table({
+            "doc_id": pc.cast(t["k"], pa.int64()),
+            "is_keeper": pa.array(np.ones(n, np.int64)),
+            "cluster_rep": pa.array(np.full(n, -1, np.int64)),
+            "n_chars": pa.array(np.zeros(n, np.int64))}).cast(m_sch)
 
     clusters = _q_neardup_clusters(sf_dir)
     if not hasattr(clusters, "groupby"):
         import ray.data as rd
         clusters = rd.from_arrow(clusters)
-    cj = safe_join(clusters,
-                   docs.select_columns(["doc_id", "n_chars"]),
-                   join_type="inner", num_partitions=8,
-                   on=("doc_id",), right_on=("doc_id",))
+
+    def cluster_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "doc_id" not in t.column_names:
+            return m_sch.empty_table()
+        n = len(t)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "is_keeper": pa.array(np.zeros(n, np.int64)),
+            "cluster_rep": pc.cast(t["cluster_rep"], pa.int64()),
+            "n_chars": pa.array(np.zeros(n, np.int64))}).cast(m_sch)
+
+    merged = docs.map_batches(doc_rows, batch_format="pyarrow") \
+        .union(keepers.map_batches(keeper_rows, batch_format="pyarrow"),
+               clusters.map_batches(cluster_rows, batch_format="pyarrow")) \
+        .groupby("doc_id").aggregate(
+            Max("is_keeper", alias_name="is_keeper"),
+            Max("cluster_rep", alias_name="cluster_rep"),
+            Max("n_chars", alias_name="n_chars"))
+    merged = drop_empty_blocks(merged)   # consumed twice; expr-filter safe
 
     def pick(t: pa.Table) -> pa.Table:
         sch = pa.schema([("doc_id", pa.int64()),
@@ -3349,27 +3380,49 @@ def _q_dedup_decision_docs(sf_dir: str):
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "is_canonical": pa.array(flag)}).cast(sch)
 
-    members = cj.groupby("cluster_rep").map_groups(
-        pick, batch_format="pyarrow")
-    j = safe_join(exact, members, join_type="left_outer",
-                  num_partitions=8, on=("doc_id",), right_on=("doc_id",))
+    members = merged.filter(expr="cluster_rep >= 0") \
+        .groupby("cluster_rep").map_groups(pick, batch_format="pyarrow")
+
+    f_sch = pa.schema([("doc_id", pa.int64()), ("exd", pa.int64()),
+                       ("canon", pa.int64())])
+
+    def flag_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "is_keeper" not in t.column_names:
+            return f_sch.empty_table()
+        keep_f = t["is_keeper"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "exd": pa.array((1 - keep_f).astype(np.int64)),
+            "canon": pa.array(np.full(len(t), -1, np.int64))}).cast(f_sch)
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "is_canonical" not in t.column_names:
+            return f_sch.empty_table()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "exd": pa.array(np.zeros(len(t), np.int64)),
+            "canon": pc.cast(t["is_canonical"], pa.int64())}).cast(f_sch)
+
+    j = merged.map_batches(flag_rows, batch_format="pyarrow") \
+        .union(drop_empty_blocks(
+            members.map_batches(member_rows, batch_format="pyarrow"))) \
+        .groupby("doc_id").aggregate(Max("exd", alias_name="exd"),
+                                     Max("canon", alias_name="canon"))
 
     def decide(t: pa.Table) -> pa.Table:
         sch = pa.schema([("doc_id", pa.int64()),
                          ("is_exact_dup", pa.int64()),
                          ("in_neardup_cluster", pa.int64()),
                          ("keep", pa.int64())])
-        if len(t) == 0 or "is_exact_dup" not in t.column_names:
+        if len(t) == 0 or "exd" not in t.column_names:
             return sch.empty_table()
-        exd = t["is_exact_dup"].to_numpy(zero_copy_only=False)
-        canon = t["is_canonical"]
-        in_cl = pc.is_valid(canon).to_numpy(zero_copy_only=False)
-        is_can = pc.fill_null(pc.cast(canon, pa.int64()), 0) \
-            .to_numpy(zero_copy_only=False)
-        keep = ((exd == 0) & (~in_cl | (is_can == 1))).astype(np.int64)
+        exd = t["exd"].to_numpy(zero_copy_only=False)
+        canon = t["canon"].to_numpy(zero_copy_only=False)
+        in_cl = canon >= 0
+        keep = ((exd == 0) & (~in_cl | (canon == 1))).astype(np.int64)
         return pa.table({
             "doc_id": t["doc_id"],
-            "is_exact_dup": t["is_exact_dup"],
+            "is_exact_dup": pa.array(exd.astype(np.int64)),
             "in_neardup_cluster": pa.array(in_cl.astype(np.int64)),
             "keep": pa.array(keep)}).cast(sch)
 
