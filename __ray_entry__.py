@@ -4760,6 +4760,27 @@ def _q_events_value_outliers(sf_dir: str):
                             keep=["event_id", "user_id", "value"])
 
 
+def _custpart_incidence_cached(sf_dir: str):
+    """Customer–part incidence (orders ⋈ lineitem) plus its
+    ``_pairs_and_counts`` wedge plan, cached per driver session — the
+    part-cooccurrence and butterfly queries run different analyses over
+    the SAME incidence, so they pay the join + quadratic expansion once
+    (same pattern as ``_linkpred_cand_cached``)."""
+    key = ("custpart", sf_dir)
+    if key not in _GRAPH_CACHE:
+        from cuttana_ray.stages.keyblocks import _pairs_and_counts
+        orders = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey"])
+        line = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_partkey"]) \
+            .rename_columns({"l_orderkey": "o_orderkey"})
+        cp = safe_join(orders, line, join_type="inner", num_partitions=8,
+                       on=("o_orderkey",)).materialize()
+        co, counts = _pairs_and_counts(cp, "o_custkey", "l_partkey")
+        _GRAPH_CACHE[key] = (cp, co.materialize(), counts.materialize())
+    return _GRAPH_CACHE[key]
+
+
 def _q_part_cooccurrence(sf_dir: str):
     """Item–item collaborative-filtering pairs: parts bought by ≥2 common
     customers with cosine over the binary customer–part incidence.
@@ -4767,12 +4788,9 @@ def _q_part_cooccurrence(sf_dir: str):
     pre-combines before the one (p1,p2) exchange
     (functions/cooccur.py cooccurrence_cosine)."""
     from cuttana_ray.functions.cooccur import cooccurrence_cosine
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
-        .rename_columns({"l_orderkey": "o_orderkey"})
-    cp = safe_join(orders, line, join_type="inner", num_partitions=8,
-                     on=("o_orderkey",))
-    return cooccurrence_cosine(cp, "o_custkey", "l_partkey", min_support=2)
+    cp, co, counts = _custpart_incidence_cached(sf_dir)
+    return cooccurrence_cosine(cp, "o_custkey", "l_partkey",
+                               min_support=2, precomputed=(co, counts))
 
 
 def _q_editdist_pairs_docs(sf_dir: str):
@@ -9044,12 +9062,9 @@ def _q_butterflies_parts(sf_dir: str):
     codegrees (shared wedge plan), caterpillars from degree joins onto
     the distinct edge table; only two scalars reach the driver."""
     from cuttana_ray.functions.cooccur import bipartite_motifs
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    line = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
-        .rename_columns({"l_orderkey": "o_orderkey"})
-    cp = safe_join(orders, line, join_type="inner", num_partitions=8,
-                   on=("o_orderkey",))
-    return bipartite_motifs(cp, "o_custkey", "l_partkey")
+    cp, co, counts = _custpart_incidence_cached(sf_dir)
+    return bipartite_motifs(cp, "o_custkey", "l_partkey",
+                            precomputed=(co, counts))
 
 
 # fixed already-learned merge table for the tokenizer-APPLY query (a

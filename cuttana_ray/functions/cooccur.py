@@ -31,15 +31,19 @@ from cuttana_ray.util import safe_join
 
 
 def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
-                        min_support: int = 2) -> "ray.data.Dataset":
+                        min_support: int = 2,
+                        precomputed=None) -> "ray.data.Dataset":
     """(p1, p2, co, cosine) for item pairs sharing ≥ ``min_support``
     groups; ``cosine = co / sqrt(n_p1 · n_p2)`` with n = the item's
     distinct-group count. Input need not be distinct — a pre-combined
-    (group, item) distinct is the first step."""
+    (group, item) distinct is the first step. ``precomputed`` accepts an
+    existing ``_pairs_and_counts`` result (co, counts) so callers running
+    several analyses over one incidence pay the wedge plan once."""
     from cuttana_ray.stages.keyblocks import _pairs_and_counts
     from cuttana_ray.util import drop_empty_blocks
 
-    co, counts = _pairs_and_counts(ds, group, item)
+    co, counts = precomputed if precomputed is not None \
+        else _pairs_and_counts(ds, group, item)
     if min_support > 1:
         co = co.filter(expr=f"co >= {int(min_support)}")
     co = drop_empty_blocks(co)
@@ -64,8 +68,8 @@ def cooccurrence_cosine(ds: "ray.data.Dataset", group: str, item: str,
 
     return joined.map_batches(finish, batch_format="pyarrow")
 
-def bipartite_motifs(ds: "ray.data.Dataset", group: str, item: str
-                     ) -> pa.Table:
+def bipartite_motifs(ds: "ray.data.Dataset", group: str, item: str,
+                     precomputed=None) -> pa.Table:
     """Butterfly census of the bipartite (group, item) incidence graph —
     the standard bipartite motif primitive (a butterfly is a 2×2 biclique;
     a caterpillar is a 3-path). Returns a one-row table
@@ -93,7 +97,8 @@ def bipartite_motifs(ds: "ray.data.Dataset", group: str, item: str
     from cuttana_ray.stages.keyblocks import _pairs_and_counts
     from cuttana_ray.util import drop_empty_blocks
 
-    pairs, icounts = _pairs_and_counts(ds, group, item)
+    pairs, icounts = precomputed if precomputed is not None \
+        else _pairs_and_counts(ds, group, item)
 
     def bf_partial(t: pa.Table) -> pa.Table:
         sch = pa.schema([("bf", pa.int64())])

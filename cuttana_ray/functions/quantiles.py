@@ -220,25 +220,61 @@ def grouped_float_quantiles(ds: "ray.data.Dataset", key: str, col: str,
 
 
 def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
-                round_to: int = 6) -> "ray.data.Dataset":
+                round_to: int = 6,
+                broadcast_keys_max: int = 65536) -> "ray.data.Dataset":
     """Per-key median absolute deviation — the robust-statistics sibling
     of ``grouped_moments``' stddev: ``mad = median(|x − median(x)|)``.
 
     Two chained ``grouped_float_quantiles`` passes (exact quantile_cont
-    interpolation, identical to DuckDB's MEDIAN) with a distributed hash
-    join carrying each key's median back onto its rows in between; the
-    deviations are a vectorized map, nothing materializes on the driver.
-    Output: ``(key, med, mad)``, rounded so join/merge order can't wiggle
-    the last bit. Same bounded-rows-per-key partitioning assumption as
-    ``grouped_float_quantiles``."""
+    interpolation, identical to DuckDB's MEDIAN) with each key's median
+    carried back onto its rows in between. The carry is a BROADCAST
+    lookup while the key set fits ``broadcast_keys_max`` (the per-key
+    median table is O(#keys) by construction — for dimension-like keys
+    a hash join there is pure aggregator fixed cost, the measured
+    ~1-2.5 s/join); past the gate it is the distributed hash join.
+    Output: ``(key, med, mad)``, rounded so join/merge order can't
+    wiggle the last bit. Same bounded-rows-per-key partitioning
+    assumption as ``grouped_float_quantiles``."""
     import pyarrow.compute as pc
+    import ray
 
-    from cuttana_ray.util import drop_empty_blocks
+    from cuttana_ray.util import drop_empty_blocks, local_table
 
     med = drop_empty_blocks(
         grouped_float_quantiles(ds.select_columns([key, col]), key, col,
                                 [0.5]).drop_columns(["q"])
         .rename_columns({"value": "_med"}))
+    if broadcast_keys_max and med.count() <= broadcast_keys_max:
+        mt = local_table(med)
+        lookup_ref = ray.put(dict(zip(mt[key].to_pylist(),
+                                      mt["_med"].to_pylist())))
+
+        def dev_b(t: pa.Table) -> pa.Table:
+            sch = pa.schema([(key, t.schema.field(key).type if len(t)
+                              else pa.int64()), ("_dev", pa.float64())])
+            if len(t) == 0 or key not in t.column_names:
+                return sch.empty_table()
+            lookup = ray.get(lookup_ref)
+            keys_np = np.asarray(t[key].to_pylist(), dtype=object)
+            uniq, inv = np.unique(keys_np, return_inverse=True)
+            m = np.array([lookup[k] for k in uniq],
+                         np.float64)[inv]
+            x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({key: t[key],
+                             "_dev": pa.array(np.abs(x - m))}).cast(sch)
+
+        devs = ds.select_columns([key, col]) \
+            .map_batches(dev_b, batch_format="pyarrow")
+        madt = local_table(drop_empty_blocks(
+            grouped_float_quantiles(devs, key, "_dev", [0.5])
+            .drop_columns(["q"]).rename_columns({"value": "_mad"})))
+        lookup = dict(zip(mt[key].to_pylist(), mt["_med"].to_pylist()))
+        meds = [lookup[k] for k in madt[key].to_pylist()]
+        return ray.data.from_arrow(pa.table({
+            key: madt[key],
+            "med": pc.round(pa.array(meds, pa.float64()), round_to),
+            "mad": pc.round(madt["_mad"], round_to)}))
+
     joined = safe_join(ds.select_columns([key, col]), med, join_type="inner", num_partitions=8, on=(key,))
 
     def dev(t: pa.Table) -> pa.Table:

@@ -1537,3 +1537,18 @@ def test_embedding_cosine_exact_gate_raises_past_block_cap(embeddings):
             embedding_cosine_pairs(ds.repartition(4), threshold=0.9)
     finally:
         dd._EXACT_COSINE_MAX_BLOCKS = old
+
+
+def test_grouped_mad_broadcast_vs_join_parity():
+    from cuttana_ray.functions.quantiles import grouped_mad
+    rng = np.random.default_rng(31)
+    keys = rng.integers(0, 5, 400).astype(np.int64)
+    vals = rng.standard_normal(400) * 10
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys), "v": pa.array(vals)})).repartition(4)
+    fast = grouped_mad(ds, "k", "v").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    slow = grouped_mad(ds, "k", "v", broadcast_keys_max=0).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) == 5
