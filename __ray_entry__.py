@@ -3314,8 +3314,9 @@ def _q_dedup_decision_docs(sf_dir: str):
 
     from cuttana_ray.util import drop_empty_blocks
 
-    hashed = docs.map_batches(add_hash, batch_format="pyarrow") \
-        .materialize()
+    # hashed streams straight into its single consumer (the keepers
+    # groupby) — no materialization of the per-doc hash table
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow")
     keepers = hashed.groupby("h").aggregate(Min("doc_id",
                                                 alias_name="k"))
 
@@ -4760,24 +4761,32 @@ def _q_events_value_outliers(sf_dir: str):
                             keep=["event_id", "user_id", "value"])
 
 
-def _custpart_incidence_cached(sf_dir: str):
-    """Customer–part incidence (orders ⋈ lineitem) plus its
-    ``_pairs_and_counts`` wedge plan, cached per driver session — the
-    part-cooccurrence and butterfly queries run different analyses over
-    the SAME incidence, so they pay the join + quadratic expansion once
-    (same pattern as ``_linkpred_cand_cached``)."""
-    key = ("custpart", sf_dir)
+def _custpart_incidence(sf_dir: str):
+    """Lazy customer–part incidence (orders ⋈ lineitem) — built fresh
+    per consumer; only the SMALL wedge-plan result is session-cached
+    (below), never this lineitem-sized table."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey"])
+    line = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_partkey"]) \
+        .rename_columns({"l_orderkey": "o_orderkey"})
+    return safe_join(orders, line, join_type="inner", num_partitions=8,
+                     on=("o_orderkey",))
+
+
+def _custpart_pairs_cached(sf_dir: str):
+    """The ``_pairs_and_counts`` wedge plan over the customer–part
+    incidence, cached per driver session — the part-cooccurrence and
+    butterfly queries run different analyses over the SAME expansion,
+    so they pay the join + quadratic step once (same pattern as
+    ``_linkpred_cand_cached``). Only the pair/count tables (O(#item
+    pairs), far smaller than the incidence) stay pinned."""
+    key = ("custpart_pairs", sf_dir)
     if key not in _GRAPH_CACHE:
         from cuttana_ray.stages.keyblocks import _pairs_and_counts
-        orders = _read(sf_dir, "orders",
-                       columns=["o_orderkey", "o_custkey"])
-        line = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_partkey"]) \
-            .rename_columns({"l_orderkey": "o_orderkey"})
-        cp = safe_join(orders, line, join_type="inner", num_partitions=8,
-                       on=("o_orderkey",)).materialize()
-        co, counts = _pairs_and_counts(cp, "o_custkey", "l_partkey")
-        _GRAPH_CACHE[key] = (cp, co.materialize(), counts.materialize())
+        co, counts = _pairs_and_counts(_custpart_incidence(sf_dir),
+                                       "o_custkey", "l_partkey")
+        _GRAPH_CACHE[key] = (co.materialize(), counts.materialize())
     return _GRAPH_CACHE[key]
 
 
@@ -4788,8 +4797,8 @@ def _q_part_cooccurrence(sf_dir: str):
     pre-combines before the one (p1,p2) exchange
     (functions/cooccur.py cooccurrence_cosine)."""
     from cuttana_ray.functions.cooccur import cooccurrence_cosine
-    cp, co, counts = _custpart_incidence_cached(sf_dir)
-    return cooccurrence_cosine(cp, "o_custkey", "l_partkey",
+    co, counts = _custpart_pairs_cached(sf_dir)
+    return cooccurrence_cosine(None, "o_custkey", "l_partkey",
                                min_support=2, precomputed=(co, counts))
 
 
@@ -4806,8 +4815,10 @@ def _q_editdist_pairs_docs(sf_dir: str):
 
 def _q_returnflag_price_mad(sf_dir: str):
     """Median absolute deviation of extendedprice per returnflag — two
-    chained exact grouped medians with a hash join carrying each key's
-    median back between them (functions/quantiles.py grouped_mad)."""
+    chained exact grouped medians; with only 3 returnflag keys the
+    median carry rides grouped_mad's broadcast-lookup fast path (the
+    hash-join carry engages past its 65k-key gate —
+    functions/quantiles.py grouped_mad)."""
     from cuttana_ray.functions.quantiles import grouped_mad
     ds = _read(sf_dir, "lineitem",
                columns=["l_returnflag", "l_extendedprice"])
@@ -9062,9 +9073,9 @@ def _q_butterflies_parts(sf_dir: str):
     codegrees (shared wedge plan), caterpillars from degree joins onto
     the distinct edge table; only two scalars reach the driver."""
     from cuttana_ray.functions.cooccur import bipartite_motifs
-    cp, co, counts = _custpart_incidence_cached(sf_dir)
-    return bipartite_motifs(cp, "o_custkey", "l_partkey",
-                            precomputed=(co, counts))
+    co, counts = _custpart_pairs_cached(sf_dir)
+    return bipartite_motifs(_custpart_incidence(sf_dir), "o_custkey",
+                            "l_partkey", precomputed=(co, counts))
 
 
 # fixed already-learned merge table for the tokenizer-APPLY query (a

@@ -234,7 +234,9 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
     ~1-2.5 s/join); past the gate it is the distributed hash join.
     Output: ``(key, med, mad)``, rounded so join/merge order can't
     wiggle the last bit. Same bounded-rows-per-key partitioning
-    assumption as ``grouped_float_quantiles``."""
+    assumption as ``grouped_float_quantiles`` — and the same NULL
+    contract as the module (filter null keys/values upstream; the
+    quantile kernel itself cannot sort None)."""
     import pyarrow.compute as pc
     import ray
 
@@ -244,21 +246,37 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
         grouped_float_quantiles(ds.select_columns([key, col]), key, col,
                                 [0.5]).drop_columns(["q"])
         .rename_columns({"value": "_med"}))
-    if broadcast_keys_max and med.count() <= broadcast_keys_max:
-        mt = local_table(med)
-        lookup_ref = ray.put(dict(zip(mt[key].to_pylist(),
-                                      mt["_med"].to_pylist())))
+    n_keys = med.count()
+    if n_keys == 0:      # empty input: no key ever reaches either path
+        sch = ds.schema()
+        ktype = sch.types[sch.names.index(key)]
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], ktype),
+            "med": pa.array([], pa.float64()),
+            "mad": pa.array([], pa.float64())}))
+    mt = local_table(med) \
+        if broadcast_keys_max and n_keys <= broadcast_keys_max else None
+    if mt is not None:
+        med_keys = mt[key].combine_chunks()
+        med_vals = mt["_med"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ref = ray.put((med_keys, med_vals))
 
         def dev_b(t: pa.Table) -> pa.Table:
             sch = pa.schema([(key, t.schema.field(key).type if len(t)
                               else pa.int64()), ("_dev", pa.float64())])
             if len(t) == 0 or key not in t.column_names:
                 return sch.empty_table()
-            lookup = ray.get(lookup_ref)
-            keys_np = np.asarray(t[key].to_pylist(), dtype=object)
-            uniq, inv = np.unique(keys_np, return_inverse=True)
-            m = np.array([lookup[k] for k in uniq],
-                         np.float64)[inv]
+            ka, mv = ray.get(ref)
+            # Arrow-native key lookup; a null/unknown key gets a null
+            # index and is dropped — exactly the rows the join path's
+            # inner hash join dropped
+            idx = pc.index_in(t[key].combine_chunks(), value_set=ka)
+            ok = pc.is_valid(idx)
+            t = t.filter(ok)
+            if len(t) == 0:
+                return sch.empty_table()
+            m = mv[idx.filter(ok).to_numpy(zero_copy_only=False)]
             x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
             return pa.table({key: t[key],
                              "_dev": pa.array(np.abs(x - m))}).cast(sch)
@@ -268,8 +286,13 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
         madt = local_table(drop_empty_blocks(
             grouped_float_quantiles(devs, key, "_dev", [0.5])
             .drop_columns(["q"]).rename_columns({"value": "_mad"})))
-        lookup = dict(zip(mt[key].to_pylist(), mt["_med"].to_pylist()))
-        meds = [lookup[k] for k in madt[key].to_pylist()]
+        if madt is None:
+            return ray.data.from_arrow(pa.table({
+                key: pa.array([], med_keys.type),
+                "med": pa.array([], pa.float64()),
+                "mad": pa.array([], pa.float64())}))
+        idx = pc.index_in(madt[key].combine_chunks(), value_set=med_keys)
+        meds = med_vals[idx.to_numpy(zero_copy_only=False)]
         return ray.data.from_arrow(pa.table({
             key: madt[key],
             "med": pc.round(pa.array(meds, pa.float64()), round_to),

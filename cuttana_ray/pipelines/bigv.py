@@ -1111,8 +1111,6 @@ def _local_triangles_bigv(t: "pa.Table") \
     Inner-join semantics are mirrored: canonical edges whose endpoint
     never appears as ``src`` (impossible on a symmetrized doubled
     table) are dropped, like the degree-attach inner joins."""
-    from cuttana_ray.util import in_sorted
-
     src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
     nodes, degs = np.unique(src, return_counts=True)
@@ -1120,7 +1118,7 @@ def _local_triangles_bigv(t: "pa.Table") \
     half = src < dst
     s, d = src[half], dst[half]
     pos_d = np.searchsorted(nodes, d)
-    ok = in_sorted(nodes, d)
+    ok = (pos_d < V) & (nodes[np.minimum(pos_d, V - 1)] == d)
     s, d, pos_d = s[ok], d[ok], pos_d[ok]
     if len(s) == 0:
         return 0, ray.data.from_arrow(pa.table({
