@@ -2568,6 +2568,40 @@ def _q_bigv_cuttana_quality(sf_dir: str):
     })
 
 
+def _bigv_pool_results_cached(sf_dir: str):
+    """ONE 8-shard HashShardPool run serves the three sharded-BSP
+    queries (PageRank / components / LPA) — the pool build (edge
+    shuffle into shards + CSR construction + actor spin-up) dominated
+    each query at contract scale, and running the three algorithms
+    back-to-back on one pool is exactly the flagship lifecycle's
+    proven shape (pipelines/flagship.py, each algorithm re-runs its own
+    prepare and re-inits its label/rank state). The pool shuts down
+    immediately — only the small per-vertex result tables stay cached,
+    so no idle actor holds CPU reservations across the session."""
+    key = ("bigv_pool_results", sf_dir)
+    if key not in _GRAPH_CACHE:
+        import ray as _ray
+        from cuttana_ray.pipelines.bigv import HashShardPool
+
+        def collect(ds):
+            return pa.concat_tables(
+                [t for t in _ray.get(ds.to_arrow_refs()) if len(t)])
+
+        enc = _bigv_events_edges(sf_dir)
+        pool = HashShardPool(enc, 8)
+        try:
+            _, pr_ds = pool.pagerank(damping=0.85, tol=0.0, max_iters=5)
+            pr = collect(pr_ds)
+            _, cc_ds = pool.connected_components()
+            cc = collect(cc_ds)
+            _, lp_ds = pool.label_propagation(max_iters=10)
+            lp = collect(lp_ds)
+        finally:
+            pool.shutdown()
+        _GRAPH_CACHE[key] = (pr, cc, lp)
+    return _GRAPH_CACHE[key]
+
+
 def _q_bigv_pagerank_k5_events(sf_dir: str):
     """Big-V regime driver check (pipelines/bigv.py): stateless hash-id
     encode + shard-resident BSP PageRank (5 forced steps, tol=0) — the
@@ -2575,17 +2609,7 @@ def _q_bigv_pagerank_k5_events(sf_dir: str):
     SQL oracle recomputes with the same fold; ranks rounded to 8 on both
     sides (summation order differs at the last ulp)."""
     import pyarrow.compute as pc
-    from cuttana_ray.pipelines.bigv import HashShardPool
-    enc = _bigv_events_edges(sf_dir)
-    pool = HashShardPool(enc, 8)
-    try:
-        _, ds = pool.pagerank(damping=0.85, tol=0.0, max_iters=5)
-        refs = ds.to_arrow_refs()
-        import ray as _ray
-        out = pa.concat_tables(
-            [t for t in _ray.get(refs) if len(t)])
-    finally:
-        pool.shutdown()
+    out, _, _ = _bigv_pool_results_cached(sf_dir)
     return pa.table({"node_id": out["node_id"],
                      "rank": pc.round(out["rank"], 8)})
 
@@ -2593,16 +2617,7 @@ def _q_bigv_pagerank_k5_events(sf_dir: str):
 def _q_bigv_labelprop_events(sf_dir: str):
     """Big-V sharded synchronous LPA over hash ids (ties break over hash
     ids — the SQL oracle runs the identical recursion on FNV node ids)."""
-    from cuttana_ray.pipelines.bigv import HashShardPool
-    enc = _bigv_events_edges(sf_dir)
-    pool = HashShardPool(enc, 8)
-    try:
-        _, ds = pool.label_propagation(max_iters=10)
-        import ray as _ray
-        out = pa.concat_tables(
-            [t for t in _ray.get(ds.to_arrow_refs()) if len(t)])
-    finally:
-        pool.shutdown()
+    _, _, out = _bigv_pool_results_cached(sf_dir)
     return out
 
 
@@ -2639,16 +2654,7 @@ def _q_bigv_components_events(sf_dir: str):
     """Big-V sharded min-label components over hash ids: the component
     label is the MIN member hash id (vs min dense id in components_events
     — same partition of the vertex set, different representative)."""
-    from cuttana_ray.pipelines.bigv import HashShardPool
-    enc = _bigv_events_edges(sf_dir)
-    pool = HashShardPool(enc, 8)
-    try:
-        _, ds = pool.connected_components()
-        import ray as _ray
-        out = pa.concat_tables(
-            [t for t in _ray.get(ds.to_arrow_refs()) if len(t)])
-    finally:
-        pool.shutdown()
+    _, out, _ = _bigv_pool_results_cached(sf_dir)
     return out
 
 
