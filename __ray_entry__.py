@@ -1105,6 +1105,17 @@ def _q_user_gap_quantiles(sf_dir: str):
     return grouped_int_quantiles(gds, "user_id", "gap_s", (0.5, 0.9))
 
 
+def _session_ids_cached(sf_dir: str):
+    """Materialized per-event session assignment, cached per driver
+    session — five contract queries (the assignment itself, both
+    session-basket pair queries, session-length quantiles, bounce rate)
+    start from this same two-sort-exchange chain."""
+    key = ("session_ids", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = _q_event_session_ids(sf_dir).materialize()
+    return _GRAPH_CACHE[key]
+
+
 def _q_event_session_ids(sf_dir: str):
     """Per-event session assignment (gap > 3600 s starts a new session,
     matching user_session_counts): the LAG identity from the frame-2
@@ -5031,7 +5042,7 @@ def _q_session_type_pairs(sf_dir: str):
     import pyarrow.compute as pc
     from cuttana_ray.stages.keyblocks import within_group_pairs
 
-    sess = _q_event_session_ids(sf_dir)     # (user_id, event_id, session_id)
+    sess = _session_ids_cached(sf_dir)     # (user_id, event_id, session_id)
     types = _read(sf_dir, "events", columns=["event_id", "event_type"])
     joined = safe_join(sess, types, join_type="inner", num_partitions=8,
                        on=("event_id",))
@@ -5619,7 +5630,7 @@ def _q_session_pair_jaccard(sf_dir: str):
     import pyarrow.compute as pc
     from cuttana_ray.stages.keyblocks import _pairs_and_counts
 
-    sess = _q_event_session_ids(sf_dir)
+    sess = _session_ids_cached(sf_dir)
     types = _read(sf_dir, "events", columns=["event_id", "event_type"])
     joined = safe_join(sess, types, join_type="inner", num_partitions=8,
                        on=("event_id",))
@@ -5637,24 +5648,32 @@ def _q_session_pair_jaccard(sf_dir: str):
         i = pc.index_in(t["event_type"], value_set=varr)
         return pa.table({"g": g, "i": pc.cast(i, pa.int64())}).cast(sch)
 
-    from cuttana_ray.util import drop_empty_blocks
+    import ray
+
+    from cuttana_ray.util import drop_empty_blocks, local_table
     baskets = joined.map_batches(encode, batch_format="pyarrow")
     pairs, counts = _pairs_and_counts(baskets, "g", "i")
     pairs = drop_empty_blocks(pairs)
-    counts = drop_empty_blocks(counts)
-    c1 = counts.rename_columns({"i": "p1", "n_g": "_n1"})
-    c2 = counts.rename_columns({"i": "p2", "n_g": "_n2"})
-    j = safe_join(safe_join(pairs, c1, join_type="inner", num_partitions=4, on=("p1",)), c2, join_type="inner", num_partitions=4, on=("p2",))
+    # counts is one row per EVENT TYPE (the tiny dimension the vocab
+    # already broadcast) — attach the session counts by a broadcast
+    # vector indexed on the vocab code instead of two hash joins
+    ct = local_table(drop_empty_blocks(counts))
+    n_by_code = np.zeros(len(vocab), np.int64)
+    if ct is not None:
+        n_by_code[ct["i"].to_numpy(zero_copy_only=False)] = \
+            ct["n_g"].to_numpy(zero_copy_only=False)
+    n_ref = ray.put(n_by_code)
 
     def finish(t: pa.Table) -> pa.Table:
         sch = pa.schema([("t1", pa.string()), ("t2", pa.string()),
                          ("co", pa.int64()), ("jaccard", pa.float64())])
-        if len(t) == 0:
+        if len(t) == 0 or "co" not in t.column_names:
             return sch.empty_table()
+        nb = ray.get(n_ref)
         co = t["co"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n1 = t["_n1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n2 = t["_n2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        jac = co / (n1 + n2 - co).astype(np.float64)
+        p1 = t["p1"].to_numpy(zero_copy_only=False)
+        p2 = t["p2"].to_numpy(zero_copy_only=False)
+        jac = co / (nb[p1] + nb[p2] - co).astype(np.float64)
         take = lambda col: varr.take(col.combine_chunks() if
                                      isinstance(col, pa.ChunkedArray)
                                      else col)
@@ -5662,7 +5681,7 @@ def _q_session_pair_jaccard(sf_dir: str):
                          "co": pa.array(co), "jaccard": pa.array(jac)
                          }).cast(sch)
 
-    return j.map_batches(finish, batch_format="pyarrow")
+    return pairs.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_two_hop_counts(sf_dir: str):
@@ -6348,7 +6367,7 @@ def _q_session_length_quantiles(sf_dir: str):
     from ray.data.aggregate import Count
     from cuttana_ray.functions.textstats import grouped_int_quantiles
 
-    sess = _q_event_session_ids(sf_dir)
+    sess = _session_ids_cached(sf_dir)
     sizes = sess.groupby(["user_id", "session_id"]).aggregate(
         Count(alias_name="n_events"))
 
@@ -6559,7 +6578,7 @@ def _q_user_bounce_rate(sf_dir: str):
     import pyarrow.compute as pc
     from ray.data.aggregate import Count, Sum
 
-    sess = _q_event_session_ids(sf_dir)
+    sess = _session_ids_cached(sf_dir)
     sizes = sess.groupby(["user_id", "session_id"]).aggregate(
         Count(alias_name="n_events"))
 
@@ -9403,7 +9422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_quantiles": _q_orders_price_quantiles,
         "lang_length_quantiles": _q_lang_length_quantiles,
         "user_gap_quantiles": _q_user_gap_quantiles,
-        "event_session_ids": _q_event_session_ids,
+        "event_session_ids": _session_ids_cached,
         "transcripts_from_events": _q_transcripts_from_events,
         "events_user_ranks": _q_events_user_ranks,
         "doc_regex_stats": _q_doc_regex_stats,
