@@ -3117,6 +3117,18 @@ def _q_user_degree_churn(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_source_mixture_weights(sf_dir: str):
+    """Domain mixture reweighting toward a uniform source target
+    (functions/sampling.py::source_mixture_weights): per-source
+    resampling weight min(target/natural, 2.0) plus the renormalized
+    mixture those capped weights actually produce — the data-mixing
+    step run before sampling a training corpus. One tiny groupby; the
+    finish is O(#sources)."""
+    from cuttana_ray.functions.sampling import source_mixture_weights
+    ds = _read(sf_dir, "documents", columns=["source"])
+    return source_mixture_weights(ds, "source", max_upsample=2.0)
+
+
 def _q_docs_stratified_sample(sf_dir: str):
     """Quality-tiered training-data mix (functions/sampling.py::
     stratified_sample): per-source permille rates over documents, keyed by
@@ -9531,6 +9543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_embeddedness_events": _q_edge_embeddedness_events,
         "mst_events": _q_mst_events,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "source_mixture_weights": _q_source_mixture_weights,
         "user_degree_churn": _q_user_degree_churn,
         # rows-only
         "betweenness_events": _q_betweenness_events,
@@ -12477,6 +12490,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id * 48271 + 7) % 2147483647) % 1000 <
                   CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
                               WHEN 'src2' THEN 250 ELSE 100 END
+        """,
+        # mixture weights: same float64 op order as the engine —
+        # nat = n/total, wt = min((1/k)/nat, 2), res = wt*nat/sum
+        "source_mixture_weights": """
+            WITH c AS (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+            t AS (
+                SELECT source, n,
+                       CAST(n AS DOUBLE) / SUM(n) OVER () AS nat,
+                       1.0 / COUNT(*) OVER () AS tgt
+                FROM c),
+            w AS (
+                SELECT source, n, nat, LEAST(tgt / nat, 2.0) AS wt
+                FROM t)
+            SELECT source,
+                   n AS n_docs,
+                   ROUND(nat, 6) AS natural_share,
+                   ROUND(wt, 6) AS weight,
+                   ROUND(wt * nat / SUM(wt * nat) OVER (), 6)
+                       AS resampled_share
+            FROM w ORDER BY source
         """,
         "edges_user_event": """
             SELECT 'user:' || CAST(user_id AS VARCHAR) AS src,

@@ -22,7 +22,11 @@ from cuttana_ray.functions.quantiles import (
     grouped_float_quantiles,
 )
 from cuttana_ray.functions.dsir import dsir_weights
-from cuttana_ray.functions.sampling import hash_sample, stratified_sample
+from cuttana_ray.functions.sampling import (
+    hash_sample,
+    source_mixture_weights,
+    stratified_sample,
+)
 from cuttana_ray.functions.terms import (
     bigram_counts,
     build_postings,
@@ -102,6 +106,7 @@ __all__ = [
     "quality_scores",
     "sample_frames",
     "simhash_pairs",
+    "source_mixture_weights",
     "stratified_sample",
     "synth_media_table",
     "kmeans",

@@ -67,3 +67,64 @@ def stratified_sample(ds: "ray.data.Dataset", key_col: str,
         return t.filter(pa.array(buckets < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_mixture_weights(ds: "ray.data.Dataset", source_col: str = "source",
+                           max_upsample: float = 2.0) -> pa.Table:
+    """Per-source resampling weights that move the corpus toward a
+    UNIFORM source mixture — the data-mixing step a training pipeline
+    runs before sampling (the DoReMi-family shape with a fixed uniform
+    target instead of learned reference losses):
+
+    * ``natural_share`` — the source's fraction of documents;
+    * ``weight = min(target/natural, max_upsample)`` with
+      ``target = 1/#sources`` — the per-document sampling multiplier,
+      capped so rare sources are not upsampled past ``max_upsample``
+      (unbounded duplication of a tiny source hurts more than an
+      imperfect mixture);
+    * ``resampled_share`` — the mixture the capped weights actually
+      produce, renormalized.
+
+    Scale shape: per-batch ``group_by(source)`` partial counts → one
+    tiny ``groupby(source)`` Sum exchange; the finish runs on O(#sources)
+    rows (sources are a bounded dimension — the documented small-result
+    driver finish). Output sorted by source for deterministic replay.
+    """
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.util import drop_empty_blocks, local_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("_n", pa.int64())])
+        if len(t) == 0 or source_col not in t.column_names:
+            return sch.empty_table()
+        out = pa.table({"source": pc.cast(t[source_col], pa.string())}) \
+            .group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": out["source"],
+                         "_n": out["count_all"]}).cast(sch)
+
+    agg = local_table(drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("_n", alias_name="n"))))
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "natural_share": pa.array([], pa.float64()),
+                      "weight": pa.array([], pa.float64()),
+                      "resampled_share": pa.array([], pa.float64())})
+    if agg is None or len(agg) == 0:
+        return empty
+    order = pc.sort_indices(agg, sort_keys=[("source", "ascending")])
+    agg = agg.take(order)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n.sum()
+    k = len(n)
+    nat = n / total
+    wt = np.minimum((1.0 / k) / nat, float(max_upsample))
+    eff = wt * nat
+    res = eff / eff.sum()
+    return pa.table({
+        "source": agg["source"],
+        "n_docs": pa.array(n.astype(np.int64)),
+        "natural_share": pa.array(np.round(nat, 6)),
+        "weight": pa.array(np.round(wt, 6)),
+        "resampled_share": pa.array(np.round(res, 6))})

@@ -1552,3 +1552,18 @@ def test_grouped_mad_broadcast_vs_join_parity():
         .sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
     assert len(fast) == 5
+
+
+def test_source_mixture_weights_cap_and_renorm():
+    from cuttana_ray.functions.sampling import source_mixture_weights
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a"] * 90 + ["b"] * 10)})).repartition(4)
+    out = source_mixture_weights(ds, "source", max_upsample=2.0) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["n_docs"].tolist() == [90, 10]
+    # target 1/2: a's weight 0.5/0.9, b capped at 2.0 (raw would be 5.0)
+    assert out["weight"].tolist() == pytest.approx([0.555556, 2.0])
+    # capped mixture: eff = wt*nat = [0.5, 0.2] -> renorm over 0.7
+    assert out["resampled_share"].tolist() == pytest.approx(
+        [0.714286, 0.285714])
+    assert out["natural_share"].sum() == pytest.approx(1.0)
