@@ -1106,14 +1106,27 @@ def _q_user_gap_quantiles(sf_dir: str):
 
 
 def _session_ids_cached(sf_dir: str):
-    """Materialized per-event session assignment, cached per driver
-    session — five contract queries (the assignment itself, both
-    session-basket pair queries, session-length quantiles, bounce rate)
-    start from this same two-sort-exchange chain."""
+    """Per-event session assignment shared by five contract queries
+    (the assignment itself, both session-basket pair queries,
+    session-length quantiles, bounce rate). The table is O(#events)
+    (3 int64 columns), so it is materialized + cached only while the
+    events input is below ``_SESSION_CACHE_MAX_ROWS`` (~1.2 GB pinned)
+    — past the gate each consumer streams the two-sort-exchange chain
+    itself rather than pinning an event-scale object for the whole
+    driver session."""
     key = ("session_ids", sf_dir)
-    if key not in _GRAPH_CACHE:
-        _GRAPH_CACHE[key] = _q_event_session_ids(sf_dir).materialize()
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    import ray.data as rd
+    n_events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet")).count()
+    if n_events > _SESSION_CACHE_MAX_ROWS:
+        return _q_event_session_ids(sf_dir)
+    _GRAPH_CACHE[key] = _q_event_session_ids(sf_dir).materialize()
     return _GRAPH_CACHE[key]
+
+
+_SESSION_CACHE_MAX_ROWS = 50_000_000
 
 
 def _q_event_session_ids(sf_dir: str):
@@ -2588,7 +2601,12 @@ def _bigv_pool_results_cached(sf_dir: str):
     proven shape (pipelines/flagship.py, each algorithm re-runs its own
     prepare and re-inits its label/rank state). The pool shuts down
     immediately — only the small per-vertex result tables stay cached,
-    so no idle actor holds CPU reservations across the session."""
+    so no idle actor holds CPU reservations across the session.
+    Deliberate trade: a SUBSET run touching one bigv query pays all
+    three algorithms (~1-2 s extra — CC converges in a few rounds on
+    this graph, LPA is 10 cheap rounds); keeping per-algorithm lazy
+    slots would instead hold the 8-actor pool alive between queries,
+    whose idle CPU reservations starve every other query in a sweep."""
     key = ("bigv_pool_results", sf_dir)
     if key not in _GRAPH_CACHE:
         import ray as _ray

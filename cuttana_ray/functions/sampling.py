@@ -122,9 +122,17 @@ def source_mixture_weights(ds: "ray.data.Dataset", source_col: str = "source",
     wt = np.minimum((1.0 / k) / nat, float(max_upsample))
     eff = wt * nat
     res = eff / eff.sum()
+
+    def r6(x):
+        # half-away-from-zero to match SQL ROUND (np.round is half-to-
+        # even and diverges on exactly-representable decimal midpoints
+        # like 1/128); values here are all >= 0
+        return pc.round(pa.array(x, pa.float64()), 6,
+                        round_mode="half_towards_infinity")
+
     return pa.table({
         "source": agg["source"],
         "n_docs": pa.array(n.astype(np.int64)),
-        "natural_share": pa.array(np.round(nat, 6)),
-        "weight": pa.array(np.round(wt, 6)),
-        "resampled_share": pa.array(np.round(res, 6))})
+        "natural_share": r6(nat),
+        "weight": r6(wt),
+        "resampled_share": r6(res)})
