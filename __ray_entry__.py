@@ -4510,18 +4510,27 @@ def _q_simhash_pairs_docs(sf_dir: str):
 
 
 def _ngram_pairs_cached(sf_dir: str, measure: str):
-    """LSH + exact-shingle verify, cached per (sf_dir, measure): four
-    contract queries (ngram_jaccard, ngram_containment, neardup_clusters
-    via the jaccard pairs, dedup_decision via the clusters) consume this
+    """LSH + exact-shingle verify, cached per sf_dir: five contract
+    queries (ngram_jaccard, ngram_containment, neardup_clusters via the
+    jaccard pairs, dedup_decision via the clusters) consume this
     pipeline — one driver session pays the ~7 s candidate/verify chain
-    once instead of four times."""
-    key = ("ngram_pairs", sf_dir, measure)
+    ONCE for both measures (``measure="both"`` emits both score
+    columns; the chain is measure-independent) and filters per
+    measure here."""
+    key = ("ngram_pairs", sf_dir)
     if key not in _GRAPH_CACHE:
         from cuttana_ray.functions.dedup import ngram_jaccard_pairs
         _GRAPH_CACHE[key] = ngram_jaccard_pairs(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            threshold=0.5, measure=measure).materialize()
-    return _GRAPH_CACHE[key]
+            threshold=0.5, measure="both").materialize()
+    both = _GRAPH_CACHE[key]
+    mkey = ("ngram_pairs", sf_dir, measure)
+    if mkey not in _GRAPH_CACHE:
+        from cuttana_ray.util import drop_empty_blocks
+        _GRAPH_CACHE[mkey] = drop_empty_blocks(
+            both.filter(expr=f"{measure} >= 0.5")
+            .select_columns(["doc_a", "doc_b", measure])).materialize()
+    return _GRAPH_CACHE[mkey]
 
 
 def _q_ngram_jaccard_docs(sf_dir: str):

@@ -457,6 +457,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     detection); candidates still come from the Jaccard-biased LSH, so
     high-containment pairs of very different sizes may be missed
     (documented recall caveat of containment-over-LSH).
+    ``measure="both"`` emits BOTH score columns for pairs passing the
+    threshold on EITHER — the whole candidate/verify chain is
+    measure-independent, so callers serving several measures (the
+    driver's query cache) pay it once and filter per measure.
 
     Fully distributed verify — NOTHING per-dataset touches the driver:
     cross-band candidate repeats dedup through the sort-based exchange,
@@ -465,10 +469,12 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     intersection is the vectorized compress/sort/count kernel. Output:
     ``(doc_a, doc_b, <measure>)`` with score ≥ threshold.
     """
-    empty = ray.data.from_arrow(pa.table({
-        "doc_a": pa.array([], pa.int64()),
-        "doc_b": pa.array([], pa.int64()),
-        measure: pa.array([], pa.float64())}))
+    score_cols = ["jaccard", "containment"] if measure == "both" \
+        else [measure]
+    empty = ray.data.from_arrow(pa.table(
+        {"doc_a": pa.array([], pa.int64()),
+         "doc_b": pa.array([], pa.int64()),
+         **{m: pa.array([], pa.float64()) for m in score_cols}}))
     cand = _lsh_candidates(ds, text_col, id_col, num_perm, bands,
                            shingle_k, threshold * 0.5)
     if cand is None:
@@ -546,9 +552,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
     joined = safe_join(safe_join(drop_empty_blocks(pairs), ba, join_type="inner", num_partitions=8, on=("doc_a",)), bb, join_type="inner", num_partitions=8, on=("doc_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
-        out_empty = pa.table({"doc_a": pa.array([], pa.int64()),
-                              "doc_b": pa.array([], pa.int64()),
-                              measure: pa.array([], pa.float64())})
+        out_empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()),
+             "doc_b": pa.array([], pa.int64()),
+             **{m: pa.array([], pa.float64()) for m in score_cols}})
         if len(batch) == 0:
             return out_empty
         da = batch["doc_a"].to_numpy(zero_copy_only=False)
@@ -572,16 +579,21 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", text_col: str = "text",
         keys.sort(kind="stable")
         dup = keys[1:] == keys[:-1]
         inter = np.bincount(keys[1:][dup] // U, minlength=len(batch))
-        if measure == "containment":
-            score = inter / np.maximum(np.minimum(len_a, len_b), 1)
-        else:
-            union = len_a + len_b - inter
-            score = inter / np.maximum(union, 1)
-        keep = score >= threshold
+        scores = {}
+        if "containment" in score_cols:
+            scores["containment"] = \
+                inter / np.maximum(np.minimum(len_a, len_b), 1)
+        if "jaccard" in score_cols:
+            scores["jaccard"] = \
+                inter / np.maximum(len_a + len_b - inter, 1)
+        keep = np.zeros(len(batch), dtype=bool)
+        for s in scores.values():
+            keep |= s >= threshold
         return pa.table({
             "doc_a": pa.array(da[keep], pa.int64()),
             "doc_b": pa.array(db[keep], pa.int64()),
-            measure: pa.array(score[keep].astype(np.float64)),
+            **{m: pa.array(scores[m][keep].astype(np.float64))
+               for m in score_cols},
         })
 
     return joined.map_batches(verify, batch_format="pyarrow",
