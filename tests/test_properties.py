@@ -99,3 +99,18 @@ def test_repetition_stats_matches_pure_python(token_lists, nblocks):
         assert row.top_token_n == max(tc.values())
         assert row.n_bigrams == len(bigs)
         assert row.top_bigram_n == (max(bc.values()) if bc else 0)
+
+
+@given(st.lists(st.integers(-2**40, 2**40), max_size=60),
+       st.lists(st.integers(-2**40, 2**40), max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_in_sorted_matches_isin(keys, vals):
+    """util.in_sorted (the shared broadcast-membership idiom) must agree
+    with np.isin on any sorted key array, including empties and dups."""
+    from cuttana_ray.util import in_sorted
+    ks = np.sort(np.asarray(keys, dtype=np.int64))
+    vs = np.asarray(vals, dtype=np.int64)
+    got = in_sorted(ks, vs)
+    want = np.isin(vs, ks)
+    assert got.dtype == bool and got.shape == vs.shape
+    assert (got == want).all()
