@@ -4522,15 +4522,21 @@ def _ngram_pairs_cached(sf_dir: str, measure: str):
         from cuttana_ray.functions.dedup import ngram_jaccard_pairs
         _GRAPH_CACHE[key] = ngram_jaccard_pairs(
             _read(sf_dir, "documents", columns=["doc_id", "text"]),
-            threshold=0.5, measure="both").materialize()
+            threshold=_NGRAM_THRESHOLD, measure="both").materialize()
     both = _GRAPH_CACHE[key]
     mkey = ("ngram_pairs", sf_dir, measure)
     if mkey not in _GRAPH_CACHE:
         from cuttana_ray.util import drop_empty_blocks
         _GRAPH_CACHE[mkey] = drop_empty_blocks(
-            both.filter(expr=f"{measure} >= 0.5")
+            both.filter(expr=f"{measure} >= {_NGRAM_THRESHOLD}")
             .select_columns(["doc_a", "doc_b", measure])).materialize()
     return _GRAPH_CACHE[mkey]
+
+
+# one constant feeds BOTH the pipeline call and the per-measure filter
+# above — the two must agree or the cached per-measure tables diverge
+# from the single-measure pipeline (and the SQL oracles)
+_NGRAM_THRESHOLD = 0.5
 
 
 def _q_ngram_jaccard_docs(sf_dir: str):
@@ -4842,8 +4848,17 @@ def _custpart_pairs_cached(sf_dir: str):
         from cuttana_ray.stages.keyblocks import _pairs_and_counts
         co, counts = _pairs_and_counts(_custpart_incidence(sf_dir),
                                        "o_custkey", "l_partkey")
-        _GRAPH_CACHE[key] = (co.materialize(), counts.materialize())
+        co = co.materialize()
+        # the pre-min_support pair table grows superlinearly with the
+        # incidence — past the gate, don't pin it for the session (each
+        # consumer recomputes, the pre-cache behavior)
+        if co.count() > _CUSTPART_CACHE_MAX_ROWS:
+            return co, counts.materialize()
+        _GRAPH_CACHE[key] = (co, counts.materialize())
     return _GRAPH_CACHE[key]
+
+
+_CUSTPART_CACHE_MAX_ROWS = 50_000_000
 
 
 def _q_part_cooccurrence(sf_dir: str):
