@@ -3135,6 +3135,19 @@ def _q_user_degree_churn(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_source_quality_calibration(sf_dir: str):
+    """Per-source quality-threshold calibration (functions/curation.py::
+    source_quality_calibration): the exact per-source p75 of the
+    composite quality signal and keep statistics against each source's
+    OWN threshold — the per-domain calibration step that stops one
+    global cutoff from wiping out low-resource sources. The compare
+    uses the unrounded threshold on both sides; the oracle replays the
+    identical quality formula and quantile_cont interpolation."""
+    from cuttana_ray.functions.curation import source_quality_calibration
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return source_quality_calibration(ds, q=0.75)
+
+
 def _q_source_mixture_weights(sf_dir: str):
     """Domain mixture reweighting toward a uniform source target
     (functions/sampling.py::source_mixture_weights): per-source
@@ -9586,6 +9599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_events": _q_mst_events,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "source_mixture_weights": _q_source_mixture_weights,
+        "source_quality_calibration": _q_source_quality_calibration,
         "user_degree_churn": _q_user_degree_churn,
         # rows-only
         "betweenness_events": _q_betweenness_events,
@@ -11795,6 +11809,45 @@ _DOC_QUALITY_SQL = f"""
     FROM r
 """
 
+# source_quality_calibration: the same quality formula as _DOC_QUALITY_SQL
+# (identical IEEE op sequence), per-source quantile_cont(0.75) — the same
+# linear interpolation grouped_float_quantiles implements — and keep
+# counts against the UNROUNDED per-source threshold.
+_SOURCE_QCAL_SQL = f"""
+    WITH w AS (
+        SELECT source, COALESCE(text, '') AS text FROM documents),
+    s AS (
+        SELECT source,
+               length(text) AS n_chars,
+               regexp_extract_all(lower(text), '[a-zA-Z]+') AS words,
+               len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+        FROM w),
+    r AS (
+        SELECT source,
+               0.4 * LEAST(GREATEST(n_chars / 200.0, 0), 1)
+               + 0.3 * LEAST(GREATEST(
+                     CAST(len(list_filter(words, x -> x IN ({_SW["en"]})))
+                          AS DOUBLE) / GREATEST(len(words), 1) * 5, 0), 1)
+               + 0.3 * (1 - LEAST(GREATEST(
+                     CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) * 4,
+                     0), 1)) AS quality
+        FROM s),
+    t AS (
+        SELECT source, quantile_cont(quality, 0.75) AS thr
+        FROM r GROUP BY source),
+    c AS (
+        SELECT r.source, COUNT(*) AS n,
+               SUM(CASE WHEN r.quality >= t.thr THEN 1 ELSE 0 END) AS k
+        FROM r JOIN t USING (source) GROUP BY r.source)
+    SELECT c.source,
+           ROUND(t.thr, 6) AS q_threshold,
+           c.n AS n_docs,
+           CAST(c.k AS BIGINT) AS n_keep,
+           ROUND(CAST(c.k AS DOUBLE) / c.n, 6) AS keep_rate
+    FROM c JOIN t ON c.source = t.source
+    ORDER BY c.source
+"""
+
 # lang_id: the CASE cascade picks the FIRST language (en,de,fr,es,it,pt —
 # Python dict order in textstats._STOPWORDS) achieving the max score, which
 # is exactly the strictly-greater argmax loop in _LangId.__call__.
@@ -12337,6 +12390,7 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2""",
         "ppr_k5_events": _ppr_k5_sql(),
         "doc_quality": _DOC_QUALITY_SQL,
+        "source_quality_calibration": _SOURCE_QCAL_SQL,
         "lang_id_docs": _LANG_ID_SQL,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -146,3 +146,97 @@ def curation_funnel(docs: "ray.data.Dataset", quality_min: float = 0.5,
         "stage_idx": pa.array(np.arange(5, dtype=np.int64)),
         "stage": pa.array(STAGES, pa.string()),
         "n_docs": pa.array(counts, pa.int64())})
+
+
+def source_quality_calibration(docs: "ray.data.Dataset", q: float = 0.75,
+                               source_col: str = "source",
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> pa.Table:
+    """Per-source quality-threshold calibration — the "keep the top
+    (1−q) quantile of each source" step a curation pipeline runs so one
+    global threshold doesn't wipe out whole domains (low-resource
+    sources score systematically lower on surface-quality heuristics):
+    for each source, the exact ``q``-quantile of the composite
+    ``quality_scores`` signal and the keep statistics against that
+    source's OWN threshold.
+
+    Scale shape: one fused pass emits (source, quality); the per-source
+    threshold is an exact grouped quantile (one exchange); thresholds
+    are O(#sources) so the keep-count pass broadcasts them and folds to
+    per-batch partials + one tiny groupby. Output sorted by source:
+    ``(source, q_threshold, n_docs, n_keep, keep_rate)``; the compare
+    uses the UNROUNDED threshold (both sides round display values only).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.functions.quantiles import grouped_float_quantiles
+    from cuttana_ray.functions.textstats import _QualityScorer
+    from cuttana_ray.util import drop_empty_blocks, local_table
+
+    scorer = _QualityScorer(text_col, id_col)
+
+    def sq(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()),
+                         ("quality", pa.float64())])
+        if len(t) == 0 or text_col not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "source": pc.cast(t[source_col], pa.string()),
+            "quality": scorer(t)["quality"]}).cast(sch)
+
+    sqd = docs.map_batches(sq, batch_format="pyarrow").materialize()
+    thr = local_table(drop_empty_blocks(
+        grouped_float_quantiles(sqd, "source", "quality", [q])))
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "q_threshold": pa.array([], pa.float64()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_keep": pa.array([], pa.int64()),
+                      "keep_rate": pa.array([], pa.float64())})
+    if thr is None or len(thr) == 0:
+        return empty
+    order = pc.sort_indices(thr, sort_keys=[("source", "ascending")])
+    thr = thr.take(order)
+    src_arr = thr["source"].combine_chunks()
+    thr_vals = thr["value"].to_numpy(zero_copy_only=False)
+    ref = ray.put((src_arr, thr_vals))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("n", pa.int64()),
+                         ("k", pa.int64())])
+        if len(t) == 0 or "source" not in t.column_names:
+            return sch.empty_table()
+        sa, tv = ray.get(ref)
+        idx = pc.index_in(t["source"].combine_chunks(), value_set=sa) \
+            .to_numpy(zero_copy_only=False)
+        qv = t["quality"].to_numpy(zero_copy_only=False)
+        keep = (qv >= tv[idx]).astype(np.int64)
+        n = np.bincount(idx, minlength=len(tv)).astype(np.int64)
+        k = np.bincount(idx, weights=keep,
+                        minlength=len(tv)).astype(np.int64)
+        live = n > 0
+        return pa.table({
+            "source": sa.take(pa.array(np.nonzero(live)[0])),
+            "n": pa.array(n[live]), "k": pa.array(k[live])}).cast(sch)
+
+    agg = local_table(drop_empty_blocks(
+        sqd.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n", alias_name="n"),
+                                     Sum("k", alias_name="k"))))
+    if agg is None or len(agg) == 0:
+        return empty
+    order = pc.sort_indices(agg, sort_keys=[("source", "ascending")])
+    agg = agg.take(order)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    k = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def r6(x):
+        return pc.round(pa.array(np.asarray(x, np.float64)), 6,
+                        round_mode="half_towards_infinity")
+
+    return pa.table({
+        "source": agg["source"],
+        "q_threshold": r6(thr_vals),
+        "n_docs": pa.array(n),
+        "n_keep": pa.array(k),
+        "keep_rate": r6(k / np.maximum(n, 1))})

@@ -1567,3 +1567,27 @@ def test_source_mixture_weights_cap_and_renorm():
     assert out["resampled_share"].tolist() == pytest.approx(
         [0.714286, 0.285714])
     assert out["natural_share"].sum() == pytest.approx(1.0)
+
+
+def test_source_quality_calibration_matches_numpy(docs):
+    """Per-source p75 thresholds + keep counts must equal a local numpy
+    recomputation from the same _QualityScorer signal."""
+    import pyarrow.compute as pc
+    from cuttana_ray.functions.curation import source_quality_calibration
+    from cuttana_ray.functions.textstats import _QualityScorer
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(45)), pa.int64()),
+        "source": pa.array(["s" + str(i % 3) for i in range(45)]),
+        "text": docs.to_pandas()["text"][:45].tolist()})
+    out = source_quality_calibration(rd.from_arrow(t).repartition(4),
+                                     q=0.75).to_pandas()
+    scorer = _QualityScorer("text", "doc_id")
+    qual = scorer(t)["quality"].to_numpy()
+    src = np.asarray(t["source"].to_pylist())
+    for _, row in out.iterrows():
+        g = qual[src == row["source"]]
+        thr = np.quantile(g, 0.75, method="linear")
+        assert row["q_threshold"] == pytest.approx(round(thr, 6))
+        assert row["n_docs"] == len(g)
+        assert row["n_keep"] == int((g >= thr).sum())
