@@ -3148,6 +3148,18 @@ def _q_source_quality_calibration(sf_dir: str):
     return source_quality_calibration(ds, q=0.75)
 
 
+def _q_token_budget_allocation(sf_dir: str):
+    """Per-source token-budget allocation plan (functions/sampling.py::
+    token_budget_allocation): estimated tokens (n_chars//4), the capped
+    uniform-target mixture math over TOKEN shares, floor-allocated
+    tokens for a fixed 10M budget and the resulting repetition factor
+    (epochs) — the plan a trainer materializes from the mixture
+    weights."""
+    from cuttana_ray.functions.sampling import token_budget_allocation
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+    return token_budget_allocation(ds, budget_tokens=10_000_000)
+
+
 def _q_source_mixture_weights(sf_dir: str):
     """Domain mixture reweighting toward a uniform source target
     (functions/sampling.py::source_mixture_weights): per-source
@@ -9600,6 +9612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "source_mixture_weights": _q_source_mixture_weights,
         "source_quality_calibration": _q_source_quality_calibration,
+        "token_budget_allocation": _q_token_budget_allocation,
         "user_degree_churn": _q_user_degree_churn,
         # rows-only
         "betweenness_events": _q_betweenness_events,
@@ -12586,6 +12599,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((doc_id * 48271 + 7) % 2147483647) % 1000 <
                   CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
                               WHEN 'src2' THEN 250 ELSE 100 END
+        """,
+        # token budget plan: the mixture math over TOKEN shares
+        # (tok = SUM(n_chars // 4)), alloc = FLOOR(10M * res), epochs =
+        # alloc / tok — identical float64 op order to the engine
+        "token_budget_allocation": """
+            WITH c AS (
+                SELECT source, CAST(SUM(n_chars // 4) AS BIGINT) AS tok
+                FROM documents GROUP BY 1),
+            t AS (
+                SELECT source, tok,
+                       CAST(tok AS DOUBLE) / SUM(tok) OVER () AS nat,
+                       1.0 / COUNT(*) OVER () AS tgt
+                FROM c),
+            w AS (
+                SELECT source, tok, nat, LEAST(tgt / nat, 2.0) AS wt
+                FROM t),
+            r AS (
+                SELECT source, tok, nat, wt,
+                       wt * nat / SUM(wt * nat) OVER () AS res
+                FROM w)
+            SELECT source,
+                   tok AS est_tokens,
+                   ROUND(nat, 6) AS token_share,
+                   ROUND(wt, 6) AS weight,
+                   CAST(FLOOR(10000000.0 * res) AS BIGINT)
+                       AS alloc_tokens,
+                   ROUND(CAST(FLOOR(10000000.0 * res) AS BIGINT)
+                         / GREATEST(tok, 1), 6) AS epochs
+            FROM r ORDER BY source
         """,
         # mixture weights: same float64 op order as the engine —
         # nat = n/total, wt = min((1/k)/nat, 2), res = wt*nat/sum

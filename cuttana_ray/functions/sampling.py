@@ -136,3 +136,71 @@ def source_mixture_weights(ds: "ray.data.Dataset", source_col: str = "source",
         "natural_share": r6(nat),
         "weight": r6(wt),
         "resampled_share": r6(res)})
+
+
+def token_budget_allocation(ds: "ray.data.Dataset", budget_tokens: int,
+                            source_col: str = "source",
+                            chars_col: str = "n_chars",
+                            chars_per_token: int = 4,
+                            max_upsample: float = 2.0) -> pa.Table:
+    """Turn a token budget into a per-source allocation plan — the step
+    after ``source_mixture_weights``: estimate each source's tokens
+    (``Σ floor(n_chars / chars_per_token)``, the standard chars/4
+    heuristic), re-run the capped uniform-target mixture math on TOKEN
+    shares, and allocate ``floor(budget · resampled_share)`` tokens per
+    source. ``epochs`` (allocation / available) is the repetition
+    factor trainers watch — >1 means the source will be seen more than
+    once at this budget.
+
+    Scale shape: per-batch (source, token) partials → one tiny groupby;
+    O(#sources) finish. Output sorted by source:
+    ``(source, est_tokens, token_share, weight, alloc_tokens, epochs)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from cuttana_ray.util import drop_empty_blocks, local_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("source", pa.string()), ("_tok", pa.int64())])
+        if len(t) == 0 or source_col not in t.column_names:
+            return sch.empty_table()
+        tok = t[chars_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) // chars_per_token
+        out = pa.table({"source": pc.cast(t[source_col], pa.string()),
+                        "_tok": pa.array(tok)}) \
+            .group_by(["source"]).aggregate([("_tok", "sum")])
+        return pa.table({"source": out["source"],
+                         "_tok": out["_tok_sum"]}).cast(sch)
+
+    agg = local_table(drop_empty_blocks(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("_tok", alias_name="tok"))))
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "est_tokens": pa.array([], pa.int64()),
+                      "token_share": pa.array([], pa.float64()),
+                      "weight": pa.array([], pa.float64()),
+                      "alloc_tokens": pa.array([], pa.int64()),
+                      "epochs": pa.array([], pa.float64())})
+    if agg is None or len(agg) == 0:
+        return empty
+    order = pc.sort_indices(agg, sort_keys=[("source", "ascending")])
+    agg = agg.take(order)
+    tok = agg["tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+    k = len(tok)
+    nat = tok / tok.sum()
+    wt = np.minimum((1.0 / k) / nat, float(max_upsample))
+    res = wt * nat / (wt * nat).sum()
+    alloc = np.floor(float(budget_tokens) * res).astype(np.int64)
+    epochs = alloc / np.maximum(tok, 1.0)
+
+    def r6(x):
+        return pc.round(pa.array(np.asarray(x, np.float64)), 6,
+                        round_mode="half_towards_infinity")
+
+    return pa.table({
+        "source": agg["source"],
+        "est_tokens": pa.array(tok.astype(np.int64)),
+        "token_share": r6(nat),
+        "weight": r6(wt),
+        "alloc_tokens": pa.array(alloc),
+        "epochs": r6(epochs)})

@@ -1591,3 +1591,25 @@ def test_source_quality_calibration_matches_numpy(docs):
         assert row["q_threshold"] == pytest.approx(round(thr, 6))
         assert row["n_docs"] == len(g)
         assert row["n_keep"] == int((g >= thr).sum())
+
+
+def test_token_budget_allocation_known_answer():
+    from cuttana_ray.functions.sampling import token_budget_allocation
+    # source a: 800 chars -> 200 tokens; b: 80 chars -> 20 tokens
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["a"] * 8 + ["b"] * 2),
+        "n_chars": pa.array([100] * 8 + [40] * 2, pa.int64())})) \
+        .repartition(3)
+    out = token_budget_allocation(ds, budget_tokens=1000) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["est_tokens"].tolist() == [200, 20]
+    # token shares 200/220, 20/220; b's raw weight (0.5/(20/220)) = 5.5
+    # caps at 2.0; eff = [0.5*200/220... ] -> alloc floors of 1000*res
+    nat = np.array([200 / 220, 20 / 220])
+    wt = np.minimum(0.5 / nat, 2.0)
+    res = wt * nat / (wt * nat).sum()
+    assert out["weight"].tolist() == pytest.approx(np.round(wt, 6))
+    assert out["alloc_tokens"].tolist() == \
+        np.floor(1000 * res).astype(int).tolist()
+    assert out["epochs"].tolist() == pytest.approx(
+        np.round(np.floor(1000 * res) / np.array([200, 20]), 6))
