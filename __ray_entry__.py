@@ -3438,7 +3438,16 @@ def _q_dedup_decision_docs(sf_dir: str):
             Max("is_keeper", alias_name="is_keeper"),
             Max("cluster_rep", alias_name="cluster_rep"),
             Max("n_chars", alias_name="n_chars"))
-    merged = drop_empty_blocks(merged)   # consumed twice; expr-filter safe
+    merged = drop_empty_blocks(merged)
+    # `merged` is consumed twice (members + flag_rows); unpinned, the
+    # whole upstream chain incl. the groupby-Max exchange would run
+    # twice.  It is one int64 row per doc (4 cols, grouped by doc_id so
+    # ≤ #docs rows), so pin it behind the session-cache row gate — gated
+    # on the CHEAP parquet-metadata docs.count(), not merged.count()
+    # (which would itself execute the chain).  Past the gate accept the
+    # double execution rather than pinning an unbounded table.
+    if docs.count() <= _SESSION_CACHE_MAX_ROWS:
+        merged = merged.materialize()
 
     def pick(t: pa.Table) -> pa.Table:
         sch = pa.schema([("doc_id", pa.int64()),

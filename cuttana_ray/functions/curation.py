@@ -29,6 +29,10 @@ import pyarrow.compute as pc
 
 STAGES = ["all", "lang_en", "quality", "exact_dedup", "decontam"]
 
+# Row gate for pinning the full documents dataset across the funnel's
+# three consumers; past this, branches recompute from the lazy read.
+_FUNNEL_PIN_MAX_ROWS = 50_000_000
+
 
 def curation_funnel(docs: "ray.data.Dataset", quality_min: float = 0.5,
                     bench_mod: int = 97, text_col: str = "text",
@@ -52,7 +56,12 @@ def curation_funnel(docs: "ray.data.Dataset", quality_min: float = 0.5,
     from cuttana_ray.functions.dedup import exact_dedup
     from cuttana_ray.functions.textstats import _LangId, _QualityScorer
 
-    docs = docs.materialize()   # consumed by 3 branches below
+    # Consumed by 3 branches below. Pinning the corpus (incl. text) is
+    # size-gated like every other multi-consumer cache in the package:
+    # under the gate one materialize beats three re-reads; above it we
+    # stream and let each branch re-execute the (column-pruned) read.
+    if docs.count() <= _FUNNEL_PIN_MAX_ROWS:
+        docs = docs.materialize()
 
     def bench_only(t: pa.Table) -> pa.Table:
         if len(t) == 0 or id_col not in t.column_names:
@@ -207,8 +216,17 @@ def source_quality_calibration(docs: "ray.data.Dataset", q: float = 0.75,
         if len(t) == 0 or "source" not in t.column_names:
             return sch.empty_table()
         sa, tv = ray.get(ref)
-        idx = pc.index_in(t["source"].combine_chunks(), value_set=sa) \
-            .to_numpy(zero_copy_only=False)
+        idx_a = pc.index_in(t["source"].combine_chunks(), value_set=sa)
+        # a null/unmatched source yields a null index — drop those rows
+        # (exactly what the join-based shape did) instead of crashing
+        # on the numpy fancy-index below
+        ok = pc.is_valid(idx_a)
+        if not pc.all(ok).as_py():
+            t = t.filter(ok)
+            idx_a = idx_a.filter(ok)
+            if len(t) == 0:
+                return sch.empty_table()
+        idx = idx_a.to_numpy(zero_copy_only=False)
         qv = t["quality"].to_numpy(zero_copy_only=False)
         keep = (qv >= tv[idx]).astype(np.int64)
         n = np.bincount(idx, minlength=len(tv)).astype(np.int64)

@@ -246,6 +246,10 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
         grouped_float_quantiles(ds.select_columns([key, col]), key, col,
                                 [0.5]).drop_columns(["q"])
         .rename_columns({"value": "_med"}))
+    # O(#keys) by construction — pin it so count() + the downstream
+    # consumer (local_table or safe_join) don't re-run the full per-key
+    # median exchange over the input twice.
+    med = med.materialize()
     n_keys = med.count()
     if n_keys == 0:      # empty input: no key ever reaches either path
         sch = ds.schema()
@@ -263,8 +267,13 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
         ref = ray.put((med_keys, med_vals))
 
         def dev_b(t: pa.Table) -> pa.Table:
-            sch = pa.schema([(key, t.schema.field(key).type if len(t)
-                              else pa.int64()), ("_dev", pa.float64())])
+            # key type from the schema even for empty batches (an empty
+            # upstream block must not flip a string key to int64 and
+            # poison the downstream groupby); med_keys.type is the
+            # authoritative fallback when the column is missing.
+            ktype = (t.schema.field(key).type
+                     if key in t.column_names else med_keys.type)
+            sch = pa.schema([(key, ktype), ("_dev", pa.float64())])
             if len(t) == 0 or key not in t.column_names:
                 return sch.empty_table()
             ka, mv = ray.get(ref)
@@ -301,8 +310,9 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
     joined = safe_join(ds.select_columns([key, col]), med, join_type="inner", num_partitions=8, on=(key,))
 
     def dev(t: pa.Table) -> pa.Table:
-        sch = pa.schema([(key, t.schema.field(key).type if len(t)
-                          else pa.int64()), ("_dev", pa.float64()),
+        sch = pa.schema([(key, t.schema.field(key).type
+                          if key in t.column_names else pa.int64()),
+                         ("_dev", pa.float64()),
                          ("_med", pa.float64())])
         if len(t) == 0:
             return sch.empty_table()
@@ -321,8 +331,9 @@ def grouped_mad(ds: "ray.data.Dataset", key: str, col: str,
                                        num_partitions=8, on=(key,))
 
     def finish(t: pa.Table) -> pa.Table:
-        sch = pa.schema([(key, t.schema.field(key).type if len(t)
-                          else pa.int64()), ("med", pa.float64()),
+        sch = pa.schema([(key, t.schema.field(key).type
+                          if key in t.column_names else pa.int64()),
+                         ("med", pa.float64()),
                          ("mad", pa.float64())])
         if len(t) == 0:
             return sch.empty_table()
