@@ -33,9 +33,17 @@ Cuttana-quality partitioning in this regime is
 ``bigv_cuttana_assignment`` — the sequential streaming partitioner
 (``state/partitioner.py``, O(V) state by the reference's own design) runs
 inside ONE Ray task over the sorted-hash-id adjacency, and its assignment
-is carried as a distributed (node_id → partition) Dataset consumed by
-JOIN (``partition_quality_join`` for cut metrics) — the driver never
-holds a partition vector.
+is carried as a distributed (node_id → partition) Dataset. It is consumed
+two ways, never as a dense vector: by JOIN for cut metrics
+(``partition_quality_join``) and — the point of the whole exercise — as
+the SHARD OWNERSHIP of the BSP pool (``HashShardPool(assignment=...)``):
+``attach_edge_partitions`` carries both endpoint partitions through the
+one routing exchange, each shard rebuilds owner(id) for exactly the ids
+its own rows reference from the carried columns (a local sparse map,
+O(local edges)), and the FENNEL-quality cut shows up directly as fewer
+boundary messages per superstep (``exchange_stats``) — the reference's
+cut-quality-reduces-communication purpose
+(/root/reference/src/partition.rs:88-100) realized at big-V scale.
 """
 
 from __future__ import annotations
@@ -196,15 +204,31 @@ class HashShard(_BSPShardMixin):
 
     def __init__(self, block_refs: list, owner: int, k: int,
                  hubs: np.ndarray | None = None,
-                 pre_routed: bool = False):
+                 pre_routed: bool = False,
+                 hub_parts: np.ndarray | None = None,
+                 parts_routed: bool = False):
         self.owner = owner
         self.k = k
+        self.parts_routed = bool(parts_routed)
+        if parts_routed and not pre_routed:
+            raise ValueError("parts_routed requires pre-routed blocks "
+                             "(attach_edge_partitions + route_edge_blocks)")
         self.hubs = np.sort(np.asarray(hubs, np.int64)) \
             if hubs is not None and len(hubs) else np.empty(0, np.int64)
-        self.hub_owner = (self.hubs % k).astype(np.int64)
+        if parts_routed:
+            # hub ownership under the Cuttana assignment, aligned with
+            # the SORTED hub list (the pool looks the parts up once,
+            # distributed, and broadcasts the small aligned array)
+            if hub_parts is None or len(hub_parts) != len(self.hubs):
+                raise ValueError("parts_routed shard needs hub_parts "
+                                 "aligned with the sorted hub list")
+            self.hub_owner = np.asarray(hub_parts, np.int64)
+        else:
+            self.hub_owner = (self.hubs % k).astype(np.int64)
         srcs, dsts, ws = [], [], []
         hsrcs, hdsts, hws = [], [], []
         osrc, osw = [], []
+        pm_ids, pm_parts = [], []
         for ref in block_refs:
             t = ray.get(ref)
             if len(t) == 0 or "dst" not in t.column_names:
@@ -218,14 +242,29 @@ class HashShard(_BSPShardMixin):
                 role = t["role"].to_numpy(zero_copy_only=False)
                 keep = role == 0
                 ks = role == 1
+                if parts_routed:
+                    sp = t["src_part"].to_numpy(zero_copy_only=False)
+                    dp = t["dst_part"].to_numpy(zero_copy_only=False)
+                    # local sparse ownership map: every id this shard will
+                    # ever reference appears on one of its own rows with
+                    # its partition carried — O(local edges) state, no
+                    # global partition vector anywhere (the whole point)
+                    pm_ids.append(src)
+                    pm_parts.append(sp)
+                    pm_ids.append(dst)
+                    pm_parts.append(dp)
+                    own_dst = dp == owner
+                    own_src = sp == owner
+                else:
+                    own_dst = (dst % k) == owner
+                    own_src = (src % k) == owner
                 # routing invariant: role-0 rows are OUR non-hub in-edges,
                 # role-1 rows are OUR owned-src rows. A violation means
                 # route_edge_blocks delivered another shard's rows (the
                 # mixed-block bug class) — fail loudly, a silent drop or
                 # double-count corrupts every downstream algorithm.
-                if (keep & (((dst % k) != owner)
-                            | _insorted(self.hubs, dst))).any() \
-                        or (ks & ((src % k) != owner)).any():
+                if (keep & (~own_dst | _insorted(self.hubs, dst))).any() \
+                        or (ks & ~own_src).any():
                     raise ValueError(
                         f"HashShard {owner}: received misrouted edge rows "
                         "(route_edge_blocks invariant violated)")
@@ -297,6 +336,37 @@ class HashShard(_BSPShardMixin):
         self.owned_hubs = self.hubs[self.hub_owner == owner]
         self.owned_all = np.unique(np.concatenate(
             [self.owned_dst, self.osrc, self.owned_hubs]))
+        # sparse (sorted ids → partition) map for parts-routed ownership;
+        # covers exactly the ids referenced by this shard's rows (plus the
+        # broadcast hub list via hub_owner), which is a superset of
+        # refs_sorted — prepare1 resolves every owner lookup locally
+        if pm_ids:
+            ids_all = np.concatenate(pm_ids)
+            parts_all = np.concatenate(pm_parts)
+            self.pmap_ids, first = np.unique(ids_all, return_index=True)
+            self.pmap_parts = parts_all[first].astype(np.int64)
+        else:
+            self.pmap_ids = np.empty(0, np.int64)
+            self.pmap_parts = np.empty(0, np.int64)
+
+    def _owner_of(self, ids: np.ndarray) -> np.ndarray:
+        """Owning shard of each id: ``id % k`` in hash mode, the carried
+        Cuttana assignment (local sparse map) in parts-routed mode."""
+        ids = np.asarray(ids, np.int64)
+        if not self.parts_routed:
+            return (ids % self.k).astype(np.int64)
+        if len(ids) == 0:
+            return np.empty(0, np.int64)
+        if len(self.pmap_ids) == 0:
+            raise ValueError(f"HashShard {self.owner}: owner lookup with "
+                             "an empty local partition map")
+        pos = np.minimum(np.searchsorted(self.pmap_ids, ids),
+                         len(self.pmap_ids) - 1)
+        if not (self.pmap_ids[pos] == ids).all():
+            raise ValueError(
+                f"HashShard {self.owner}: referenced an id whose "
+                "partition was never carried on a local row")
+        return self.pmap_parts[pos]
 
     def ready(self) -> int:
         """Owned-vertex count (each id is owned by exactly one shard)."""
@@ -311,8 +381,10 @@ class HashShard(_BSPShardMixin):
         self.pos_src = np.searchsorted(self.refs_sorted, self.src)
         self.pos_owned = np.searchsorted(self.refs_sorted, self.owned_all)
         self.pos_inedge = np.searchsorted(self.owned_all, self.owned_dst)
-        remote = self.refs_sorted[(self.refs_sorted % self.k) != self.owner]
-        owners = remote % self.k
+        owners_all = self._owner_of(self.refs_sorted)
+        remote_mask = owners_all != self.owner
+        remote = self.refs_sorted[remote_mask]
+        owners = owners_all[remote_mask]
         self.pos_need = {}
         need: dict[int, np.ndarray] = {}
         for q in np.unique(owners).tolist():
@@ -376,6 +448,22 @@ class HashShard(_BSPShardMixin):
         self.dangling_owned = outw[self.pos_owned] == 0.0
         self.vals = np.full(len(self.refs_sorted), 1.0 / V)
         return int(self.dangling_owned.sum())
+
+    def exchange_stats(self) -> dict:
+        """Static per-round BSP message footprint from THIS shard (valid
+        after the prepare exchange; payload sizes don't change across
+        rounds, only values do): boundary gather values = owned ranks
+        peers reference (one float64 each per round), hub vector floats =
+        per-hub-owner partial vectors. This is the number the whole
+        Cuttana exercise exists to shrink — cut quality realized as fewer
+        exchanged bytes per superstep."""
+        val_cnt = sum(len(ix) for p, ix in self.out_idx.items()
+                      if p != self.owner)
+        hub_cnt = sum(qlen for q, (_, _, qlen) in self.hub_send.items()
+                      if q != self.owner)
+        return {"boundary_values": int(val_cnt),
+                "hub_vector_floats": int(hub_cnt),
+                "bytes_per_round": 8 * int(val_cnt + hub_cnt)}
 
     # -- hub-split messaging (see class docstring) --------------------------
 
@@ -704,8 +792,137 @@ def _split_block(t: pa.Table):
         yield t.filter(pa.array(parts == p))
 
 
-def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
-                      ) -> list[list]:
+def lookup_partitions(assign: "ray.data.Dataset", ids: np.ndarray
+                      ) -> np.ndarray:
+    """Partition of each id in a SMALL driver-held id list (e.g. the hub
+    list, ≤ 2^20 by ``discover_hubs``' cap) under a distributed
+    (node_id → partition) assignment: broadcast the sorted id list, filter
+    the assignment distributed, collect ≤ len(ids) rows. Raises if any id
+    has no assignment row — a silent default would mis-route its edges."""
+    ids = np.asarray(ids, np.int64)
+    if len(ids) == 0:
+        return np.empty(0, np.int64)
+    ids_sorted = np.sort(ids)
+    ref = ray.put(ids_sorted)
+
+    def pick(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("node_id", pa.int64()),
+                         ("partition", pa.int64())])
+        if len(t) == 0 or "node_id" not in t.column_names:
+            return sch.empty_table()
+        nid = t["node_id"].to_numpy(zero_copy_only=False)
+        hit = _insorted(ray.get(ref), nid)
+        if not hit.any():
+            return sch.empty_table()
+        return pa.table({
+            "node_id": pa.array(nid[hit], pa.int64()),
+            "partition": pc.cast(t["partition"], pa.int64())
+            .take(pa.array(np.nonzero(hit)[0]))}).cast(sch)
+
+    rows = assign.map_batches(pick, batch_format="pyarrow").take_all()
+    if len(rows) < len(ids):
+        raise ValueError(
+            f"lookup_partitions: {len(ids) - len(rows)} ids have no "
+            "assignment row; the assignment must cover every vertex")
+    out = np.empty(len(ids), np.int64)
+    got_ids = np.array([r["node_id"] for r in rows], np.int64)
+    got_parts = np.array([r["partition"] for r in rows], np.int64)
+    pos = np.searchsorted(ids_sorted, got_ids)
+    aligned = np.empty(len(ids), np.int64)
+    aligned[pos] = got_parts
+    # map back from sorted order to the caller's order
+    out[np.argsort(ids, kind="stable")] = aligned
+    return out
+
+
+# Above this assignment size the per-endpoint partition attach switches
+# from a broadcast sorted-array lookup (one ray.put, zero exchanges) to
+# two distributed hash joins. 2^22 int64 pairs ≈ 64 MiB broadcast.
+CUTTANA_ATTACH_BROADCAST_MAX = 1 << 22
+
+
+def attach_edge_partitions(enc: "ray.data.Dataset",
+                           assign: "ray.data.Dataset",
+                           broadcast_max: int | None = None
+                           ) -> "ray.data.Dataset":
+    """Carry both endpoint partitions onto every edge row:
+    ``(src, dst, weight)`` + ``(node_id → partition)`` →
+    ``(src, dst, weight, src_part, dst_part)``.
+
+    This is the step that lets the BSP shards route by CUTTANA-QUALITY
+    ownership with **no O(V) partition vector anywhere**: downstream,
+    each shard rebuilds owner(id) for exactly the ids its own edge rows
+    reference, from the carried columns — the partition map stays a
+    distributed table end to end.
+
+    Under ``broadcast_max`` assigned vertices the map ships once as a
+    sorted (ids, parts) numpy pair (``ray.put``, node-shared zero-copy);
+    above it, two distributed hash joins attach the endpoints (the same
+    shape ``partition_quality_join`` uses). Both paths raise/drop-check
+    on missing ids rather than silently defaulting an owner."""
+    from cuttana_ray.util import local_table, safe_join
+
+    if broadcast_max is None:
+        broadcast_max = CUTTANA_ATTACH_BROADCAST_MAX
+    sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                     ("weight", pa.int64()),
+                     ("src_part", pa.int64()), ("dst_part", pa.int64())])
+    n = assign.count()
+    if n <= broadcast_max:
+        at = local_table(assign)
+        ids = at["node_id"].to_numpy(zero_copy_only=False)
+        parts = at["partition"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ref = ray.put((ids[order], parts[order]))
+
+        def att(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "src" not in t.column_names:
+                return sch.empty_table()
+            ids_s, parts_s = ray.get(ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            pos_s = np.searchsorted(ids_s, src)
+            pos_d = np.searchsorted(ids_s, dst)
+            pos_sc = np.minimum(pos_s, len(ids_s) - 1)
+            pos_dc = np.minimum(pos_d, len(ids_s) - 1)
+            if not ((ids_s[pos_sc] == src).all()
+                    and (ids_s[pos_dc] == dst).all()):
+                raise ValueError("attach_edge_partitions: edge endpoint "
+                                 "missing from the assignment")
+            return pa.table({
+                "src": t["src"], "dst": t["dst"],
+                "weight": pc.cast(t["weight"], pa.int64()),
+                "src_part": pa.array(parts_s[pos_sc]),
+                "dst_part": pa.array(parts_s[pos_dc])}).cast(sch)
+
+        return enc.map_batches(att, batch_format="pyarrow")
+
+    from cuttana_ray.util import pool_size
+    npart = max(1, min(pool_size()[1], enc.count() // 262144 + 1))
+    j = safe_join(
+        safe_join(enc, assign.rename_columns({"node_id": "_s",
+                                              "partition": "src_part"}),
+                  join_type="inner", num_partitions=npart,
+                  on=("src",), right_on=("_s",)),
+        assign.rename_columns({"node_id": "_d", "partition": "dst_part"}),
+        join_type="inner", num_partitions=npart,
+        on=("dst",), right_on=("_d",))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "src" not in t.column_names:
+            return sch.empty_table()
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "weight": pc.cast(t["weight"], pa.int64()),
+            "src_part": pc.cast(t["src_part"], pa.int64()),
+            "dst_part": pc.cast(t["dst_part"], pa.int64())}).cast(sch)
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray,
+                      by_partition: bool = False) -> list[list]:
     """ONE distributed exchange routing every edge row to exactly the
     shard(s) that consume it — replacing the naive construction where all
     k shards fetch the FULL edge table and filter locally (O(k·E) network
@@ -717,6 +934,12 @@ def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
     * hub rows ship ONCE, to owner(src) (``role`` 1), where they serve
       both the out-weight partials and the vertex-cut hub CSR.
 
+    ``by_partition=False`` routes by the hash baseline ``id % k``;
+    ``by_partition=True`` expects ``attach_edge_partitions`` output
+    (carried ``src_part``/``dst_part`` columns) and routes by the
+    CARRIED Cuttana assignment instead — the columns ride along so the
+    receiving shard can rebuild local ownership with no global map.
+
     Returns per-shard lists of Arrow block refs (each block single-part by
     construction of the groupby).
     """
@@ -724,9 +947,12 @@ def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
         else np.empty(0, np.int64)
 
     def tag(t: pa.Table) -> pa.Table:
-        sch = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
-                         ("weight", pa.int64()), ("part", pa.int64()),
-                         ("role", pa.int8())])
+        cols = [("src", pa.int64()), ("dst", pa.int64()),
+                ("weight", pa.int64()), ("part", pa.int64()),
+                ("role", pa.int8())]
+        if by_partition:
+            cols += [("src_part", pa.int64()), ("dst_part", pa.int64())]
+        sch = pa.schema(cols)
         if len(t) == 0 or "dst" not in t.column_names:
             return sch.empty_table()
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -734,17 +960,28 @@ def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray
         w = t["weight"].to_numpy(zero_copy_only=False)
         dst_hub = _insorted(hubs_sorted, dst)
         nh = ~dst_hub
-        return pa.table({
+        if by_partition:
+            sp = t["src_part"].to_numpy(zero_copy_only=False)
+            dp = t["dst_part"].to_numpy(zero_copy_only=False)
+            part = np.concatenate([dp[nh], sp]).astype(np.int64)
+        else:
+            part = np.concatenate([dst[nh] % k, src % k]).astype(np.int64)
+        out = {
             "src": pa.array(np.concatenate([src[nh], src]), pa.int64()),
             "dst": pa.array(np.concatenate([dst[nh], dst]), pa.int64()),
             "weight": pa.array(
                 np.concatenate([w[nh], w]).astype(np.int64)),
-            "part": pa.array(np.concatenate(
-                [dst[nh] % k, src % k]).astype(np.int64)),
+            "part": pa.array(part),
             "role": pa.array(np.concatenate(
                 [np.zeros(int(nh.sum()), np.int8),
                  np.ones(len(src), np.int8)])),
-        })
+        }
+        if by_partition:
+            out["src_part"] = pa.array(
+                np.concatenate([sp[nh], sp]).astype(np.int64))
+            out["dst_part"] = pa.array(
+                np.concatenate([dp[nh], dp]).astype(np.int64))
+        return pa.table(out)
 
     grouped = enc.map_batches(tag, batch_format="pyarrow") \
         .groupby("part") \
@@ -791,14 +1028,40 @@ class HashShardPool:
     def __init__(self, edges: "ray.data.Dataset", num_shards: int,
                  num_cpus_per_shard: float | None = None,
                  hub_degree_threshold: int | None = None,
-                 pre_route: bool = True):
+                 pre_route: bool = True,
+                 assignment: "ray.data.Dataset | None" = None,
+                 edge_count: int | None = None):
+        """``assignment``: optional distributed (node_id → partition)
+        table (``bigv_cuttana_assignment``) with partitions in
+        [0, num_shards). When given, shard ownership IS the Cuttana
+        partition — edges carry both endpoint partitions through one
+        routing exchange and the shards rebuild ownership from the
+        carried columns, so the FENNEL-quality cut shows up directly as
+        fewer boundary messages per BSP round (``exchange_stats``).
+        This closes the loop on the reference's purpose: cut quality
+        reducing communication (/root/reference/src/partition.rs:88-100).
+        ``edge_count``: pass a known ``edges.count()`` to skip the extra
+        count pass (callers that session-cache the graph build know it)."""
+        if edge_count is None:
+            edge_count = edges.count()
         if hub_degree_threshold is None:
             hub_degree_threshold = max(
-                64, edges.count() // max(1, 4 * num_shards))
+                64, edge_count // max(1, 4 * num_shards))
         self.hub_degree_threshold = int(hub_degree_threshold)
         self.hubs = discover_hubs(edges, self.hub_degree_threshold)
         hubs_ref = ray.put(self.hubs)
-        if pre_route:
+        self.by_partition = assignment is not None
+        hub_parts_ref = None
+        if self.by_partition:
+            if not pre_route:
+                raise ValueError(
+                    "assignment routing requires pre_route=True")
+            hub_parts = lookup_partitions(assignment, self.hubs)
+            hub_parts_ref = ray.put(hub_parts)
+            edges_p = attach_edge_partitions(edges, assignment)
+            buckets = route_edge_blocks(edges_p, num_shards, self.hubs,
+                                        by_partition=True)
+        elif pre_route:
             # one exchange hands each shard only its own rows (O(E) total
             # traffic); the naive path ships the whole table k times
             buckets = route_edge_blocks(edges, num_shards, self.hubs)
@@ -812,9 +1075,26 @@ class HashShardPool:
             num_cpus_per_shard = shard_cpu_reservation(total, num_shards)
         cls = HashShard.options(num_cpus=num_cpus_per_shard)
         self.shards = [cls.remote(buckets[p], p, num_shards, hubs_ref,
-                                  pre_route)
+                                  pre_route, hub_parts_ref,
+                                  self.by_partition)
                        for p in range(num_shards)]
         self.V = int(sum(ray.get([s.ready.remote() for s in self.shards])))
+
+    def exchange_stats(self) -> dict:
+        """Pool-wide static per-round message footprint (call after any
+        algorithm's prepare has run — e.g. after ``pagerank``): total
+        boundary gather values + hub partial floats + bytes/round, the
+        direct measure of how much the partition quality shrinks BSP
+        communication vs the ``id % k`` baseline."""
+        per = ray.get([s.exchange_stats.remote() for s in self.shards])
+        out = {"boundary_values": 0, "hub_vector_floats": 0,
+               "bytes_per_round": 0}
+        for d in per:
+            for kk in out:
+                out[kk] += d[kk]
+        out["num_shards"] = len(self.shards)
+        out["routing"] = "cuttana" if self.by_partition else "hash_mod"
+        return out
 
     def shutdown(self) -> None:
         for s in self.shards:
@@ -1421,18 +1701,23 @@ def bigv_cuttana_assignment(enc: "ray.data.Dataset", k: int,
 
 
 def partition_quality_join(enc: "ray.data.Dataset",
-                           assign: "ray.data.Dataset", k: int) -> dict:
+                           assign: "ray.data.Dataset", k: int,
+                           edge_count: int | None = None) -> dict:
     """Cut metrics for a symmetrized hash-id edge table under a
     DISTRIBUTED assignment: both endpoint partitions attach by hash join
     (the big-V replacement for ``stages/metrics.partition_quality``'s
     broadcast dense vector), per-batch (cut, total) partials combine on
     the driver, and balance comes from one k-row groupby. Definitions
     match the reference exactly (``assignment.rs:87-99``): cut counts
-    each undirected edge once; edge_count counts directed endpoints."""
+    each undirected edge once; edge_count counts directed endpoints.
+    ``edge_count``: pass a known ``enc.count()`` (callers that
+    session-cache the graph build have it) to skip the sizing count."""
     from ray.data.aggregate import Count
     from cuttana_ray.util import pool_size, safe_join
 
-    npart = max(1, min(pool_size()[1], enc.count() // 262144 + 1))
+    if edge_count is None:
+        edge_count = enc.count()
+    npart = max(1, min(pool_size()[1], edge_count // 262144 + 1))
     j = safe_join(
         safe_join(enc.select_columns(["src", "dst"]),
                   assign.rename_columns({"node_id": "_s",
@@ -1454,13 +1739,15 @@ def partition_quality_join(enc: "ray.data.Dataset",
             "total": pa.array([len(ps)], pa.int64())}).cast(sch)
 
     doubled_cut = 0
-    edge_count = 0
+    measured_edges = 0
     for b in j.map_batches(counter, batch_format="pyarrow") \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
         if len(b) == 0 or "cut" not in b.column_names:
             continue
         doubled_cut += int(b["cut"].to_numpy(zero_copy_only=False).sum())
-        edge_count += int(b["total"].to_numpy(zero_copy_only=False).sum())
+        measured_edges += int(
+            b["total"].to_numpy(zero_copy_only=False).sum())
+    edge_count = measured_edges
     cut_count = doubled_cut // 2
     sizes = np.zeros(k, np.int64)
     for b in assign.groupby("partition").aggregate(

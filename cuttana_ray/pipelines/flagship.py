@@ -155,7 +155,8 @@ def run_flagship(transcripts: "ray.data.Dataset", workdir: str,
 def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
                       num_shards: int = 16, pagerank_tol: float = 1e-6,
                       lpa_iters: int = 10,
-                      check_collisions: bool = True) -> dict:
+                      check_collisions: bool = True,
+                      routing: str = "hash") -> dict:
     """North-star-regime flagship: the same lifecycle as ``run_flagship``
     but with NO O(V) object on the driver (or any single node) at any
     point — the 10^11-vertex path (``pipelines/bigv.py`` module docstring):
@@ -165,19 +166,33 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
     ``id % k`` cut/balance metrics → ``HashShardPool`` BSP PageRank +
     components + label propagation → per-shard Parquet results + lineage.
 
+    ``routing="cuttana"`` additionally runs the Cuttana-quality
+    partitioner over the hash-id adjacency (checkpointed under
+    ``assignments_bigv`` with the stream metrics in its manifest, so a
+    resumed run skips the sequential pass) and keys SHARD OWNERSHIP by
+    that assignment — the reference's cut-quality-reduces-communication
+    purpose realized in the big-V regime; lineage then carries both
+    cut-quality dicts and the pool's measured per-round exchange
+    footprint (``exchange_stats``) for the routing actually used.
+
     The driver routes object refs and scalars only; results land as
     manifest-gated Parquet stage directories (one file per shard), so a
     rerun with the same ``workdir`` skips finished stages.
     """
     from cuttana_ray.pipelines.bigv import (
         HashShardPool,
+        bigv_cuttana_assignment,
         check_hash_collisions,
         hash_encode_edges,
         hash_mod_quality,
+        partition_quality_join,
         symmetrize_string_edges,
     )
     from cuttana_ray.stages.edges import transcript_edges
 
+    if routing not in ("hash", "cuttana"):
+        raise ValueError(f"routing must be 'hash' or 'cuttana', "
+                         f"got {routing!r}")
     os.makedirs(workdir, exist_ok=True)
 
     # full resume: when every output stage is manifest-complete and the
@@ -221,12 +236,40 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
     quality = hash_mod_quality(enc, num_shards)
     t0 = clock("quality_metrics", t0)
 
-    pool = HashShardPool(enc, num_shards)
+    assignment = None
+    quality_cuttana = None
+    if routing == "cuttana":
+        # Cuttana-quality assignment as a checkpointed stage: the
+        # sequential streaming pass is the expensive, deterministic part
+        # (reference src/cuttana.rs lifecycle) — a resumed run reloads
+        # the (node_id → partition) parquet and its manifest metrics
+        # instead of re-streaming the adjacency
+        assign_dir = os.path.join(workdir, "assignments_bigv")
+        if ckpt.is_complete(assign_dir):
+            assignment = ray.data.read_parquet(
+                assign_dir, file_extensions=["parquet"]).materialize()
+            stream_info = ckpt.read_manifest(assign_dir)
+        else:
+            assignment, stream_info = bigv_cuttana_assignment(
+                enc, k=num_shards)
+            assignment = ckpt.write_stage(assignment, assign_dir,
+                                          meta=stream_info)
+        quality_cuttana = partition_quality_join(
+            enc, assignment, num_shards,
+            edge_count=quality["edge_count"])
+        t0 = clock("cuttana_partition", t0)
+
+    pool = HashShardPool(enc, num_shards, assignment=assignment,
+                         edge_count=quality["edge_count"])
     V = pool.V
+    exchange = None
     try:
         # per-shard (= per-partition) iteration checkpoints + resume
         pr, pr_ds = pool.pagerank(tol=pagerank_tol, workdir=workdir,
                                   resume=True)
+        # static per-round BSP message footprint under the routing in
+        # use (valid once pagerank's prepare has run)
+        exchange = pool.exchange_stats()
         ckpt.write_stage(pr_ds, os.path.join(workdir, "rank_bigv"))
         cc, cc_ds = pool.connected_components(workdir=workdir, resume=True)
         comp_ds = ckpt.write_stage(
@@ -264,7 +307,10 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
         "num_vertices": V,
         "edge_count": E,
         "edges_stage": edge_meta,
+        "routing": routing,
         "quality_hash_mod": quality,
+        "quality_cuttana": quality_cuttana,
+        "exchange_stats": exchange,
         "pagerank": {"iterations": pr.iterations, "converged": pr.converged,
                      "sec_per_iter": pr_iter_secs,
                      "edges_per_sec_per_iter":

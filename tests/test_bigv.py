@@ -592,3 +592,149 @@ def test_bigv_cuttana_assignment_quality_beats_hash(ray_session):
     assert q["balance_factor"] <= 1.3
     # every vertex assigned exactly once, via Dataset ops only
     assert assign.count() == k * per
+
+
+def test_bigv_cuttana_routed_pool_parity_and_exchange(ray_session):
+    """Round-4 verdict next-round #1: the Cuttana assignment ROUTES the
+    BSP shards (HashShardPool(assignment=...)) — same per-vertex results
+    as id%k routing for all three algorithms, while the planted-cluster
+    cut quality shows up as strictly fewer boundary bytes per superstep
+    (the reference's cut-quality-reduces-communication purpose,
+    /root/reference/src/partition.rs:88-100, measured)."""
+    import ray.data as rd
+
+    from cuttana_ray.pipelines.bigv import (
+        HashShardPool,
+        bigv_cuttana_assignment,
+        hash_encode_edges,
+        symmetrize_string_edges,
+    )
+
+    rng = np.random.default_rng(11)
+    k, per = 4, 60
+    src, dst = [], []
+    for c in range(k):
+        names = [f"m{c}_{i}" for i in range(per)]
+        for i in range(per):
+            src.append(names[i]); dst.append(names[(i + 1) % per])
+            src.append(names[i]); dst.append(names[(i + 11) % per])
+            src.append(names[i]); dst.append(names[(i + 23) % per])
+    for _ in range(25):
+        a, b = rng.integers(0, k, 2)
+        if a == b:
+            b = (b + 1) % k
+        src.append(f"m{a}_{rng.integers(0, per)}")
+        dst.append(f"m{b}_{rng.integers(0, per)}")
+    canon = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.string()),
+        "dst": pa.array(dst, pa.string()),
+        "weight": pa.array(np.ones(len(src), np.int64))}))
+    enc = hash_encode_edges(symmetrize_string_edges(canon)).materialize()
+    assign, _ = bigv_cuttana_assignment(enc, k=k)
+    assign = assign.materialize()
+
+    def run(assignment):
+        # low hub threshold so the hub vertex-cut path is exercised in
+        # BOTH routings (hub ownership must follow the assignment too)
+        pool = HashShardPool(enc, k, hub_degree_threshold=10,
+                             assignment=assignment)
+        try:
+            _, pr_ds = pool.pagerank(tol=1e-12, max_iters=50)
+            st = pool.exchange_stats()
+            _, cc_ds = pool.connected_components()
+            _, lp_ds = pool.label_propagation(max_iters=5)
+            pr = pr_ds.to_pandas().sort_values("node_id")
+            cc = cc_ds.to_pandas().sort_values("node_id")
+            lp = lp_ds.to_pandas().sort_values("node_id")
+        finally:
+            pool.shutdown()
+        return pr, cc, lp, st
+
+    pr_h, cc_h, lp_h, st_h = run(None)
+    pr_c, cc_c, lp_c, st_c = run(assign)
+    assert st_h["routing"] == "hash_mod" and st_c["routing"] == "cuttana"
+    assert (pr_h["node_id"].values == pr_c["node_id"].values).all()
+    # per-dst in-edge sums are src-ordered in both routings; only the hub
+    # partial fold order differs → allclose at float-epsilon scale
+    np.testing.assert_allclose(pr_h["rank"].values, pr_c["rank"].values,
+                               rtol=0, atol=1e-12)
+    assert (cc_h["label"].values == cc_c["label"].values).all()
+    assert (lp_h["label"].values == lp_c["label"].values).all()
+    # the planted-cluster cut must materialize as less BSP communication
+    assert st_c["bytes_per_round"] < st_h["bytes_per_round"]
+
+
+def test_attach_edge_partitions_paths_agree_and_raise(ray_session):
+    """Broadcast and join attach paths produce identical carried
+    partitions; a missing endpoint raises (broadcast path) instead of
+    silently defaulting an owner."""
+    import ray.data as rd
+
+    from cuttana_ray.pipelines.bigv import attach_edge_partitions
+
+    enc = rd.from_arrow(pa.table({
+        "src": pa.array([1, 2, 3, 4], pa.int64()),
+        "dst": pa.array([2, 3, 4, 1], pa.int64()),
+        "weight": pa.array([1, 1, 1, 1], pa.int64())}))
+    assign = rd.from_arrow(pa.table({
+        "node_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "partition": pa.array([0, 0, 1, 1], pa.int32())}))
+    a = attach_edge_partitions(enc, assign).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    b = attach_edge_partitions(enc, assign, broadcast_max=0).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert (a["src_part"].values == b["src_part"].values).all()
+    assert (a["dst_part"].values == b["dst_part"].values).all()
+    assert list(a["src_part"]) == [0, 0, 1, 1]
+    assert list(a["dst_part"]) == [0, 1, 1, 0]
+
+    missing = rd.from_arrow(pa.table({
+        "node_id": pa.array([1, 2, 3], pa.int64()),
+        "partition": pa.array([0, 0, 1], pa.int32())}))
+    with pytest.raises(Exception, match="missing from the assignment"):
+        attach_edge_partitions(enc, missing).materialize()
+
+
+def test_flagship_bigv_cuttana_routing_checkpoint_resume(tiny_transcripts,
+                                                         tmp_path):
+    """Round-4 verdict next-round #8: with routing='cuttana' the
+    assignment lands as a manifest-gated stage (assignments_bigv) and a
+    resumed run SKIPS the sequential streaming pass (file mtimes
+    untouched) while reproducing identical quality/exchange lineage; the
+    routed results match the hash-routing flagship per vertex."""
+    import os
+
+    from cuttana_ray.pipelines import checkpoint as ckpt
+    from cuttana_ray.pipelines.flagship import run_flagship_bigv
+
+    ds = rd.from_arrow(tiny_transcripts).repartition(5)
+    wd_c = str(tmp_path / "bigv_cuttana")
+    lin1 = run_flagship_bigv(ds, wd_c, num_shards=4, lpa_iters=4,
+                             routing="cuttana")
+    assert lin1["routing"] == "cuttana"
+    assert lin1["exchange_stats"]["routing"] == "cuttana"
+    assert lin1["quality_cuttana"]["edge_cut_ratio"] <= 1.0
+    adir = f"{wd_c}/assignments_bigv"
+    assert ckpt.is_complete(adir)
+    mtimes = {f: os.path.getmtime(os.path.join(adir, f))
+              for f in os.listdir(adir)}
+
+    # force a re-run of the lifecycle (not the full-resume short-circuit)
+    os.remove(f"{wd_c}/lineage.json")
+    lin2 = run_flagship_bigv(ds, wd_c, num_shards=4, lpa_iters=4,
+                             routing="cuttana")
+    assert {f: os.path.getmtime(os.path.join(adir, f))
+            for f in os.listdir(adir)} == mtimes   # stage skipped
+    assert lin2["quality_cuttana"] == lin1["quality_cuttana"]
+    assert lin2["exchange_stats"] == lin1["exchange_stats"]
+
+    # hash-routing flagship on the same input: per-vertex rank parity
+    wd_h = str(tmp_path / "bigv_hash")
+    run_flagship_bigv(ds, wd_h, num_shards=4, lpa_iters=4)
+    rc = ckpt.read_table(f"{wd_c}/rank_bigv").to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    rh = ckpt.read_table(f"{wd_h}/rank_bigv").to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    assert (rc["node_id"].values == rh["node_id"].values).all()
+    np.testing.assert_allclose(rc["rank"].values, rh["rank"].values,
+                               rtol=0, atol=1e-12)
