@@ -987,13 +987,20 @@ def route_edge_blocks(enc: "ray.data.Dataset", k: int, hubs: np.ndarray,
         .groupby("part") \
         .map_groups(lambda t: t, batch_format="pyarrow") \
         .materialize()
+    return bucket_grouped_blocks(grouped, k)
+
+
+def bucket_grouped_blocks(grouped: "ray.data.Dataset", k: int
+                          ) -> list[list]:
+    """Per-``part`` lists of single-part Arrow block refs from a
+    ``groupby("part").map_groups`` output. The sort-shuffle sorts by key
+    but does NOT guarantee one group per output block — its range
+    partitioning can pack several parts into one block
+    (block-boundary-dependent, so it shows up flakily). Read the full
+    distinct-part set per block; the common single-part block ships
+    as-is, a mixed block is split in one remote task (per-part
+    sub-blocks stay in the object store, never on the driver)."""
     refs = grouped.to_arrow_refs()
-    # groupby().map_groups sorts by key but does NOT guarantee one group
-    # per output block — the sort-shuffle's range partitioning can pack
-    # several parts into one block (block-boundary-dependent, so it shows
-    # up flakily). Read the full distinct-part set per block; the common
-    # single-part block ships as-is, a mixed block is split in one remote
-    # task (per-part sub-blocks stay in the object store).
     parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
     buckets: list[list] = [[] for _ in range(k)]
     for parts, r in zip(parts_per_block, refs):

@@ -1,0 +1,156 @@
+"""Sharded restreaming partitioner (pipelines/bigv_sharded.py) — the
+no-O(V)-in-any-task quality path (r4 verdict next-round #2): planted-
+cluster quality vs the sequential engine and the hash baseline, balance
+bound, bounded per-shard memory, determinism, and drop-in compatibility
+with the Cuttana-routed BSP pool."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _planted_enc(k=4, per=400, seed=31):
+    from cuttana_ray.pipelines.bigv import (
+        hash_encode_edges,
+        symmetrize_string_edges,
+    )
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    for c in range(k):
+        names = [f"n{c}_{i}" for i in range(per)]
+        for i in range(per):
+            for off in (1, 7, 13, 29):
+                src.append(names[i])
+                dst.append(names[(i + off) % per])
+    for _ in range(40 * k):
+        a, b = rng.integers(0, k, 2)
+        if a == b:
+            b = (b + 1) % k
+        src.append(f"n{a}_{rng.integers(0, per)}")
+        dst.append(f"n{b}_{rng.integers(0, per)}")
+    canon = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.string()),
+        "dst": pa.array(dst, pa.string()),
+        "weight": pa.array(np.ones(len(src), np.int64))}))
+    return hash_encode_edges(symmetrize_string_edges(canon)).materialize()
+
+
+def test_sharded_partitioner_quality_memory_balance(ray_session):
+    """Unseeded restreaming (the V-beyond-any-task regime, seed_cap
+    forced below V): cut lands within 1.5× of the sequential partitioner
+    and ≥ 5× below the hash baseline; balance respects the slack bound;
+    per-shard resident state is bounded by |range|·k (asserted from the
+    shards' own telemetry)."""
+    from cuttana_ray.pipelines.bigv import (
+        bigv_cuttana_assignment,
+        partition_quality_join,
+    )
+    from cuttana_ray.pipelines.bigv_sharded import (
+        bigv_cuttana_assignment_sharded,
+    )
+    from cuttana_ray.stages.metrics import cut_metrics_mod
+
+    k = 4
+    enc = _planted_enc(k=k)
+    a_seq, _ = bigv_cuttana_assignment(enc, k=k)
+    q_seq = partition_quality_join(enc, a_seq.materialize(), k)
+
+    assign, info = bigv_cuttana_assignment_sharded(
+        enc, k=k, num_ranges=4, passes=8, seed_cap=1)  # force unseeded
+    q = partition_quality_join(enc, assign, k)
+    hq = cut_metrics_mod(enc, k)
+
+    assert info["vertex_count"] == 4 * 400
+    assert "seed" not in info
+    assert q["edge_cut_ratio"] <= 1.5 * q_seq["edge_cut_ratio"]
+    assert q["edge_cut_ratio"] <= hq["edge_cut_ratio"] / 5.0
+    # balance: per-shard fair-share budgets make slack a construction-
+    # time bound (+ the ceil rounding term)
+    assert q["balance_factor"] <= info["slack"] + 0.02
+    assert info["balance_factor"] == pytest.approx(q["balance_factor"])
+    # bounded per-shard memory, from the shards' own counters
+    for m in info["memory_stats"]:
+        assert m["max_agg_entries"] <= m["range_vertices"] * k
+    # every vertex assigned exactly once
+    assert assign.count() == 4 * 400
+
+
+def test_sharded_partitioner_seeded_refine_beats_or_matches_seq(
+        ray_session):
+    """Seeded-refine mode (graph fits seed_cap): restreaming on top of
+    the sequential assignment must not degrade it (measured: mildly
+    better), and the seed metadata is reported."""
+    from cuttana_ray.pipelines.bigv import (
+        bigv_cuttana_assignment,
+        partition_quality_join,
+    )
+    from cuttana_ray.pipelines.bigv_sharded import (
+        bigv_cuttana_assignment_sharded,
+    )
+
+    k = 4
+    enc = _planted_enc(k=k)
+    a_seq, _ = bigv_cuttana_assignment(enc, k=k)
+    q_seq = partition_quality_join(enc, a_seq.materialize(), k)
+
+    assign, info = bigv_cuttana_assignment_sharded(
+        enc, k=k, num_ranges=4, passes=4, seed_cap=1 << 21)
+    q = partition_quality_join(enc, assign, k)
+    assert info["seed"]["divisor"] == 1
+    assert q["edge_cut_ratio"] <= q_seq["edge_cut_ratio"] * 1.05
+    assert q["balance_factor"] <= info["slack"] + 0.02
+
+
+def test_sharded_partitioner_deterministic(ray_session):
+    """Same input → identical assignment (the exchange order cannot leak
+    into the result: counts are order-independent sums, placement is a
+    deterministic argmax/waterfill)."""
+    from cuttana_ray.pipelines.bigv_sharded import (
+        bigv_cuttana_assignment_sharded,
+    )
+
+    enc = _planted_enc(k=4, per=120)
+    a1, _ = bigv_cuttana_assignment_sharded(enc, k=4, num_ranges=3,
+                                            passes=3, seed_cap=1)
+    a2, _ = bigv_cuttana_assignment_sharded(enc, k=4, num_ranges=3,
+                                            passes=3, seed_cap=1)
+    p1 = a1.to_pandas().sort_values("node_id").reset_index(drop=True)
+    p2 = a2.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (p1["node_id"].values == p2["node_id"].values).all()
+    assert (p1["partition"].values == p2["partition"].values).all()
+
+
+def test_sharded_assignment_routes_bsp_pool(ray_session):
+    """The sharded assignment is a drop-in for the BSP pool's routing
+    (same contract as the sequential assignment): PageRank parity with
+    hash routing, fewer boundary bytes on the planted graph."""
+    from cuttana_ray.pipelines.bigv import HashShardPool
+    from cuttana_ray.pipelines.bigv_sharded import (
+        bigv_cuttana_assignment_sharded,
+    )
+
+    k = 4
+    enc = _planted_enc(k=k, per=150)
+    assign, _ = bigv_cuttana_assignment_sharded(enc, k=k, num_ranges=3,
+                                                passes=6, seed_cap=1)
+    assign = assign.materialize()
+
+    pool_h = HashShardPool(enc, k)
+    try:
+        _, pr_h = pool_h.pagerank(tol=1e-12, max_iters=40)
+        st_h = pool_h.exchange_stats()
+        a = pr_h.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        pool_h.shutdown()
+    pool_c = HashShardPool(enc, k, assignment=assign)
+    try:
+        _, pr_c = pool_c.pagerank(tol=1e-12, max_iters=40)
+        st_c = pool_c.exchange_stats()
+        b = pr_c.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        pool_c.shutdown()
+    assert (a["node_id"].values == b["node_id"].values).all()
+    np.testing.assert_allclose(a["rank"].values, b["rank"].values,
+                               rtol=0, atol=1e-12)
+    assert st_c["bytes_per_round"] < st_h["bytes_per_round"]
