@@ -1731,22 +1731,33 @@ def partition_quality_join(enc: "ray.data.Dataset",
     match the reference exactly (``assignment.rs:87-99``): cut counts
     each undirected edge once; edge_count counts directed endpoints.
     ``edge_count``: pass a known ``enc.count()`` (callers that
-    session-cache the graph build have it) to skip the sizing count."""
+    session-cache the graph build have it) to skip the sizing count.
+
+    Under ``CUTTANA_ATTACH_BROADCAST_MAX`` assigned vertices the
+    endpoint partitions attach via the broadcast sorted-array lookup
+    (``attach_edge_partitions``) — zero joins; past the gate, two
+    distributed hash joins (each join is the measured ~1-2.5 s
+    aggregator fixed cost at ANY size, which dominated this function
+    at contract scale)."""
     from ray.data.aggregate import Count
     from cuttana_ray.util import pool_size, safe_join
 
     if edge_count is None:
         edge_count = enc.count()
-    npart = max(1, min(pool_size()[1], edge_count // 262144 + 1))
-    j = safe_join(
-        safe_join(enc.select_columns(["src", "dst"]),
-                  assign.rename_columns({"node_id": "_s",
-                                         "partition": "p_src"}),
-                  join_type="inner", num_partitions=npart,
-                  on=("src",), right_on=("_s",)),
-        assign.rename_columns({"node_id": "_d", "partition": "p_dst"}),
-        join_type="inner", num_partitions=npart,
-        on=("dst",), right_on=("_d",))
+    if assign.count() <= CUTTANA_ATTACH_BROADCAST_MAX:
+        j = attach_edge_partitions(enc, assign) \
+            .rename_columns({"src_part": "p_src", "dst_part": "p_dst"})
+    else:
+        npart = max(1, min(pool_size()[1], edge_count // 262144 + 1))
+        j = safe_join(
+            safe_join(enc.select_columns(["src", "dst"]),
+                      assign.rename_columns({"node_id": "_s",
+                                             "partition": "p_src"}),
+                      join_type="inner", num_partitions=npart,
+                      on=("src",), right_on=("_s",)),
+            assign.rename_columns({"node_id": "_d", "partition": "p_dst"}),
+            join_type="inner", num_partitions=npart,
+            on=("dst",), right_on=("_d",))
 
     def counter(batch: pa.Table) -> pa.Table:
         sch = pa.schema([("cut", pa.int64()), ("total", pa.int64())])
