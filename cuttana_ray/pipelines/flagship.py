@@ -156,7 +156,8 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
                       num_shards: int = 16, pagerank_tol: float = 1e-6,
                       lpa_iters: int = 10,
                       check_collisions: bool = True,
-                      routing: str = "hash") -> dict:
+                      routing: str = "hash",
+                      partitioner: str = "sequential") -> dict:
     """North-star-regime flagship: the same lifecycle as ``run_flagship``
     but with NO O(V) object on the driver (or any single node) at any
     point — the 10^11-vertex path (``pipelines/bigv.py`` module docstring):
@@ -169,11 +170,17 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
     ``routing="cuttana"`` additionally runs the Cuttana-quality
     partitioner over the hash-id adjacency (checkpointed under
     ``assignments_bigv`` with the stream metrics in its manifest, so a
-    resumed run skips the sequential pass) and keys SHARD OWNERSHIP by
+    resumed run skips the partitioning pass) and keys SHARD OWNERSHIP by
     that assignment — the reference's cut-quality-reduces-communication
     purpose realized in the big-V regime; lineage then carries both
     cut-quality dicts and the pool's measured per-round exchange
     footprint (``exchange_stats``) for the routing actually used.
+    ``partitioner`` picks how that assignment is produced:
+    ``"sequential"`` (default) is the reference-faithful one-task stream
+    (O(V) state in that task, ``bigv_cuttana_assignment``);
+    ``"sharded"`` is the restreaming range-shard engine with NO O(V)
+    state in any task (``bigv_sharded``) — with it the ENTIRE lifecycle
+    holds no O(V) object anywhere.
 
     The driver routes object refs and scalars only; results land as
     manifest-gated Parquet stage directories (one file per shard), so a
@@ -193,6 +200,9 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
     if routing not in ("hash", "cuttana"):
         raise ValueError(f"routing must be 'hash' or 'cuttana', "
                          f"got {routing!r}")
+    if partitioner not in ("sequential", "sharded"):
+        raise ValueError(f"partitioner must be 'sequential' or "
+                         f"'sharded', got {partitioner!r}")
     os.makedirs(workdir, exist_ok=True)
 
     # full resume: when every output stage is manifest-complete and the
@@ -249,9 +259,26 @@ def run_flagship_bigv(transcripts: "ray.data.Dataset", workdir: str,
             assignment = ray.data.read_parquet(
                 assign_dir, file_extensions=["parquet"]).materialize()
             stream_info = ckpt.read_manifest(assign_dir)
+            if stream_info.get("partitioner",
+                               "sequential") != partitioner:
+                raise ValueError(
+                    "assignments_bigv checkpoint was produced by the "
+                    f"{stream_info.get('partitioner', 'sequential')!r} "
+                    f"partitioner; rerun with that, or clear the stage "
+                    f"to switch to {partitioner!r}")
         else:
-            assignment, stream_info = bigv_cuttana_assignment(
-                enc, k=num_shards)
+            if partitioner == "sharded":
+                from cuttana_ray.pipelines.bigv_sharded import (
+                    bigv_cuttana_assignment_sharded,
+                )
+                assignment, stream_info = bigv_cuttana_assignment_sharded(
+                    enc, k=num_shards)
+                stream_info = {k: v for k, v in stream_info.items()
+                               if k != "pass_sizes"}
+            else:
+                assignment, stream_info = bigv_cuttana_assignment(
+                    enc, k=num_shards)
+            stream_info["partitioner"] = partitioner
             assignment = ckpt.write_stage(assignment, assign_dir,
                                           meta=stream_info)
         quality_cuttana = partition_quality_join(

@@ -154,3 +154,61 @@ def test_sharded_assignment_routes_bsp_pool(ray_session):
     np.testing.assert_allclose(a["rank"].values, b["rank"].values,
                                rtol=0, atol=1e-12)
     assert st_c["bytes_per_round"] < st_h["bytes_per_round"]
+
+
+def test_sharded_partitioner_layout_invariant(ray_session):
+    """Block layout cannot change the assignment: counts are
+    order-independent sums and placement reads only the per-range
+    aggregates, so repartitioning the input is invisible."""
+    from cuttana_ray.pipelines.bigv_sharded import (
+        bigv_cuttana_assignment_sharded,
+    )
+
+    enc = _planted_enc(k=4, per=100)
+    outs = []
+    for parts in (2, 9):
+        a, _ = bigv_cuttana_assignment_sharded(
+            enc.repartition(parts), k=4, num_ranges=3, passes=3,
+            seed_cap=1)
+        outs.append(a.to_pandas().sort_values("node_id")
+                    .reset_index(drop=True))
+    assert (outs[0]["node_id"].values == outs[1]["node_id"].values).all()
+    assert (outs[0]["partition"].values
+            == outs[1]["partition"].values).all()
+
+
+def test_flagship_bigv_sharded_partitioner(tiny_transcripts, tmp_path):
+    """routing='cuttana' + partitioner='sharded': the ENTIRE flagship
+    lifecycle without O(V) state in any single task — results match the
+    hash-routing flagship per vertex, the checkpoint manifest records
+    the partitioner, and a mismatched resume refuses loudly."""
+    import pytest as _pytest
+
+    from cuttana_ray.pipelines import checkpoint as ckpt
+    from cuttana_ray.pipelines.flagship import run_flagship_bigv
+
+    ds = rd.from_arrow(tiny_transcripts).repartition(5)
+    wd = str(tmp_path / "bigv_sharded_flag")
+    lin = run_flagship_bigv(ds, wd, num_shards=4, lpa_iters=4,
+                            routing="cuttana", partitioner="sharded")
+    assert lin["routing"] == "cuttana"
+    meta = ckpt.read_manifest(f"{wd}/assignments_bigv")
+    assert meta["partitioner"] == "sharded"
+    assert lin["quality_cuttana"]["edge_cut_ratio"] <= 1.0
+
+    wd_h = str(tmp_path / "bigv_hash_flag")
+    run_flagship_bigv(ds, wd_h, num_shards=4, lpa_iters=4)
+    rc = ckpt.read_table(f"{wd}/rank_bigv").to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    rh = ckpt.read_table(f"{wd_h}/rank_bigv").to_pandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    assert (rc["node_id"].values == rh["node_id"].values).all()
+    np.testing.assert_allclose(rc["rank"].values, rh["rank"].values,
+                               rtol=0, atol=1e-12)
+
+    # resume with the other partitioner must refuse, not silently mix
+    import os
+    os.remove(f"{wd}/lineage.json")
+    with _pytest.raises(ValueError, match="partitioner"):
+        run_flagship_bigv(ds, wd, num_shards=4, lpa_iters=4,
+                          routing="cuttana", partitioner="sequential")
