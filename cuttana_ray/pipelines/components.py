@@ -17,12 +17,12 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
 from cuttana_ray.util import resolve_combine
-from cuttana_ray.pipelines.pagerank import IterativeResult
+from cuttana_ray.pipelines.pagerank import (IterativeResult,
+                                             grouped_min_exchange)
 
 
 def _minlabel_fn(labels_ref):
@@ -61,8 +61,10 @@ def connected_components(graph: Graph, max_iters: int = 200,
         partial = graph.edges.map_batches(_minlabel_fn(labels_ref),
                                           batch_format="pyarrow")
         if combine == "shuffle":
-            partial = partial.groupby("dst").aggregate(
-                Min("partial", alias_name="partial"))
+            # bucketed sort-exchange, not the native per-key aggregate —
+            # ~13x at high key cardinality (see grouped_min_exchange)
+            partial = grouped_min_exchange(partial, "dst", "partial") \
+                .rename_columns({"m": "partial"})
         new = labels.copy()
         for b in partial.iter_batches(batch_size=1 << 20,
                                       batch_format="pyarrow"):

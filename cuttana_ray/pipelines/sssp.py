@@ -22,7 +22,8 @@ import ray.data
 from ray.data.aggregate import Min
 
 from cuttana_ray.pipelines.graph import Graph
-from cuttana_ray.pipelines.pagerank import IterativeResult
+from cuttana_ray.pipelines.pagerank import (IterativeResult,
+                                             grouped_min_exchange)
 from cuttana_ray.util import resolve_combine
 
 UNREACHED = np.iinfo(np.int64).max
@@ -74,8 +75,10 @@ def shortest_paths(graph: Graph, seeds: "np.ndarray | list[int]",
         partial = graph.edges.map_batches(_relax_fn(state_ref),
                                           batch_format="pyarrow")
         if combine == "shuffle":
-            partial = partial.groupby("dst").aggregate(
-                Min("partial", alias_name="partial"))
+            # bucketed sort-exchange, not the native per-key aggregate —
+            # ~13x at high key cardinality (see grouped_min_exchange)
+            partial = grouped_min_exchange(partial, "dst", "partial") \
+                .rename_columns({"m": "partial"})
         cand = np.full(V, UNREACHED, dtype=np.int64)
         for b in partial.iter_batches(batch_size=1 << 20,
                                       batch_format="pyarrow"):
