@@ -1583,9 +1583,13 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None,
         return pa.table({"vertex": pa.array(uniq, pa.int64()),
                          "partial": pa.array(cnt.astype(np.int64))})
 
-    counts = tri.map_batches(pv_partial, batch_format="pyarrow") \
-        .groupby("vertex").aggregate(Sum("partial", alias_name="_tc")) \
-        .materialize()
+    from cuttana_ray.pipelines.pagerank import grouped_sum_exchange
+    # bucketed sort-exchange, not the native per-key aggregate — ~96x at
+    # V-cardinality keys (see grouped_sum_exchange); int sums are exact
+    counts = grouped_sum_exchange(
+        tri.map_batches(pv_partial, batch_format="pyarrow"),
+        "vertex", "partial", int_val=True) \
+        .rename_columns({"s": "_tc"}).materialize()
     # each triangle contributes 3 per-vertex increments → the grand total
     # is one metadata-cheap aggregate over the (small, per-vertex) counts,
     # not a count() barrier over the full triangle-instance table
@@ -1604,9 +1608,10 @@ def triangles_bigv(enc: "ray.data.Dataset", num_partitions: int | None = None,
             "vertex": pc.cast(t["node_id"], pa.int64()),
             "_tc": pa.array(np.zeros(len(t), np.int64))})
 
-    unioned = universe.map_batches(zero_partial, batch_format="pyarrow") \
-        .union(counts) \
-        .groupby("vertex").aggregate(Sum("_tc", alias_name="_tc"))
+    unioned = grouped_sum_exchange(
+        universe.map_batches(zero_partial, batch_format="pyarrow")
+        .union(counts), "vertex", "_tc", int_val=True) \
+        .rename_columns({"s": "_tc"})
 
     def finish(t: pa.Table) -> pa.Table:
         sch = pa.schema([("node_id", pa.int64()), ("tri_count", pa.int64())])

@@ -51,7 +51,9 @@ from ray.data.aggregate import Sum
 
 from cuttana_ray.pipelines import checkpoint as ckpt
 from cuttana_ray.pipelines.graph import Graph
-from cuttana_ray.pipelines.pagerank import IterativeResult
+from cuttana_ray.pipelines.pagerank import (IterativeResult,
+                                             grouped_sum_exchange,
+                                             grouped_sum2_exchange)
 from cuttana_ray.util import resolve_combine
 
 
@@ -144,8 +146,10 @@ def _run_rounds(edges: "ray.data.Dataset", V: int, kv: np.ndarray, w2: int,
         partial = edges.map_batches(_comm_weight_fn(labels_ref),
                                     batch_format="pyarrow")
         if combine == "shuffle":
-            partial = partial.groupby(["v", "c"]).aggregate(
-                Sum("kin", alias_name="kin"))
+            # bucketed sort-exchange, not the native per-key aggregate —
+            # ~96x at high key cardinality; int64 sums are order-exact
+            partial = grouped_sum2_exchange(partial, "v", "c", "kin",
+                                            int_val=True)
         vs, cs, ks = [], [], []
         for b in partial.iter_batches(batch_size=1 << 20,
                                       batch_format="pyarrow"):
@@ -408,10 +412,10 @@ def louvain_shuffle(edges: "ray.data.Dataset", max_rounds: int = 6,
                                         pa.int64())}).cast(schema)
 
     # carried per-vertex state: (v, c, kv) in ONE dataset — singleton init
-    state = edges.map_batches(
-        kv_partial,
-        batch_format="pyarrow").groupby("src").aggregate(
-            Sum("kv", alias_name="kv")).map_batches(
+    state = grouped_sum_exchange(
+        edges.map_batches(kv_partial, batch_format="pyarrow"),
+        "src", "kv", int_val=True).rename_columns({"s": "kv"}) \
+        .map_batches(
         lambda t: pa.table({"v": t["src"],
                             "c": pc.cast(t["src"], pa.int64()),
                             "kv": t["kv"]}),

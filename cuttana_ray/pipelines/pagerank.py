@@ -55,7 +55,8 @@ class IterativeResult:
 
 
 def grouped_sum_exchange(ds: "ray.data.Dataset", key: str, val: str,
-                         num_buckets: int = 64) -> "ray.data.Dataset":
+                         num_buckets: int = 64,
+                         int_val: bool = False) -> "ray.data.Dataset":
     """Distributed per-key float sum over MOSTLY-DISTINCT int keys as one
     ``groupby(bucket).map_groups`` sort-exchange with the per-key reduce
     vectorized inside each bucket (lexsort + reduceat). NOT the native
@@ -63,18 +64,20 @@ def grouped_sum_exchange(ds: "ray.data.Dataset", key: str, val: str,
     per-key reduce measured ~13× slower at 8M partial rows
     (``bigv.discover_hubs`` rewrite, r5) — per superstep, that gap IS
     the iteration time in the huge-V shuffle-combine regime. Output:
-    one ``(key, s)`` row per distinct key, exact float64 sums in
-    ascending-key order per bucket (deterministic)."""
-    out_sch = pa.schema([(key, pa.int64()), ("s", pa.float64())])
+    one ``(key, s)`` row per distinct key in ascending-key order per
+    bucket (deterministic); ``int_val=True`` keeps exact int64 sums
+    (order-free), default float64."""
+    vt = pa.int64() if int_val else pa.float64()
+    out_sch = pa.schema([(key, pa.int64()), ("s", vt)])
 
     def tag(t: pa.Table) -> pa.Table:
-        sch = pa.schema([(key, pa.int64()), (val, pa.float64()),
+        sch = pa.schema([(key, pa.int64()), (val, vt),
                          ("bucket", pa.int64())])
         if len(t) == 0 or key not in t.column_names:
             return sch.empty_table()
         k = t[key].to_numpy(zero_copy_only=False)
         return pa.table({key: pc.cast(t[key], pa.int64()),
-                         val: pc.cast(t[val], pa.float64()),
+                         val: pc.cast(t[val], vt),
                          "bucket": pa.array(k % num_buckets)}).cast(sch)
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
@@ -86,8 +89,51 @@ def grouped_sum_exchange(ds: "ray.data.Dataset", key: str, val: str,
         k, v = k[order], v[order]
         starts = np.concatenate([[0], np.nonzero(k[1:] != k[:-1])[0] + 1])
         return pa.table({key: pa.array(k[starts], pa.int64()),
-                         "s": pa.array(np.add.reduceat(v, starts),
-                                       pa.float64())}).cast(out_sch)
+                         "s": pa.array(np.add.reduceat(v, starts), vt)
+                         }).cast(out_sch)
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(reduce_bucket,
+                                      batch_format="pyarrow")
+
+
+def grouped_sum2_exchange(ds: "ray.data.Dataset", key_a: str, key_b: str,
+                          val: str, int_val: bool = True,
+                          num_buckets: int = 64) -> "ray.data.Dataset":
+    """Composite-key sibling of ``grouped_sum_exchange``: per-(key_a,
+    key_b) sum via the bucketed sort-exchange (bucket on ``key_a`` so
+    all of a key_a's rows co-locate — the argmax-per-dst consumers rely
+    on that). ``int_val=True`` keeps exact int64 sums (order-free);
+    False sums float64. Same measured reason as the single-key form."""
+    vt = pa.int64() if int_val else pa.float64()
+    out_sch = pa.schema([(key_a, pa.int64()), (key_b, pa.int64()),
+                         (val, vt)])
+
+    def tag(t: pa.Table) -> pa.Table:
+        sch = pa.schema([(key_a, pa.int64()), (key_b, pa.int64()),
+                         (val, vt), ("bucket", pa.int64())])
+        if len(t) == 0 or key_a not in t.column_names:
+            return sch.empty_table()
+        ka = t[key_a].to_numpy(zero_copy_only=False)
+        return pa.table({key_a: pc.cast(t[key_a], pa.int64()),
+                         key_b: pc.cast(t[key_b], pa.int64()),
+                         val: pc.cast(t[val], vt),
+                         "bucket": pa.array(ka % num_buckets)}).cast(sch)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or key_a not in t.column_names:
+            return out_sch.empty_table()
+        a = t[key_a].to_numpy(zero_copy_only=False)
+        b = t[key_b].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1])
+        return pa.table({key_a: pa.array(a[starts], pa.int64()),
+                         key_b: pa.array(b[starts], pa.int64()),
+                         val: pa.array(np.add.reduceat(v, starts), vt)
+                         }).cast(out_sch)
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("bucket").map_groups(reduce_bucket,

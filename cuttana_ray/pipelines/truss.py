@@ -158,8 +158,13 @@ def _support_join(canon: "ray.data.Dataset",
                          "v": pa.array(vv[starts], pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))}).cast(sch)
 
-    return tri.map_batches(melt, batch_format="pyarrow") \
-        .groupby(["u", "v"]).aggregate(Sum("n", alias_name="support"))
+    from cuttana_ray.pipelines.pagerank import grouped_sum2_exchange
+    # bucketed sort-exchange, not the native per-key aggregate — ~96x at
+    # E-cardinality (u, v) keys; int support counts are order-exact
+    return grouped_sum2_exchange(
+        tri.map_batches(melt, batch_format="pyarrow"),
+        "u", "v", "n", int_val=True) \
+        .rename_columns({"n": "support"})
 
 
 def _canon_dataset(graph: Graph) -> "ray.data.Dataset":
