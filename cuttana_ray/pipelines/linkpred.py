@@ -64,13 +64,53 @@ def witness_pair_scores(graph: Graph, min_common: int = 2,
     of re-running the expansion per score)."""
     V = graph.num_vertices
     adj = build_adjacency(graph.edges)
+
+    # ONE bucketed sort-exchange collapses the per-batch partials — not
+    # the native groupby(a, b).aggregate (its per-key reduce measured
+    # 96× slower at high pair cardinality; see
+    # pipelines/pagerank.py grouped_sum_exchange). Bucket on `a`, reduce
+    # (cn, aa, ra) per (a, b) with one lexsort + three reduceats, filter
+    # min_common before anything leaves the bucket.
+    cand_sch = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("cn", pa.int64()), ("aa", pa.float64()),
+                          ("ra", pa.float64())])
+    _NB = 64
+
+    def tag_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return pa.schema(list(cand_sch)
+                             + [("bucket", pa.int64())]).empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(a % _NB, pa.int64()))
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "a" not in t.column_names:
+            return cand_sch.empty_table()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        cn = t["cn"].to_numpy(zero_copy_only=False)
+        aa = t["aa"].to_numpy(zero_copy_only=False)
+        ra = t["ra"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        cn, aa, ra = cn[order], aa[order], ra[order]
+        starts = np.concatenate(
+            [[0], np.nonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1]))[0] + 1])
+        cns = np.add.reduceat(cn, starts)
+        keep = cns >= int(min_common)
+        return pa.table({
+            "a": pa.array(a[starts][keep], pa.int64()),
+            "b": pa.array(b[starts][keep], pa.int64()),
+            "cn": pa.array(cns[keep].astype(np.int64)),
+            "aa": pa.array(np.add.reduceat(aa, starts)[keep], pa.float64()),
+            "ra": pa.array(np.add.reduceat(ra, starts)[keep], pa.float64()),
+        }).cast(cand_sch)
+
     cand = adj.map_batches(_witness_weighted_fn(max_degree),
                            batch_format="pyarrow") \
-        .groupby(["a", "b"]) \
-        .aggregate(Sum("cn", alias_name="cn"),
-                   Sum("aa", alias_name="aa"),
-                   Sum("ra", alias_name="ra")) \
-        .filter(expr=f"cn >= {int(min_common)}")
+        .map_batches(tag_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(reduce_bucket,
+                                      batch_format="pyarrow")
     if include_adjacent:
         return cand
 
