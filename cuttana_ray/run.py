@@ -27,6 +27,17 @@ def main(argv: list[str] | None = None) -> int:
                     default="csr",
                     help="bigv = hash-id shard-resident pipeline: no O(V) "
                          "object on the driver or any single node")
+    ap.add_argument("--routing", choices=["hash", "cuttana"],
+                    default="hash",
+                    help="bigv mode only: shard ownership — id%%k hash "
+                         "(baseline) or the Cuttana-quality assignment "
+                         "(fewer exchanged bytes per BSP round)")
+    ap.add_argument("--partitioner", choices=["sequential", "sharded"],
+                    default="sequential",
+                    help="bigv --routing cuttana only: how the assignment "
+                         "is produced — the reference-faithful one-task "
+                         "stream, or the restreaming range-shard engine "
+                         "with no O(V) state in any task")
     ap.add_argument("--pagerank-tol", type=float, default=1e-6)
     ap.add_argument("--lpa-iters", type=int, default=10)
     ap.add_argument("--num-cpus", type=int, default=None,
@@ -57,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
             lineage = run_flagship_bigv(
                 inp, args.workdir,
                 num_shards=args.num_partitions,
-                pagerank_tol=args.pagerank_tol, lpa_iters=args.lpa_iters)
+                pagerank_tol=args.pagerank_tol, lpa_iters=args.lpa_iters,
+                routing=args.routing, partitioner=args.partitioner)
         else:
             config = CuttanaConfig(num_sub_partitions=args.num_sub_partitions,
                                    balance_slack=args.balance_slack,
