@@ -1273,3 +1273,60 @@ def test_grouped_holt_matches_loop_replay():
             assert abs(r["level"] - round(lvl, 6)) < 1e-12
             assert abs(r["trend"] - round(b, 6)) < 1e-12
             assert abs(r["forecast1"] - round(lvl + b, 6)) < 1e-12
+
+
+def test_bucketed_exchanges_match_native_aggregate(ray_session):
+    """The bucketed sort-exchanges (pipelines/pagerank.py — the 96×
+    replacement for the native per-key aggregate on high-cardinality
+    keys) are value-identical to groupby().aggregate() for int sums,
+    float sums and mins, across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from cuttana_ray.pipelines.pagerank import (
+        grouped_min_exchange,
+        grouped_sum2_exchange,
+        grouped_sum_exchange,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 3_000, n)),
+        "k2": pa.array(rng.integers(0, 7, n)),
+        "vi": pa.array(rng.integers(-50, 50, n)),
+        "vf": pa.array(rng.random(n)),
+    })
+    for parts in (1, 9):
+        ds = rd.from_arrow(t).repartition(parts)
+
+        got = grouped_sum_exchange(ds, "k", "vi", int_val=True) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        want = ds.groupby("k").aggregate(Sum("vi", alias_name="s")) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert (got["k"].values == want["k"].values).all()
+        assert (got["s"].values == want["s"].values).all()
+
+        gotf = grouped_sum_exchange(ds, "k", "vf") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        wantf = ds.groupby("k").aggregate(Sum("vf", alias_name="s")) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        np.testing.assert_allclose(gotf["s"].values, wantf["s"].values,
+                                   rtol=1e-12)
+
+        gotm = grouped_min_exchange(ds, "k", "vi") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        wantm = ds.groupby("k").aggregate(Min("vi", alias_name="m")) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert (gotm["m"].values == wantm["m"].values).all()
+
+        got2 = grouped_sum2_exchange(ds, "k", "k2", "vi", int_val=True) \
+            .to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+        want2 = ds.groupby(["k", "k2"]) \
+            .aggregate(Sum("vi", alias_name="vi")) \
+            .to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+        assert (got2["k"].values == want2["k"].values).all()
+        assert (got2["k2"].values == want2["k2"].values).all()
+        assert (got2["vi"].values == want2["vi"].values).all()
